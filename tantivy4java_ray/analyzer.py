@@ -1,0 +1,188 @@
+"""Text analyzers — vectorized over Arrow string columns.
+
+Re-implements the reference's analyzer semantics
+(``native/src/text_analyzer.rs:208-244``):
+
+- ``default`` / ``simple``: split at non-alphanumeric (Unicode), lowercase,
+  drop tokens longer than 255 bytes (Quickwit-compatible limit,
+  ``text_analyzer.rs:12-14``).
+- ``whitespace``: split at Unicode whitespace, lowercase, 255-byte limit.
+- ``keyword`` / ``raw``: whole input is one token; no lowercasing, no limit
+  (``text_analyzer.rs:224-241``).
+- ``en_stem``: default + a light Porter-style suffix stripper (the reference
+  exposes tantivy's en_stem under custom registration; ours is registered
+  but NOT part of the byte-identical contract).
+
+Unlike the reference (per-document Rust calls through JNI), tokenization here
+is a *columnar* kernel: one ``pyarrow.compute.split_pattern_regex`` call per
+batch (RE2, C++), then numpy for positions — no Python loop over rows.
+
+Token positions are assigned after empty-token removal and *before* the long
+-token filter (matching tantivy, where the tokenizer numbers tokens and
+``RemoveLongFilter`` drops them leaving position gaps). Golden fixtures in
+``tests/test_analyzer.py`` freeze this contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_TOKEN_LIMIT = 255  # bytes, Quickwit-compatible (text_analyzer.rs:12-14)
+LEGACY_TOKEN_LIMIT = 40    # tantivy legacy default (text_analyzer.rs:16-18)
+
+# RE2 character classes. \p{L}: letters, \p{N}: numbers — the complement of
+# Rust's char::is_alphanumeric() split in SimpleTokenizer.
+_SIMPLE_SPLIT = r"[^\p{L}\p{N}]+"
+# Unicode whitespace (WhitespaceTokenizer splits on char::is_whitespace).
+_WS_SPLIT = r"[\s\p{Z}\x{0085}\x{2028}\x{2029}]+"
+
+
+@dataclass(frozen=True)
+class TextAnalyzer:
+    """An analyzer = splitter + lowercase flag + byte-length limit."""
+
+    name: str = "default"
+    split_pattern: str | None = _SIMPLE_SPLIT  # None => raw (whole string)
+    lowercase: bool = True
+    token_limit: int | None = DEFAULT_TOKEN_LIMIT
+    stem: bool = False
+
+    def tokenize(self, text: str | None) -> list[str]:
+        """Single-string convenience (tests / query analysis)."""
+        if text is None:
+            return []
+        toks, _pos = self.tokenize_with_positions(text)
+        return toks
+
+    def tokenize_with_positions(self, text: str) -> tuple[list[str], list[int]]:
+        out = tokenize_column(pa.array([text]), self)
+        return list(out["token"]), list(out["position"])
+
+
+_REGISTRY: dict[str, TextAnalyzer] = {}
+
+
+def register_tokenizer(name: str, analyzer: TextAnalyzer) -> None:
+    """Analyzer registry (reference: ``core/Index.java:307-312``)."""
+    _REGISTRY[name] = analyzer
+
+
+def get_analyzer(name: str) -> TextAnalyzer:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown tokenizer {name!r}; registered: "
+                       f"{sorted(_REGISTRY)}") from None
+
+
+for _n in ("default", "simple"):
+    register_tokenizer(_n, TextAnalyzer(_n, _SIMPLE_SPLIT, True,
+                                        DEFAULT_TOKEN_LIMIT))
+register_tokenizer("whitespace", TextAnalyzer("whitespace", _WS_SPLIT, True,
+                                              DEFAULT_TOKEN_LIMIT))
+for _n in ("keyword", "raw"):
+    register_tokenizer(_n, TextAnalyzer(_n, None, False, None))
+register_tokenizer("en_stem", TextAnalyzer("en_stem", _SIMPLE_SPLIT, True,
+                                           DEFAULT_TOKEN_LIMIT, stem=True))
+
+
+_STEM_SUFFIXES = ("ational", "iveness", "fulness", "ousness", "ization",
+                  "ations", "ingly", "ation", "ement", "ness", "tion", "ment",
+                  "edly", "ings", "ies", "ied", "ing", "est", "ed", "es",
+                  "ly", "s")
+
+
+def _stem_array(tokens: np.ndarray) -> np.ndarray:
+    """A light, deterministic suffix stripper (NOT full Porter)."""
+    out = tokens.copy()
+    for i, t in enumerate(tokens):
+        for suf in _STEM_SUFFIXES:
+            if t.endswith(suf) and len(t) - len(suf) >= 3:
+                out[i] = t[: len(t) - len(suf)]
+                break
+    return out
+
+
+def tokenize_column(col: pa.Array | pa.ChunkedArray,
+                    analyzer: TextAnalyzer) -> dict[str, np.ndarray]:
+    """Tokenize a string column; fully vectorized.
+
+    Returns flat numpy arrays:
+      - ``row``:      int64, index of the source row for each token
+      - ``token``:    object (str) token text
+      - ``position``: int32 token position within the row (post empty-filter,
+                      pre long-filter — see module docstring)
+      - ``row_token_counts``: int64, per input row, the number of emitted
+                      tokens (== doc length for fieldnorms)
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_rows = len(col)
+    if n_rows == 0:
+        return {"row": np.empty(0, np.int64),
+                "token": np.empty(0, object),
+                "position": np.empty(0, np.int32),
+                "row_token_counts": np.empty(0, np.int64)}
+
+    if analyzer.split_pattern is None:
+        # raw/keyword: whole value is one token, nulls and empties excluded
+        valid = pc.and_(col.is_valid(),
+                        pc.greater(pc.binary_length(col), 0))
+        vmask = np.asarray(valid.to_numpy(zero_copy_only=False), bool)
+        rows = np.flatnonzero(vmask).astype(np.int64)
+        toks = np.asarray(col.to_numpy(zero_copy_only=False), object)[rows]
+        counts = vmask.astype(np.int64)
+        return {"row": rows, "token": toks,
+                "position": np.zeros(len(rows), np.int32),
+                "row_token_counts": counts}
+
+    txt = pc.utf8_lower(col) if analyzer.lowercase else col
+    lists = pc.split_pattern_regex(txt, pattern=analyzer.split_pattern)
+    flat = pc.list_flatten(lists)                       # drops null rows
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    parents = np.asarray(parents, np.int64)
+    byte_len = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    byte_len = np.asarray(byte_len, np.int64)
+
+    # 1) drop empty tokens produced by leading/trailing separators
+    keep = byte_len > 0
+    parents = parents[keep]
+    byte_len = byte_len[keep]
+    toks = np.asarray(flat.to_numpy(zero_copy_only=False), object)[keep]
+
+    # 2) positions within each row (parents is non-decreasing)
+    if len(parents):
+        change = np.empty(len(parents), bool)
+        change[0] = True
+        np.not_equal(parents[1:], parents[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        run_lens = np.diff(np.append(starts, len(parents)))
+        positions = (np.arange(len(parents), dtype=np.int64)
+                     - np.repeat(starts, run_lens)).astype(np.int32)
+    else:
+        positions = np.empty(0, np.int32)
+
+    # 3) RemoveLongFilter: drop tokens over the byte limit, keep positions
+    if analyzer.token_limit is not None:
+        keep2 = byte_len <= analyzer.token_limit
+        if not keep2.all():
+            parents = parents[keep2]
+            toks = toks[keep2]
+            positions = positions[keep2]
+
+    if analyzer.stem and len(toks):
+        toks = _stem_array(toks)
+
+    counts = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    return {"row": parents, "token": toks, "position": positions,
+            "row_token_counts": counts}
+
+
+def analyze_query_text(field_tokenizer: str, text: str) -> list[str]:
+    """Analyze query text with a field's analyzer (parseQuery path only —
+    term queries are NOT analyzed; ``DefaultTokenizerCaseTest.java:90-110``)."""
+    return get_analyzer(field_tokenizer).tokenize(text)
