@@ -1,0 +1,537 @@
+"""Distributed index build: the Ray-Data-first retelling of the reference's
+``IndexWriter`` + ``QuickwitSplit.convertIndex`` pipeline (SURVEY.md §3.1).
+
+Dataflow::
+
+    plan_partitions(parquet footers)                      # driver, metadata only
+      -> ray.data.from_items(partition specs)
+      -> map_batches(PartitionIndexer, actor pool)        # tokenize + combine
+           emits per-(term, partition) PARTIAL postings   #   (the combiner)
+           writes docdata/part-{pid}.parquet              #   fieldnorms + fast fields
+      -> groupby("shard")                                 # the one shuffle
+      -> map_groups(shard writer)                         # sorted term dict +
+           writes shards/shard-{sid}/{terms.parquet,      #   block-128 packed
+                  postings.bin, positions.bin}            #   postings
+    driver: txlog versions + checkpoint manifest          # lineage + resume
+
+Scale/skew notes (explicitly, per BASELINE.json north rule):
+
+- The per-partition partial posting is the *combiner*: a head (Zipfian) term
+  contributes at most ONE row per build partition to the shuffle, never one
+  row per document, so ``groupby(shard)`` traffic is bounded by
+  ``vocab x partitions`` regardless of term frequency skew. Shard keys are a
+  deterministic hash of ``(field, term)``, so shard sizes are uniform.
+- Partials arrive doc-range-disjoint and doc-sorted; the shard writer's
+  "merge" is an ordered concat (the degenerate merge-heap), then re-encoded
+  into delta/bitpacked blocks.
+- Posting doc ids are stored per-RUN relative to an int64 ``run_base`` with
+  u32 offsets, so the format addresses >2^32 documents (10^12-doc target)
+  while blocks stay 4-byte packed.
+- DocIDs are a prefix sum over parquet footers — deterministic under retry
+  and resume (never Ray block order).
+- Resume: every partition's outputs (docdata + partial checkpoint) are
+  written atomically to deterministic paths; a re-run skips finished
+  partitions and the txlog records per-partition lineage + metrics.
+
+The wide ``html`` column is projected away at the read: only schema fields
+flow through tokenization, and only *partial postings* (no raw text) enter
+the shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
+from tantivy4java_ray.fieldnorm import fieldnorm_to_id
+from tantivy4java_ray.postings import encode_positions, encode_postings
+from tantivy4java_ray.schema import FieldType, IndexSchema, infer_index_schema
+from tantivy4java_ray.sources.parquet_meta import BuildPlan, plan_partitions
+from tantivy4java_ray.stages.extract import fill_text_from_html
+from tantivy4java_ray.state.manifest import TransactionLog, atomic_write_json
+
+RUN_SPAN = 1 << 32  # max doc span addressable by one posting run (u32)
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("shard", pa.int32()),
+    ("field", pa.string()),
+    ("term", pa.string()),
+    ("pid", pa.int32()),
+    ("doc_base", pa.int64()),
+    ("df", pa.int64()),
+    ("ttf", pa.int64()),
+    ("docs", pa.large_binary()),
+    ("tfs", pa.large_binary()),
+    ("positions", pa.large_binary()),
+])
+
+
+def term_shard(field: str, terms: np.ndarray, num_shards: int) -> np.ndarray:
+    """Deterministic shard of each term (stable across processes — pandas
+    siphash with a fixed key, NOT Python ``hash``).
+
+    NOTE: the hash separator is \\x1f, not \\x00 — pandas' siphash treats
+    values as C strings and truncates at NUL (verified), which would
+    collapse every term of a field into one shard."""
+    keys = np.array([f"{field}\x1f{t}" for t in terms], dtype=object)
+    return (pd.util.hash_array(keys) % np.uint64(num_shards)).astype(np.int32)
+
+
+def _flatten_json_terms(col: pa.Array, expand_dots: bool = True
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """JSON string column -> (row_idx, 'path\\x01value') term pairs
+    (dot-expanded subpaths; ``core/JsonObjectOptions.java`` semantics)."""
+    rows: list[int] = []
+    terms: list[str] = []
+
+    def walk(prefix: str, val: Any, row: int) -> None:
+        if isinstance(val, dict):
+            for k, v in val.items():
+                if not expand_dots:
+                    k = k.replace(".", "\\.")
+                walk(f"{prefix}.{k}" if prefix else k, v, row)
+        elif isinstance(val, list):
+            for v in val:
+                walk(prefix, v, row)
+        elif val is not None:
+            sval = val if isinstance(val, str) else json.dumps(val)
+            rows.append(row)
+            terms.append(f"{prefix}\x01{sval}")
+
+    for i, s in enumerate(col.to_pylist()):
+        if not s:
+            continue
+        try:
+            walk("", json.loads(s) if isinstance(s, str) else s, i)
+        except (json.JSONDecodeError, TypeError):
+            continue
+    return (np.asarray(rows, np.int64), np.asarray(terms, dtype=object))
+
+
+class PartitionIndexer:
+    """Actor-pool stage: one call indexes one build partition.
+
+    Analyzers are resolved once per actor in ``__init__`` (the reference's
+    per-writer setup, ``core/IndexWriter.java:48``); each ``__call__``
+    tokenizes a whole partition with vectorized kernels and emits partial
+    postings + writes the partition's docdata file.
+    """
+
+    def __init__(self, schema_dict: dict, index_dir: str, num_shards: int,
+                 html_fallback: tuple[str, str] | None = None,
+                 exact_fieldnorms: bool = False, checkpoint: bool = True):
+        self.schema = IndexSchema.from_dict(schema_dict)
+        self.index_dir = index_dir
+        self.num_shards = num_shards
+        self.html_fallback = html_fallback
+        self.exact_fieldnorms = exact_fieldnorms
+        self.checkpoint = checkpoint
+        self.analyzers = {f.name: get_analyzer(f.tokenizer)
+                          for f in self.schema.fields
+                          if f.type is FieldType.TEXT}
+        cols = {f.name for f in self.schema.fields}
+        if html_fallback:
+            cols.add(html_fallback[1])
+        self.columns = sorted(cols)
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        for spec in batch.to_pylist():
+            yield self._index_partition(spec)
+
+    # ------------------------------------------------------------------
+    def _paths(self, pid: int) -> tuple[str, str]:
+        return (os.path.join(self.index_dir, "docdata", f"part-{pid:05d}.parquet"),
+                os.path.join(self.index_dir, "_partials", f"part-{pid:05d}.parquet"))
+
+    def _index_partition(self, spec: dict) -> pa.Table:
+        pid = spec["pid"]
+        docdata_path, partial_path = self._paths(pid)
+        if (self.checkpoint and os.path.exists(docdata_path)
+                and os.path.exists(partial_path)):
+            # resume: this partition is already built (atomic rename = done)
+            return pq.read_table(partial_path)
+
+        t0 = time.monotonic()
+        pf = pq.ParquetFile(spec["path"])
+        avail = set(pf.schema_arrow.names)
+        cols = [c for c in self.columns if c in avail]
+        tbl = pf.read_row_groups(spec["row_groups"], columns=cols)
+        n = tbl.num_rows
+
+        acc: dict[str, list] = {k: [] for k in _PARTIAL_SCHEMA.names}
+        docdata_cols: dict[str, pa.Array] = {}
+        total_tokens: dict[str, int] = {}
+        n_postings = 0
+
+        for fcfg in self.schema.fields:
+            if fcfg.name not in avail and fcfg.type is not FieldType.TEXT:
+                continue
+            col = (tbl.column(fcfg.name).combine_chunks()
+                   if fcfg.name in avail else None)
+            if fcfg.type is FieldType.TEXT:
+                if col is None:
+                    continue
+                if (self.html_fallback
+                        and fcfg.name == self.html_fallback[0]
+                        and self.html_fallback[1] in avail):
+                    col = fill_text_from_html(
+                        col, tbl.column(self.html_fallback[1]).combine_chunks())
+                tok = tokenize_column(col, self.analyzers[fcfg.name])
+                counts = tok["row_token_counts"]
+                total_tokens[fcfg.name] = int(counts.sum())
+                if fcfg.fieldnorms:
+                    docdata_cols[f"norm__{fcfg.name}"] = pa.array(
+                        fieldnorm_to_id(counts), pa.uint8())
+                    if self.exact_fieldnorms:
+                        docdata_cols[f"dl__{fcfg.name}"] = pa.array(
+                            counts.astype(np.uint32), pa.uint32())
+                if fcfg.indexed:
+                    with_pos = fcfg.index_option == "position"
+                    n_postings += self._emit_terms(
+                        acc, fcfg.name, spec, tok["row"], tok["token"],
+                        tok["position"] if with_pos else None, n)
+            elif fcfg.type in (FieldType.STRING, FieldType.FACET,
+                               FieldType.IP_ADDR):
+                if col is None:
+                    continue
+                if fcfg.indexed:
+                    tok = tokenize_column(col, get_analyzer("raw"))
+                    n_postings += self._emit_terms(
+                        acc, fcfg.name, spec, tok["row"], tok["token"], None, n)
+                if fcfg.fast:
+                    docdata_cols[fcfg.name] = col.cast(pa.string())
+            elif fcfg.type is FieldType.JSON:
+                if col is None or not fcfg.indexed:
+                    continue
+                rows, terms = _flatten_json_terms(col.cast(pa.string()))
+                if len(rows):
+                    n_postings += self._emit_terms(
+                        acc, fcfg.name, spec, rows, terms, None, n)
+            else:  # numeric / date / bool / bytes -> fast columns only
+                if col is not None and fcfg.fast:
+                    docdata_cols[fcfg.name] = col
+
+        partial = pa.table(
+            {k: pa.array(v, type=_PARTIAL_SCHEMA.field(k).type)
+             for k, v in acc.items()})
+
+        # docdata: fieldnorms + fast fields, one file per partition, with
+        # build lineage + metrics in the parquet footer (txlog-visible)
+        meta = {"pid": pid, "doc_base": spec["doc_base"], "num_docs": n,
+                "path": spec["path"], "row_groups": spec["row_groups"],
+                "total_tokens": total_tokens,
+                "metrics": {"build_s": round(time.monotonic() - t0, 4),
+                            "n_postings": n_postings,
+                            "n_partial_terms": partial.num_rows}}
+        dd = pa.table(docdata_cols) if docdata_cols else pa.table(
+            {"__rows__": pa.nulls(n, pa.int8())})
+        dd = dd.replace_schema_metadata({"build_meta": json.dumps(meta)})
+        self._atomic_parquet(dd, docdata_path)
+        if self.checkpoint:
+            self._atomic_parquet(partial, partial_path)
+        return partial
+
+    @staticmethod
+    def _atomic_parquet(table: pa.Table, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+    def _emit_terms(self, acc: dict[str, list], field: str, spec: dict,
+                    rows: np.ndarray, tokens: np.ndarray,
+                    positions: np.ndarray | None, n_rows: int) -> int:
+        """Aggregate (token, row) pairs into per-term partial postings.
+
+        Vectorized: factorize + single stable argsort; Python only over the
+        partition's vocabulary (not its tokens)."""
+        if len(rows) == 0:
+            return 0
+        codes, uniques = pd.factorize(tokens, sort=False)
+        key = codes.astype(np.int64) * np.int64(n_rows) + rows
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        new_pair = np.empty(len(sk), bool)
+        new_pair[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=new_pair[1:])
+        pstarts = np.flatnonzero(new_pair)
+        tf = np.diff(np.append(pstarts, len(sk))).astype(np.uint32)
+        pair_code = codes[order][pstarts]
+        pair_row = rows[order][pstarts].astype(np.uint32)
+        pos_sorted = positions[order].astype(np.uint32) if positions is not None else None
+        pair_pos_off = np.concatenate(
+            ([0], np.cumsum(tf, dtype=np.int64))).astype(np.int64)
+
+        new_term = np.empty(len(pstarts), bool)
+        new_term[0] = True
+        np.not_equal(pair_code[1:], pair_code[:-1], out=new_term[1:])
+        tstarts = np.flatnonzero(new_term)
+        tlens = np.diff(np.append(tstarts, len(pstarts)))
+
+        uniq = np.asarray(uniques, dtype=object)
+        term_per_group = uniq[pair_code[tstarts]]
+        shards = term_shard(field, term_per_group, self.num_shards)
+
+        n_terms = len(tstarts)
+        acc["shard"].extend(shards.tolist())
+        acc["field"].extend([field] * n_terms)
+        acc["term"].extend(term_per_group.tolist())
+        acc["pid"].extend([spec["pid"]] * n_terms)
+        acc["doc_base"].extend([spec["doc_base"]] * n_terms)
+        for j in range(n_terms):
+            lo = tstarts[j]
+            hi = lo + tlens[j]
+            tfs_j = tf[lo:hi]
+            acc["df"].append(int(hi - lo))
+            acc["ttf"].append(int(tfs_j.sum()))
+            acc["docs"].append(pair_row[lo:hi].tobytes())
+            acc["tfs"].append(tfs_j.tobytes())
+            if pos_sorted is not None:
+                acc["positions"].append(
+                    pos_sorted[pair_pos_off[lo]:pair_pos_off[hi]].tobytes())
+            else:
+                acc["positions"].append(b"")
+        return int(len(pstarts))
+
+
+# ---------------------------------------------------------------------------
+# shard writer (the reduce side of the groupby(shard) shuffle)
+# ---------------------------------------------------------------------------
+
+def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
+    """Merge one shard's partial postings into final segment-shard files."""
+    if group.num_rows == 0:
+        return pa.table({"sid": pa.array([], pa.int32()),
+                         "num_terms": pa.array([], pa.int64()),
+                         "postings_bytes": pa.array([], pa.int64()),
+                         "positions_bytes": pa.array([], pa.int64())})
+    t0 = time.monotonic()
+    sid = int(group.column("shard")[0].as_py())
+    df_ = group.to_pandas()
+    df_.sort_values(["field", "term", "doc_base"], inplace=True, kind="stable")
+
+    post_buf = io.BytesIO()
+    pos_buf = io.BytesIO()
+    dict_rows: dict[str, list] = {k: [] for k in
+                                  ("key", "field", "term", "run_base", "df",
+                                   "ttf", "offset", "nbytes", "pos_offset",
+                                   "pos_nbytes")}
+
+    fields_arr = df_["field"].to_numpy()
+    terms_arr = df_["term"].to_numpy()
+    bases_arr = df_["doc_base"].to_numpy()
+    docs_arr = df_["docs"].to_numpy()
+    tfs_arr = df_["tfs"].to_numpy()
+    pos_arr = df_["positions"].to_numpy()
+
+    n = len(df_)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and fields_arr[j] == fields_arr[i] and terms_arr[j] == terms_arr[i]:
+            j += 1
+        # ordered concat of doc-range-disjoint partials (merge-heap concat)
+        docs = np.concatenate([
+            np.frombuffer(docs_arr[k], np.uint32).astype(np.int64) + bases_arr[k]
+            for k in range(i, j)])
+        tfs = np.concatenate([np.frombuffer(tfs_arr[k], np.uint32)
+                              for k in range(i, j)])
+        has_pos = any(len(pos_arr[k]) for k in range(i, j))
+        pos = (np.concatenate([np.frombuffer(pos_arr[k], np.uint32)
+                               for k in range(i, j)]) if has_pos else None)
+        # split into u32-addressable runs (needed beyond 2^32 docs)
+        run_start = 0
+        while run_start < len(docs):
+            run_base = int(docs[run_start])
+            run_end = int(np.searchsorted(docs, run_base + RUN_SPAN, side="left"))
+            sl = slice(run_start, run_end)
+            blob = encode_postings((docs[sl] - run_base).astype(np.uint32),
+                                   tfs[sl])
+            off = post_buf.tell()
+            post_buf.write(blob)
+            if pos is not None:
+                tf_off = int(tfs[:run_start].sum())
+                tf_end = tf_off + int(tfs[sl].sum())
+                pblob = encode_positions(pos[tf_off:tf_end])
+                poff = pos_buf.tell()
+                pos_buf.write(pblob)
+            else:
+                poff, pblob = -1, b""
+            dict_rows["key"].append(f"{fields_arr[i]}\x00{terms_arr[i]}")
+            dict_rows["field"].append(fields_arr[i])
+            dict_rows["term"].append(terms_arr[i])
+            dict_rows["run_base"].append(run_base)
+            dict_rows["df"].append(run_end - run_start)
+            dict_rows["ttf"].append(int(tfs[sl].sum()))
+            dict_rows["offset"].append(off)
+            dict_rows["nbytes"].append(len(blob))
+            dict_rows["pos_offset"].append(poff)
+            dict_rows["pos_nbytes"].append(len(pblob))
+            run_start = run_end
+        i = j
+
+    shard_dir = os.path.join(index_dir, "shards", f"shard-{sid:05d}")
+    os.makedirs(shard_dir, exist_ok=True)
+    for name, buf in (("postings.bin", post_buf), ("positions.bin", pos_buf)):
+        tmp = os.path.join(shard_dir, f".tmp-{name}-{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, os.path.join(shard_dir, name))
+    terms_tbl = pa.table(dict_rows)
+    meta = {"sid": sid, "num_terms": len(dict_rows["key"]),
+            "write_s": round(time.monotonic() - t0, 4)}
+    terms_tbl = terms_tbl.replace_schema_metadata({"shard_meta": json.dumps(meta)})
+    tmp = os.path.join(shard_dir, f".tmp-terms-{os.getpid()}.parquet")
+    pq.write_table(terms_tbl, tmp)
+    # terms.parquet lands last: its presence marks the shard complete
+    os.replace(tmp, os.path.join(shard_dir, "terms.parquet"))
+
+    return pa.table({"sid": pa.array([sid], pa.int32()),
+                     "num_terms": pa.array([len(dict_rows["key"])], pa.int64()),
+                     "postings_bytes": pa.array([post_buf.tell()], pa.int64()),
+                     "positions_bytes": pa.array([pos_buf.tell()], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# driver orchestration
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    num_docs: int
+    num_partitions: int
+    num_shards: int
+    elapsed_s: float
+    resumed_partitions: int = 0
+
+    @property
+    def docs_per_sec(self) -> float:
+        return self.num_docs / self.elapsed_s if self.elapsed_s else float("inf")
+
+
+class IndexBuilder:
+    """Configured builder; ``build()`` runs the full pipeline."""
+
+    def __init__(self,
+                 paths: str | list[str],
+                 index_dir: str,
+                 schema: IndexSchema | None = None,
+                 *,
+                 text_fields: tuple[str, ...] = ("text",),
+                 html_fallback: tuple[str, str] | None = None,
+                 target_docs_per_partition: int = 100_000,
+                 num_shards: int | None = None,
+                 checkpoint: bool = True,
+                 exact_fieldnorms: bool = False,
+                 concurrency: int | None = None,
+                 bm25_k1: float = 1.2,
+                 bm25_b: float = 0.75):
+        self.paths = paths
+        self.index_dir = index_dir
+        self.schema = schema
+        self.text_fields = text_fields
+        self.html_fallback = html_fallback
+        self.target = target_docs_per_partition
+        self.num_shards = num_shards
+        self.checkpoint = checkpoint
+        self.exact_fieldnorms = exact_fieldnorms
+        self.concurrency = concurrency
+        self.bm25 = {"k1": bm25_k1, "b": bm25_b}
+
+    def build(self) -> BuildResult:
+        import ray
+        import ray.data
+
+        t0 = time.monotonic()
+        plan = plan_partitions(self.paths, self.target)
+        if self.schema is None:
+            self.schema = infer_index_schema(
+                pq.ParquetFile(plan.files[0]).schema_arrow,
+                text_fields=self.text_fields,
+                skip_fields=(self.html_fallback[1],) if self.html_fallback else ())
+        nshards = self.num_shards or max(
+            1, min(64, (plan.num_docs + 49_999) // 50_000))
+        npart = len(plan.partitions)
+        resumed = sum(
+            1 for p in plan.partitions
+            if os.path.exists(os.path.join(
+                self.index_dir, "docdata", f"part-{p.pid:05d}.parquet")))
+
+        txlog = TransactionLog(self.index_dir)
+        txlog.append([{"set_meta": {
+            "plan": {"files": plan.files, "num_docs": plan.num_docs,
+                     "num_partitions": npart, "num_shards": nshards},
+            "schema": self.schema.to_dict(),
+            "config": {"target_docs_per_partition": self.target,
+                       "exact_fieldnorms": self.exact_fieldnorms,
+                       "bm25": self.bm25,
+                       "html_fallback": self.html_fallback}}}])
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        conc = self.concurrency or max(1, min(npart, cpus))
+
+        specs = [p.to_row() for p in plan.partitions]
+        ds = ray.data.from_items(specs).repartition(npart)
+        partials = ds.map_batches(
+            PartitionIndexer,
+            fn_constructor_kwargs=dict(
+                schema_dict=self.schema.to_dict(), index_dir=self.index_dir,
+                num_shards=nshards, html_fallback=self.html_fallback,
+                exact_fieldnorms=self.exact_fieldnorms,
+                checkpoint=self.checkpoint),
+            batch_format="pyarrow", batch_size=None,
+            concurrency=(1, conc), num_cpus=1)
+        shard_stats = (partials
+                       .groupby("shard")
+                       .map_groups(lambda g: _write_shard(g, self.index_dir),
+                                   batch_format="pyarrow")
+                       .take_all())
+
+        # finalize: per-partition lineage from docdata footers -> txlog
+        actions: list[dict] = []
+        num_docs = 0
+        total_tokens: dict[str, int] = {}
+        for p in plan.partitions:
+            path = os.path.join(self.index_dir, "docdata",
+                                f"part-{p.pid:05d}.parquet")
+            meta = json.loads(
+                pq.read_metadata(path).metadata[b"build_meta"].decode())
+            num_docs += meta["num_docs"]
+            for f_, t_ in meta["total_tokens"].items():
+                total_tokens[f_] = total_tokens.get(f_, 0) + t_
+            actions.append({"add_partition": meta})
+        for s in shard_stats:
+            actions.append({"add_shard": {k: (v.item() if hasattr(v, "item") else v)
+                                          for k, v in s.items()}})
+        stats = {"num_docs": num_docs, "total_tokens": total_tokens,
+                 "avgdl": {f_: (t_ / num_docs if num_docs else 0.0)
+                           for f_, t_ in total_tokens.items()}}
+        actions.append({"set_meta": {"stats": stats}})
+        actions.append({"commit": {"ts": time.time()}})
+        txlog.append(actions)
+        txlog.create_checkpoint()
+        # fast-open manifest snapshot
+        atomic_write_json(os.path.join(self.index_dir, "manifest.json"),
+                          txlog.read_state())
+
+        return BuildResult(self.index_dir, num_docs, npart, nshards,
+                           time.monotonic() - t0, resumed)
+
+
+def build_index(paths: str | list[str], index_dir: str,
+                schema: IndexSchema | None = None, **kw: Any) -> BuildResult:
+    return IndexBuilder(paths, index_dir, schema, **kw).build()

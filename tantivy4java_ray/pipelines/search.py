@@ -1,0 +1,916 @@
+"""Query execution: shard-local posting reads + vectorized BM25 / block-max
+WAND top-k, the Ray retelling of the reference's search path (SURVEY.md §3.2).
+
+An ``IndexReader`` opens the manifest once, then lazily mmaps per-shard term
+dictionaries and posting files (the analog of the reference's split hotcache
+/ component prewarm, ``split/SplitSearcher.java:64-72``). BM25 uses *global*
+``(N, df, avgdl)`` from the build manifest, so every shard scores as if it
+were one tantivy ``Searcher`` (the single-index contract the reference's
+JUnit scoring tests assert — ``native/src/searcher/jni_searcher.rs:83-88``).
+
+Formula (tantivy defaults, f32 arithmetic)::
+
+    idf    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    weight = boost * idf * (k1 + 1)
+    score  = weight * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+with ``dl`` decoded from the u8 fieldnorm id through a 256-entry cache (one
+multiply-add per posting, never a division per doc).
+
+Two traversal strategies:
+
+- ``scan``: decode the whole posting list and score vectorized (numpy) —
+  optimal for selective terms and for full-result queries.
+- ``wand``: block-max WAND over the skip metadata (``last_doc``/``max_tf``
+  per 128-block) for top-k union queries — the 10^12-doc scale path; blocks
+  whose max possible score cannot beat the current kth score are skipped
+  without decoding.
+
+``batch_search`` wraps the reader in a Ray Data actor-pool stage
+(``map_batches(QueryExecutor, concurrency=N)``) for high-QPS query sets.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tantivy4java_ray import postings as pcodec
+from tantivy4java_ray.fieldnorm import FIELD_NORMS_TABLE
+from tantivy4java_ray.query import Occur, Query
+from tantivy4java_ray.schema import FieldType, IndexSchema
+
+
+@dataclass
+class SearchResult:
+    """``result/SearchResult.java`` analog: scored hits + optional aggs."""
+
+    hits: list[tuple[float, int]]  # (score, doc_id), score-desc
+    aggregations: dict | None = None
+
+    def to_table(self) -> pa.Table:
+        return pa.table({
+            "score": pa.array([h[0] for h in self.hits], pa.float32()),
+            "doc_id": pa.array([h[1] for h in self.hits], pa.int64())})
+
+    def __len__(self) -> int:
+        return len(self.hits)
+
+
+def _leaf(docs: np.ndarray, scores: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return docs, scores
+
+
+_EMPTY = (np.empty(0, np.int64), np.empty(0, np.float32))
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        mpath = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                self.state = json.load(f)
+        else:
+            from tantivy4java_ray.state.manifest import TransactionLog
+            self.state = TransactionLog(index_dir).read_state()
+        meta = self.state["meta"]
+        self.schema = IndexSchema.from_dict(meta["schema"])
+        self.stats = meta["stats"]
+        self.num_docs: int = self.stats["num_docs"]
+        self.avgdl: dict[str, float] = self.stats["avgdl"]
+        cfg = meta["config"]
+        self.k1: float = cfg["bm25"]["k1"]
+        self.b: float = cfg["bm25"]["b"]
+        self.exact_fieldnorms: bool = cfg.get("exact_fieldnorms", False)
+        self.num_shards: int = meta["plan"]["num_shards"]
+        parts = sorted(self.state["partitions"].values(),
+                       key=lambda p: p["doc_base"])
+        self.partitions = parts
+        self.doc_bases = np.array([p["doc_base"] for p in parts], np.int64)
+        # lazy caches (per-process; actor pools get one per actor)
+        self._dicts: dict[int, dict] = {}
+        self._post_mm: dict[int, np.memmap] = {}
+        self._pos_mm: dict[int, np.memmap] = {}
+        self._norms: dict[str, np.ndarray] = {}
+        self._dls: dict[str, np.ndarray] = {}
+        self._fast: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._norm_cache: dict[str, np.ndarray] = {}
+
+    # -- shard access -------------------------------------------------------
+    def _shard_of(self, field: str, term: str) -> int:
+        # \x1f separator: pandas siphash truncates at NUL (see build.term_shard)
+        key = np.array([f"{field}\x1f{term}"], dtype=object)
+        return int(pd.util.hash_array(key)[0] % np.uint64(self.num_shards))
+
+    def _dict(self, sid: int) -> dict | None:
+        if sid not in self._dicts:
+            path = os.path.join(self.index_dir, "shards", f"shard-{sid:05d}",
+                                "terms.parquet")
+            if not os.path.exists(path):
+                self._dicts[sid] = None
+            else:
+                t = pq.read_table(path)
+                self._dicts[sid] = {
+                    "key": np.asarray(t.column("key").to_numpy(zero_copy_only=False), object),
+                    "field": t.column("field").to_numpy(zero_copy_only=False),
+                    "term": t.column("term").to_numpy(zero_copy_only=False),
+                    "run_base": t.column("run_base").to_numpy(),
+                    "df": t.column("df").to_numpy(),
+                    "ttf": t.column("ttf").to_numpy(),
+                    "offset": t.column("offset").to_numpy(),
+                    "nbytes": t.column("nbytes").to_numpy(),
+                    "pos_offset": t.column("pos_offset").to_numpy(),
+                    "pos_nbytes": t.column("pos_nbytes").to_numpy(),
+                }
+        return self._dicts[sid]
+
+    def _mm(self, sid: int, which: str = "postings") -> np.memmap | None:
+        cache = self._post_mm if which == "postings" else self._pos_mm
+        if sid not in cache:
+            path = os.path.join(self.index_dir, "shards", f"shard-{sid:05d}",
+                                f"{which}.bin")
+            cache[sid] = (np.memmap(path, np.uint8, "r")
+                          if os.path.exists(path) and os.path.getsize(path)
+                          else None)
+        return cache[sid]
+
+    def _term_rows(self, field: str, term: str) -> tuple[int, np.ndarray]:
+        """-> (sid, indices of the term's runs in the shard dict)."""
+        sid = self._shard_of(field, term)
+        d = self._dict(sid)
+        if d is None:
+            return sid, np.empty(0, np.int64)
+        key = f"{field}\x00{term}"
+        lo = np.searchsorted(d["key"], key, side="left")
+        hi = np.searchsorted(d["key"], key, side="right")
+        return sid, np.arange(lo, hi)
+
+    # -- dictionary-level metadata -----------------------------------------
+    def doc_freq(self, field: str, term: str) -> int:
+        """df(term) — ``core/Searcher.java:221-226``."""
+        sid, rows = self._term_rows(field, term)
+        if not len(rows):
+            return 0
+        return int(self._dict(sid)["df"][rows].sum())
+
+    def postings(self, field: str, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """-> (global doc ids int64 ascending, tfs uint32)."""
+        sid, rows = self._term_rows(field, term)
+        if not len(rows):
+            return np.empty(0, np.int64), np.empty(0, np.uint32)
+        d = self._dict(sid)
+        mm = self._mm(sid)
+        doc_parts, tf_parts = [], []
+        for r in rows:
+            docs, tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
+            doc_parts.append(docs.astype(np.int64) + int(d["run_base"][r]))
+            tf_parts.append(tfs)
+        return np.concatenate(doc_parts), np.concatenate(tf_parts)
+
+    def positions(self, field: str, term: str
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (docs, tfs, flat positions aligned by cumsum(tfs))."""
+        sid, rows = self._term_rows(field, term)
+        if not len(rows):
+            return (np.empty(0, np.int64), np.empty(0, np.uint32),
+                    np.empty(0, np.uint32))
+        d = self._dict(sid)
+        mm = self._mm(sid)
+        pmm = self._mm(sid, "positions")
+        doc_parts, tf_parts, pos_parts = [], [], []
+        for r in rows:
+            docs, tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
+            doc_parts.append(docs.astype(np.int64) + int(d["run_base"][r]))
+            tf_parts.append(tfs)
+            if int(d["pos_offset"][r]) >= 0 and pmm is not None:
+                pos_parts.append(pcodec.decode_positions(
+                    pmm, int(d["pos_offset"][r])))
+        pos = (np.concatenate(pos_parts) if pos_parts
+               else np.empty(0, np.uint32))
+        return np.concatenate(doc_parts), np.concatenate(tf_parts), pos
+
+    def terms_matching(self, field: str, predicate) -> list[str]:
+        """Scan the (sorted) dictionaries of all shards — regex/fuzzy/
+        wildcard/range-over-terms support."""
+        out: list[str] = []
+        for sid in range(self.num_shards):
+            d = self._dict(sid)
+            if d is None:
+                continue
+            mask = d["field"] == field
+            terms = np.unique(d["term"][mask])
+            out.extend(t for t in terms if predicate(t))
+        return sorted(set(out))
+
+    # -- fieldnorms / fast fields ------------------------------------------
+    def _docdata_concat(self, col: str, dtype=None) -> np.ndarray:
+        arrs = []
+        for p in self.partitions:
+            path = os.path.join(self.index_dir, "docdata",
+                                f"part-{p['pid']:05d}.parquet")
+            t = pq.read_table(path, columns=[col])
+            arrs.append(t.column(col).to_numpy(zero_copy_only=False))
+        out = np.concatenate(arrs) if arrs else np.empty(0)
+        return out.astype(dtype) if dtype is not None else out
+
+    def norms(self, field: str) -> np.ndarray:
+        if field not in self._norms:
+            self._norms[field] = self._docdata_concat(f"norm__{field}", np.uint8)
+        return self._norms[field]
+
+    def exact_dls(self, field: str) -> np.ndarray:
+        if field not in self._dls:
+            self._dls[field] = self._docdata_concat(f"dl__{field}", np.float64)
+        return self._dls[field]
+
+    def fast_column(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """-> (values, valid_mask) concatenated in doc_id order."""
+        if field not in self._fast:
+            vals, valids = [], []
+            for p in self.partitions:
+                path = os.path.join(self.index_dir, "docdata",
+                                    f"part-{p['pid']:05d}.parquet")
+                t = pq.read_table(path, columns=[field]).column(field)
+                t = t.combine_chunks()
+                valids.append(np.asarray(t.is_valid().to_numpy(zero_copy_only=False), bool))
+                vals.append(t.to_numpy(zero_copy_only=False))
+            self._fast[field] = (np.concatenate(vals), np.concatenate(valids))
+        return self._fast[field]
+
+    # -- BM25 ---------------------------------------------------------------
+    def idf(self, df: int) -> float:
+        return float(np.log1p((self.num_docs - df + 0.5) / (df + 0.5)))
+
+    def _norm_factor_cache(self, field: str) -> np.ndarray:
+        """cache[id] = k1 * (1 - b + b * decode(id) / avgdl), float32."""
+        if field not in self._norm_cache:
+            avgdl = max(self.avgdl.get(field, 0.0), 1e-9)
+            dl = FIELD_NORMS_TABLE.astype(np.float64)
+            self._norm_cache[field] = (
+                self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+            ).astype(np.float32)
+        return self._norm_cache[field]
+
+    def _score_term_postings(self, field: str, docs: np.ndarray,
+                             tfs: np.ndarray, df: int,
+                             boost: float = 1.0) -> np.ndarray:
+        weight = np.float32(boost * self.idf(df) * (self.k1 + 1.0))
+        fcfg = self.schema.get_field(field)
+        if fcfg.type is not FieldType.TEXT or not fcfg.fieldnorms:
+            # no norms: tantivy scores with fieldnorm = 1
+            denom = np.float32(self.k1 * (1.0 - self.b + self.b))
+            return (weight * tfs.astype(np.float32)
+                    / (tfs.astype(np.float32) + denom))
+        if self.exact_fieldnorms:
+            avgdl = max(self.avgdl.get(field, 0.0), 1e-9)
+            dl = self.exact_dls(field)[docs]
+            denom = self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+            return (weight.astype(np.float64) * tfs
+                    / (tfs + denom)).astype(np.float32)
+        cache = self._norm_factor_cache(field)
+        denom = cache[self.norms(field)[docs]]
+        tff = tfs.astype(np.float32)
+        return weight * tff / (tff + denom)
+
+    # -- query evaluation ---------------------------------------------------
+    def evaluate(self, query: Query, boost: float = 1.0
+                 ) -> tuple[np.ndarray, np.ndarray]:
+        """-> (docs int64 ascending, scores float32)."""
+        k = query.kind
+        p = query.params
+        if k == "term":
+            field, term = p
+            docs, tfs = self.postings(field, term)
+            if not len(docs):
+                return _EMPTY
+            df = self.doc_freq(field, term)
+            return _leaf(docs, self._score_term_postings(field, docs, tfs,
+                                                         df, boost))
+        if k == "term_set":
+            field, terms = p
+            # const-score union (termSet has no per-term scoring)
+            parts = [self.postings(field, t)[0] for t in terms]
+            docs = (np.unique(np.concatenate(parts)) if parts else
+                    np.empty(0, np.int64))
+            return docs, np.full(len(docs), boost, np.float32)
+        if k == "all":
+            docs = np.arange(self.num_docs, dtype=np.int64)
+            return docs, np.full(self.num_docs, boost, np.float32)
+        if k == "none":
+            return _EMPTY
+        if k == "bool":
+            return self._eval_bool(p, boost)
+        if k == "dismax":
+            return self._eval_dismax(*p, boost=boost)
+        if k == "boost":
+            sub, factor = p
+            return self.evaluate(sub, boost * factor)
+        if k == "const":
+            sub, score = p
+            docs, _ = self.evaluate(sub, 1.0)
+            return docs, np.full(len(docs), boost * score, np.float32)
+        if k == "phrase":
+            return self._eval_phrase(*p, boost=boost)
+        if k == "fuzzy":
+            return self._eval_fuzzy(*p, boost=boost)
+        if k == "range":
+            return self._eval_range(*p, boost=boost)
+        if k in ("regex", "wildcard"):
+            return self._eval_automaton(k, *p, boost=boost)
+        if k == "exists":
+            return self._eval_exists(p[0], boost)
+        if k == "more_like_this":
+            return self.evaluate(self._expand_mlt(*p), boost)
+        raise ValueError(f"unknown query kind {k!r}")
+
+    def _eval_bool(self, clauses, boost: float):
+        musts = [(o, q) for o, q in clauses if o == Occur.MUST]
+        shoulds = [(o, q) for o, q in clauses if o == Occur.SHOULD]
+        nots = [(o, q) for o, q in clauses if o == Occur.MUST_NOT]
+        if musts:
+            docs, scores = self.evaluate(musts[0][1], boost)
+            for _, q in musts[1:]:
+                d2, s2 = self.evaluate(q, boost)
+                docs, ia, ib = np.intersect1d(docs, d2, assume_unique=True,
+                                              return_indices=True)
+                scores = scores[ia] + s2[ib]
+            # shoulds contribute score on docs already matching
+            for _, q in shoulds:
+                d2, s2 = self.evaluate(q, boost)
+                idx = np.searchsorted(d2, docs)
+                idx_ok = idx < len(d2)
+                hit = np.zeros(len(docs), bool)
+                hit[idx_ok] = d2[idx[idx_ok]] == docs[idx_ok]
+                scores = scores.copy()
+                scores[hit] += s2[idx[hit]]
+        elif shoulds:
+            parts = [self.evaluate(q, boost) for _, q in shoulds]
+            parts = [pp for pp in parts if len(pp[0])]
+            if not parts:
+                return _EMPTY
+            alldocs = np.concatenate([pp[0] for pp in parts])
+            allscores = np.concatenate([pp[1] for pp in parts])
+            docs, inv = np.unique(alldocs, return_inverse=True)
+            scores = np.zeros(len(docs), np.float32)
+            np.add.at(scores, inv, allscores)
+        else:
+            return _EMPTY
+        for _, q in nots:
+            d2, _s = self.evaluate(q, 1.0)
+            if len(d2):
+                idx = np.searchsorted(d2, docs)
+                idx_ok = idx < len(d2)
+                excl = np.zeros(len(docs), bool)
+                excl[idx_ok] = d2[idx[idx_ok]] == docs[idx_ok]
+                docs, scores = docs[~excl], scores[~excl]
+        return docs, scores
+
+    def _eval_dismax(self, queries, tie_breaker: float, boost: float):
+        parts = [self.evaluate(q, boost) for q in queries]
+        parts = [pp for pp in parts if len(pp[0])]
+        if not parts:
+            return _EMPTY
+        alldocs = np.concatenate([pp[0] for pp in parts])
+        allscores = np.concatenate([pp[1] for pp in parts])
+        docs, inv = np.unique(alldocs, return_inverse=True)
+        mx = np.zeros(len(docs), np.float32)
+        sm = np.zeros(len(docs), np.float32)
+        np.maximum.at(mx, inv, allscores)
+        np.add.at(sm, inv, allscores)
+        return docs, mx + np.float32(tie_breaker) * (sm - mx)
+
+    def _eval_phrase(self, field: str, elems, slop: int, boost: float):
+        fcfg = self.schema.get_field(field)
+        if fcfg.index_option != "position":
+            raise ValueError(
+                f"phrase query on field {field!r} requires index_option="
+                f"'position' (has {fcfg.index_option!r})")
+        offsets = [e[0] for e in elems]
+        words = [e[1] for e in elems]
+        per_term = [self.positions(field, w) for w in words]
+        if any(len(t[0]) == 0 for t in per_term):
+            return _EMPTY
+        # intersect candidate docs
+        cand = per_term[0][0]
+        for docs, _, _ in per_term[1:]:
+            cand = np.intersect1d(cand, docs, assume_unique=True)
+        if not len(cand):
+            return _EMPTY
+        # per-doc position check (python over candidates; candidates are
+        # post-intersection, usually small)
+        pos_lookup = []
+        for docs, tfs, pos in per_term:
+            off = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+            idx = np.searchsorted(docs, cand)
+            pos_lookup.append((off, idx, pos))
+        match_docs: list[int] = []
+        match_tfs: list[int] = []
+        for ci in range(len(cand)):
+            plists = []
+            for off, idx, pos in pos_lookup:
+                r = idx[ci]
+                plists.append(pos[off[r]:off[r + 1]].astype(np.int64))
+            cnt = _count_phrase_matches(plists, offsets, slop)
+            if cnt > 0:
+                match_docs.append(int(cand[ci]))
+                match_tfs.append(cnt)
+        if not match_docs:
+            return _EMPTY
+        docs = np.asarray(match_docs, np.int64)
+        tfs = np.asarray(match_tfs, np.uint32)
+        # phrase scores like a term whose idf is the sum of element idfs
+        # (Bm25Weight::for_terms semantics)
+        idf_sum = sum(self.idf(self.doc_freq(field, w)) for w in words)
+        weight = np.float32(boost * idf_sum * (self.k1 + 1.0))
+        cache = self._norm_factor_cache(field)
+        denom = cache[self.norms(field)[docs]]
+        tff = tfs.astype(np.float32)
+        return docs, weight * tff / (tff + denom)
+
+    def _eval_fuzzy(self, field: str, value: str, distance: int,
+                    transposition: bool, prefix: bool, boost: float):
+        def pred(t: str) -> bool:
+            if prefix and t.startswith(value):
+                return True
+            if abs(len(t) - len(value)) > distance:
+                return False
+            return _edit_distance(value, t, distance, transposition) <= distance
+        terms = self.terms_matching(field, pred)
+        return self._const_union(field, terms, boost)
+
+    def _eval_automaton(self, kind: str, field: str, pattern: str,
+                        lenient: bool, boost: float):
+        fcfg = self.schema.get_field(field)
+        if kind == "wildcard":
+            # lowercase only if the field's tokenizer lowercases
+            # (native/src/query/wildcard.rs:8-16)
+            from tantivy4java_ray.analyzer import get_analyzer
+            if (fcfg.type is FieldType.TEXT
+                    and get_analyzer(fcfg.tokenizer).lowercase):
+                pattern = pattern.lower()
+            regex = "".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in pattern)
+        else:
+            regex = pattern
+        try:
+            cre = re.compile(regex)
+        except re.error:
+            if lenient:
+                return _EMPTY
+            raise
+        terms = self.terms_matching(field, lambda t: cre.fullmatch(t) is not None)
+        return self._const_union(field, terms, boost)
+
+    def _const_union(self, field: str, terms: list[str], boost: float):
+        """Automaton queries (fuzzy/regex/wildcard/term-range) -> const 1.0."""
+        parts = [self.postings(field, t)[0] for t in terms]
+        parts = [d for d in parts if len(d)]
+        if not parts:
+            return _EMPTY
+        docs = np.unique(np.concatenate(parts))
+        return docs, np.full(len(docs), boost, np.float32)
+
+    def _eval_range(self, field: str, lower, upper, incl_lo: bool,
+                    incl_hi: bool, boost: float):
+        fcfg = self.schema.get_field(field)
+        if fcfg.type in (FieldType.STRING, FieldType.TEXT, FieldType.FACET,
+                         FieldType.IP_ADDR):
+            lo, hi = lower, upper
+            def pred(t: str) -> bool:
+                if lo is not None and (t < lo or (t == lo and not incl_lo)):
+                    return False
+                if hi is not None and (t > hi or (t == hi and not incl_hi)):
+                    return False
+                return True
+            return self._const_union(field, self.terms_matching(field, pred),
+                                     boost)
+        vals, valid = self.fast_column(field)
+        if fcfg.type is FieldType.DATE:
+            vals = np.asarray(vals, "datetime64[us]").astype(np.int64)
+            lower = _to_us(lower) if lower is not None else None
+            upper = _to_us(upper) if upper is not None else None
+        else:
+            vals = np.asarray(vals, np.float64)
+            lower = float(lower) if lower is not None else None
+            upper = float(upper) if upper is not None else None
+        mask = valid.copy()
+        if lower is not None:
+            mask &= (vals >= lower) if incl_lo else (vals > lower)
+        if upper is not None:
+            mask &= (vals <= upper) if incl_hi else (vals < upper)
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), boost, np.float32)
+
+    def _eval_exists(self, field: str, boost: float):
+        fcfg = self.schema.get_field(field)
+        if not fcfg.fast:
+            raise ValueError(f"exists({field}) requires a fast field")
+        _, valid = self.fast_column(field)
+        docs = np.flatnonzero(valid).astype(np.int64)
+        return docs, np.full(len(docs), boost, np.float32)
+
+    def _expand_mlt(self, doc_fields, max_terms: int, min_tf: int,
+                    min_df: int) -> Query:
+        from tantivy4java_ray.analyzer import get_analyzer
+        scored: list[tuple[float, str, str]] = []
+        for field, text in doc_fields:
+            fcfg = self.schema.get_field(field)
+            if fcfg.type is not FieldType.TEXT:
+                continue
+            toks = get_analyzer(fcfg.tokenizer).tokenize(text)
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for t, c in tf.items():
+                if c < min_tf:
+                    continue
+                df = self.doc_freq(field, t)
+                if df < min_df:
+                    continue
+                scored.append((c * self.idf(df), field, t))
+        scored.sort(reverse=True)
+        clauses = [(Occur.SHOULD, Query.term(f, t))
+                   for _, f, t in scored[:max_terms]]
+        return Query.boolean(clauses) if clauses else Query.match_none()
+
+    # -- top-k --------------------------------------------------------------
+    def search(self, query: Query | str, limit: int = 10,
+               method: str = "auto", offset: int = 0) -> SearchResult:
+        if isinstance(query, str):
+            from tantivy4java_ray.query import parse_query
+            query = parse_query(query, self.schema)
+        if method == "wand" or (method == "auto" and _wand_eligible(query)
+                                and self.num_docs > 1_000_000):
+            hits = self._wand_search(query, limit + offset)
+        else:
+            docs, scores = self.evaluate(query)
+            hits = _top_k(docs, scores, limit + offset)
+        return SearchResult(hits[offset:])
+
+    def _wand_search(self, query: Query, k: int) -> list[tuple[float, int]]:
+        terms = [(f, t, b) for f, t, b in _collect_union_terms(query)]
+        cursors = []
+        for field, term, boost in terms:
+            cur = _TermCursor.open(self, field, term, boost)
+            if cur is not None:
+                cur.ord = len(cursors)
+                cursors.append(cur)
+        if not cursors:
+            return []
+        return block_max_wand(cursors, k, self)
+
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """Score breakdown for one doc (``Query.java:459-465``)."""
+        docs, scores = self.evaluate(query)
+        i = np.searchsorted(docs, doc_id)
+        score = float(scores[i]) if i < len(docs) and docs[i] == doc_id else 0.0
+        detail = {}
+        if query.kind == "term":
+            field, term = query.params
+            df = self.doc_freq(field, term)
+            detail = {"df": df, "idf": self.idf(df), "k1": self.k1, "b": self.b,
+                      "num_docs": self.num_docs,
+                      "avgdl": self.avgdl.get(field)}
+        return {"doc_id": doc_id, "score": score, "matched": bool(score),
+                **detail}
+
+    # -- doc retrieval (hits -> source parquet rows; companion-mode join) ---
+    def retrieve_docs(self, doc_ids, columns: list[str] | None = None
+                      ) -> pa.Table:
+        """Join hits back to the source parquet by positional key —
+        ``(__pq_file_hash, __pq_row_in_file)`` analog, no shuffle
+        (``parquet_companion/doc_retrieval.rs`` semantics)."""
+        doc_ids = np.asarray(doc_ids, np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        sorted_ids = doc_ids[order]
+        pidx = np.searchsorted(self.doc_bases, sorted_ids, side="right") - 1
+        pieces: list[pa.Table] = []
+        out_rows: list[np.ndarray] = []
+        for pi in np.unique(pidx):
+            part = self.partitions[pi]
+            sel = pidx == pi
+            local = sorted_ids[sel] - part["doc_base"]
+            pf = pq.ParquetFile(part["path"])
+            tbl = pf.read_row_groups(part["row_groups"], columns=columns)
+            pieces.append(tbl.take(pa.array(local)))
+            out_rows.append(np.flatnonzero(sel))
+        if not pieces:
+            return pa.table({})
+        tbl = pa.concat_tables(pieces)
+        idcol = "__doc_id" if "doc_id" in tbl.column_names else "doc_id"
+        tbl = tbl.append_column(idcol, pa.array(sorted_ids, pa.int64()))
+        # restore caller order
+        inv = np.empty(len(doc_ids), np.int64)
+        inv[order] = np.arange(len(doc_ids))
+        return tbl.take(pa.array(inv))
+
+    def aggregate(self, query: Query | None, aggs: dict) -> dict:
+        from tantivy4java_ray.aggs import run_aggregations_on_index
+        return run_aggregations_on_index(self, query, aggs)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _top_k(docs: np.ndarray, scores: np.ndarray, k: int
+           ) -> list[tuple[float, int]]:
+    """Ties broken by doc_id ascending (pinned by tests)."""
+    n = len(docs)
+    if n == 0:
+        return []
+    if n > k:
+        # exact tie handling: keep everything scoring >= the kth score, then
+        # lexsort (doc-id asc breaks ties) — avoids dropping low-doc-id ties
+        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        keep = scores >= kth
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))[:k]
+    return [(float(scores[i]), int(docs[i])) for i in order]
+
+
+def _count_phrase_matches(plists: list[np.ndarray], offsets: list[int],
+                          slop: int) -> int:
+    """Count alignments; slop = allowed total positional play (span-based)."""
+    base = plists[0] - offsets[0]
+    if slop == 0:
+        ok = np.ones(len(base), bool)
+        for pl, off in zip(plists[1:], offsets[1:]):
+            ok &= np.isin(base, pl - off)
+        return int(ok.sum())
+    cnt = 0
+    for b in base:
+        spans_lo, spans_hi = b, b
+        good = True
+        for pl, off in zip(plists[1:], offsets[1:]):
+            cand = pl - off
+            near = cand[np.abs(cand - b) <= slop]
+            if not len(near):
+                good = False
+                break
+            c = near[np.argmin(np.abs(near - b))]
+            spans_lo = min(spans_lo, c)
+            spans_hi = max(spans_hi, c)
+        if good and spans_hi - spans_lo <= slop:
+            cnt += 1
+    return cnt
+
+
+def _edit_distance(a: str, b: str, cap: int, transposition: bool) -> int:
+    """Banded Damerau-Levenshtein with early exit above ``cap``."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - cap)
+        hi = min(lb, i + cap)
+        if lo > 1:
+            cur[lo - 1] = cap + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (transposition and i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if hi < lb:
+            cur[hi + 1:] = [cap + 1] * (lb - hi)
+        if min(cur[max(0, lo - 1):hi + 1]) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _to_us(v) -> int:
+    return int(np.datetime64(v, "us").astype(np.int64))
+
+
+def _wand_eligible(q: Query) -> bool:
+    """WAND applies to pure SHOULD-unions of term queries."""
+    if q.kind == "term":
+        return True
+    if q.kind == "boost":
+        return _wand_eligible(q.params[0])
+    if q.kind == "bool":
+        return all(o == Occur.SHOULD and sub.kind == "term"
+                   for o, sub in q.params)
+    return False
+
+
+def _collect_union_terms(q: Query, boost: float = 1.0
+                         ) -> list[tuple[str, str, float]]:
+    if q.kind == "term":
+        return [(q.params[0], q.params[1], boost)]
+    if q.kind == "boost":
+        return _collect_union_terms(q.params[0], boost * q.params[1])
+    if q.kind == "bool":
+        out = []
+        for _, sub in q.params:
+            out.extend(_collect_union_terms(sub, boost))
+        return out
+    return []
+
+
+class _TermCursor:
+    """Streaming cursor over one term's posting runs for WAND traversal.
+
+    Decodes one 128-block at a time; skips whole blocks via the
+    ``last_doc`` skip array and bounds scores via ``max_tf`` block-max
+    metadata."""
+
+    __slots__ = ("reader", "field", "runs", "run_i", "skip", "mm", "base",
+                 "block_i", "docs", "tfs", "pos", "weight", "norm_cache",
+                 "norms", "max_score", "exhausted", "offset", "ord")
+
+    @classmethod
+    def open(cls, reader: IndexReader, field: str, term: str, boost: float):
+        sid, rows = reader._term_rows(field, term)
+        if not len(rows):
+            return None
+        d = reader._dict(sid)
+        self = cls()
+        self.reader = reader
+        self.field = field
+        self.mm = reader._mm(sid)
+        self.runs = [(int(d["run_base"][r]), int(d["offset"][r]))
+                     for r in rows]
+        df = int(d["df"][rows].sum())
+        self.weight = np.float32(boost * reader.idf(df) * (reader.k1 + 1.0))
+        self.norm_cache = reader._norm_factor_cache(field)
+        self.norms = reader.norms(field)
+        min_norm = float(self.norm_cache.min())
+        self.run_i = -1
+        self.exhausted = False
+        self._next_run()
+        # global upper bound on this term's score
+        gmax_tf = max(float(pcodec.read_skip(self.mm, off).max_tf.max())
+                      for _, off in self.runs)
+        self.max_score = float(self.weight) * gmax_tf / (gmax_tf + min_norm)
+        return self
+
+    def _next_run(self) -> None:
+        self.run_i += 1
+        if self.run_i >= len(self.runs):
+            self.exhausted = True
+            return
+        self.base, self.offset = self.runs[self.run_i]
+        self.skip = pcodec.read_skip(self.mm, self.offset)
+        self.block_i = -1
+        self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= self.skip.nblocks:
+            self._next_run()
+            return
+        self.block_i = bi
+        d, t = pcodec.decode_block(self.mm, self.skip, bi, self.offset)
+        self.docs = d.astype(np.int64) + self.base
+        self.tfs = t
+        self.pos = 0
+
+    @property
+    def doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    def block_max_score(self) -> float:
+        mt = float(self.skip.max_tf[self.block_i])
+        return float(self.weight) * mt / (mt + float(self.norm_cache.min()))
+
+    def score_current(self) -> np.float32:
+        # float32 arithmetic in the exact op order of the vectorized path,
+        # so WAND and scan produce bit-identical scores
+        tf = np.float32(self.tfs[self.pos])
+        nid = self.norms[self.doc]
+        return self.weight * tf / (tf + self.norm_cache[nid])
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            self._load_block(self.block_i + 1)
+
+    def seek(self, target: int) -> None:
+        """Advance to the first doc >= target, skipping whole blocks."""
+        while not self.exhausted:
+            run_last = int(self.skip.last_doc[-1]) + self.base
+            if target > run_last:
+                self._next_run()
+                continue
+            local = target - self.base
+            bi = int(np.searchsorted(self.skip.last_doc, local, side="left"))
+            if bi != self.block_i:
+                self._load_block(bi)
+            self.pos = int(np.searchsorted(self.docs, target, side="left"))
+            if self.pos >= len(self.docs):
+                self._load_block(self.block_i + 1)
+                continue
+            return
+
+
+def block_max_wand(cursors: list[_TermCursor], k: int,
+                   reader: IndexReader) -> list[tuple[float, int]]:
+    """Top-k union with block-max WAND (skips blocks that cannot beat the
+    current kth score). Returns (score, doc_id) score-desc, doc-asc ties."""
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc)
+    threshold = -np.inf
+    cursors = [c for c in cursors if not c.exhausted]
+    while True:
+        cursors = [c for c in cursors if not c.exhausted]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.doc)
+        # find pivot
+        acc = 0.0
+        pivot_i = -1
+        for i, c in enumerate(cursors):
+            acc += c.max_score
+            if acc > threshold or len(heap) < k:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break
+        pivot_doc = cursors[pivot_i].doc
+        if cursors[0].doc == pivot_doc:
+            # block-max check: refined bound at the pivot
+            bm = sum(c.block_max_score() for c in cursors
+                     if c.doc == pivot_doc)
+            if bm > threshold or len(heap) < k:
+                # accumulate in float32 in original term order — bit-equal
+                # to the vectorized scatter-add
+                matching = sorted((c for c in cursors if c.doc == pivot_doc),
+                                  key=lambda c: c.ord)
+                score = np.float32(0.0)
+                for c in matching:
+                    score = np.float32(score + c.score_current())
+                item = (float(score), -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                else:
+                    if item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                if len(heap) == k:
+                    threshold = heap[0][0]
+            for c in cursors:
+                if not c.exhausted and c.doc == pivot_doc:
+                    c.advance()
+        else:
+            for c in cursors:
+                if c.doc < pivot_doc:
+                    c.seek(pivot_doc)
+    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [(float(s), int(-nd)) for s, nd in out]
+
+
+# ---------------------------------------------------------------------------
+# Ray Data actor-pool batch search
+# ---------------------------------------------------------------------------
+
+class QueryExecutor:
+    """Actor-pool stage: opens the index once per actor (``__init__``),
+    executes a batch of query strings per call."""
+
+    def __init__(self, index_dir: str, limit: int = 10,
+                 method: str = "auto"):
+        self.reader = IndexReader(index_dir)
+        self.limit = limit
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, queries = batch.column("query_id").to_pylist(), \
+            batch.column("query").to_pylist()
+        out_qid, out_rank, out_doc, out_score = [], [], [], []
+        for qid, qtext in zip(qids, queries):
+            res = self.reader.search(qtext, self.limit, self.method)
+            for rank, (score, doc) in enumerate(res.hits):
+                out_qid.append(qid)
+                out_rank.append(rank)
+                out_doc.append(doc)
+                out_score.append(score)
+        return pa.table({"query_id": pa.array(out_qid),
+                         "rank": pa.array(out_rank, pa.int32()),
+                         "doc_id": pa.array(out_doc, pa.int64()),
+                         "score": pa.array(out_score, pa.float32())})
+
+
+def batch_search(index_dir: str, queries: list[str], limit: int = 10,
+                 concurrency: int | None = None, method: str = "auto"):
+    """Execute many queries as a Dataset pipeline (QPS path)."""
+    import ray.data
+    items = [{"query_id": i, "query": q} for i, q in enumerate(queries)]
+    conc = concurrency or 4
+    return ray.data.from_items(items).map_batches(
+        QueryExecutor,
+        fn_constructor_kwargs=dict(index_dir=index_dir, limit=limit,
+                                   method=method),
+        batch_format="pyarrow", concurrency=(1, conc), num_cpus=1)

@@ -1,0 +1,64 @@
+"""Frozen deterministic HTML -> text extraction (fallback path).
+
+The reference has NO html extractor — it ingests pre-extracted text via
+``Document.addText`` (``core/Document.java:133``); the per-row "byte-identical
+extracted text per url" invariant (BASELINE.json) therefore attaches to
+(a) passing a non-null ``text`` column through unmodified, and (b) this
+frozen extractor when ``text`` is null. Goldens in
+``tests/test_extract.py`` pin the bytes.
+
+Pure regex + html.unescape; vectorized at the batch level by mapping over a
+binary Arrow column (the only per-row Python work in the build, and it runs
+only for rows with null ``text``).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_SCRIPT = re.compile(rb"(?is)<(script|style|noscript)\b.*?</\1\s*>")
+_COMMENT = re.compile(rb"(?s)<!--.*?-->")
+_BLOCK = re.compile(
+    rb"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|"
+    rb"header|footer|blockquote|pre|hr|title)\b[^>]*>")
+_TAG = re.compile(rb"(?s)<[^>]*>")
+_WS = re.compile(r"[ \t\r\f\v]*\n[ \t\r\f\v]*")
+_SPACES = re.compile(r"[ \t\r\f\v]+")
+_NL = re.compile(r"\n{2,}")
+
+
+def extract_text(html_bytes: bytes | None) -> str:
+    """One document; deterministic, frozen by goldens."""
+    if html_bytes is None:
+        return ""
+    b = _SCRIPT.sub(b" ", html_bytes)
+    b = _COMMENT.sub(b" ", b)
+    b = _BLOCK.sub(b"\n", b)
+    b = _TAG.sub(b" ", b)
+    s = b.decode("utf-8", errors="replace")
+    s = _html.unescape(s)
+    s = _SPACES.sub(" ", s)
+    s = _WS.sub("\n", s)
+    s = _NL.sub("\n", s)
+    return s.strip()
+
+
+def fill_text_from_html(text_col: pa.Array | pa.ChunkedArray,
+                        html_col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Return ``text`` with nulls replaced by ``extract_text(html)``."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    mask = np.asarray(text_col.is_null().to_numpy(zero_copy_only=False), bool)
+    if not mask.any():
+        return text_col
+    texts = text_col.to_pylist()
+    htmls = html_col.to_pylist()
+    for i in np.flatnonzero(mask):
+        texts[i] = extract_text(htmls[i])
+    return pa.array(texts, type=pa.string())

@@ -1,0 +1,127 @@
+"""Versioned transaction log + manifest for index builds.
+
+Delta-Lake-style log modeled on the reference's txlog
+(``src/main/java/io/indextables/jni/txlog/TransactionLogWriter.java:48-312``,
+``TransactionLogReader.java:53-326``): append-only JSON versions with
+add/remove/skip actions, periodic full checkpoints, and snapshot reads that
+replay the latest checkpoint plus newer versions. This is what makes builds
+resumable with per-partition lineage + metrics (BASELINE.json north rule).
+
+Layout::
+
+    index_dir/txlog/v00000000.json      {"version": 0, "actions": [...]}
+    index_dir/txlog/checkpoint-00000003.json   full snapshot at version 3
+
+Action kinds: ``set_meta``, ``add_partition``, ``remove_partition``,
+``skip_partition``, ``add_shard``, ``commit`` — mirroring
+addFiles/removeFile/skipFile/createCheckpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+import time
+from typing import Any
+
+_V_RE = re.compile(r"^v(\d{8})\.json$")
+_CP_RE = re.compile(r"^checkpoint-(\d{8})\.json$")
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    """Write-then-rename so concurrent/retried writers are idempotent."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
+                               prefix=".tmp-" + os.path.basename(path))
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def atomic_write_json(path: str, obj: Any) -> None:
+    atomic_write_bytes(path, json.dumps(obj, sort_keys=True).encode())
+
+
+class TransactionLog:
+    def __init__(self, index_dir: str):
+        self.dir = os.path.join(index_dir, "txlog")
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- write --------------------------------------------------------------
+    def append(self, actions: list[dict]) -> int:
+        v = self.latest_version() + 1
+        atomic_write_json(os.path.join(self.dir, f"v{v:08d}.json"),
+                          {"version": v, "ts": time.time(), "actions": actions})
+        return v
+
+    def create_checkpoint(self) -> int:
+        """Materialize the replayed state at the latest version."""
+        state, v = self._replay()
+        atomic_write_json(os.path.join(self.dir, f"checkpoint-{v:08d}.json"),
+                          {"version": v, "state": state})
+        return v
+
+    # -- read ---------------------------------------------------------------
+    def latest_version(self) -> int:
+        vs = [int(m.group(1)) for f in os.listdir(self.dir)
+              if (m := _V_RE.match(f))]
+        return max(vs, default=-1)
+
+    def versions(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.dir)):
+            if _V_RE.match(f):
+                with open(os.path.join(self.dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def _latest_checkpoint(self) -> tuple[dict, int]:
+        cps = sorted((int(m.group(1)), f) for f in os.listdir(self.dir)
+                     if (m := _CP_RE.match(f)))
+        if not cps:
+            return self._empty_state(), -1
+        v, f = cps[-1]
+        with open(os.path.join(self.dir, f)) as fh:
+            return json.load(fh)["state"], v
+
+    @staticmethod
+    def _empty_state() -> dict:
+        return {"meta": {}, "partitions": {}, "shards": {},
+                "skipped": {}, "committed": False}
+
+    def _replay(self) -> tuple[dict, int]:
+        state, from_v = self._latest_checkpoint()
+        last = from_v
+        for ver in self.versions():
+            if ver["version"] <= from_v:
+                continue
+            last = ver["version"]
+            for a in ver["actions"]:
+                kind, payload = next(iter(a.items()))
+                if kind == "set_meta":
+                    state["meta"].update(payload)
+                elif kind == "add_partition":
+                    state["partitions"][str(payload["pid"])] = payload
+                    state["skipped"].pop(str(payload["pid"]), None)
+                elif kind == "remove_partition":
+                    state["partitions"].pop(str(payload), None)
+                elif kind == "skip_partition":
+                    state["skipped"][str(payload["pid"])] = payload
+                elif kind == "add_shard":
+                    state["shards"][str(payload["sid"])] = payload
+                elif kind == "commit":
+                    state["committed"] = True
+        return state, last
+
+    def read_state(self) -> dict:
+        return self._replay()[0]
+
+    def changes_since(self, version: int) -> list[dict]:
+        """Catch-up read (``TransactionLogReader.java:141`` semantics)."""
+        return [v for v in self.versions() if v["version"] > version]
