@@ -1,0 +1,345 @@
+"""Aggregations: Elasticsearch-style DSL with partial (per-partition /
+per-block) states merged to a final result.
+
+Mirrors the reference's aggregation surface (12 ``SplitAggregation``
+classes, ``aggregation/*.java``) and its execution model — each split
+computes an *intermediate* result and the caller merges
+(``native/src/searcher/aggregation/deserialize.rs:7-10``). Here the partial
+state is computed vectorized (pandas/numpy) per Arrow batch or per docdata
+partition, and merging is associative, so it runs as ``map_batches`` +
+driver merge with no shuffle.
+
+Supported: terms (size, shard_size), multi_terms, histogram,
+date_histogram, range, min/max/sum/avg/count/value_count/stats,
+cardinality (HyperLogLog), one level of sub-aggregations under any bucket
+agg (``GroupBySubAggregationTest.java`` semantics).
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+import re
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (cardinality) — per-partition registers merged by max
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_update(registers: np.ndarray, values: np.ndarray) -> None:
+    if len(values) == 0:
+        return
+    if values.dtype == object or values.dtype.kind in "USM":
+        h = pd.util.hash_array(values.astype(object))
+    else:
+        h = pd.util.hash_array(np.ascontiguousarray(values))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+    # rho = leading zeros of remaining bits + 1
+    lz = np.zeros(len(rest), np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    cur = rest.copy()
+    alive = np.ones(len(rest), bool)
+    for _ in range(64 - _HLL_P + 1):
+        zero_top = alive & ((cur & mask) == 0)
+        lz[zero_top] += 1
+        alive &= zero_top
+        if not alive.any():
+            break
+        cur = cur << np.uint64(1)
+    rho = lz + 1
+    np.maximum.at(registers, idx, rho)
+
+
+def _hll_estimate(registers: np.ndarray) -> float:
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return float(est)
+
+
+# ---------------------------------------------------------------------------
+# interval parsing for date_histogram
+# ---------------------------------------------------------------------------
+
+_UNIT_US = {"ms": 1_000, "s": 1_000_000, "m": 60_000_000,
+            "h": 3_600_000_000, "d": 86_400_000_000}
+
+
+def parse_fixed_interval(s: str) -> int:
+    """'30s' / '1d' / '100ms' -> microseconds (intervals 1ms..7d,
+    ``README.md:1076``)."""
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", s)
+    if not m:
+        raise ValueError(f"bad fixed_interval {s!r}")
+    return int(m.group(1)) * _UNIT_US[m.group(2)]
+
+
+def _col_numpy(table: pa.Table, name: str) -> np.ndarray:
+    col = table.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# partial state per agg kind
+# ---------------------------------------------------------------------------
+
+_METRICS = ("min", "max", "sum", "avg", "count", "value_count", "stats")
+
+
+def _spec_kind(spec: dict) -> tuple[str, dict, dict]:
+    sub = spec.get("aggs") or spec.get("aggregations") or {}
+    for k in ("terms", "multi_terms", "histogram", "date_histogram", "range",
+              "cardinality", *_METRICS):
+        if k in spec:
+            return k, spec[k], sub
+    raise ValueError(f"unrecognized aggregation spec {spec!r}")
+
+
+def partial_agg(specs: dict[str, dict], table: pa.Table,
+                mask: np.ndarray | None = None) -> dict[str, Any]:
+    """Compute partial states for all aggs over one Arrow batch."""
+    if mask is not None and mask.dtype == bool:
+        table = table.filter(pa.array(mask))
+    return {name: _partial_one(spec, table) for name, spec in specs.items()}
+
+
+def _partial_one(spec: dict, table: pa.Table) -> Any:
+    kind, body, sub = _spec_kind(spec)
+
+    if kind in _METRICS:
+        vals = _col_numpy(table, body["field"])
+        vals = pd.to_numeric(pd.Series(vals), errors="coerce").to_numpy(np.float64)
+        ok = ~np.isnan(vals)
+        v = vals[ok]
+        return {"min": float(v.min()) if len(v) else math.inf,
+                "max": float(v.max()) if len(v) else -math.inf,
+                "sum": float(v.sum()),
+                "sum_sq": float((v * v).sum()),
+                "count": int(len(v))}
+
+    if kind == "cardinality":
+        vals = _col_numpy(table, body["field"])
+        vals = vals[pd.notna(vals)]
+        regs = np.zeros(_HLL_M, np.uint8)
+        _hll_update(regs, vals)
+        return regs
+
+    # bucket aggs -> dict bucket_key -> {"doc_count": n, "sub": {...}}
+    if kind == "terms":
+        keys = pd.Series(_col_numpy(table, body["field"]))
+        grp = keys.dropna()
+        sel = keys.notna().to_numpy()
+    elif kind == "multi_terms":
+        cols = [pd.Series(_col_numpy(table, f)) for f in body["fields"]]
+        keys = pd.Series(list(zip(*[c.to_numpy() for c in cols])))
+        ok = np.logical_and.reduce([c.notna().to_numpy() for c in cols])
+        grp = keys[ok]
+        sel = ok
+    elif kind == "histogram":
+        vals = pd.to_numeric(pd.Series(_col_numpy(table, body["field"])),
+                             errors="coerce").to_numpy(np.float64)
+        interval = float(body["interval"])
+        offset = float(body.get("offset", 0.0))
+        sel = ~np.isnan(vals)
+        bucket = (np.floor((vals[sel] - offset) / interval) * interval
+                  + offset)
+        grp = pd.Series(bucket)
+    elif kind == "date_histogram":
+        vals = _col_numpy(table, body["field"])
+        ts = np.asarray(vals, "datetime64[us]").astype(np.int64)
+        sel = pd.notna(pd.Series(vals)).to_numpy()
+        iv = parse_fixed_interval(body.get("fixed_interval")
+                                  or body.get("interval"))
+        bucket = (ts[sel] // iv) * iv
+        grp = pd.Series(bucket)
+    elif kind == "range":
+        vals = pd.to_numeric(pd.Series(_col_numpy(table, body["field"])),
+                             errors="coerce").to_numpy(np.float64)
+        sel = ~np.isnan(vals)
+        v = vals[sel]
+        bucket = np.full(len(v), -1, np.int64)
+        for i, r in enumerate(body["ranges"]):
+            lo = float(r.get("from", -math.inf))
+            hi = float(r.get("to", math.inf))
+            bucket[(v >= lo) & (v < hi) & (bucket == -1)] = i
+        keep = bucket >= 0
+        grp = pd.Series(bucket[keep])
+        s2 = np.flatnonzero(sel)[keep]
+        sel = np.zeros(table.num_rows, bool)
+        sel[s2] = True
+    else:
+        raise ValueError(kind)
+
+    sub_specs = sub
+    out: dict[Any, dict] = {}
+    if len(grp) == 0:
+        return out
+    if sub_specs:
+        sub_tbl = table.filter(pa.array(np.asarray(sel, bool)))
+        gb = pd.Series(np.arange(len(grp)), index=None).groupby(grp.to_numpy())
+        for key, idx in gb.groups.items():
+            rows = np.asarray(idx, np.int64)
+            out[key] = {"doc_count": int(len(rows)),
+                        "sub": {n: _partial_one(s, sub_tbl.take(pa.array(rows)))
+                                for n, s in sub_specs.items()}}
+    else:
+        vc = grp.value_counts()
+        for key, cnt in vc.items():
+            out[key] = {"doc_count": int(cnt), "sub": {}}
+    return out
+
+
+def merge_states(specs: dict[str, dict], a: dict, b: dict) -> dict:
+    return {name: _merge_one(spec, a.get(name), b.get(name))
+            for name, spec in specs.items()}
+
+
+def _merge_one(spec: dict, x: Any, y: Any) -> Any:
+    if x is None:
+        return y
+    if y is None:
+        return x
+    kind, _body, sub = _spec_kind(spec)
+    if kind in _METRICS:
+        return {"min": min(x["min"], y["min"]), "max": max(x["max"], y["max"]),
+                "sum": x["sum"] + y["sum"], "sum_sq": x["sum_sq"] + y["sum_sq"],
+                "count": x["count"] + y["count"]}
+    if kind == "cardinality":
+        return np.maximum(x, y)
+    out = dict(x)
+    for key, st in y.items():
+        if key in out:
+            merged_sub = {n: _merge_one(s, out[key]["sub"].get(n),
+                                        st["sub"].get(n))
+                          for n, s in sub.items()} if sub else {}
+            out[key] = {"doc_count": out[key]["doc_count"] + st["doc_count"],
+                        "sub": merged_sub}
+        else:
+            out[key] = st
+    return out
+
+
+def finalize(specs: dict[str, dict], state: dict) -> dict:
+    return {name: _finalize_one(spec, state.get(name))
+            for name, spec in specs.items()}
+
+
+def _finalize_one(spec: dict, st: Any) -> dict:
+    kind, body, sub = _spec_kind(spec)
+    if kind in _METRICS:
+        st = st or {"min": math.inf, "max": -math.inf, "sum": 0.0,
+                    "sum_sq": 0.0, "count": 0}
+        n = st["count"]
+        if kind == "min":
+            return {"value": st["min"] if n else None}
+        if kind == "max":
+            return {"value": st["max"] if n else None}
+        if kind == "sum":
+            return {"value": st["sum"]}
+        if kind == "avg":
+            return {"value": st["sum"] / n if n else None}
+        if kind in ("count", "value_count"):
+            return {"value": n}
+        var = (st["sum_sq"] / n - (st["sum"] / n) ** 2) if n else None
+        return {"count": n, "min": st["min"] if n else None,
+                "max": st["max"] if n else None, "sum": st["sum"],
+                "avg": st["sum"] / n if n else None,
+                "std_deviation": math.sqrt(max(var, 0.0)) if n else None}
+    if kind == "cardinality":
+        return {"value": round(_hll_estimate(st)) if st is not None else 0}
+
+    st = st or {}
+    items = list(st.items())
+    if kind in ("terms", "multi_terms"):
+        size = int(body.get("size", 10))
+        # count desc, key asc — deterministic (tie-break pinned by tests)
+        items.sort(key=lambda kv: (-kv[1]["doc_count"], _sort_key(kv[0])))
+        items = items[:size]
+    else:
+        # histogram / date_histogram / range keys are numeric bucket ids
+        items.sort(key=lambda kv: kv[0])
+    buckets = []
+    for key, v in items:
+        b: dict[str, Any] = {"key": _py_key(key, kind, body),
+                             "doc_count": v["doc_count"]}
+        for n, s in sub.items():
+            b[n] = _finalize_one(s, v["sub"].get(n))
+        buckets.append(b)
+    return {"buckets": buckets}
+
+
+def _sort_key(k: Any):
+    return (str(k),) if not isinstance(k, tuple) else tuple(str(x) for x in k)
+
+
+def _py_key(key: Any, kind: str, body: dict) -> Any:
+    if kind == "date_histogram":
+        return str(np.datetime64(int(key), "us"))
+    if kind == "range":
+        r = body["ranges"][int(key)]
+        return f"{r.get('from', '*')}-{r.get('to', '*')}"
+    if isinstance(key, tuple):
+        return list(key)
+    if isinstance(key, (np.generic,)):
+        return key.item()
+    return key
+
+
+# ---------------------------------------------------------------------------
+# execution surfaces
+# ---------------------------------------------------------------------------
+
+def aggregate_dataset(ds, specs: dict[str, dict]) -> dict:
+    """Run the DSL over any Ray Dataset: vectorized partials per block
+    (map_batches), associative merge on the driver — no shuffle."""
+    def to_state(batch: pa.Table) -> pa.Table:
+        st = partial_agg(specs, batch)
+        return pa.table({"state": pa.array([pickle.dumps(st)],
+                                           pa.large_binary())})
+
+    rows = ds.map_batches(to_state, batch_format="pyarrow").take_all()
+    merged: dict = {}
+    for row in rows:
+        merged = merge_states(specs, merged, pickle.loads(row["state"]))
+    return finalize(specs, merged)
+
+
+def run_aggregations_on_index(reader, query, specs: dict[str, dict]) -> dict:
+    """Aggregate over index fast fields for docs matching ``query`` —
+    per-partition partials merged like the reference's per-split
+    intermediate results."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    match: np.ndarray | None = None
+    if query is not None and query.kind != "all":
+        match = reader.evaluate(query)[0]  # sorted global doc ids
+    merged: dict = {}
+    for p in reader.partitions:
+        path = os.path.join(reader.index_dir, "docdata",
+                            f"part-{p['pid']:05d}.parquet")
+        tbl = pq.read_table(path)
+        mask = None
+        if match is not None:
+            lo = np.searchsorted(match, p["doc_base"])
+            hi = np.searchsorted(match, p["doc_base"] + p["num_docs"])
+            local = (match[lo:hi] - p["doc_base"]).astype(np.int64)
+            mask = np.zeros(tbl.num_rows, bool)
+            mask[local] = True
+        merged = merge_states(specs, merged, partial_agg(specs, tbl, mask))
+    return finalize(specs, merged)

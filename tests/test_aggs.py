@@ -1,0 +1,132 @@
+"""Aggregation fixtures (FIXTURES.md F4): 100 rows, 5 skewed categories,
+prices i*1.5, daily dates from 2023-01-01."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tantivy4java_ray.aggs import (
+    aggregate_dataset, finalize, merge_states, partial_agg,
+    parse_fixed_interval,
+)
+
+COUNTS = {"cat0": 50, "cat1": 25, "cat2": 15, "cat3": 7, "cat4": 3}
+
+
+@pytest.fixture(scope="module")
+def table():
+    cats = sum(([c] * n for c, n in COUNTS.items()), [])
+    n = len(cats)
+    return pa.table({
+        "category": pa.array(cats),
+        "price": pa.array([i * 1.5 for i in range(n)], pa.float64()),
+        "rating": pa.array([float(i % 5) for i in range(n)], pa.float64()),
+        "published": pa.array(
+            np.arange(n).astype("datetime64[D]").astype("datetime64[us]")
+            + np.datetime64("2023-01-01", "us").astype(np.int64)),
+    })
+
+
+def run(specs, table, split=None):
+    if split is None:
+        return finalize(specs, partial_agg(specs, table))
+    a = partial_agg(specs, table.slice(0, split))
+    b = partial_agg(specs, table.slice(split))
+    return finalize(specs, merge_states(specs, a, b))
+
+
+@pytest.mark.parametrize("split", [None, 33])
+def test_terms(table, split):
+    out = run({"cats": {"terms": {"field": "category", "size": 3}}}, table,
+              split)
+    assert out["cats"]["buckets"] == [
+        {"key": "cat0", "doc_count": 50},
+        {"key": "cat1", "doc_count": 25},
+        {"key": "cat2", "doc_count": 15}]
+
+
+@pytest.mark.parametrize("split", [None, 50])
+def test_stats_and_metrics(table, split):
+    specs = {"s": {"stats": {"field": "price"}},
+             "mn": {"min": {"field": "price"}},
+             "mx": {"max": {"field": "price"}},
+             "av": {"avg": {"field": "price"}},
+             "sm": {"sum": {"field": "price"}},
+             "ct": {"value_count": {"field": "price"}}}
+    out = run(specs, table, split)
+    n = 100
+    prices = [i * 1.5 for i in range(n)]
+    assert out["mn"]["value"] == 0.0
+    assert out["mx"]["value"] == 148.5
+    assert out["av"]["value"] == pytest.approx(sum(prices) / n)
+    assert out["sm"]["value"] == pytest.approx(sum(prices))
+    assert out["ct"]["value"] == n
+    assert out["s"]["count"] == n
+    assert out["s"]["std_deviation"] == pytest.approx(np.std(prices))
+
+
+@pytest.mark.parametrize("split", [None, 10])
+def test_histogram(table, split):
+    out = run({"h": {"histogram": {"field": "price", "interval": 50.0}}},
+              table, split)
+    assert [(b["key"], b["doc_count"]) for b in out["h"]["buckets"]] == [
+        (0.0, 34), (50.0, 33), (100.0, 33)]
+
+
+def test_date_histogram(table):
+    out = run({"d": {"date_histogram": {"field": "published",
+                                        "fixed_interval": "1d"}}}, table)
+    assert len(out["d"]["buckets"]) == 100
+    assert out["d"]["buckets"][0]["key"].startswith("2023-01-01")
+    assert all(b["doc_count"] == 1 for b in out["d"]["buckets"])
+
+
+def test_range(table):
+    out = run({"r": {"range": {"field": "price", "ranges": [
+        {"to": 25.0}, {"from": 25.0, "to": 75.0}, {"from": 75.0}]}}},
+        table)
+    bs = out["r"]["buckets"]
+    assert [b["doc_count"] for b in bs] == [17, 33, 50]
+
+
+def test_cardinality_accuracy(table):
+    out = run({"c": {"cardinality": {"field": "category"}}}, table, split=33)
+    assert out["c"]["value"] == 5
+    big = pa.table({"v": pa.array([f"u{i}" for i in range(20000)])})
+    out = run({"c": {"cardinality": {"field": "v"}}}, big, split=9999)
+    assert abs(out["c"]["value"] - 20000) / 20000 < 0.05
+
+
+def test_sub_aggregation(table):
+    out = run({"cats": {"terms": {"field": "category", "size": 2},
+                        "aggs": {"avg_price": {"avg": {"field": "price"}}}}},
+              table, split=40)
+    b0 = out["cats"]["buckets"][0]
+    assert b0["key"] == "cat0"
+    assert b0["avg_price"]["value"] == pytest.approx(
+        np.mean([i * 1.5 for i in range(50)]))
+
+
+def test_multi_terms(table):
+    out = run({"mt": {"multi_terms": {"fields": ["category", "rating"],
+                                      "size": 100}}}, table)
+    total = sum(b["doc_count"] for b in out["mt"]["buckets"])
+    assert total == 100
+    assert out["mt"]["buckets"][0]["doc_count"] == 10  # cat0 x 5 ratings
+
+
+def test_parse_interval():
+    assert parse_fixed_interval("1d") == 86_400_000_000
+    assert parse_fixed_interval("100ms") == 100_000
+    with pytest.raises(ValueError):
+        parse_fixed_interval("2w")
+
+
+def test_aggregate_dataset(ray_session, table):
+    import ray.data
+    ds = ray.data.from_arrow(table).repartition(4)
+    out = aggregate_dataset(ds, {
+        "cats": {"terms": {"field": "category", "size": 3}},
+        "s": {"stats": {"field": "price"}}})
+    assert out["cats"]["buckets"][0] == {"key": "cat0", "doc_count": 50}
+    assert out["s"]["count"] == 100
