@@ -76,6 +76,10 @@ _PARTIAL_SCHEMA = pa.schema([
 ])
 
 
+def field_may_contain_nul(schema: IndexSchema, field: str) -> bool:
+    return schema.get_field(field).type is not FieldType.TEXT
+
+
 def term_shard(field: str, terms: np.ndarray, num_shards: int) -> np.ndarray:
     """Deterministic shard of each term (stable across processes — pandas
     siphash with a fixed key, NOT Python ``hash``).
@@ -181,6 +185,12 @@ class PartitionIndexer:
             if fcfg.type is FieldType.TEXT:
                 if col is None:
                     continue
+                if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                    # multi-valued text: values joined with a separator token
+                    # boundary (positions run contiguously across values;
+                    # tantivy inserts a position gap — documented deviation)
+                    import pyarrow.compute as pc
+                    col = pc.binary_join(col, "\n")
                 if (self.html_fallback
                         and fcfg.name == self.html_fallback[0]
                         and self.html_fallback[1] in avail):
@@ -257,6 +267,13 @@ class PartitionIndexer:
         partition's vocabulary (not its tokens)."""
         if len(rows) == 0:
             return 0
+        if field_may_contain_nul(self.schema, field):
+            # pandas factorize/hash truncate object strings at NUL; terms
+            # from raw/keyword fields may embed \x00 -> sanitize. (Analyzer
+            # output never contains NUL: it is a split character.)
+            if any("\x00" in t for t in tokens):
+                tokens = np.array([t.replace("\x00", "�")
+                                   for t in tokens], dtype=object)
         codes, uniques = pd.factorize(tokens, sort=False)
         key = codes.astype(np.int64) * np.int64(n_rows) + rows
         order = np.argsort(key, kind="stable")
@@ -318,7 +335,14 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
     t0 = time.monotonic()
     sid = int(group.column("shard")[0].as_py())
     df_ = group.to_pandas()
-    df_.sort_values(["field", "term", "doc_base"], inplace=True, kind="stable")
+    # chained stable argsorts == lexsort by (field, term, doc_base).
+    # NOT pandas sort_values: pandas compares object strings as C strings
+    # and truncates at NUL bytes (verified), silently mis-sorting any term
+    # containing \x00; numpy object argsort uses real Python comparison.
+    order = np.argsort(df_["doc_base"].to_numpy(), kind="stable")
+    order = order[np.argsort(df_["term"].to_numpy()[order], kind="stable")]
+    order = order[np.argsort(df_["field"].to_numpy()[order], kind="stable")]
+    df_ = df_.iloc[order]
 
     post_buf = io.BytesIO()
     pos_buf = io.BytesIO()

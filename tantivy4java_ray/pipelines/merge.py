@@ -1,0 +1,281 @@
+"""Log-structured index merge: N indexes -> one (the LSM step).
+
+Ray retelling of ``QuickwitSplit.mergeSplits``
+(``split/merge/QuickwitSplit.java:1291``, ``native/src/quickwit_split/
+merge_impl.rs:70``): instead of downloading splits into one process and
+re-running a tantivy merge, each *term-shard* merges independently — a
+``Dataset`` of shard ids mapped over a merge task, no shuffle at all
+(SURVEY.md §3.3 "embarrassingly parallel per term-range").
+
+Because posting doc ids are stored relative to an int64 ``run_base``, and
+indexes are concatenated in doc-id order (index i's docs shift by the total
+doc count before it), merging a shard without deletes is a *byte copy*:
+postings/positions blobs are concatenated verbatim and only the dictionary
+rows get ``run_base``/``offset`` adjustments. With delete queries
+(``MergeConfig.getDeleteQueries``, ``QuickwitSplit.java:918``) postings are
+decoded, filtered, and re-encoded; deleted doc ids are also recorded in the
+manifest so fast-field queries (range/exists/all) exclude them.
+
+Requires all inputs to share ``num_shards`` and schema (the builder's
+deterministic term-shard hash makes same-term co-location structural).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tantivy4java_ray import postings as pcodec
+from tantivy4java_ray.state.manifest import TransactionLog, atomic_write_json
+
+
+@dataclass
+class MergeResult:
+    index_dir: str
+    num_docs: int
+    num_deleted: int
+    elapsed_s: float
+    skipped_inputs: list[str]
+
+
+def _load_states(index_dirs: list[str]) -> list[dict]:
+    states = []
+    for d in index_dirs:
+        with open(os.path.join(d, "manifest.json")) as f:
+            states.append(json.load(f))
+    return states
+
+
+class _ShardMerger:
+    def __init__(self, index_dirs: list[str], out_dir: str,
+                 doc_offsets: list[int],
+                 deleted_per_index: list[np.ndarray] | None):
+        self.index_dirs = index_dirs
+        self.out_dir = out_dir
+        self.doc_offsets = doc_offsets
+        self.deleted = deleted_per_index
+
+    def __call__(self, batch: pa.Table):
+        for sid in batch.column("sid").to_pylist():
+            yield self._merge_shard(sid)
+
+    def _merge_shard(self, sid: int) -> pa.Table:
+        dicts, posts, poss = [], [], []
+        post_off, pos_off = [], []
+        cur_p, cur_q = 0, 0
+        for i, d in enumerate(self.index_dirs):
+            sd = os.path.join(d, "shards", f"shard-{sid:05d}")
+            tp = os.path.join(sd, "terms.parquet")
+            if not os.path.exists(tp):
+                continue
+            t = pq.read_table(tp).to_pandas()
+            t["run_base"] += self.doc_offsets[i]
+            t["__src"] = i
+            dicts.append(t)
+            post_off.append(cur_p)
+            pos_off.append(cur_q)
+            with open(os.path.join(sd, "postings.bin"), "rb") as f:
+                pb = f.read()
+            qb = b""
+            qpath = os.path.join(sd, "positions.bin")
+            if os.path.exists(qpath):
+                with open(qpath, "rb") as f:
+                    qb = f.read()
+            posts.append(pb)
+            poss.append(qb)
+            t["offset"] += cur_p
+            t.loc[t["pos_offset"] >= 0, "pos_offset"] += cur_q
+            cur_p += len(pb)
+            cur_q += len(qb)
+        if not dicts:
+            return pa.table({"sid": pa.array([sid], pa.int32()),
+                             "num_terms": pa.array([0], pa.int64())})
+        import pandas as pd
+        dict_df = pd.concat(dicts, ignore_index=True)
+        post_blob = b"".join(posts)
+        pos_blob = b"".join(poss)
+
+        if self.deleted is not None and any(len(x) for x in self.deleted):
+            dict_df, post_blob, pos_blob = self._apply_deletes(
+                dict_df, post_blob, pos_blob)
+
+        # stable numpy argsort on the object key column (pandas sort_values
+        # truncates object strings at NUL — see build._write_shard); equal
+        # keys keep concat order = index order = ascending run_base
+        order = np.argsort(dict_df["key"].to_numpy(), kind="stable")
+        dict_df = dict_df.iloc[order]
+        dict_df = dict_df.drop(columns="__src").reset_index(drop=True)
+
+        shard_dir = os.path.join(self.out_dir, "shards", f"shard-{sid:05d}")
+        os.makedirs(shard_dir, exist_ok=True)
+        for name, blob in (("postings.bin", post_blob),
+                           ("positions.bin", pos_blob)):
+            tmp = os.path.join(shard_dir, f".tmp-{name}-{os.getpid()}")
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(shard_dir, name))
+        out_t = pa.Table.from_pandas(dict_df, preserve_index=False)
+        tmp = os.path.join(shard_dir, f".tmp-terms-{os.getpid()}.parquet")
+        pq.write_table(out_t, tmp)
+        os.replace(tmp, os.path.join(shard_dir, "terms.parquet"))
+        return pa.table({"sid": pa.array([sid], pa.int32()),
+                         "num_terms": pa.array([len(dict_df)], pa.int64())})
+
+    def _apply_deletes(self, dict_df, post_blob: bytes, pos_blob: bytes):
+        """Decode -> filter deleted global docs -> re-encode each run."""
+        deleted_global = np.sort(np.concatenate(
+            [dels.astype(np.int64) + off
+             for dels, off in zip(self.deleted, self.doc_offsets)
+             if len(dels)]))
+        new_post, new_pos = bytearray(), bytearray()
+        rows = {k: [] for k in dict_df.columns}
+        for _, row in dict_df.iterrows():
+            docs, tfs = pcodec.decode_postings(post_blob, int(row["offset"]))
+            gdocs = docs.astype(np.int64) + int(row["run_base"])
+            idx = np.searchsorted(deleted_global, gdocs)
+            idx_ok = idx < len(deleted_global)
+            dead = np.zeros(len(gdocs), bool)
+            dead[idx_ok] = deleted_global[idx[idx_ok]] == gdocs[idx_ok]
+            if dead.all():
+                continue
+            keep = ~dead
+            pos_bytes = b""
+            if int(row["pos_offset"]) >= 0:
+                pos = pcodec.decode_positions(pos_blob, int(row["pos_offset"]))
+                off = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+                keep_pos = np.concatenate(
+                    [pos[off[i]:off[i + 1]] for i in np.flatnonzero(keep)]
+                ) if keep.any() else np.empty(0, np.uint32)
+                pos_bytes = pcodec.encode_positions(keep_pos)
+            blob = pcodec.encode_postings(docs[keep], tfs[keep])
+            for k in dict_df.columns:
+                rows[k].append(row[k])
+            rows["df"][-1] = int(keep.sum())
+            rows["ttf"][-1] = int(tfs[keep].sum())
+            rows["offset"][-1] = len(new_post)
+            rows["nbytes"][-1] = len(blob)
+            new_post.extend(blob)
+            if pos_bytes:
+                rows["pos_offset"][-1] = len(new_pos)
+                rows["pos_nbytes"][-1] = len(pos_bytes)
+                new_pos.extend(pos_bytes)
+        import pandas as pd
+        return pd.DataFrame(rows), bytes(new_post), bytes(new_pos)
+
+
+def merge_indexes(index_dirs: list[str], out_dir: str,
+                  delete_queries: list | None = None,
+                  concurrency: int | None = None) -> MergeResult:
+    """Merge N indexes built with identical schema + num_shards."""
+    import ray
+    import ray.data
+
+    t0 = time.monotonic()
+    states = _load_states(index_dirs)
+    metas = [s["meta"] for s in states]
+    nshards = {m["plan"]["num_shards"] for m in metas}
+    if len(nshards) != 1:
+        raise ValueError(f"inputs disagree on num_shards: {nshards}")
+    nshards = nshards.pop()
+    schemas = {json.dumps(m["schema"], sort_keys=True) for m in metas}
+    if len(schemas) != 1:
+        raise ValueError("inputs disagree on schema")
+
+    doc_offsets: list[int] = []
+    base = 0
+    for m in metas:
+        doc_offsets.append(base)
+        base += m["stats"]["num_docs"]
+
+    deleted_per_index: list[np.ndarray] | None = None
+    num_deleted = 0
+    if delete_queries:
+        from tantivy4java_ray.pipelines.search import IndexReader
+        deleted_per_index = []
+        for d in index_dirs:
+            r = IndexReader(d)
+            dels = [r.evaluate(q)[0] for q in delete_queries]
+            arr = (np.unique(np.concatenate(dels)) if dels
+                   else np.empty(0, np.int64))
+            deleted_per_index.append(arr)
+            num_deleted += len(arr)
+
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    conc = concurrency or max(1, min(nshards, cpus))
+    shard_ds = ray.data.from_items([{"sid": s} for s in range(nshards)])
+    stats = shard_ds.map_batches(
+        _ShardMerger,
+        fn_constructor_kwargs=dict(index_dirs=index_dirs, out_dir=out_dir,
+                                   doc_offsets=doc_offsets,
+                                   deleted_per_index=deleted_per_index),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(1, conc), num_cpus=1).take_all()
+
+    # docdata + manifest: re-base partitions, copy docdata files
+    os.makedirs(os.path.join(out_dir, "docdata"), exist_ok=True)
+    parts_out = []
+    new_pid = 0
+    for i, s in enumerate(states):
+        parts = sorted(s["partitions"].values(), key=lambda p: p["doc_base"])
+        for p in parts:
+            src = os.path.join(index_dirs[i], "docdata",
+                               f"part-{p['pid']:05d}.parquet")
+            dst = os.path.join(out_dir, "docdata",
+                               f"part-{new_pid:05d}.parquet")
+            if not os.path.exists(dst):
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copyfile(src, dst)
+            q = dict(p)
+            q["pid"] = new_pid
+            q["doc_base"] = p["doc_base"] + doc_offsets[i]
+            q["lineage"] = {"merged_from": index_dirs[i],
+                            "source_pid": p["pid"]}
+            parts_out.append(q)
+            new_pid += 1
+
+    total_tokens: dict[str, int] = {}
+    for m in metas:
+        for f_, t_ in m["stats"]["total_tokens"].items():
+            total_tokens[f_] = total_tokens.get(f_, 0) + t_
+    num_docs = base
+    meta0 = metas[0]
+    stats_obj = {"num_docs": num_docs, "total_tokens": total_tokens,
+                 "avgdl": {f_: t_ / num_docs if num_docs else 0.0
+                           for f_, t_ in total_tokens.items()}}
+
+    txlog = TransactionLog(out_dir)
+    actions: list[dict] = [{"set_meta": {
+        "plan": {"files": sum((m["plan"]["files"] for m in metas), []),
+                 "num_docs": num_docs, "num_partitions": len(parts_out),
+                 "num_shards": nshards,
+                 "merged_from": index_dirs},
+        "schema": meta0["schema"], "config": meta0["config"]}}]
+    actions += [{"add_partition": p} for p in parts_out]
+    actions += [{"add_shard": {k: (v.item() if hasattr(v, "item") else v)
+                               for k, v in s.items()}} for s in stats]
+    actions.append({"set_meta": {"stats": stats_obj}})
+    if deleted_per_index is not None:
+        all_del = np.sort(np.concatenate(
+            [d + off for d, off in zip(deleted_per_index, doc_offsets)]))
+        np.save(os.path.join(out_dir, "deleted_docs.npy"), all_del)
+        actions.append({"set_meta": {"deleted_docs": int(len(all_del))}})
+    actions.append({"commit": {"ts": time.time()}})
+    txlog.append(actions)
+    txlog.create_checkpoint()
+    atomic_write_json(os.path.join(out_dir, "manifest.json"),
+                      txlog.read_state())
+    return MergeResult(out_dir, num_docs, num_deleted,
+                       time.monotonic() - t0, [])

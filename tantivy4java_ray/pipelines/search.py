@@ -104,6 +104,9 @@ class IndexReader:
         self._dls: dict[str, np.ndarray] = {}
         self._fast: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._norm_cache: dict[str, np.ndarray] = {}
+        dpath = os.path.join(index_dir, "deleted_docs.npy")
+        self.deleted: np.ndarray | None = (
+            np.load(dpath) if os.path.exists(dpath) else None)
 
     # -- shard access -------------------------------------------------------
     def _shard_of(self, field: str, term: str) -> int:
@@ -304,7 +307,8 @@ class IndexReader:
             return docs, np.full(len(docs), boost, np.float32)
         if k == "all":
             docs = np.arange(self.num_docs, dtype=np.int64)
-            return docs, np.full(self.num_docs, boost, np.float32)
+            docs = self._drop_deleted(docs)
+            return docs, np.full(len(docs), boost, np.float32)
         if k == "none":
             return _EMPTY
         if k == "bool":
@@ -508,15 +512,26 @@ class IndexReader:
             mask &= (vals >= lower) if incl_lo else (vals > lower)
         if upper is not None:
             mask &= (vals <= upper) if incl_hi else (vals < upper)
-        docs = np.flatnonzero(mask).astype(np.int64)
+        docs = self._drop_deleted(np.flatnonzero(mask).astype(np.int64))
         return docs, np.full(len(docs), boost, np.float32)
+
+    def _drop_deleted(self, docs: np.ndarray) -> np.ndarray:
+        """Merge-time delete tombstones apply to fast-field matches
+        (postings were already rewritten by the merge)."""
+        if self.deleted is None or not len(docs):
+            return docs
+        idx = np.searchsorted(self.deleted, docs)
+        idx_ok = idx < len(self.deleted)
+        dead = np.zeros(len(docs), bool)
+        dead[idx_ok] = self.deleted[idx[idx_ok]] == docs[idx_ok]
+        return docs[~dead]
 
     def _eval_exists(self, field: str, boost: float):
         fcfg = self.schema.get_field(field)
         if not fcfg.fast:
             raise ValueError(f"exists({field}) requires a fast field")
         _, valid = self.fast_column(field)
-        docs = np.flatnonzero(valid).astype(np.int64)
+        docs = self._drop_deleted(np.flatnonzero(valid).astype(np.int64))
         return docs, np.full(len(docs), boost, np.float32)
 
     def _expand_mlt(self, doc_fields, max_terms: int, min_tf: int,

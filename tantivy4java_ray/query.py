@@ -159,7 +159,7 @@ _TOKEN_RE = re.compile(r"""
       (?P<plus>\+) | (?P<minus>-) |
       (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<qslop>\d+))?) |
       (?P<range>[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
-      (?P<term>[^\s()^"\[{]+)
+      (?P<term>[^\s()"\[{]+)
     )""", re.VERBOSE)
 
 

@@ -1,0 +1,133 @@
+"""Merge + resume fixtures (FIXTURES.md F6): two disjoint slices built as
+separate indexes then merged must equal a single-shot build of the union;
+a killed/re-run build must skip finished partitions and produce identical
+results."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tantivy4java_ray.pipelines.build import build_index
+from tantivy4java_ray.pipelines.merge import merge_indexes
+from tantivy4java_ray.pipelines.search import IndexReader
+from tantivy4java_ray.query import Occur, Query
+from tantivy4java_ray.sources.webpages import write_webpages
+from tantivy4java_ray.schema import IndexSchema
+
+BASE = "/tmp/t4jr_merge"
+
+
+def schema():
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    s.add_string_field("lang", fast=True)
+    s.add_date_field("warc_ts", fast=True)
+    return s
+
+
+@pytest.fixture(scope="module")
+def setup(ray_session):
+    shutil.rmtree(BASE, ignore_errors=True)
+    # two disjoint 1k-row slices, contiguous doc ids
+    write_webpages(f"{BASE}/data_a", 600, n_files=1, rows_per_row_group=200)
+    # slice B continues doc ids at 600 so the union equals one 1200-doc corpus
+    from tantivy4java_ray.sources.webpages import generate_webpages
+    import pyarrow.parquet as pq
+    os.makedirs(f"{BASE}/data_b", exist_ok=True)
+    pq.write_table(generate_webpages(600, start_doc_id=600),
+                   f"{BASE}/data_b/webpages-0000.parquet", row_group_size=200)
+
+    build_index(f"{BASE}/data_a", f"{BASE}/idx_a", schema(),
+                html_fallback=("text", "html"),
+                target_docs_per_partition=300, num_shards=4)
+    build_index(f"{BASE}/data_b", f"{BASE}/idx_b", schema(),
+                html_fallback=("text", "html"),
+                target_docs_per_partition=300, num_shards=4)
+    both = sorted(glob.glob(f"{BASE}/data_a/*.parquet")) + \
+        sorted(glob.glob(f"{BASE}/data_b/*.parquet"))
+    build_index(both, f"{BASE}/idx_union", schema(),
+                html_fallback=("text", "html"),
+                target_docs_per_partition=300, num_shards=4)
+    merge_indexes([f"{BASE}/idx_a", f"{BASE}/idx_b"], f"{BASE}/idx_merged")
+    return None
+
+
+QUERIES = ["needleterm", "w0000 AND w0042", 'text:"alpha bravo charlie"',
+           "w0123 OR w0456", "lang:de"]
+
+
+def test_merged_equals_single_shot(setup):
+    rm = IndexReader(f"{BASE}/idx_merged")
+    ru = IndexReader(f"{BASE}/idx_union")
+    assert rm.num_docs == ru.num_docs == 1200
+    for q in QUERIES:
+        assert rm.search(q, 20).hits == ru.search(q, 20).hits, q
+    assert rm.doc_freq("text", "w0000") == ru.doc_freq("text", "w0000")
+
+
+def test_merge_with_deletes(setup):
+    out = f"{BASE}/idx_del"
+    shutil.rmtree(out, ignore_errors=True)
+    res = merge_indexes([f"{BASE}/idx_a", f"{BASE}/idx_b"], out,
+                        delete_queries=[Query.term("text", "needleterm")])
+    r = IndexReader(out)
+    ru = IndexReader(f"{BASE}/idx_union")
+    marker_docs, _ = ru.evaluate(Query.term("text", "needleterm"))
+    assert res.num_deleted == len(marker_docs)
+    # deleted docs gone from postings
+    assert r.doc_freq("text", "needleterm") == 0
+    d, _ = r.evaluate(Query.term("text", "w0000"))
+    du, _ = ru.evaluate(Query.term("text", "w0000"))
+    assert set(du) - set(d) == set(du) & set(marker_docs)
+    # and from fast-field matches
+    dr, _ = r.evaluate(Query.range("warc_ts", None, None))
+    assert set(dr) & set(marker_docs) == set()
+
+
+def test_resume_skips_finished_partitions(setup):
+    """Re-running a build must not recompute finished partitions and must
+    produce byte-identical search results."""
+    idx = f"{BASE}/idx_a"
+    mtimes = {p: os.path.getmtime(p)
+              for p in glob.glob(f"{idx}/docdata/*.parquet")}
+    r_before = IndexReader(idx).search("needleterm", 10).hits
+    res2 = build_index(f"{BASE}/data_a", idx, schema(),
+                       html_fallback=("text", "html"),
+                       target_docs_per_partition=300, num_shards=4)
+    assert res2.resumed_partitions == res2.num_partitions
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t, f"partition recomputed: {p}"
+    assert IndexReader(idx).search("needleterm", 10).hits == r_before
+
+
+def test_partial_resume_produces_identical_index(setup):
+    """Simulate a crash: keep only partition 0's outputs, rebuild, compare."""
+    src = f"{BASE}/idx_a"
+    crash = f"{BASE}/idx_crash"
+    shutil.rmtree(crash, ignore_errors=True)
+    os.makedirs(f"{crash}/docdata")
+    os.makedirs(f"{crash}/_partials")
+    shutil.copy(f"{src}/docdata/part-00000.parquet", f"{crash}/docdata/")
+    shutil.copy(f"{src}/_partials/part-00000.parquet", f"{crash}/_partials/")
+    build_index(f"{BASE}/data_a", crash, schema(),
+                html_fallback=("text", "html"),
+                target_docs_per_partition=300, num_shards=4)
+    ra, rc = IndexReader(src), IndexReader(crash)
+    for q in QUERIES:
+        assert ra.search(q, 20).hits == rc.search(q, 20).hits, q
+
+
+def test_txlog_lineage(setup):
+    from tantivy4java_ray.state.manifest import TransactionLog
+    state = TransactionLog(f"{BASE}/idx_a").read_state()
+    assert state["committed"]
+    assert len(state["partitions"]) == 2
+    for p in state["partitions"].values():
+        assert "metrics" in p and p["metrics"]["build_s"] >= 0
+        assert p["path"].endswith(".parquet")
+    state_m = TransactionLog(f"{BASE}/idx_merged").read_state()
+    assert state_m["meta"]["plan"]["merged_from"] == [
+        f"{BASE}/idx_a", f"{BASE}/idx_b"]
