@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``topk_cosine``: brute-force cosine top-k — the query matrix is put in
+  the object store ONCE (``ray.put``) and read zero-copy by every batch
+  task (broadcast, never re-shipped per batch); each batch contributes a
+  numpy-matmul partial top-k; the driver merges q*k-sized partials.
+- ``ivf_topk_cosine``: IVF variant (the scale path): k-means centroids fit
+  on a driver-side sample, broadcast; batches prune rows to the probed
+  clusters before the matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
+    col = t.column(emb_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+class _BlockTopK:
+    """Stateless-math actor stage; the query matrix ref is resolved once
+    per actor in __init__ (broadcast via object store)."""
+
+    def __init__(self, query_ref, emb_col: str, id_col: str, k: int):
+        import ray
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) \
+            else query_ref
+        self.q = _normalize(np.asarray(q, np.float32))  # (nq, d)
+        self.emb_col, self.id_col, self.k = emb_col, id_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_emb_matrix(t, self.emb_col))
+        sims = self.q @ mat.T  # (nq, nrows)
+        k = min(self.k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            sel = idx[qi]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[sel].tolist())
+            out_s.extend(sims[qi, sel].astype(np.float64).tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                         self.id_col: pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def topk_cosine(ds, query_vecs: np.ndarray, *, emb_col: str = "embedding",
+                id_col: str = "vec_id", k: int = 10,
+                concurrency: int = 4) -> pd.DataFrame:
+    """-> DataFrame (query_id, rank, id, score), cosine desc, id-asc ties."""
+    import ray
+    qref = ray.put(np.asarray(query_vecs, np.float32))
+    partials = ds.map_batches(
+        _BlockTopK,
+        fn_constructor_kwargs=dict(query_ref=qref, emb_col=emb_col,
+                                   id_col=id_col, k=k),
+        batch_format="pyarrow", concurrency=(1, concurrency),
+        num_cpus=1).to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"query_id": [], id_col: [], "score": [], "rank": []})
+    return res[["query_id", "rank", id_col, "score"]]
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the 100TB path
+# ---------------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample.astype(np.float32))
+    cents = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    k: int = 10, n_clusters: int = 16, nprobe: int = 4,
+                    sample_size: int = 2000, seed: int = 42,
+                    concurrency: int = 4) -> pd.DataFrame:
+    """IVF ANN: centroids from a driver sample, broadcast; each batch prunes
+    to rows whose cluster is probed by at least one query."""
+    import ray
+
+    sample_rows = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_rows[emb_col].to_numpy())
+    cents = _kmeans(sample, min(n_clusters, len(sample)), seed=seed)
+    q = _normalize(np.asarray(query_vecs, np.float32))
+    probe = np.argpartition(-(q @ cents.T), min(nprobe, len(cents)) - 1,
+                            axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed_set = np.unique(probe)
+    cents_ref = ray.put(cents)
+    qref = ray.put(q)
+
+    class _IVFBlock(_BlockTopK):
+        def __init__(self, query_ref, emb_col, id_col, k, cents_ref,
+                     probed, probe_map):
+            super().__init__(query_ref, emb_col, id_col, k)
+            self.cents = ray.get(cents_ref)
+            self.probed = probed
+            self.probe_map = probe_map  # (nq, nprobe)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+            mat = _normalize(_emb_matrix(t, self.emb_col))
+            assign = np.argmax(mat @ self.cents.T, axis=1)
+            keep = np.isin(assign, self.probed)
+            if not keep.any():
+                return pa.table({"query_id": pa.array([], pa.int32()),
+                                 self.id_col: pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            ids, mat, assign = ids[keep], mat[keep], assign[keep]
+            sims = self.q @ mat.T
+            out_q, out_id, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                qkeep = np.isin(assign, self.probe_map[qi])
+                if not qkeep.any():
+                    continue
+                s = sims[qi][qkeep]
+                sel_ids = ids[qkeep]
+                kk = min(self.k, len(s))
+                sel = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(sel_ids[sel].tolist())
+                out_s.extend(s[sel].astype(np.float64).tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                             self.id_col: pa.array(out_id, pa.int64()),
+                             "score": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(
+        _IVFBlock,
+        fn_constructor_kwargs=dict(query_ref=qref, emb_col=emb_col,
+                                   id_col=id_col, k=k, cents_ref=cents_ref,
+                                   probed=probed_set, probe_map=probe),
+        batch_format="pyarrow", concurrency=(1, concurrency),
+        num_cpus=1).to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"query_id": [], id_col: [], "score": [], "rank": []})
+    return res[["query_id", "rank", id_col, "score"]]

@@ -1,0 +1,177 @@
+"""Text analysis stages: token counting, quality scoring, language ID,
+document fingerprinting — vectorized ``map_batches`` transforms over the
+``documents``-style table. All deterministic; token counting reuses the
+engine's default analyzer so counts equal index doc lengths."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
+
+
+def token_stats_batch(t: pa.Table, col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(id, n_tokens, n_unique_tokens) via the vectorized default analyzer."""
+    tok = tokenize_column(t.column(col).combine_chunks()
+                          if isinstance(t.column(col), pa.ChunkedArray)
+                          else t.column(col), get_analyzer("default"))
+    n = t.num_rows
+    counts = tok["row_token_counts"]
+    uniq = np.zeros(n, np.int64)
+    if len(tok["row"]):
+        key = pd.util.hash_array(tok["token"]).astype(np.uint64)
+        df_ = pd.DataFrame({"row": tok["row"], "key": key})
+        u = df_.groupby("row")["key"].nunique()
+        uniq[u.index.to_numpy()] = u.to_numpy()
+    return pa.table({id_col: t.column(id_col),
+                     "n_tokens": pa.array(counts, pa.int64()),
+                     "n_unique_tokens": pa.array(uniq, pa.int64())})
+
+
+def token_stats(ds, col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(lambda t: token_stats_batch(t, col, id_col),
+                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the a an and or of to in is was it for on as with that this "
+              "be are at by not from").split()
+
+
+def quality_batch(t: pa.Table, col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    text = t.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    n_chars = np.nan_to_num(np.asarray(n_chars, np.float64))
+    tok = tokenize_column(text, get_analyzer("default"))
+    n = t.num_rows
+    n_tok = tok["row_token_counts"].astype(np.float64)
+    # alpha ratio: fraction of chars that are token chars
+    tok_chars = np.zeros(n, np.float64)
+    if len(tok["row"]):
+        lens = np.array([len(s) for s in tok["token"]], np.float64)
+        np.add.at(tok_chars, tok["row"], lens)
+        stop_hits = np.zeros(n, np.float64)
+        is_stop = np.isin(tok["token"], _STOPWORDS)
+        np.add.at(stop_hits, tok["row"], is_stop.astype(np.float64))
+    else:
+        stop_hits = np.zeros(n, np.float64)
+    safe_chars = np.maximum(n_chars, 1.0)
+    safe_tok = np.maximum(n_tok, 1.0)
+    mean_len = tok_chars / safe_tok
+    alpha_ratio = tok_chars / safe_chars
+    stop_ratio = stop_hits / safe_tok
+    # a simple composite in [0,1]: length band + alpha + mean token length
+    length_ok = np.clip(n_tok / 50.0, 0, 1) * np.clip(2000.0 / safe_tok, 0, 1)
+    score = 0.4 * alpha_ratio + 0.3 * np.clip(mean_len / 6.0, 0, 1) \
+        + 0.3 * length_ok
+    return pa.table({id_col: t.column(id_col),
+                     "n_chars": pa.array(n_chars.astype(np.int64)),
+                     "n_tokens": pa.array(n_tok.astype(np.int64)),
+                     "alpha_ratio": pa.array(np.round(alpha_ratio, 6)),
+                     "mean_token_len": pa.array(np.round(mean_len, 6)),
+                     "stopword_ratio": pa.array(np.round(stop_ratio, 6)),
+                     "quality": pa.array(np.round(score, 6))})
+
+
+def quality_scores(ds, col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(lambda t: quality_batch(t, col, id_col),
+                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES: dict[str, set] = {
+    "en": set("the and of to in is was for on with that this be are at by "
+              "not from he she it they you we have has had will would".split()),
+    "de": set("der die das und ist von zu mit den dem ein eine nicht auf "
+              "für als auch sich des im war sind wird bei aus nach".split()),
+    "fr": set("le la les et de des du un une est dans que pour sur avec ne "
+              "pas au aux ce cette il elle nous vous sont était".split()),
+    "es": set("el la los las y de del un una es en que por para con no se "
+              "al lo su sus como más pero fue son está".split()),
+}
+
+
+class LanguageId:
+    """Actor-pool stage: profiles compiled once per actor."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col, self.id_col = col, id_col
+        self.langs = sorted(_LANG_PROFILES)
+        self.profiles = [_LANG_PROFILES[lg] for lg in self.langs]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tok = tokenize_column(
+            t.column(self.col).combine_chunks()
+            if isinstance(t.column(self.col), pa.ChunkedArray)
+            else t.column(self.col), get_analyzer("default"))
+        n = t.num_rows
+        scores = np.zeros((n, len(self.langs)), np.float64)
+        if len(tok["row"]):
+            for li, prof in enumerate(self.profiles):
+                hit = np.isin(tok["token"], list(prof)).astype(np.float64)
+                np.add.at(scores[:, li], tok["row"], hit)
+        totals = np.maximum(tok["row_token_counts"].astype(np.float64), 1.0)
+        ratios = scores / totals[:, None]
+        best = np.argmax(ratios, axis=1)
+        conf = ratios[np.arange(n), best]
+        pred = np.where(conf > 0.02,
+                        np.array(self.langs, object)[best], "und")
+        return pa.table({self.id_col: t.column(self.id_col),
+                         "lang_pred": pa.array(pred.astype(object)),
+                         "lang_conf": pa.array(np.round(conf, 6))})
+
+
+def language_id(ds, col: str = "text", id_col: str = "doc_id",
+                concurrency: int = 4):
+    return ds.map_batches(LanguageId,
+                          fn_constructor_kwargs=dict(col=col, id_col=id_col),
+                          batch_format="pyarrow",
+                          concurrency=(1, concurrency), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)      # FNV-style rolling base
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def rolling_fingerprint(text: str | None) -> int:
+    """Deterministic 64-bit rolling (FNV-1a) hash over utf-8 bytes."""
+    if not text:
+        return 0
+    h = _FP_OFFSET
+    for b in text.encode():
+        h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def fingerprint_batch(t: pa.Table, col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    texts = t.column(col).to_pylist()
+    md5s = [hashlib.md5((x or "").encode()).hexdigest() for x in texts]
+    rolls = [rolling_fingerprint(x) for x in texts]
+    return pa.table({id_col: t.column(id_col),
+                     "md5": pa.array(md5s, pa.string()),
+                     "fp64": pa.array(rolls, pa.uint64())})
+
+
+def fingerprints(ds, col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(lambda t: fingerprint_batch(t, col, id_col),
+                          batch_format="pyarrow")

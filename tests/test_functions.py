@@ -1,0 +1,190 @@
+"""Dedup / similarity / textstats / multimodal operator tests over the
+driver-generated testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import duckdb
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session, sf_dir):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_matches_sql(docs_ds, sf_dir):
+    from tantivy4java_ray.functions.dedup import exact_dedup
+    mine = sorted(exact_dedup(docs_ds, "text", "doc_id")
+                  .to_pandas()["doc_id"])
+    sql = duckdb.sql(
+        f"SELECT min(doc_id) AS doc_id FROM "
+        f"'{sf_dir}/documents.parquet' GROUP BY text ORDER BY 1"
+    ).fetchdf()["doc_id"].tolist()
+    assert mine == sql
+
+
+def test_minhash_finds_planted_duplicates(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import minhash_dedup
+    rng = np.random.default_rng(0)
+    base = [" ".join(f"w{rng.integers(0, 500):03d}" for _ in range(80))
+            for _ in range(40)]
+    texts = list(base)
+    # plant near-dups: copy docs 0..4 with one word changed
+    for i in range(5):
+        toks = base[i].split()
+        toks[10] = "CHANGED"
+        texts.append(" ".join(toks))
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    survivors, pairs = minhash_dedup(ds, "text", "doc_id", threshold=0.7)
+    dropped = set(range(len(texts))) - set(survivors)
+    assert dropped == {40, 41, 42, 43, 44}
+    assert set(zip(pairs["a"], pairs["b"])) >= {(i, 40 + i)
+                                                for i in range(5)}
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import simhash_pairs, simhash64
+    texts = ["alpha beta gamma delta epsilon zeta " * 10,
+             "alpha beta gamma delta epsilon zeta " * 10,
+             "totally different words entirely here now " * 10]
+    sims = simhash64(texts)
+    assert sims[0] == sims[1] != sims[2]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": texts}))
+    pairs = simhash_pairs(ds, "text", "doc_id").to_pandas()
+    pairs = pairs.drop_duplicates(subset=["a", "b"])
+    assert list(zip(pairs["a"], pairs["b"])) == [(0, 1)]
+
+
+def test_ngram_jaccard_exact_values(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import ngram_jaccard_pairs
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six seven eight nine eleven"
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": [a, b]}))
+    pairs = (ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.3,
+                                 shingle_size=3)
+             .to_pandas().drop_duplicates(subset=["a", "b"]))
+    assert len(pairs) == 1
+    # 8 shingles each, 7 shared -> J = 7/9
+    assert pairs.iloc[0]["jaccard"] == pytest.approx(7 / 9)
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import embedding_neardup_pairs
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs = np.vstack([vecs, vecs[0] * 1.001, vecs[5] * 0.999])
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": list(map(list, vecs))}))
+    pairs = (embedding_neardup_pairs(ds, "embedding", "vec_id", tau=0.999)
+             .to_pandas().drop_duplicates(subset=["a", "b"]))
+    assert {(int(r.a), int(r.b)) for r in pairs.itertuples()} == {
+        (0, 30), (5, 31)}
+
+
+def test_topk_cosine_matches_duckdb(emb_ds, sf_dir):
+    from tantivy4java_ray.functions.similarity import topk_cosine
+    q = np.stack(emb_ds.take(1)[0]["embedding"])[None, :][0]
+    res = topk_cosine(emb_ds, np.asarray([q]), k=5)
+    sql = duckdb.sql(f"""
+        SELECT e.vec_id,
+               list_cosine_similarity(e.embedding, q.embedding) AS score
+        FROM '{sf_dir}/embeddings.parquet' e,
+             (SELECT embedding FROM '{sf_dir}/embeddings.parquet'
+              WHERE vec_id = 0) q
+        ORDER BY score DESC, vec_id LIMIT 5""").fetchdf()
+    assert res["vec_id"].tolist() == sql["vec_id"].tolist()
+    np.testing.assert_allclose(res["score"], sql["score"], rtol=1e-5)
+
+
+def test_ivf_recall(emb_ds):
+    from tantivy4java_ray.functions.similarity import (ivf_topk_cosine,
+                                                       topk_cosine)
+    rows = emb_ds.take(3)
+    q = np.stack([np.asarray(r["embedding"]) for r in rows])
+    exact = topk_cosine(emb_ds, q, k=10)
+    approx = ivf_topk_cosine(emb_ds, q, k=10, n_clusters=8, nprobe=4)
+    # recall@10 >= 0.5 with nprobe=half the clusters
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        assert len(e & a) / 10 >= 0.5
+
+
+def test_token_stats_matches_duckdb(docs_ds, sf_dir):
+    from tantivy4java_ray.functions.textstats import token_stats
+    mine = token_stats(docs_ds).to_pandas().sort_values("doc_id")
+    sql = duckdb.sql(f"""
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(lower(text),
+              '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+        FROM '{sf_dir}/documents.parquet' ORDER BY doc_id""").fetchdf()
+    assert mine["n_tokens"].tolist() == sql["n_tokens"].tolist()
+
+
+def test_language_id(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.textstats import language_id
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat is on the mat and it is happy with that",
+                 "der Hund ist nicht auf dem Tisch und das ist gut",
+                 "le chat est dans la maison avec les enfants",
+                 "xyzzy qwerty asdf"]}))
+    out = language_id(ds).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist()[:3] == ["en", "de", "fr"]
+    assert out["lang_pred"].tolist()[3] == "und"
+
+
+def test_quality_scores(docs_ds):
+    from tantivy4java_ray.functions.textstats import quality_scores
+    out = quality_scores(docs_ds).to_pandas()
+    assert (out["quality"] >= 0).all() and (out["quality"] <= 1).all()
+    assert (out["alpha_ratio"] > 0.5).all()  # plain word soup
+
+
+def test_fingerprints_match_duckdb(docs_ds, sf_dir):
+    from tantivy4java_ray.functions.textstats import fingerprints
+    mine = fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+    sql = duckdb.sql(f"SELECT doc_id, md5(text) AS md5 FROM "
+                     f"'{sf_dir}/documents.parquet' ORDER BY doc_id").fetchdf()
+    assert mine["md5"].tolist() == sql["md5"].tolist()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+    from tantivy4java_ray.stages.multimodal import (decode_images,
+                                                    sample_audio_frames)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1], "image": [b"\x01\x02fakejpg", b"\x03\x04fakepng"],
+        "audio": [b"fakewav1", b"fakewav2"]}))
+    imgs = decode_images(ds, size=(8, 8), fake=True).to_pandas()
+    assert list(imgs.columns) == ["doc_id", "pixels", "height", "width",
+                                  "orig_bytes"]
+    assert len(imgs.iloc[0]["pixels"]) == 8 * 8 * 3
+    # deterministic: same payload -> same pixels
+    imgs2 = decode_images(ds, size=(8, 8), fake=True).to_pandas()
+    assert np.array_equal(np.stack(imgs["pixels"]),
+                          np.stack(imgs2["pixels"]))
+    aud = sample_audio_frames(ds, n_frames=4, fake=True).to_pandas()
+    assert len(aud.iloc[0]["frame_energy"]) == 4
+    # non-fake raises cleanly
+    from tantivy4java_ray.stages.multimodal import ImageDecodeResize
+    with pytest.raises(NotImplementedError):
+        ImageDecodeResize(fake=False)(pa.table(
+            {"doc_id": [0], "image": [b"x"]}))
