@@ -1,44 +1,480 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship build->search pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for everything SQL-expressible (column names match
+exactly; floats are rounded identically on both sides before comparison).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+# tokenizer-equivalent regexes for the documents table (plain ascii word
+# soup; the engine's unicode splitter and this [^a-z0-9]+ splitter agree)
+_B = "(^|[^a-z0-9])"
+_E = "([^a-z0-9]|$)"
+_TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+         "x -> x <> '')")
+
+
+# ---------------------------------------------------------------------------
+# per-sf_dir index cache (idempotent: committed builds are reused)
+# ---------------------------------------------------------------------------
+
+def _index_dir(sf_dir: str, exact: bool) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    kind = "exact" if exact else "quant"
+    return f"/tmp/t4jr_cache/idx-{tag}-{kind}"
+
+
+def _doc_index(sf_dir: str, exact: bool = False):
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.schema import IndexSchema
+
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    s.add_string_field("lang", fast=True)
+    s.add_string_field("source", fast=True)
+    s.add_integer_field("n_chars", fast=True)
+    idx = _index_dir(sf_dir, exact)
+    build_index(f"{sf_dir}/documents.parquet", idx, s,
+                target_docs_per_partition=20_000, num_shards=8,
+                exact_fieldnorms=exact)
+    return IndexReader(idx)
+
+
+def _docs_table(reader, docs: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": np.asarray(docs, np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# fulltext queries
+# ---------------------------------------------------------------------------
+
+def q_ft_term(sf_dir: str):
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.term("text", "merge"))
+    return _docs_table(r, docs)
+
+
+def q_ft_term_counts(sf_dir: str):
+    r = _doc_index(sf_dir)
+    terms = ["merge", "join", "sort", "spark", "nosuchterm"]
+    return pd.DataFrame({
+        "term": terms,
+        "n_docs": [r.doc_freq("text", t) for t in terms]})
+
+
+def q_ft_bool(sf_dir: str):
+    from tantivy4java_ray.query import Occur, Query
+    r = _doc_index(sf_dir)
+    q = Query.boolean([(Occur.MUST, Query.term("text", "merge")),
+                       (Occur.MUST, Query.term("text", "join")),
+                       (Occur.MUST_NOT, Query.term("text", "sort"))])
+    docs, _ = r.evaluate(q)
+    return _docs_table(r, docs)
+
+
+def q_ft_phrase(sf_dir: str):
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.phrase("text", ["batch", "batch"]))
+    return _docs_table(r, docs)
+
+
+def q_ft_wildcard(sf_dir: str):
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.wildcard("text", "jo*"))
+    return _docs_table(r, docs)
+
+
+def q_ft_range_nchars(sf_dir: str):
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.range("n_chars", 100, 300,
+                                     include_upper=False))
+    return _docs_table(r, docs)
+
+
+def q_ft_bm25_topk(sf_dir: str):
+    """Top-10 BM25 for 'merge join' (SHOULD-union), f64 exact-dl mode so
+    the score is SQL-reproducible; rounded to 4dp before ranking."""
+    from tantivy4java_ray.query import Occur, Query
+    r = _doc_index(sf_dir, exact=True)
+    q = Query.boolean([(Occur.SHOULD, Query.term("text", "merge")),
+                       (Occur.SHOULD, Query.term("text", "join"))])
+    docs, scores = r.evaluate(q)
+    scores = np.round(scores.astype(np.float64), 4)
+    order = np.lexsort((docs, -scores))[:10]
+    return pd.DataFrame({"doc_id": docs[order],
+                         "score": scores[order]})
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+def q_agg_terms_lang(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang"])
+    out = aggregate_dataset(ds, {"langs": {"terms": {"field": "lang",
+                                                     "size": 10}}})
+    return pd.DataFrame([{"lang": b["key"], "doc_count": b["doc_count"]}
+                         for b in out["langs"]["buckets"]])
+
+
+def q_agg_stats_events(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = aggregate_dataset(ds, {"s": {"stats": {"field": "value"}}})
+    s = out["s"]
+    return pd.DataFrame([{"n": s["count"], "vmin": round(s["min"], 4),
+                          "vmax": round(s["max"], 4),
+                          "vsum": round(s["sum"], 2),
+                          "vavg": round(s["avg"], 4)}])
+
+
+def q_agg_histogram_events(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = aggregate_dataset(ds, {"h": {"histogram": {"field": "value",
+                                                     "interval": 10.0}}})
+    return pd.DataFrame([{"bucket": float(b["key"]),
+                          "doc_count": b["doc_count"]}
+                         for b in out["h"]["buckets"]])
+
+
+def q_agg_date_histogram_events(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    out = aggregate_dataset(ds, {"d": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1d"}}})
+    return pd.DataFrame([{"day": b["key"], "doc_count": b["doc_count"]}
+                         for b in out["d"]["buckets"]])
+
+
+def q_agg_range_events(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = aggregate_dataset(ds, {"r": {"range": {"field": "value", "ranges": [
+        {"to": 10.0}, {"from": 10.0, "to": 100.0}, {"from": 100.0}]}}})
+    return pd.DataFrame([{"bucket": b["key"], "doc_count": b["doc_count"]}
+                         for b in out["r"]["buckets"]])
+
+
+def q_agg_cardinality_users(sf_dir: str):
+    """HLL approximate distinct — no SQL oracle (approximate by design);
+    accuracy asserted in tests/test_aggs.py."""
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    out = aggregate_dataset(ds, {"c": {"cardinality": {"field": "user_id"}}})
+    return pd.DataFrame([{"approx_users": out["c"]["value"]}])
+
+
+def q_agg_subagg_events(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = aggregate_dataset(ds, {"t": {
+        "terms": {"field": "event_type", "size": 20},
+        "aggs": {"v": {"avg": {"field": "value"}}}}})
+    return pd.DataFrame([{"event_type": b["key"],
+                          "doc_count": b["doc_count"],
+                          "avg_value": round(b["v"]["value"], 4)}
+                         for b in out["t"]["buckets"]])
+
+
+def q_lineitem_revenue(sf_dir: str):
+    """TPC-H-style grouped aggregate through the same partial-agg engine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("revenue", rev)
+
+    ds = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_discount"])
+        .map_batches(add_rev, batch_format="pyarrow"))
+    out = aggregate_dataset(ds, {"t": {
+        "terms": {"field": "l_returnflag", "size": 10},
+        "aggs": {"rev": {"sum": {"field": "revenue"}},
+                 "n": {"value_count": {"field": "revenue"}}}}})
+    return pd.DataFrame([{"l_returnflag": b["key"],
+                          "revenue": round(b["rev"]["value"], 2),
+                          "n": b["n"]["value"]}
+                         for b in out["t"]["buckets"]])
+
+
+def q_events_topk_value(sf_dir: str):
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    top = (ds.filter(lambda r: r["event_type"] == "click")
+             .sort("value", descending=True).limit(20).to_pandas())
+    return top[["event_id"]]
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import exact_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dedup_minhash(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import minhash_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    survivors, _pairs = minhash_dedup(ds, "text", "doc_id", threshold=0.85)
+    return pd.DataFrame({"doc_id": survivors})
+
+
+def q_dedup_simhash_pairs(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import simhash_pairs
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pairs = simhash_pairs(ds, "text", "doc_id", hamming_k=3).to_pandas()
+    pairs = pairs.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
+    return pairs.reset_index(drop=True)
+
+
+def q_ann_topk(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.functions.similarity import topk_cosine
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(ds.take(1)[0]["embedding"], np.float32)
+    res = topk_cosine(ds, q[None, :], k=10)
+    res = res[["vec_id", "score"]].copy()
+    res["score"] = np.round(res["score"], 3)
+    return res
+
+
+def q_ann_ivf(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.functions.similarity import ivf_topk_cosine
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(ds.take(1)[0]["embedding"], np.float32)
+    res = ivf_topk_cosine(ds, q[None, :], k=10, n_clusters=16, nprobe=8)
+    return res[["vec_id"]]
+
+
+def q_token_stats(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.functions.textstats import token_stats
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return (token_stats(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_fingerprints(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.functions.textstats import fingerprints
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = fingerprints(ds).to_pandas()[["doc_id", "md5"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_language_id(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.functions.textstats import language_id
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return (language_id(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_quality(sf_dir: str):
+    import ray.data
+    from tantivy4java_ray.functions.textstats import quality_scores
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return (quality_scores(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over
+    ``documents``, run a mixed query set, return the hit table."""
+    sf = "/root/testdata/sf0.001"
+    r = _doc_index(sf)
+    rows = []
+    for qid, qtext in enumerate(["merge", "merge AND join",
+                                 'text:"batch batch"', "jo*",
+                                 "n_chars:[100 TO 300]"]):
+        for rank, (score, doc) in enumerate(r.search(qtext, 10).hits):
+            rows.append({"query_id": qid, "rank": rank, "doc_id": doc,
+                         "score": float(score)})
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ft_term": q_ft_term,
+        "ft_term_counts": q_ft_term_counts,
+        "ft_bool": q_ft_bool,
+        "ft_phrase": q_ft_phrase,
+        "ft_wildcard": q_ft_wildcard,
+        "ft_range_nchars": q_ft_range_nchars,
+        "ft_bm25_topk": q_ft_bm25_topk,
+        "agg_terms_lang": q_agg_terms_lang,
+        "agg_stats_events": q_agg_stats_events,
+        "agg_histogram_events": q_agg_histogram_events,
+        "agg_date_histogram_events": q_agg_date_histogram_events,
+        "agg_range_events": q_agg_range_events,
+        "agg_cardinality_users": q_agg_cardinality_users,
+        "agg_subagg_events": q_agg_subagg_events,
+        "lineitem_revenue": q_lineitem_revenue,
+        "events_topk_value": q_events_topk_value,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "token_stats": q_token_stats,
+        "fingerprints": q_fingerprints,
+        "language_id": q_language_id,
+        "quality": q_quality,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok_match = lambda t: (  # noqa: E731
+        f"regexp_matches(lower(text), '{_B}{t}{_E}')")
+    return {
+        "ft_term":
+            f"SELECT doc_id FROM documents WHERE {tok_match('merge')}",
+        "ft_term_counts": " UNION ALL ".join(
+            f"SELECT '{t}' AS term, (SELECT count(*) FROM documents "
+            f"WHERE {tok_match(t)}) AS n_docs"
+            for t in ("merge", "join", "sort", "spark", "nosuchterm")),
+        "ft_bool":
+            f"SELECT doc_id FROM documents WHERE {tok_match('merge')} "
+            f"AND {tok_match('join')} AND NOT {tok_match('sort')}",
+        "ft_phrase":
+            f"SELECT doc_id FROM documents WHERE regexp_matches("
+            f"lower(text), '{_B}batch[^a-z0-9]+batch{_E}')",
+        "ft_wildcard":
+            f"SELECT doc_id FROM documents WHERE regexp_matches("
+            f"lower(text), '{_B}jo[a-z0-9]*')",
+        "ft_range_nchars":
+            "SELECT doc_id FROM documents WHERE n_chars >= 100 "
+            "AND n_chars < 300",
+        "ft_bm25_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS ts FROM documents),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     avg(len(ts))::DOUBLE AS avgdl FROM toks),
+            tf AS (
+              SELECT doc_id, len(ts)::DOUBLE AS dl,
+                     len(list_filter(ts, x -> x = 'merge'))::DOUBLE AS tf1,
+                     len(list_filter(ts, x -> x = 'join'))::DOUBLE AS tf2
+              FROM toks),
+            dfs AS (
+              SELECT count(*) FILTER (tf1 > 0)::DOUBLE AS df1,
+                     count(*) FILTER (tf2 > 0)::DOUBLE AS df2 FROM tf)
+            SELECT doc_id, ROUND(
+              CASE WHEN tf1 > 0 THEN
+                ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * 2.2 * tf1
+                / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END +
+              CASE WHEN tf2 > 0 THEN
+                ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * 2.2 * tf2
+                / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END,
+              4) AS score
+            FROM tf, stats, dfs WHERE tf1 > 0 OR tf2 > 0
+            ORDER BY score DESC, doc_id LIMIT 10""",
+        "agg_terms_lang":
+            "SELECT lang, count(*) AS doc_count FROM documents "
+            "GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10",
+        "agg_stats_events":
+            "SELECT count(value) AS n, ROUND(min(value), 4) AS vmin, "
+            "ROUND(max(value), 4) AS vmax, ROUND(sum(value), 2) AS vsum, "
+            "ROUND(avg(value), 4) AS vavg FROM events",
+        "agg_histogram_events":
+            "SELECT floor(value / 10.0) * 10.0 AS bucket, "
+            "count(*) AS doc_count FROM events WHERE value IS NOT NULL "
+            "GROUP BY 1 ORDER BY 1",
+        "agg_date_histogram_events":
+            "SELECT strftime(date_trunc('day', ts), "
+            "'%Y-%m-%dT%H:%M:%S.%f') AS day, count(*) AS doc_count "
+            "FROM events GROUP BY 1 ORDER BY 1",
+        "agg_range_events":
+            "SELECT bucket, count(*) AS doc_count FROM (SELECT CASE "
+            "WHEN value < 10 THEN '*-10.0' "
+            "WHEN value < 100 THEN '10.0-100.0' "
+            "ELSE '100.0-*' END AS bucket FROM events "
+            "WHERE value IS NOT NULL) GROUP BY bucket",
+        "agg_subagg_events":
+            "SELECT event_type, count(*) AS doc_count, "
+            "ROUND(avg(value), 4) AS avg_value FROM events "
+            "GROUP BY event_type ORDER BY doc_count DESC, event_type",
+        "lineitem_revenue":
+            "SELECT l_returnflag, "
+            "ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag",
+        "events_topk_value":
+            "SELECT event_id FROM events WHERE event_type = 'click' "
+            "ORDER BY value DESC, event_id LIMIT 20",
+        "dedup_exact":
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_unique_tokens
+            FROM documents ORDER BY doc_id""",
+        "fingerprints":
+            "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
+        "ann_topk": """
+            SELECT e.vec_id, ROUND(
+              list_cosine_similarity(e.embedding, q.embedding), 3) AS score
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                     e.vec_id
+            LIMIT 10""",
+        # intentionally no oracle (non-SQL-expressible / approximate):
+        # dedup_minhash, dedup_simhash_pairs, ann_ivf, language_id,
+        # quality, agg_cardinality_users
+    }

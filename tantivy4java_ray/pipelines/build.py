@@ -479,6 +479,20 @@ class IndexBuilder:
 
         t0 = time.monotonic()
         plan = plan_partitions(self.paths, self.target)
+        # idempotent fast path: a committed build over the same plan is
+        # reused (the txlog is the source of truth; resume semantics)
+        mpath = os.path.join(self.index_dir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                state = json.load(f)
+            if (state.get("committed")
+                    and state["meta"]["plan"]["files"] == plan.files
+                    and state["meta"]["plan"]["num_docs"] == plan.num_docs):
+                m = state["meta"]["plan"]
+                return BuildResult(self.index_dir, m["num_docs"],
+                                   m["num_partitions"], m["num_shards"],
+                                   time.monotonic() - t0,
+                                   resumed_partitions=m["num_partitions"])
         if self.schema is None:
             self.schema = infer_index_schema(
                 pq.ParquetFile(plan.files[0]).schema_arrow,

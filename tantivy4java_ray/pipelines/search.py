@@ -91,6 +91,8 @@ class IndexReader:
         self.k1: float = cfg["bm25"]["k1"]
         self.b: float = cfg["bm25"]["b"]
         self.exact_fieldnorms: bool = cfg.get("exact_fieldnorms", False)
+        #: score dtype: f32 (tantivy parity) or f64 (SQL-oracle parity)
+        self.score_dtype = np.float64 if self.exact_fieldnorms else np.float32
         self.num_shards: int = meta["plan"]["num_shards"]
         parts = sorted(self.state["partitions"].values(),
                        key=lambda p: p["doc_base"])
@@ -274,11 +276,12 @@ class IndexReader:
             return (weight * tfs.astype(np.float32)
                     / (tfs.astype(np.float32) + denom))
         if self.exact_fieldnorms:
+            # full float64 (oracle-parity mode; SQL-reproducible formula)
+            w64 = boost * self.idf(df) * (self.k1 + 1.0)
             avgdl = max(self.avgdl.get(field, 0.0), 1e-9)
             dl = self.exact_dls(field)[docs]
             denom = self.k1 * (1.0 - self.b + self.b * dl / avgdl)
-            return (weight.astype(np.float64) * tfs
-                    / (tfs + denom)).astype(np.float32)
+            return (w64 * tfs / (tfs + denom)).astype(np.float64)
         cache = self._norm_factor_cache(field)
         denom = cache[self.norms(field)[docs]]
         tff = tfs.astype(np.float32)
@@ -364,7 +367,7 @@ class IndexReader:
             alldocs = np.concatenate([pp[0] for pp in parts])
             allscores = np.concatenate([pp[1] for pp in parts])
             docs, inv = np.unique(alldocs, return_inverse=True)
-            scores = np.zeros(len(docs), np.float32)
+            scores = np.zeros(len(docs), self.score_dtype)
             np.add.at(scores, inv, allscores)
         else:
             return _EMPTY
@@ -386,8 +389,8 @@ class IndexReader:
         alldocs = np.concatenate([pp[0] for pp in parts])
         allscores = np.concatenate([pp[1] for pp in parts])
         docs, inv = np.unique(alldocs, return_inverse=True)
-        mx = np.zeros(len(docs), np.float32)
-        sm = np.zeros(len(docs), np.float32)
+        mx = np.zeros(len(docs), self.score_dtype)
+        sm = np.zeros(len(docs), self.score_dtype)
         np.maximum.at(mx, inv, allscores)
         np.add.at(sm, inv, allscores)
         return docs, mx + np.float32(tie_breaker) * (sm - mx)
