@@ -1,0 +1,212 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the Common-Crawl-shaped synthetic webpages build
+(BASELINE.json input_hint shape, deterministic, cached under /tmp), with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``; print ONE
+JSON line.
+
+``--scaling``: run the same index-build job in two FRESH processes at
+num_cpus=8 and num_cpus=32 on identical input and report throughput at both
+plus scaling efficiency = (thr_32/thr_8)/4 — the sandbox stand-in for the
+north rule's N vs 4N node clusters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+BENCH_FILES = 8
+WEBPAGES_DIR = f"/tmp/t4jr_bench/webpages_{BENCH_DOCS}"
+
+
+def ensure_webpages() -> str:
+    marker = os.path.join(WEBPAGES_DIR, ".complete")
+    if os.path.exists(marker):
+        return WEBPAGES_DIR
+    shutil.rmtree(WEBPAGES_DIR, ignore_errors=True)
+    from tantivy4java_ray.sources.webpages import write_webpages
+    write_webpages(WEBPAGES_DIR, BENCH_DOCS, n_files=BENCH_FILES,
+                   rows_per_row_group=5000)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return WEBPAGES_DIR
+
+
+def webpage_schema():
+    from tantivy4java_ray.schema import IndexSchema
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    s.add_string_field("lang", fast=True)
+    s.add_date_field("warc_ts", fast=True)
+    return s
+
+
+def build_webpages(num_cpus: int, tag: str) -> dict:
+    from tantivy4java_ray.pipelines.build import build_index
+    data = ensure_webpages()
+    idx = f"/tmp/t4jr_bench/idx_{BENCH_DOCS}_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.monotonic()
+    res = build_index(data, idx, webpage_schema(),
+                      html_fallback=("text", "html"),
+                      target_docs_per_partition=5000,
+                      num_shards=max(8, num_cpus),
+                      concurrency=num_cpus)
+    el = time.monotonic() - t0
+    return {"index_dir": idx, "build_sec": el,
+            "docs_per_sec": res.num_docs / el, "num_docs": res.num_docs}
+
+
+def query_benchmark(index_dir: str) -> dict:
+    import numpy as np
+    from tantivy4java_ray.pipelines.search import IndexReader
+    r = IndexReader(index_dir)
+    queries = []
+    for i in range(0, 40):
+        queries.append(f"w{i * 37 % 2000:04d}")
+    queries += ["needleterm", 'text:"alpha bravo charlie"',
+                "w0001 AND w0002", "w0003 OR w0007 OR w0011",
+                "w0005 AND NOT w0001"] * 4
+    lats = []
+    r.search(queries[0], 10)  # warm caches
+    for q in queries:
+        t0 = time.monotonic()
+        r.search(q, 10)
+        lats.append(time.monotonic() - t0)
+    lats = np.sort(np.array(lats))
+    return {"query_p50": float(np.percentile(lats, 50)),
+            "query_p99": float(np.percentile(lats, 99)),
+            "query_count": len(lats)}
+
+
+def batch_search_benchmark(index_dir: str, num_cpus: int) -> dict:
+    from tantivy4java_ray.pipelines.search import batch_search
+    queries = [f"w{i % 3000:04d}" for i in range(500)]
+    t0 = time.monotonic()
+    n = batch_search(index_dir, queries, limit=10,
+                     concurrency=min(8, num_cpus)).count()
+    el = time.monotonic() - t0
+    return {"batch_search_sec": el, "qps": len(queries) / el, "hit_rows": n}
+
+
+def suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray.data
+    import numpy as np
+    from tantivy4java_ray.aggs import aggregate_dataset
+    from tantivy4java_ray.functions.dedup import minhash_dedup
+    from tantivy4java_ray.functions.similarity import topk_cosine
+    from tantivy4java_ray.functions.textstats import token_stats
+
+    out: dict[str, float] = {}
+
+    b = build_webpages(num_cpus, "suite")
+    out["build_webpages"] = round(b["build_sec"], 3)
+    qb = query_benchmark(b["index_dir"])
+    out["query_p50"] = round(qb["query_p50"], 5)
+    out["query_p99"] = round(qb["query_p99"], 5)
+    bs = batch_search_benchmark(b["index_dir"], num_cpus)
+    out["batch_search_500"] = round(bs["batch_search_sec"], 3)
+
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    minhash_dedup(ds, "text", "doc_id", threshold=0.85)
+    out["dedup_minhash_docs"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    eds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.stack([np.asarray(r["embedding"], np.float32)
+                  for r in eds.take(8)])
+    topk_cosine(eds, q, k=10)
+    out["ann_topk_8q"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    token_stats(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"])).count()
+    out["token_stats_docs"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    aggregate_dataset(ev, {
+        "types": {"terms": {"field": "event_type", "size": 10},
+                  "aggs": {"v": {"avg": {"field": "value"}}}},
+        "hist": {"histogram": {"field": "value", "interval": 10.0}},
+        "card": {"cardinality": {"field": "user_id"}},
+        "stats": {"stats": {"field": "value"}}})
+    out["agg_events_suite"] = round(time.monotonic() - t0, 3)
+
+    out["_build_docs_per_sec"] = round(b["docs_per_sec"], 1)
+    out["_batch_search_qps"] = round(bs["qps"], 1)
+    return out
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling-child" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--scaling-child") + 1])
+        _init_ray(n)
+        res = build_webpages(n, f"scale{n}")
+        import ray
+        ray.shutdown()
+        print(json.dumps({"num_cpus": n, "build_sec": res["build_sec"],
+                          "docs_per_sec": res["docs_per_sec"],
+                          "num_docs": res["num_docs"]}))
+        return
+
+    if "--scaling" in sys.argv:
+        ensure_webpages()  # generate once so children only build
+        runs = []
+        for n in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-child", str(n)],
+                capture_output=True, text=True, timeout=3000,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in p.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            runs.append(json.loads(line))
+        thr = {r["num_cpus"]: r["docs_per_sec"] for r in runs}
+        eff = (thr[32] / thr[8]) / (32 / 8)
+        print(json.dumps({
+            "metric": "index_build_scaling", "unit": "docs_per_sec",
+            "value": round(thr[32], 1), "sf": sf_dir,
+            "num_docs": runs[0]["num_docs"],
+            "throughput": {str(k): round(v, 1) for k, v in thr.items()},
+            "build_sec": {str(r["num_cpus"]): round(r["build_sec"], 2)
+                          for r in runs},
+            "scaling_efficiency_8_to_32": round(eff, 3)}))
+        return
+
+    _init_ray(num_cpus)
+    t0 = time.monotonic()
+    queries = suite(sf_dir, num_cpus)
+    total = round(time.monotonic() - t0, 3)
+    import ray
+    ray.shutdown()
+    print(json.dumps({"metric": "headline_suite", "value": total,
+                      "unit": "sec", "queries": queries, "sf": sf_dir,
+                      "num_cpus": num_cpus}))
+
+
+if __name__ == "__main__":
+    main()

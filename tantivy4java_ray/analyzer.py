@@ -109,24 +109,38 @@ def _stem_array(tokens: np.ndarray) -> np.ndarray:
 
 def tokenize_column(col: pa.Array | pa.ChunkedArray,
                     analyzer: TextAnalyzer) -> dict[str, np.ndarray]:
-    """Tokenize a string column; fully vectorized.
+    """Tokenize a string column; fully vectorized and dictionary-encoded.
+
+    Per-token Python strings are NEVER materialized: the flat token array is
+    ``dictionary_encode``d in Arrow (C++), so only the batch *vocabulary*
+    becomes Python objects. This is the difference between ~700k and several
+    million tokens/s per core.
 
     Returns flat numpy arrays:
       - ``row``:      int64, index of the source row for each token
-      - ``token``:    object (str) token text
+      - ``codes``:    int64 vocabulary code per token
+      - ``vocab``:    object array of unique token strings (``token[i] ==
+                      vocab[codes[i]]``)
+      - ``token``:    object tokens (refcount bumps into vocab, cheap)
       - ``position``: int32 token position within the row (post empty-filter,
                       pre long-filter — see module docstring)
-      - ``row_token_counts``: int64, per input row, the number of emitted
-                      tokens (== doc length for fieldnorms)
+      - ``row_token_counts``: int64 per input row (doc length for fieldnorms)
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n_rows = len(col)
+
+    def _result(parents: np.ndarray, codes: np.ndarray, vocab: np.ndarray,
+                positions: np.ndarray) -> dict[str, np.ndarray]:
+        counts = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        return {"row": parents, "codes": codes, "vocab": vocab,
+                "token": (vocab[codes] if len(codes)
+                          else np.empty(0, object)),
+                "position": positions, "row_token_counts": counts}
+
     if n_rows == 0:
-        return {"row": np.empty(0, np.int64),
-                "token": np.empty(0, object),
-                "position": np.empty(0, np.int32),
-                "row_token_counts": np.empty(0, np.int64)}
+        return _result(np.empty(0, np.int64), np.empty(0, np.int64),
+                       np.empty(0, object), np.empty(0, np.int32))
 
     if analyzer.split_pattern is None:
         # raw/keyword: whole value is one token, nulls and empties excluded
@@ -134,11 +148,12 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray,
                         pc.greater(pc.binary_length(col), 0))
         vmask = np.asarray(valid.to_numpy(zero_copy_only=False), bool)
         rows = np.flatnonzero(vmask).astype(np.int64)
-        toks = np.asarray(col.to_numpy(zero_copy_only=False), object)[rows]
-        counts = vmask.astype(np.int64)
-        return {"row": rows, "token": toks,
-                "position": np.zeros(len(rows), np.int32),
-                "row_token_counts": counts}
+        enc = col.filter(pa.array(vmask)).dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        vocab = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False),
+                           object)
+        return _result(rows, codes, vocab, np.zeros(len(rows), np.int32))
 
     txt = pc.utf8_lower(col) if analyzer.lowercase else col
     lists = pc.split_pattern_regex(txt, pattern=analyzer.split_pattern)
@@ -151,8 +166,6 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray,
     # 1) drop empty tokens produced by leading/trailing separators
     keep = byte_len > 0
     parents = parents[keep]
-    byte_len = byte_len[keep]
-    toks = np.asarray(flat.to_numpy(zero_copy_only=False), object)[keep]
 
     # 2) positions within each row (parents is non-decreasing)
     if len(parents):
@@ -168,18 +181,27 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray,
 
     # 3) RemoveLongFilter: drop tokens over the byte limit, keep positions
     if analyzer.token_limit is not None:
-        keep2 = byte_len <= analyzer.token_limit
+        keep2 = byte_len[keep] <= analyzer.token_limit
         if not keep2.all():
             parents = parents[keep2]
-            toks = toks[keep2]
             positions = positions[keep2]
+            final = keep.copy()
+            final[keep] = keep2
+            keep = final
 
-    if analyzer.stem and len(toks):
-        toks = _stem_array(toks)
+    enc = flat.filter(pa.array(keep)).dictionary_encode()
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+    vocab = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False), object)
 
-    counts = np.bincount(parents, minlength=n_rows).astype(np.int64)
-    return {"row": parents, "token": toks, "position": positions,
-            "row_token_counts": counts}
+    if analyzer.stem and len(vocab):
+        stemmed = _stem_array(vocab)
+        # stemming may merge vocabulary entries -> re-encode codes
+        import pandas as pd
+        new_codes, uniq = pd.factorize(stemmed, sort=False)
+        codes = new_codes.astype(np.int64)[codes]
+        vocab = np.asarray(uniq, object)
+
+    return _result(parents, codes, vocab, positions)
 
 
 def analyze_query_text(field_tokenizer: str, text: str) -> list[str]:

@@ -44,7 +44,7 @@ def exact_dedup(ds, col: str, id_col: str):
         return pa.table({
             id_col: t.column(id_col),
             "__v": t.column(col),
-            "__h": pa.array(_hash_obj(vals), pa.uint64())})
+            "__h": pa.array(_hash_obj(vals).view(np.int64), pa.int64())})
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
         # within a hash bucket, group by the exact value (python dict —
@@ -92,8 +92,61 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray,
     return vals.min(axis=0)
 
 
+def _batch_shingle_hashes(texts: list, k: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' word-shingle hashes in one vectorized pass.
+
+    -> (doc_offsets int64[n+1], hashes uint64) — shingle hashes are built
+    numerically from per-token hashes (rolling combine over a window), so
+    no per-shingle Python strings are created."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    col = _pa.array(texts, _pa.string())
+    lists = _pc.split_pattern_regex(col, pattern=r"\s+")
+    flat = _pc.list_flatten(lists)
+    parents = np.asarray(_pc.list_parent_indices(lists)
+                         .to_numpy(zero_copy_only=False), np.int64)
+    ok = np.asarray(_pc.binary_length(flat).to_numpy(zero_copy_only=False),
+                    np.int64) > 0
+    parents = parents[ok]
+    enc = flat.filter(_pa.array(ok)).dictionary_encode()
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+    vocab_h = pd.util.hash_array(np.asarray(
+        enc.dictionary.to_numpy(zero_copy_only=False), object))
+    tok_h = vocab_h[codes] if len(codes) else np.empty(0, np.uint64)
+    n = len(texts)
+    counts = np.bincount(parents, minlength=n) if len(parents) else \
+        np.zeros(n, np.int64)
+    tok_off = np.concatenate(([0], np.cumsum(counts, dtype=np.int64)))
+    # rolling window combine: h_i = mix(tok_h[i] .. tok_h[i+k-1])
+    mixers = [np.uint64(0x9E3779B97F4A7C15 + 0x100 * j) for j in range(k)]
+    if len(tok_h) == 0:
+        return tok_off, np.empty(0, np.uint64)
+    m = len(tok_h)
+    acc = np.zeros(m, np.uint64)
+    for j in range(k):
+        shifted = np.roll(tok_h, -j)
+        acc ^= shifted * mixers[j]
+    # docs shorter than k tokens: their single shingle must not mix
+    # neighbouring docs' tokens (np.roll wraps) — recompute exactly
+    for d in np.flatnonzero((counts > 0) & (counts < k)):
+        a = np.uint64(0)
+        for j in range(counts[d]):
+            a ^= tok_h[tok_off[d] + j] * mixers[j]
+        acc[tok_off[d]] = a
+    # valid window starts per doc: counts_i - k + 1 (min 1 if any tokens)
+    sh_counts = np.maximum(counts - (k - 1), np.minimum(counts, 1))
+    sh_off = np.concatenate(([0], np.cumsum(sh_counts, dtype=np.int64)))
+    keep = np.zeros(m, bool)
+    for d in np.flatnonzero(counts):
+        keep[tok_off[d]:tok_off[d] + sh_counts[d]] = True
+    return sh_off, acc[keep]
+
+
 class MinHasher:
-    """Actor-pool stage: permutation params built once per actor."""
+    """Actor-pool stage: permutation params built once per actor; the
+    whole batch is hashed and minhashed in numpy (perm chunks bound the
+    (shingles x perms) working set)."""
 
     def __init__(self, col: str, id_col: str, num_perm: int, bands: int,
                  shingle_size: int, seed: int = 42):
@@ -104,26 +157,55 @@ class MinHasher:
         self.shingle = shingle_size
         self.a, self.b = _perm_params(num_perm, seed)
 
+    def _signatures(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        """-> (valid_mask bool[n], sigs uint64[n_valid, num_perm])."""
+        off, h = _batch_shingle_hashes(texts, self.shingle)
+        n = len(texts)
+        counts = np.diff(off)
+        valid = counts > 0
+        sigs = np.full((int(valid.sum()), self.num_perm),
+                       np.iinfo(np.uint64).max, np.uint64)
+        if len(h):
+            vdocs = np.flatnonzero(valid)
+            seg_ids = np.repeat(np.arange(len(vdocs)), counts[vdocs])
+            chunk = 32  # perms at a time: bounds memory at |shingles|*32*8B
+            for c0 in range(0, self.num_perm, chunk):
+                c1 = min(c0 + chunk, self.num_perm)
+                vals = (h[:, None] * self.a[None, c0:c1]
+                        + self.b[None, c0:c1]) % _MERSENNE
+                mins = np.full((len(vdocs), c1 - c0),
+                               np.iinfo(np.uint64).max, np.uint64)
+                np.minimum.at(mins, seg_ids, vals)
+                sigs[:, c0:c1] = mins
+        return valid, sigs
+
+    def _band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """Numeric band hashing (FNV-style fold) -> (n_valid, bands)."""
+        bandsig = sigs.reshape(len(sigs), self.bands, self.rows_per_band)
+        h = np.full(bandsig.shape[:2], 14695981039346656037, np.uint64)
+        prime = np.uint64(1099511628211)
+        for r in range(self.rows_per_band):
+            h = (h ^ bandsig[:, :, r]) * prime
+        h ^= (np.arange(self.bands, dtype=np.uint64) *
+              np.uint64(0x9E3779B97F4A7C15))[None, :]
+        return h
+
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
         texts = t.column(self.col).to_pylist()
-        out_band, out_id, out_sig = [], [], []
-        for did, text in zip(ids, texts):
-            if text is None:
-                continue
-            sh = _hash_obj(_word_shingles(text, self.shingle))
-            sig = minhash_signature(sh, self.a, self.b)
-            sig_bytes = sig.tobytes()
-            bands = sig.reshape(self.bands, self.rows_per_band)
-            bh = pd.util.hash_array(
-                np.array([f"{i}:{band.tobytes().hex()}"
-                          for i, band in enumerate(bands)], object))
-            out_band.extend(bh.tolist())
-            out_id.extend([int(did)] * self.bands)
-            out_sig.extend([sig_bytes] * self.bands)
-        return pa.table({"band_hash": pa.array(out_band, pa.uint64()),
-                         self.id_col: pa.array(out_id, pa.int64()),
-                         "sig": pa.array(out_sig, pa.large_binary())})
+        valid, sigs = self._signatures(texts)
+        vids = ids[valid]
+        bh = self._band_hashes(sigs)
+        sig_bytes = [s.tobytes() for s in sigs]
+        nb = self.bands
+        # keys reinterpreted as int64: Ray's sort/aggregate pickles
+        # uint64 values above 2^63 into extension objects otherwise
+        return pa.table({
+            "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
+            self.id_col: pa.array(np.repeat(vids, nb), pa.int64()),
+            "sig": pa.array([sig_bytes[i] for i in
+                             np.repeat(np.arange(len(vids)), nb)],
+                            pa.large_binary())})
 
 
 def minhash_lsh_pairs(ds, col: str, id_col: str, *, num_perm: int = 128,
@@ -158,9 +240,38 @@ def minhash_lsh_pairs(ds, col: str, id_col: str, *, num_perm: int = 128,
         MinHasher,
         fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
                                    bands=bands, shingle_size=shingle_size),
-        batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1)
-    return (sig_ds.groupby("band_hash")
+        batch_format="pyarrow", concurrency=concurrency,
+        num_cpus=1).materialize()
+    return (_hot_buckets(sig_ds, "band_hash")
+            .groupby("band_hash")
             .map_groups(bucket_pairs, batch_format="pandas"))
+
+
+def _hot_buckets(sig_ds, key: str):
+    """Prefilter LSH buckets to those with >= 2 members before map_groups.
+
+    Almost all buckets are singletons; shuffling and group-iterating them
+    dominates wall time otherwise. The count pass shuffles only the 8-byte
+    keys; the surviving hot-key set is broadcast into a vectorized isin
+    filter. (``sig_ds`` must be materialized — it is consumed twice.)"""
+    import ray
+
+    counts = sig_ds.select_columns([key]).groupby(key).count().to_pandas()
+    hot = counts.loc[counts["count()"] >= 2, key].to_numpy(np.int64)
+    hot.sort()
+    hot_ref = ray.put(hot)
+
+    def filt(t: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        keys = np.asarray(t.column(key).to_numpy(zero_copy_only=False),
+                          np.int64)
+        idx = np.searchsorted(h, keys)
+        ok = idx < len(h)
+        m = np.zeros(len(keys), bool)
+        m[ok] = h[idx[ok]] == keys[ok]
+        return t.filter(pa.array(m))
+
+    return sig_ds.map_batches(filt, batch_format="pyarrow")
 
 
 def connected_duplicates(pairs_df: pd.DataFrame) -> set[int]:
@@ -229,15 +340,15 @@ def simhash_pairs(ds, col: str, id_col: str, *, hamming_k: int = 3,
             chunk = (sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)
             key = (chunk.astype(np.uint64) << np.uint64(2)) | np.uint64(c)
             rows_id.extend(ids.tolist())
-            rows_chunk.extend(key.tolist())
-            rows_sim.extend(sims.tolist())
-        return pa.table({"chunk": pa.array(rows_chunk, pa.uint64()),
+            rows_chunk.extend(key.view(np.int64).tolist())
+            rows_sim.extend(sims.view(np.int64).tolist())
+        return pa.table({"chunk": pa.array(rows_chunk, pa.int64()),
                          id_col: pa.array(rows_id, pa.int64()),
-                         "sim": pa.array(rows_sim, pa.uint64())})
+                         "sim": pa.array(rows_sim, pa.int64())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
-        sims = g["sim"].to_numpy().astype(np.uint64)
+        sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
         uniq = np.unique(ids, return_index=True)[1]
         if len(uniq) < 2 or len(uniq) > max_bucket:
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
@@ -253,7 +364,8 @@ def simhash_pairs(ds, col: str, id_col: str, *, hamming_k: int = 3,
                     out_h.append(d)
         return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
 
-    return (ds.map_batches(add_sim, batch_format="pyarrow")
+    sim_ds = ds.map_batches(add_sim, batch_format="pyarrow").materialize()
+    return (_hot_buckets(sim_ds, "chunk")
             .groupby("chunk").map_groups(pairs, batch_format="pandas"))
 
 
@@ -272,22 +384,20 @@ def ngram_jaccard_pairs(ds, col: str, id_col: str, *, shingle_size: int = 3,
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
             texts = t.column(self.col).to_pylist()
-            out_band, out_id, out_set = [], [], []
-            for did, text in zip(ids, texts):
-                if text is None:
-                    continue
-                sh = np.unique(_hash_obj(_word_shingles(text, self.shingle)))
-                sig = minhash_signature(sh, self.a, self.b)
-                bands_ = sig.reshape(self.bands, self.rows_per_band)
-                bh = pd.util.hash_array(
-                    np.array([f"{i}:{band.tobytes().hex()}"
-                              for i, band in enumerate(bands_)], object))
-                out_band.extend(bh.tolist())
-                out_id.extend([int(did)] * self.bands)
-                out_set.extend([np.sort(sh).tobytes()] * self.bands)
-            return pa.table({"band_hash": pa.array(out_band, pa.uint64()),
-                             self.id_col: pa.array(out_id, pa.int64()),
-                             "shingles": pa.array(out_set, pa.large_binary())})
+            valid, sigs = self._signatures(texts)
+            vids = ids[valid]
+            bh = self._band_hashes(sigs)
+            off, h = _batch_shingle_hashes(texts, self.shingle)
+            sets_bytes = [np.unique(h[off[d]:off[d + 1]]).tobytes()
+                          for d in np.flatnonzero(valid)]
+            nb = self.bands
+            return pa.table({
+                "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
+                self.id_col: pa.array(np.repeat(vids, nb), pa.int64()),
+                "shingles": pa.array(
+                    [sets_bytes[i] for i in
+                     np.repeat(np.arange(len(vids)), nb)],
+                    pa.large_binary())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
@@ -315,9 +425,10 @@ def ngram_jaccard_pairs(ds, col: str, id_col: str, *, shingle_size: int = 3,
         Hasher,
         fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
                                    bands=bands, shingle_size=shingle_size),
-        batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1)
-    return sig_ds.groupby("band_hash").map_groups(pairs,
-                                                  batch_format="pandas")
+        batch_format="pyarrow", concurrency=concurrency,
+        num_cpus=1).materialize()
+    return (_hot_buckets(sig_ds, "band_hash")
+            .groupby("band_hash").map_groups(pairs, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -344,7 +455,7 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
         for p in range(num_planes):
             sig |= bits[:, p].astype(np.uint64) << np.uint64(p)
         return pa.table({
-            "bucket": pa.array(sig, pa.uint64()),
+            "bucket": pa.array(sig.view(np.int64), pa.int64()),
             id_col: t.column(id_col),
             "vec": pa.array([v.tobytes() for v in emb], pa.large_binary())})
 
@@ -362,5 +473,6 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
                              "b": ids[order][jj[keep]],
                              "cosine": sims[ii, jj][keep].astype(np.float64)})
 
-    return (ds.map_batches(add_sig, batch_format="pyarrow")
+    sig_ds = ds.map_batches(add_sig, batch_format="pyarrow").materialize()
+    return (_hot_buckets(sig_ds, "bucket")
             .groupby("bucket").map_groups(pairs, batch_format="pandas"))

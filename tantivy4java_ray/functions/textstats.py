@@ -25,9 +25,8 @@ def token_stats_batch(t: pa.Table, col: str = "text",
     counts = tok["row_token_counts"]
     uniq = np.zeros(n, np.int64)
     if len(tok["row"]):
-        key = pd.util.hash_array(tok["token"]).astype(np.uint64)
-        df_ = pd.DataFrame({"row": tok["row"], "key": key})
-        u = df_.groupby("row")["key"].nunique()
+        df_ = pd.DataFrame({"row": tok["row"], "code": tok["codes"]})
+        u = df_.groupby("row")["code"].nunique()
         uniq[u.index.to_numpy()] = u.to_numpy()
     return pa.table({id_col: t.column(id_col),
                      "n_tokens": pa.array(counts, pa.int64()),
@@ -60,11 +59,12 @@ def quality_batch(t: pa.Table, col: str = "text",
     # alpha ratio: fraction of chars that are token chars
     tok_chars = np.zeros(n, np.float64)
     if len(tok["row"]):
-        lens = np.array([len(s) for s in tok["token"]], np.float64)
-        np.add.at(tok_chars, tok["row"], lens)
+        # vocab-level work only: per-token arrays come from fancy indexing
+        vlen = np.array([len(s) for s in tok["vocab"]], np.float64)
+        np.add.at(tok_chars, tok["row"], vlen[tok["codes"]])
         stop_hits = np.zeros(n, np.float64)
-        is_stop = np.isin(tok["token"], _STOPWORDS)
-        np.add.at(stop_hits, tok["row"], is_stop.astype(np.float64))
+        vstop = np.isin(tok["vocab"], _STOPWORDS).astype(np.float64)
+        np.add.at(stop_hits, tok["row"], vstop[tok["codes"]])
     else:
         stop_hits = np.zeros(n, np.float64)
     safe_chars = np.maximum(n_chars, 1.0)
@@ -123,8 +123,8 @@ class LanguageId:
         scores = np.zeros((n, len(self.langs)), np.float64)
         if len(tok["row"]):
             for li, prof in enumerate(self.profiles):
-                hit = np.isin(tok["token"], list(prof)).astype(np.float64)
-                np.add.at(scores[:, li], tok["row"], hit)
+                vhit = np.isin(tok["vocab"], list(prof)).astype(np.float64)
+                np.add.at(scores[:, li], tok["row"], vhit[tok["codes"]])
         totals = np.maximum(tok["row_token_counts"].astype(np.float64), 1.0)
         ratios = scores / totals[:, None]
         best = np.argmax(ratios, axis=1)

@@ -208,7 +208,8 @@ class PartitionIndexer:
                 if fcfg.indexed:
                     with_pos = fcfg.index_option == "position"
                     n_postings += self._emit_terms(
-                        acc, fcfg.name, spec, tok["row"], tok["token"],
+                        acc, fcfg.name, spec, tok["row"], tok["codes"],
+                        tok["vocab"],
                         tok["position"] if with_pos else None, n)
             elif fcfg.type in (FieldType.STRING, FieldType.FACET,
                                FieldType.IP_ADDR):
@@ -217,7 +218,8 @@ class PartitionIndexer:
                 if fcfg.indexed:
                     tok = tokenize_column(col, get_analyzer("raw"))
                     n_postings += self._emit_terms(
-                        acc, fcfg.name, spec, tok["row"], tok["token"], None, n)
+                        acc, fcfg.name, spec, tok["row"], tok["codes"],
+                        tok["vocab"], None, n)
                 if fcfg.fast:
                     docdata_cols[fcfg.name] = col.cast(pa.string())
             elif fcfg.type is FieldType.JSON:
@@ -225,8 +227,11 @@ class PartitionIndexer:
                     continue
                 rows, terms = _flatten_json_terms(col.cast(pa.string()))
                 if len(rows):
+                    jcodes, juniq = pd.factorize(terms, sort=False)
                     n_postings += self._emit_terms(
-                        acc, fcfg.name, spec, rows, terms, None, n)
+                        acc, fcfg.name, spec, rows,
+                        jcodes.astype(np.int64), np.asarray(juniq, object),
+                        None, n)
             else:  # numeric / date / bool / bytes -> fast columns only
                 if col is not None and fcfg.fast:
                     docdata_cols[fcfg.name] = col
@@ -259,22 +264,20 @@ class PartitionIndexer:
         os.replace(tmp, path)
 
     def _emit_terms(self, acc: dict[str, list], field: str, spec: dict,
-                    rows: np.ndarray, tokens: np.ndarray,
+                    rows: np.ndarray, codes: np.ndarray, vocab: np.ndarray,
                     positions: np.ndarray | None, n_rows: int) -> int:
-        """Aggregate (token, row) pairs into per-term partial postings.
-
-        Vectorized: factorize + single stable argsort; Python only over the
-        partition's vocabulary (not its tokens)."""
+        """Aggregate dictionary-encoded (token, row) pairs into per-term
+        partial postings. Vectorized: one stable argsort over int64 keys;
+        Python touches only the partition's vocabulary, never its tokens."""
         if len(rows) == 0:
             return 0
         if field_may_contain_nul(self.schema, field):
-            # pandas factorize/hash truncate object strings at NUL; terms
-            # from raw/keyword fields may embed \x00 -> sanitize. (Analyzer
-            # output never contains NUL: it is a split character.)
-            if any("\x00" in t for t in tokens):
-                tokens = np.array([t.replace("\x00", "�")
-                                   for t in tokens], dtype=object)
-        codes, uniques = pd.factorize(tokens, sort=False)
+            # pandas hash truncates object strings at NUL; terms from
+            # raw/keyword fields may embed \x00 -> sanitize the vocab.
+            # (Analyzer output never contains NUL: it is a split character.)
+            if any("\x00" in t for t in vocab):
+                vocab = np.array([t.replace("\x00", "�") for t in vocab],
+                                 dtype=object)
         key = codes.astype(np.int64) * np.int64(n_rows) + rows
         order = np.argsort(key, kind="stable")
         sk = key[order]
@@ -295,8 +298,7 @@ class PartitionIndexer:
         tstarts = np.flatnonzero(new_term)
         tlens = np.diff(np.append(tstarts, len(pstarts)))
 
-        uniq = np.asarray(uniques, dtype=object)
-        term_per_group = uniq[pair_code[tstarts]]
+        term_per_group = vocab[pair_code[tstarts]]
         shards = term_shard(field, term_per_group, self.num_shards)
 
         n_terms = len(tstarts)
@@ -520,7 +522,9 @@ class IndexBuilder:
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         except Exception:
             cpus = 8
-        conc = self.concurrency or max(1, min(npart, cpus))
+        # leave CPU headroom for the repartition/sort operators: a fixed
+        # actor pool equal to all CPUs deadlocks the streaming executor
+        conc = max(1, min(self.concurrency or npart, npart, cpus - 2))
 
         specs = [p.to_row() for p in plan.partitions]
         ds = ray.data.from_items(specs).repartition(npart)
@@ -532,7 +536,7 @@ class IndexBuilder:
                 exact_fieldnorms=self.exact_fieldnorms,
                 checkpoint=self.checkpoint),
             batch_format="pyarrow", batch_size=None,
-            concurrency=(1, conc), num_cpus=1)
+            concurrency=conc, num_cpus=1)
         shard_stats = (partials
                        .groupby("shard")
                        .map_groups(lambda g: _write_shard(g, self.index_dir),

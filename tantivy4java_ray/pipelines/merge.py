@@ -212,7 +212,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         cpus = 8
-    conc = concurrency or max(1, min(nshards, cpus))
+    conc = max(1, min(concurrency or nshards, nshards, cpus - 2))
     shard_ds = ray.data.from_items([{"sid": s} for s in range(nshards)])
     stats = shard_ds.map_batches(
         _ShardMerger,
@@ -220,7 +220,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
                                    doc_offsets=doc_offsets,
                                    deleted_per_index=deleted_per_index),
         batch_format="pyarrow", batch_size=None,
-        concurrency=(1, conc), num_cpus=1).take_all()
+        concurrency=conc, num_cpus=1).take_all()
 
     # docdata + manifest: re-base partitions, copy docdata files
     os.makedirs(os.path.join(out_dir, "docdata"), exist_ok=True)

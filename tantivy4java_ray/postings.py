@@ -32,11 +32,18 @@ BLOCK = 128
 
 
 def _pack(vals: np.ndarray, width: int) -> bytes:
-    """Bitpack uint32 values at the given width (little-endian bit order)."""
+    """Bitpack uint32 values at the given width (little-endian bit order).
+
+    Column-wise bit extraction into a preallocated uint8 matrix — avoids
+    the (n, w) uint64 temporaries that dominate for multi-million-entry
+    position streams."""
     if width == 0:
         return b""
-    bits = ((vals[:, None].astype(np.uint64) >> np.arange(width, dtype=np.uint64))
-            & 1).astype(np.uint8)
+    v = np.ascontiguousarray(vals, np.uint32)
+    bits = np.empty((len(v), width), np.uint8)
+    for j in range(width):
+        np.bitwise_and(v >> np.uint32(j), 1, out=bits[:, j],
+                       casting="unsafe")
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
@@ -71,6 +78,37 @@ class SkipInfo:
         return BLOCK if i < self.nblocks - 1 else self.df - (self.nblocks - 1) * BLOCK
 
 
+def _bit_widths(maxes: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length of per-block maxima (uint32)."""
+    return np.ceil(np.log2(maxes.astype(np.float64) + 1.0)).astype(np.uint8)
+
+
+def _pack_blocks(mat: np.ndarray, widths: np.ndarray,
+                 last_count: int) -> list[bytes]:
+    """Pack (nblocks, BLOCK) value rows at per-row widths.
+
+    All same-width rows are packed in ONE ``np.packbits(axis=1)`` call —
+    full 128-value blocks are byte-aligned (16*w bytes), and the final
+    partial block is zero-padded then sliced to ``ceil(cnt*w/8)``.
+    """
+    nb = len(mat)
+    out: list[bytes] = [b""] * nb
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths == w)
+        vals = mat[sel].astype(np.uint64)
+        bits = ((vals[:, :, None] >> np.arange(w, dtype=np.uint64)) & 1
+                ).astype(np.uint8)
+        packed = np.packbits(bits.reshape(len(sel), BLOCK * w), axis=1,
+                             bitorder="little")
+        for j, bi in enumerate(sel):
+            cnt = last_count if bi == nb - 1 else BLOCK
+            out[bi] = packed[j, :(cnt * w + 7) // 8].tobytes()
+    return out
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
     """Encode one term's posting list. ``doc_ids`` strictly increasing."""
     df = len(doc_ids)
@@ -78,35 +116,32 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint32)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
     nblocks = (df + BLOCK - 1) // BLOCK
+    last_count = df - (nblocks - 1) * BLOCK
 
+    # global gap-1 deltas; a block's first delta is relative to the
+    # previous block's last doc, which IS the previous global doc -> the
+    # same value, so no per-block fixup is needed
     deltas = np.empty(df, dtype=np.uint32)
     deltas[0] = doc_ids[0]
-    # strictly increasing -> gaps >= 1; store gap-1 for tighter widths
     np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
     deltas[1:] -= 1
 
-    last_doc = np.empty(nblocks, np.uint32)
-    max_tf = np.empty(nblocks, np.uint32)
-    bits_doc = np.empty(nblocks, np.uint8)
-    bits_tf = np.empty(nblocks, np.uint8)
+    pad = nblocks * BLOCK - df
+    dmat = np.pad(deltas, (0, pad)).reshape(nblocks, BLOCK)
+    tmat = np.pad(tfs - 1, (0, pad)).reshape(nblocks, BLOCK)
+    last_doc = doc_ids[np.minimum(np.arange(1, nblocks + 1) * BLOCK - 1,
+                                  df - 1)].astype(np.uint32)
+    tf_pad = np.pad(tfs, (0, pad)).reshape(nblocks, BLOCK)
+    max_tf = tf_pad.max(axis=1).astype(np.uint32)
+    bits_doc = _bit_widths(dmat.max(axis=1))
+    bits_tf = _bit_widths(tmat.max(axis=1))
+
+    dchunks = _pack_blocks(dmat, bits_doc, last_count)
+    tchunks = _pack_blocks(tmat, bits_tf, last_count)
     chunks: list[bytes] = []
     for i in range(nblocks):
-        lo, hi = i * BLOCK, min((i + 1) * BLOCK, df)
-        d = deltas[lo:hi].copy()
-        if i > 0:
-            # first delta of a block is relative to the previous block's
-            # last doc so blocks decode independently for WAND skipping
-            d[0] = doc_ids[lo] - doc_ids[lo - 1] - 1
-        else:
-            d[0] = doc_ids[0]
-        t = tfs[lo:hi] - 1
-        last_doc[i] = doc_ids[hi - 1]
-        max_tf[i] = tfs[lo:hi].max()
-        wd, wt = _width(d), _width(t)
-        bits_doc[i] = wd
-        bits_tf[i] = wt
-        chunks.append(_pack(d, wd))
-        chunks.append(_pack(t, wt))
+        chunks.append(dchunks[i])
+        chunks.append(tchunks[i])
 
     header = np.array([df, nblocks], dtype=np.uint32).tobytes()
     return b"".join([header, last_doc.tobytes(), max_tf.tobytes(),
@@ -147,17 +182,67 @@ def decode_block(buf: bytes | memoryview, skip: SkipInfo, i: int,
     return docs, tfs
 
 
+def _gather_unpack(buf, starts: np.ndarray, nbytes: int, w: int,
+                   count_per_block: int) -> np.ndarray:
+    """Unpack same-width full blocks in one batched unpackbits call."""
+    raw = np.empty((len(starts), nbytes), np.uint8)
+    mv = memoryview(buf)
+    for j, s in enumerate(starts):
+        raw[j] = np.frombuffer(mv, np.uint8, nbytes, int(s))
+    bits = np.unpackbits(raw, axis=1, count=count_per_block * w,
+                         bitorder="little")
+    return (bits.reshape(len(starts) * count_per_block, w).astype(np.uint64)
+            @ (np.uint64(1) << np.arange(w, dtype=np.uint64))
+            ).astype(np.uint32)
+
+
 def decode_postings(buf: bytes | memoryview,
                     offset: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a whole posting region -> (doc_ids, tfs)."""
+    """Decode a whole posting region -> (doc_ids, tfs).
+
+    Full blocks are decoded grouped by bit width (one unpackbits + one
+    matmul per distinct width) — the vectorized inverse of
+    ``_pack_blocks``; global gap-1 deltas cumsum straight to doc ids."""
     skip = read_skip(buf, offset)
-    docs = np.empty(skip.df, np.uint32)
-    tfs = np.empty(skip.df, np.uint32)
-    for i in range(skip.nblocks):
-        lo = i * BLOCK
-        d, t = decode_block(buf, skip, i, offset)
-        docs[lo:lo + len(d)] = d
-        tfs[lo:lo + len(t)] = t
+    nb, df = skip.nblocks, skip.df
+    deltas = np.empty(df, np.uint32)
+    tfs = np.empty(df, np.uint32)
+    data0 = offset + skip.data_start
+    dstarts = data0 + skip.block_offsets[:-1]
+    counts = np.full(nb, BLOCK, np.int64)
+    counts[-1] = df - (nb - 1) * BLOCK
+    doc_nbytes = (counts * skip.bits_doc + 7) // 8
+    tstarts = dstarts + doc_nbytes
+
+    full = np.arange(nb - 1) if counts[-1] != BLOCK else np.arange(nb)
+    for mat, widths, starts, bias in (
+            (deltas, skip.bits_doc, dstarts, 0),
+            (tfs, skip.bits_tf, tstarts, 1)):     # tf stored as tf-1
+        for w in (np.unique(widths[full]) if len(full) else []):
+            w = int(w)
+            sel = full[widths[full] == w]
+            if w == 0:
+                vals = np.full(len(sel) * BLOCK, bias, np.uint32)
+            else:
+                vals = _gather_unpack(buf, starts[sel], 16 * w, w,
+                                      BLOCK) + np.uint32(bias)
+            idx = (sel[:, None] * BLOCK + np.arange(BLOCK)[None, :]).ravel()
+            mat[idx] = vals
+    if counts[-1] != BLOCK:  # partial tail block
+        d, t = decode_block(buf, skip, nb - 1, offset)
+        lo = (nb - 1) * BLOCK
+        # recover tail deltas from decoded docs
+        prev = np.uint32(skip.last_doc[nb - 2] + 1) if nb > 1 else np.uint32(0)
+        dd = np.empty(len(d), np.uint32)
+        dd[0] = d[0] - prev
+        np.subtract(d[1:], d[:-1], out=dd[1:])
+        dd[1:] -= 1
+        deltas[lo:] = dd
+        tfs[lo:] = t
+
+    docs = (np.cumsum(deltas.astype(np.uint64) + 1) - 1).astype(np.uint32)
+    if counts[-1] == BLOCK:
+        pass
     return docs, tfs
 
 
