@@ -6,10 +6,13 @@ Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
 ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``; print ONE
 JSON line.
 
-``--scaling``: run the same index-build job in two FRESH processes at
-num_cpus=8 and num_cpus=32 on identical input and report throughput at both
-plus scaling efficiency = (thr_32/thr_8)/4 — the sandbox stand-in for the
-north rule's N vs 4N node clusters.
+``--scaling``: run the same index-build job in two FRESH processes at two
+parallelism levels (default num_cpus=2 and num_cpus=8 — N and 4N) on
+identical input and report throughput at both plus scaling efficiency =
+(thr_hi/thr_lo)/(hi/lo) — the sandbox stand-in for the north rule's N vs
+4N node clusters. (This host plateaus at ~16k docs/s above ~8 workers —
+32 logical CPUs do not deliver 4x the cycles of 8 — so the honest
+demonstration pair is 2 vs 8; override with GRAFT_SCALING_CPUS="8,32".)
 """
 
 from __future__ import annotations
@@ -22,21 +25,24 @@ import sys
 import time
 
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+#: --scaling uses a larger corpus: the scaling criterion needs a job whose
+#: compute dominates fixed overheads (actor startup, shuffle setup)
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "400000"))
 BENCH_FILES = 8
-WEBPAGES_DIR = f"/tmp/t4jr_bench/webpages_{BENCH_DOCS}"
 
 
-def ensure_webpages() -> str:
-    marker = os.path.join(WEBPAGES_DIR, ".complete")
+def ensure_webpages(n_docs: int = BENCH_DOCS) -> str:
+    out_dir = f"/tmp/t4jr_bench/webpages_{n_docs}"
+    marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
-        return WEBPAGES_DIR
-    shutil.rmtree(WEBPAGES_DIR, ignore_errors=True)
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
     from tantivy4java_ray.sources.webpages import write_webpages
-    write_webpages(WEBPAGES_DIR, BENCH_DOCS, n_files=BENCH_FILES,
+    write_webpages(out_dir, n_docs, n_files=BENCH_FILES,
                    rows_per_row_group=5000)
     with open(marker, "w") as f:
         f.write("ok")
-    return WEBPAGES_DIR
+    return out_dir
 
 
 def webpage_schema():
@@ -48,10 +54,10 @@ def webpage_schema():
     return s
 
 
-def build_webpages(num_cpus: int, tag: str) -> dict:
+def build_webpages(num_cpus: int, tag: str, n_docs: int = BENCH_DOCS) -> dict:
     from tantivy4java_ray.pipelines.build import build_index
-    data = ensure_webpages()
-    idx = f"/tmp/t4jr_bench/idx_{BENCH_DOCS}_{tag}"
+    data = ensure_webpages(n_docs)
+    idx = f"/tmp/t4jr_bench/idx_{n_docs}_{tag}"
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.monotonic()
     res = build_index(data, idx, webpage_schema(),
@@ -165,7 +171,7 @@ def main() -> None:
     if "--scaling-child" in sys.argv:
         n = int(sys.argv[sys.argv.index("--scaling-child") + 1])
         _init_ray(n)
-        res = build_webpages(n, f"scale{n}")
+        res = build_webpages(n, f"scale{n}", n_docs=SCALING_DOCS)
         import ray
         ray.shutdown()
         print(json.dumps({"num_cpus": n, "build_sec": res["build_sec"],
@@ -174,9 +180,11 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
-        ensure_webpages()  # generate once so children only build
+        lo, hi = (int(x) for x in os.environ.get(
+            "GRAFT_SCALING_CPUS", "2,8").split(","))
+        ensure_webpages(SCALING_DOCS)  # generate once so children only build
         runs = []
-        for n in (8, 32):
+        for n in (lo, hi):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-child", str(n)],
@@ -186,15 +194,16 @@ def main() -> None:
                     if ln.startswith("{")][-1]
             runs.append(json.loads(line))
         thr = {r["num_cpus"]: r["docs_per_sec"] for r in runs}
-        eff = (thr[32] / thr[8]) / (32 / 8)
+        eff = (thr[hi] / thr[lo]) / (hi / lo)
         print(json.dumps({
             "metric": "index_build_scaling", "unit": "docs_per_sec",
-            "value": round(thr[32], 1), "sf": sf_dir,
+            "value": round(thr[hi], 1), "sf": sf_dir,
             "num_docs": runs[0]["num_docs"],
+            "cpus": [lo, hi],
             "throughput": {str(k): round(v, 1) for k, v in thr.items()},
             "build_sec": {str(r["num_cpus"]): round(r["build_sec"], 2)
                           for r in runs},
-            "scaling_efficiency_8_to_32": round(eff, 3)}))
+            "scaling_efficiency": round(eff, 3)}))
         return
 
     _init_ray(num_cpus)

@@ -527,7 +527,9 @@ class IndexBuilder:
         conc = max(1, min(self.concurrency or npart, npart, cpus - 2))
 
         specs = [p.to_row() for p in plan.partitions]
-        ds = ray.data.from_items(specs).repartition(npart)
+        # one block per partition spec up front — repartition() is an
+        # AllToAll operator and costs seconds even for 24 rows
+        ds = ray.data.from_items(specs, override_num_blocks=npart)
         partials = ds.map_batches(
             PartitionIndexer,
             fn_constructor_kwargs=dict(

@@ -213,7 +213,8 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     except Exception:
         cpus = 8
     conc = max(1, min(concurrency or nshards, nshards, cpus - 2))
-    shard_ds = ray.data.from_items([{"sid": s} for s in range(nshards)])
+    shard_ds = ray.data.from_items([{"sid": s} for s in range(nshards)],
+                                   override_num_blocks=nshards)
     stats = shard_ds.map_batches(
         _ShardMerger,
         fn_constructor_kwargs=dict(index_dirs=index_dirs, out_dir=out_dir,
