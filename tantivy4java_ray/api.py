@@ -1,0 +1,117 @@
+"""Reference-shaped convenience API.
+
+A thin facade so a user of the reference library can switch with familiar
+names: ``SchemaBuilder`` -> ``Index.create_from_parquet`` ->
+``index.searcher()`` -> ``searcher.search/doc/doc_batch/aggregate`` —
+mapping onto the Ray-Data-native build/search pipelines underneath.
+
+Reference surface mirrored: ``core/SchemaBuilder.java``,
+``core/Index.java`` (open/createFromParquet/parseQuery/registerTokenizer),
+``core/Searcher.java`` (search/doc/docBatch/docFreq/aggregate),
+``split/merge/QuickwitSplit.java`` (mergeSplits -> ``merge_indexes``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+from tantivy4java_ray.analyzer import TextAnalyzer, register_tokenizer
+from tantivy4java_ray.pipelines.build import build_index
+from tantivy4java_ray.pipelines.merge import merge_indexes
+from tantivy4java_ray.pipelines.search import (
+    IndexReader, SearchResult, read_index_metadata, validate_index,
+)
+from tantivy4java_ray.query import Query, parse_query
+from tantivy4java_ray.schema import IndexSchema
+
+SchemaBuilder = IndexSchema  # builder-style add_* methods live on IndexSchema
+
+
+class Searcher:
+    """``core/Searcher.java`` analog over an open index."""
+
+    def __init__(self, reader: IndexReader):
+        self._r = reader
+
+    def search(self, query: Query | str, limit: int = 10,
+               offset: int = 0, method: str = "auto") -> SearchResult:
+        return self._r.search(query, limit=limit, offset=offset,
+                              method=method)
+
+    def doc(self, doc_id: int, fields: list[str] | None = None) -> dict:
+        tbl = self._r.retrieve_docs([doc_id], columns=fields)
+        return {c: tbl.column(c)[0].as_py() for c in tbl.column_names}
+
+    def doc_batch(self, doc_ids: list[int],
+                  fields: list[str] | None = None) -> pa.Table:
+        return self._r.retrieve_docs(doc_ids, columns=fields)
+
+    def doc_freq(self, field: str, term: str) -> int:
+        return self._r.doc_freq(field, term)
+
+    def num_docs(self) -> int:
+        return self._r.num_docs
+
+    def aggregate(self, query: Query | None, aggs: dict) -> dict:
+        return self._r.aggregate(query, aggs)
+
+    def explain(self, query: Query, doc_id: int) -> dict:
+        return self._r.explain(query, doc_id)
+
+
+class Index:
+    """``core/Index.java`` analog: a built index directory."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self._reader: IndexReader | None = None
+
+    # -- build ---------------------------------------------------------------
+    @classmethod
+    def create_from_parquet(cls, paths: str | list[str], index_dir: str,
+                            schema: IndexSchema | None = None,
+                            **build_kwargs: Any) -> "Index":
+        """``QuickwitSplit.createFromParquet`` / parquet-companion entry."""
+        build_index(paths, index_dir, schema, **build_kwargs)
+        return cls(index_dir)
+
+    @staticmethod
+    def merge(index_dirs: list[str], out_dir: str,
+              delete_queries: list[Query] | None = None) -> "Index":
+        merge_indexes(index_dirs, out_dir, delete_queries=delete_queries)
+        return Index(out_dir)
+
+    # -- read ----------------------------------------------------------------
+    def reader(self) -> IndexReader:
+        if self._reader is None:
+            self._reader = IndexReader(self.index_dir)
+        return self._reader
+
+    def reload(self) -> None:
+        """``Index.reload`` analog — drop caches, re-read the manifest."""
+        self._reader = None
+
+    def searcher(self) -> Searcher:
+        return Searcher(self.reader())
+
+    @property
+    def schema(self) -> IndexSchema:
+        return self.reader().schema
+
+    def parse_query(self, text: str,
+                    default_fields: list[str] | None = None,
+                    lenient: bool = False) -> Query:
+        return parse_query(text, self.reader().schema,
+                           default_fields=default_fields, lenient=lenient)
+
+    @staticmethod
+    def register_tokenizer(name: str, analyzer: TextAnalyzer) -> None:
+        register_tokenizer(name, analyzer)
+
+    def metadata(self) -> dict:
+        return read_index_metadata(self.index_dir)
+
+    def validate(self) -> list[str]:
+        return validate_index(self.index_dir)

@@ -1,0 +1,99 @@
+"""Scalar helpers mirrored from the reference (SURVEY.md §2.8):
+
+- IP normalization / IPv4<->IPv6 expansion (``native/src/ip_expansion.rs``)
+- microsecond-precision date parse/format (``DateMicrosecondPrecisionTest``)
+- facet path encode/decode (``util/Facet.java``)
+- UTF-8-safe truncation for column statistics
+  (``parquet_companion/indexing.rs`` statistics_truncate_length=256)
+- deterministic 64-bit string fingerprint (the reference's hidden
+  ``_phash_<field>`` columns, ``indexing.rs:57-78``; 0 reserved for null)
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+import numpy as np
+import pandas as pd
+
+
+def normalize_ip(value: str) -> str:
+    """Canonical form: IPv4 -> IPv4-mapped IPv6 (``::ffff:a.b.c.d``),
+    IPv6 compressed lowercase — the dictionary-term form for IP fields."""
+    addr = ipaddress.ip_address(value.strip())
+    if isinstance(addr, ipaddress.IPv4Address):
+        return f"::ffff:{addr}"
+    if addr.ipv4_mapped is not None:
+        return f"::ffff:{addr.ipv4_mapped}"
+    return addr.compressed
+
+
+def expand_ip_query_bounds(lower: str | None, upper: str | None
+                           ) -> tuple[str | None, str | None]:
+    """Range bounds normalized the same way terms are."""
+    return (normalize_ip(lower) if lower else None,
+            normalize_ip(upper) if upper else None)
+
+
+def parse_date_us(value) -> int:
+    """Anything date-like -> int64 microseconds since epoch (sub-ms
+    precision preserved; ``SubMillisecondPrecisionTest`` contract)."""
+    return int(np.datetime64(value, "us").astype(np.int64))
+
+
+def format_date_us(us: int) -> str:
+    return str(np.datetime64(int(us), "us"))
+
+
+# -- facets (hierarchical paths "/a/b/c") -----------------------------------
+
+def facet_encode(*parts: str) -> str:
+    """('tools', 'saw') -> '/tools/saw' (segments may contain '/'
+    escaped as '\\/')."""
+    return "/" + "/".join(p.replace("/", "\\/") for p in parts)
+
+
+def facet_parts(path: str) -> list[str]:
+    out, cur, esc = [], [], False
+    for ch in path.lstrip("/"):
+        if esc:
+            cur.append(ch)
+            esc = False
+        elif ch == "\\":
+            esc = True
+        elif ch == "/":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def facet_ancestors(path: str) -> list[str]:
+    """'/a/b/c' -> ['/a', '/a/b', '/a/b/c'] — indexed so prefix queries
+    and per-level facet counts are dictionary lookups."""
+    parts = facet_parts(path)
+    return [facet_encode(*parts[:i + 1]) for i in range(len(parts))]
+
+
+# -- misc -------------------------------------------------------------------
+
+def truncate_utf8(s: str, max_bytes: int = 256) -> str:
+    """UTF-8-safe truncation (never split a codepoint)."""
+    b = s.encode()
+    if len(b) <= max_bytes:
+        return s
+    return b[:max_bytes].decode("utf-8", errors="ignore")
+
+
+def string_fingerprint(values) -> np.ndarray:
+    """u64 fingerprint per value; 0 reserved for null (the reference's
+    ``_phash`` convention)."""
+    arr = np.asarray(values, dtype=object)
+    mask = pd.isna(arr)
+    out = pd.util.hash_array(arr.astype(object)).astype(np.uint64)
+    out[out == 0] = 1  # keep 0 exclusively for null
+    out[mask] = 0
+    return out

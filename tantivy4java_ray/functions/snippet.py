@@ -1,0 +1,109 @@
+"""Snippet / highlight generation — per-hit best fragment with ``<b>``
+highlight markup (reference: ``query/SnippetGenerator.java``,
+``native/src/query/snippet.rs:16-152``).
+
+Post-processing map over retrieved hit rows: given the document text and
+the query's analyzed terms, pick the window with the highest sum of term
+scores and wrap matched tokens in ``<b>..</b>``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from tantivy4java_ray.analyzer import get_analyzer
+from tantivy4java_ray.query import Occur, Query
+
+
+def _collect_terms(q: Query) -> set[str]:
+    k = q.kind
+    if k == "term":
+        return {q.params[1]}
+    if k == "term_set":
+        return set(q.params[1])
+    if k == "phrase":
+        return {w for _, w in q.params[1]}
+    if k == "bool":
+        out: set[str] = set()
+        for occ, sub in q.params:
+            if occ != Occur.MUST_NOT:
+                out |= _collect_terms(sub)
+        return out
+    if k in ("boost", "const"):
+        return _collect_terms(q.params[0])
+    if k == "dismax":
+        out = set()
+        for sub in q.params[0]:
+            out |= _collect_terms(sub)
+        return out
+    return set()
+
+
+class SnippetGenerator:
+    """Build once per (query, field); ``snippet_from_text`` per hit."""
+
+    def __init__(self, query: Query, field: str = "text",
+                 tokenizer: str = "default", max_chars: int = 150):
+        self.terms = _collect_terms(query)
+        self.analyzer = get_analyzer(tokenizer)
+        self.max_chars = max_chars
+        # token spans come from a regex matching the analyzer's token shape
+        self._tok_re = re.compile(r"[^\W_]+", re.UNICODE)
+
+    def set_max_num_chars(self, n: int) -> None:
+        self.max_chars = n
+
+    def snippet_from_text(self, text: str | None) -> str:
+        """-> highlighted best fragment ('' when nothing matches)."""
+        if not text:
+            return ""
+        matches = []
+        for m in self._tok_re.finditer(text):
+            tok = m.group(0).lower()
+            if len(tok.encode()) <= (self.analyzer.token_limit or 1 << 30) \
+                    and tok in self.terms:
+                matches.append((m.start(), m.end()))
+        if not matches:
+            return ""
+        # best window: maximize number of matched tokens within max_chars
+        best_i, best_n = 0, 0
+        j = 0
+        for i in range(len(matches)):
+            if j < i:
+                j = i
+            while (j + 1 < len(matches)
+                   and matches[j + 1][1] - matches[i][0] <= self.max_chars):
+                j += 1
+            n = j - i + 1
+            if n > best_n:
+                best_i, best_n = i, n
+        start = matches[best_i][0]
+        # expand left to a word boundary, bound the fragment
+        frag_start = max(0, start - 20)
+        while frag_start > 0 and not text[frag_start - 1].isspace():
+            frag_start -= 1
+        frag_end = min(len(text), frag_start + self.max_chars)
+        frag = text[frag_start:frag_end]
+        out = []
+        pos = 0
+        for s, e in matches:
+            s -= frag_start
+            e -= frag_start
+            if s < 0 or e > len(frag):
+                continue
+            out.append(frag[pos:s])
+            out.append("<b>")
+            out.append(frag[s:e])
+            out.append("</b>")
+            pos = e
+        out.append(frag[pos:])
+        return "".join(out)
+
+
+def highlight_hits(reader, query: Query, doc_ids, *, field: str = "text",
+                   max_chars: int = 150) -> list[str]:
+    """Retrieve docs and produce one snippet per hit."""
+    fcfg = reader.schema.get_field(field)
+    gen = SnippetGenerator(query, field, fcfg.tokenizer, max_chars)
+    tbl = reader.retrieve_docs(doc_ids, columns=[field])
+    return [gen.snippet_from_text(t) for t in tbl.column(field).to_pylist()]

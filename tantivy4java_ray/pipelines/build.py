@@ -215,11 +215,39 @@ class PartitionIndexer:
                                FieldType.IP_ADDR):
                 if col is None:
                     continue
+                if fcfg.type is FieldType.IP_ADDR:
+                    # normalize to the canonical IPv6-mapped term form
+                    # (ip_expansion.rs semantics)
+                    from tantivy4java_ray.functions.scalars import normalize_ip
+                    vals = [None if v is None else normalize_ip(v)
+                            for v in col.cast(pa.string()).to_pylist()]
+                    col = pa.array(vals, pa.string())
                 if fcfg.indexed:
-                    tok = tokenize_column(col, get_analyzer("raw"))
-                    n_postings += self._emit_terms(
-                        acc, fcfg.name, spec, tok["row"], tok["codes"],
-                        tok["vocab"], None, n)
+                    if fcfg.type is FieldType.FACET:
+                        # index every ancestor path so prefix queries and
+                        # per-level facet counts are dictionary lookups
+                        from tantivy4java_ray.functions.scalars import (
+                            facet_ancestors)
+                        frows: list[int] = []
+                        fterms: list[str] = []
+                        for i, v in enumerate(col.cast(pa.string()).to_pylist()):
+                            if v:
+                                for anc in facet_ancestors(v):
+                                    frows.append(i)
+                                    fterms.append(anc)
+                        if frows:
+                            fcodes, funiq = pd.factorize(
+                                np.asarray(fterms, object), sort=False)
+                            n_postings += self._emit_terms(
+                                acc, fcfg.name, spec,
+                                np.asarray(frows, np.int64),
+                                fcodes.astype(np.int64),
+                                np.asarray(funiq, object), None, n)
+                    else:
+                        tok = tokenize_column(col, get_analyzer("raw"))
+                        n_postings += self._emit_terms(
+                            acc, fcfg.name, spec, tok["row"], tok["codes"],
+                            tok["vocab"], None, n)
                 if fcfg.fast:
                     docdata_cols[fcfg.name] = col.cast(pa.string())
             elif fcfg.type is FieldType.JSON:
@@ -242,9 +270,24 @@ class PartitionIndexer:
 
         # docdata: fieldnorms + fast fields, one file per partition, with
         # build lineage + metrics in the parquet footer (txlog-visible)
+        # per-partition fast-field min/max: enables query-time predicate
+        # pruning of partitions (async_impl.rs:16-46 analog)
+        col_stats: dict[str, list] = {}
+        for name, arr in docdata_cols.items():
+            try:
+                import pyarrow.compute as pc
+                mm = pc.min_max(arr)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if hasattr(lo, "isoformat"):
+                    lo, hi = str(np.datetime64(lo, "us")), str(
+                        np.datetime64(hi, "us"))
+                col_stats[name] = [lo, hi]
+            except (pa.ArrowNotImplementedError, TypeError):
+                continue
         meta = {"pid": pid, "doc_base": spec["doc_base"], "num_docs": n,
                 "path": spec["path"], "row_groups": spec["row_groups"],
                 "total_tokens": total_tokens,
+                "col_stats": col_stats,
                 "metrics": {"build_s": round(time.monotonic() - t0, 4),
                             "n_postings": n_postings,
                             "n_partial_terms": partial.num_rows}}

@@ -105,6 +105,7 @@ class IndexReader:
         self._norms: dict[str, np.ndarray] = {}
         self._dls: dict[str, np.ndarray] = {}
         self._fast: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._fast_part: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         self._norm_cache: dict[str, np.ndarray] = {}
         dpath = os.path.join(index_dir, "deleted_docs.npy")
         self.deleted: np.ndarray | None = (
@@ -237,19 +238,32 @@ class IndexReader:
             self._dls[field] = self._docdata_concat(f"dl__{field}", np.float64)
         return self._dls[field]
 
+    def fast_column_partition(self, field: str, pid: int
+                              ) -> tuple[np.ndarray, np.ndarray]:
+        """One partition's fast column -> (values, valid_mask); cached."""
+        key = (field, pid)
+        if key not in self._fast_part:
+            path = os.path.join(self.index_dir, "docdata",
+                                f"part-{pid:05d}.parquet")
+            t = pq.read_table(path, columns=[field]).column(field)
+            t = t.combine_chunks()
+            self._fast_part[key] = (
+                t.to_numpy(zero_copy_only=False),
+                np.asarray(t.is_valid().to_numpy(zero_copy_only=False), bool))
+        return self._fast_part[key]
+
     def fast_column(self, field: str) -> tuple[np.ndarray, np.ndarray]:
         """-> (values, valid_mask) concatenated in doc_id order."""
         if field not in self._fast:
-            vals, valids = [], []
-            for p in self.partitions:
-                path = os.path.join(self.index_dir, "docdata",
-                                    f"part-{p['pid']:05d}.parquet")
-                t = pq.read_table(path, columns=[field]).column(field)
-                t = t.combine_chunks()
-                valids.append(np.asarray(t.is_valid().to_numpy(zero_copy_only=False), bool))
-                vals.append(t.to_numpy(zero_copy_only=False))
-            self._fast[field] = (np.concatenate(vals), np.concatenate(valids))
+            parts = [self.fast_column_partition(field, p["pid"])
+                     for p in self.partitions]
+            self._fast[field] = (np.concatenate([v for v, _ in parts]),
+                                 np.concatenate([m for _, m in parts]))
         return self._fast[field]
+
+    def partition_stats(self, field: str, part: dict) -> tuple | None:
+        st = part.get("col_stats", {}).get(field)
+        return tuple(st) if st else None
 
     # -- BM25 ---------------------------------------------------------------
     def idf(self, df: int) -> float:
@@ -295,6 +309,9 @@ class IndexReader:
         p = query.params
         if k == "term":
             field, term = p
+            if self.schema.get_field(field).type is FieldType.IP_ADDR:
+                from tantivy4java_ray.functions.scalars import normalize_ip
+                term = normalize_ip(term)
             docs, tfs = self.postings(field, term)
             if not len(docs):
                 return _EMPTY
@@ -501,21 +518,43 @@ class IndexReader:
                 return True
             return self._const_union(field, self.terms_matching(field, pred),
                                      boost)
-        vals, valid = self.fast_column(field)
-        if fcfg.type is FieldType.DATE:
-            vals = np.asarray(vals, "datetime64[us]").astype(np.int64)
+        is_date = fcfg.type is FieldType.DATE
+        if is_date:
             lower = _to_us(lower) if lower is not None else None
             upper = _to_us(upper) if upper is not None else None
         else:
-            vals = np.asarray(vals, np.float64)
             lower = float(lower) if lower is not None else None
             upper = float(upper) if upper is not None else None
-        mask = valid.copy()
-        if lower is not None:
-            mask &= (vals >= lower) if incl_lo else (vals > lower)
-        if upper is not None:
-            mask &= (vals <= upper) if incl_hi else (vals < upper)
-        docs = self._drop_deleted(np.flatnonzero(mask).astype(np.int64))
+
+        doc_parts: list[np.ndarray] = []
+        for part in self.partitions:
+            # query-time predicate pruning by per-partition min/max stats
+            # (the reference prunes splits the same way, async_impl.rs:16-46)
+            st = self.partition_stats(field, part)
+            if st is not None:
+                lo_s, hi_s = ((_to_us(st[0]), _to_us(st[1])) if is_date
+                              else (float(st[0]), float(st[1])))
+                if lower is not None and (hi_s < lower
+                                          or (hi_s == lower and not incl_lo)):
+                    continue
+                if upper is not None and (lo_s > upper
+                                          or (lo_s == upper and not incl_hi)):
+                    continue
+            vals, valid = self.fast_column_partition(field, part["pid"])
+            if is_date:
+                vals = np.asarray(vals, "datetime64[us]").astype(np.int64)
+            else:
+                vals = np.asarray(vals, np.float64)
+            mask = valid.copy()
+            if lower is not None:
+                mask &= (vals >= lower) if incl_lo else (vals > lower)
+            if upper is not None:
+                mask &= (vals <= upper) if incl_hi else (vals < upper)
+            doc_parts.append(np.flatnonzero(mask).astype(np.int64)
+                             + part["doc_base"])
+        docs = (np.concatenate(doc_parts) if doc_parts
+                else np.empty(0, np.int64))
+        docs = self._drop_deleted(docs)
         return docs, np.full(len(docs), boost, np.float32)
 
     def _drop_deleted(self, docs: np.ndarray) -> np.ndarray:
@@ -635,6 +674,32 @@ class IndexReader:
     def aggregate(self, query: Query | None, aggs: dict) -> dict:
         from tantivy4java_ray.aggs import run_aggregations_on_index
         return run_aggregations_on_index(self, query, aggs)
+
+    def facet_counts(self, field: str, prefix: str = "/",
+                     query: Query | None = None) -> list[tuple[str, int]]:
+        """Doc counts for child facets directly under ``prefix``
+        (``util/Facet.java`` counting semantics; ancestors are indexed so
+        each child count is one dictionary/posting lookup)."""
+        from tantivy4java_ray.functions.scalars import facet_parts
+        depth = len(facet_parts(prefix)) if prefix != "/" else 0
+        pref = "" if prefix == "/" else prefix.rstrip("/")
+        children = self.terms_matching(
+            field, lambda t: (t.startswith(pref + "/") if pref else
+                              t.startswith("/"))
+            and len(facet_parts(t)) == depth + 1)
+        qdocs = None
+        if query is not None:
+            qdocs = self.evaluate(query)[0]
+        out = []
+        for child in children:
+            if qdocs is None:
+                out.append((child, self.doc_freq(field, child)))
+            else:
+                docs, _ = self.postings(field, child)
+                out.append((child, int(len(np.intersect1d(
+                    docs, qdocs, assume_unique=True)))))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -919,6 +984,107 @@ class QueryExecutor:
                          "rank": pa.array(out_rank, pa.int32()),
                          "doc_id": pa.array(out_doc, pa.int64()),
                          "score": pa.array(out_score, pa.float32())})
+
+
+def matching_docs_dataset(index_dir: str, query: Query | str,
+                          columns: list[str] | None = None,
+                          concurrency: int = 4):
+    """Streaming doc retrieval: all docs matching ``query`` as a Ray
+    Dataset (the reference streams Arrow RecordBatches over FFI with
+    bounded channels, ``streaming_doc_retrieval.rs``; here query results
+    are simply a Dataset with the executor providing backpressure).
+
+    The matched doc-id set is broadcast once (``ray.put``); each task
+    reads only its partition's parquet row groups and takes its local
+    rows — the positional-key join, no shuffle."""
+    import ray
+    import ray.data
+
+    reader = IndexReader(index_dir)
+    if isinstance(query, str):
+        from tantivy4java_ray.query import parse_query
+        query = parse_query(query, reader.schema)
+    doc_ids = reader.evaluate(query)[0]
+    ids_ref = ray.put(doc_ids)
+    specs = [{"pid": p["pid"], "path": p["path"],
+              "row_groups": p["row_groups"], "doc_base": p["doc_base"],
+              "num_docs": p["num_docs"]} for p in reader.partitions]
+
+    def fetch(batch: pa.Table):
+        ids = ray.get(ids_ref)
+        for spec in batch.to_pylist():
+            lo = np.searchsorted(ids, spec["doc_base"])
+            hi = np.searchsorted(ids, spec["doc_base"] + spec["num_docs"])
+            if lo == hi:
+                continue
+            local = (ids[lo:hi] - spec["doc_base"]).astype(np.int64)
+            pf = pq.ParquetFile(spec["path"])
+            tbl = pf.read_row_groups(spec["row_groups"], columns=columns)
+            out = tbl.take(pa.array(local))
+            idc = "__doc_id" if "doc_id" in out.column_names else "doc_id"
+            yield out.append_column(idc, pa.array(ids[lo:hi], pa.int64()))
+
+    return ray.data.from_items(
+        specs, override_num_blocks=len(specs)).map_batches(
+        fetch, batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# split-utility analogs (QuickwitSplit.readSplitMetadata/listSplitFiles/
+# validateSplit, QuickwitSplit.java:493-556)
+# ---------------------------------------------------------------------------
+
+def read_index_metadata(index_dir: str) -> dict:
+    """Manifest snapshot: stats, schema, partitions, shards."""
+    r = IndexReader(index_dir)
+    return {"num_docs": r.num_docs, "num_shards": r.num_shards,
+            "schema": r.schema.to_dict(), "stats": r.stats,
+            "num_partitions": len(r.partitions),
+            "committed": r.state.get("committed", False)}
+
+
+def list_index_files(index_dir: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(index_dir):
+        for f in sorted(files):
+            if not f.startswith(".tmp"):
+                out.append(os.path.relpath(os.path.join(root, f), index_dir))
+    return sorted(out)
+
+
+def validate_index(index_dir: str) -> list[str]:
+    """Structural validation -> list of problems (empty = valid):
+    shard files exist, dictionary offsets within bounds, dict sorted,
+    partition doc ranges contiguous, df sums consistent."""
+    problems: list[str] = []
+    r = IndexReader(index_dir)
+    expected_base = 0
+    for p in r.partitions:
+        if p["doc_base"] != expected_base:
+            problems.append(f"partition {p['pid']}: doc_base "
+                            f"{p['doc_base']} != expected {expected_base}")
+        expected_base = p["doc_base"] + p["num_docs"]
+        if not os.path.exists(os.path.join(
+                index_dir, "docdata", f"part-{p['pid']:05d}.parquet")):
+            problems.append(f"partition {p['pid']}: docdata missing")
+    if expected_base != r.num_docs:
+        problems.append(f"num_docs {r.num_docs} != partition sum "
+                        f"{expected_base}")
+    for sid in range(r.num_shards):
+        d = r._dict(sid)
+        if d is None:
+            continue
+        mm = r._mm(sid)
+        size = len(mm) if mm is not None else 0
+        ends = d["offset"] + d["nbytes"]
+        if len(ends) and int(ends.max()) > size:
+            problems.append(f"shard {sid}: posting offsets exceed file "
+                            f"({int(ends.max())} > {size})")
+        keys = d["key"]
+        if len(keys) > 1 and not bool(np.all(keys[:-1] <= keys[1:])):
+            problems.append(f"shard {sid}: term dictionary not sorted")
+    return problems
 
 
 def batch_search(index_dir: str, queries: list[str], limit: int = 10,

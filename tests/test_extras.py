@@ -1,0 +1,168 @@
+"""Snippets, scalars (IP/facet/date), partition pruning, facet counts,
+streaming retrieval, split utilities, API facade."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tantivy4java_ray.functions.scalars import (
+    expand_ip_query_bounds, facet_ancestors, facet_encode, facet_parts,
+    format_date_us, normalize_ip, parse_date_us, string_fingerprint,
+    truncate_utf8,
+)
+from tantivy4java_ray.functions.snippet import SnippetGenerator
+from tantivy4java_ray.query import Occur, Query
+from tantivy4java_ray.schema import IndexSchema
+
+BASE = "/tmp/t4jr_extras"
+
+
+def test_normalize_ip():
+    assert normalize_ip("192.168.0.1") == "::ffff:192.168.0.1"
+    assert normalize_ip("::FFFF:10.0.0.1") == "::ffff:10.0.0.1"
+    assert normalize_ip("2001:0DB8:0:0:0:0:0:1") == "2001:db8::1"
+    lo, hi = expand_ip_query_bounds("10.0.0.1", None)
+    assert lo == "::ffff:10.0.0.1" and hi is None
+
+
+def test_facet_paths():
+    assert facet_encode("tools", "saw") == "/tools/saw"
+    assert facet_parts("/tools/saw") == ["tools", "saw"]
+    assert facet_ancestors("/a/b/c") == ["/a", "/a/b", "/a/b/c"]
+    assert facet_parts(facet_encode("a/b", "c")) == ["a/b", "c"]
+
+
+def test_dates_microseconds():
+    us = parse_date_us("2024-03-01T12:00:00.000123")
+    assert us % 1_000_000 == 123
+    assert format_date_us(us) == "2024-03-01T12:00:00.000123"
+
+
+def test_truncate_utf8():
+    assert truncate_utf8("é" * 200, 256) == "é" * 128
+    assert truncate_utf8("short", 256) == "short"
+
+
+def test_string_fingerprint_null_zero():
+    fp = string_fingerprint(np.array(["a", None, "b", "a"], object))
+    assert fp[1] == 0 and fp[0] == fp[3] != 0 and fp[2] not in (0, fp[0])
+
+
+def test_snippet_generator():
+    q = Query.boolean([(Occur.SHOULD, Query.term("text", "fox")),
+                       (Occur.SHOULD, Query.term("text", "dog"))])
+    gen = SnippetGenerator(q, max_chars=60)
+    text = "The quick brown Fox jumps over the lazy dog near the river."
+    snip = gen.snippet_from_text(text)
+    assert "<b>Fox</b>" in snip and "<b>dog</b>" in snip
+    assert gen.snippet_from_text("nothing relevant here") == ""
+    assert gen.snippet_from_text(None) == ""
+
+
+@pytest.fixture(scope="module")
+def facet_index(ray_session):
+    from tantivy4java_ray.api import Index
+    shutil.rmtree(BASE, ignore_errors=True)
+    os.makedirs(BASE)
+    tbl = pa.table({
+        "title": pa.array(["saw", "drill", "hammer", "apple", "pear"]),
+        "category": pa.array(["/tools/hand/saw", "/tools/power/drill",
+                              "/tools/hand/hammer", "/food/fruit/apple",
+                              "/food/fruit/pear"]),
+        "ip": pa.array(["10.0.0.1", "10.0.0.2", "192.168.1.9",
+                        "2001:db8::1", "10.0.0.1"]),
+        "price": pa.array([10.0, 120.0, 15.0, 1.0, 2.0]),
+    })
+    pq.write_table(tbl, f"{BASE}/items.parquet", row_group_size=2)
+    s = IndexSchema()
+    s.add_text_field("title", index_option="position")
+    s.add_facet_field("category")
+    s.add_ip_addr_field("ip", fast=True)
+    s.add_float_field("price", fast=True)
+    return Index.create_from_parquet(f"{BASE}/items.parquet", f"{BASE}/idx",
+                                     s, target_docs_per_partition=2,
+                                     num_shards=2)
+
+
+def test_facet_term_and_counts(facet_index):
+    r = facet_index.reader()
+    docs, _ = r.evaluate(Query.term("category", "/tools"))
+    assert list(docs) == [0, 1, 2]
+    docs, _ = r.evaluate(Query.term("category", "/tools/hand"))
+    assert list(docs) == [0, 2]
+    counts = r.facet_counts("category", "/")
+    assert counts == [("/tools", 3), ("/food", 2)]
+    counts = r.facet_counts("category", "/tools")
+    assert counts == [("/tools/hand", 2), ("/tools/power", 1)]
+    # with a query filter
+    counts = r.facet_counts("category", "/tools",
+                            query=Query.term("title", "saw"))
+    assert counts == [("/tools/hand", 1), ("/tools/power", 0)]
+
+
+def test_ip_term_and_range(facet_index):
+    r = facet_index.reader()
+    docs, _ = r.evaluate(Query.term("ip", "10.0.0.1"))
+    assert list(docs) == [0, 4]
+    # range over normalized string terms
+    docs, _ = r.evaluate(Query.range("ip", "::ffff:10.0.0.0",
+                                     "::ffff:10.255.255.255"))
+    assert list(docs) == [0, 1, 4]
+
+
+def test_partition_pruning_stats(facet_index):
+    r = facet_index.reader()
+    # partitions of 2 rows: prices [10,120], [15,1], [2]
+    st = r.partition_stats("price", r.partitions[0])
+    assert st == (10.0, 120.0)
+    docs, _ = r.evaluate(Query.range("price", 100.0, None))
+    assert list(docs) == [1]
+    # a range matching nothing prunes all partitions
+    docs, _ = r.evaluate(Query.range("price", 1000.0, None))
+    assert len(docs) == 0
+
+
+def test_split_utilities(facet_index):
+    from tantivy4java_ray.pipelines.search import (
+        list_index_files, read_index_metadata, validate_index)
+    meta = read_index_metadata(facet_index.index_dir)
+    assert meta["num_docs"] == 5 and meta["committed"]
+    files = list_index_files(facet_index.index_dir)
+    assert any(f.endswith("terms.parquet") for f in files)
+    assert any(f.startswith("txlog/") for f in files)
+    assert validate_index(facet_index.index_dir) == []
+
+
+def test_matching_docs_dataset(facet_index, ray_session):
+    from tantivy4java_ray.pipelines.search import matching_docs_dataset
+    ds = matching_docs_dataset(facet_index.index_dir,
+                               Query.term("category", "/tools"),
+                               columns=["title"])
+    out = ds.to_pandas().sort_values("doc_id")
+    assert out["title"].tolist() == ["saw", "drill", "hammer"]
+
+
+def test_api_facade(facet_index):
+    s = facet_index.searcher()
+    res = s.search("title:saw", limit=5)
+    assert len(res) == 1 and res.hits[0][1] == 0
+    d = s.doc(0, fields=["title"])
+    assert d["title"] == "saw"
+    assert s.doc_freq("title", "saw") == 1
+    assert s.num_docs() == 5
+    agg = s.aggregate(None, {"p": {"stats": {"field": "price"}}})
+    assert agg["p"]["count"] == 5
+    ex = s.explain(Query.term("title", "saw"), 0)
+    assert ex["matched"]
+
+
+def test_highlight_hits(facet_index):
+    from tantivy4java_ray.functions.snippet import highlight_hits
+    r = facet_index.reader()
+    q = Query.term("title", "saw")
+    snips = highlight_hits(r, q, [0], field="title")
+    assert snips == ["<b>saw</b>"]
