@@ -352,6 +352,27 @@ class IndexReader:
             return self._eval_automaton(k, *p, boost=boost)
         if k == "exists":
             return self._eval_exists(p[0], boost)
+        if k == "json_range":
+            field, path, lo, hi, ilo, ihi = p
+            pref = f"{path}\x01"
+            def pred(t: str) -> bool:
+                if not t.startswith(pref):
+                    return False
+                v = t[len(pref):]
+                if lo is not None and (v < lo or (v == lo and not ilo)):
+                    return False
+                if hi is not None and (v > hi or (v == hi and not ihi)):
+                    return False
+                return True
+            return self._const_union(field, self.terms_matching(field, pred),
+                                     boost)
+        if k == "json_exists":
+            field, path = p
+            pref = f"{path}\x01"
+            sub = f"{path}."
+            terms = self.terms_matching(
+                field, lambda t: t.startswith(pref) or t.startswith(sub))
+            return self._const_union(field, terms, boost)
         if k == "more_like_this":
             return self.evaluate(self._expand_mlt(*p), boost)
         raise ValueError(f"unknown query kind {k!r}")

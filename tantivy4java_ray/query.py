@@ -112,6 +112,25 @@ class Query:
     def exists(field: str) -> "Query":
         return Query("exists", (field,))
 
+    # -- JSON subpath queries (Query.java:320-366; terms are encoded as
+    #    'path\x01value' in the dictionary, json_query.rs analog) ---------
+    @staticmethod
+    def json_term(field: str, path: str, value: Any) -> "Query":
+        return Query("term", (field, f"{path}\x01{_term_str(value)}"))
+
+    @staticmethod
+    def json_range(field: str, path: str, lower: Any = None,
+                   upper: Any = None, include_lower: bool = True,
+                   include_upper: bool = True) -> "Query":
+        return Query("json_range", (field, path, _term_str(lower) if lower
+                                    is not None else None,
+                                    _term_str(upper) if upper is not None
+                                    else None, include_lower, include_upper))
+
+    @staticmethod
+    def json_exists(field: str, path: str) -> "Query":
+        return Query("json_exists", (field, path))
+
     @staticmethod
     def more_like_this(doc_fields: dict[str, str], *, max_query_terms: int = 25,
                        min_term_freq: int = 1, min_doc_freq: int = 1) -> "Query":
