@@ -91,6 +91,18 @@ def term_shard(field: str, terms: np.ndarray, num_shards: int) -> np.ndarray:
     return (pd.util.hash_array(keys) % np.uint64(num_shards)).astype(np.int32)
 
 
+def term_shard_salted(field: str, terms: np.ndarray, salt: int,
+                      num_shards: int) -> np.ndarray:
+    """Shard for HOT terms: the salt spreads one term's partial postings
+    across shards (per-partition), bounding any single reduce task's share
+    of a stopword's postings — the north rule's 'salted repartitioning of
+    hot postings'. Readers probe every salt candidate and merge runs by
+    ``run_base`` (the merge-heap concat)."""
+    keys = np.array([f"{field}\x1f{t}\x1f#s{salt}" for t in terms],
+                    dtype=object)
+    return (pd.util.hash_array(keys) % np.uint64(num_shards)).astype(np.int32)
+
+
 def _flatten_json_terms(col: pa.Array, expand_dots: bool = True
                         ) -> tuple[np.ndarray, np.ndarray]:
     """JSON string column -> (row_idx, 'path\\x01value') term pairs
@@ -133,13 +145,16 @@ class PartitionIndexer:
 
     def __init__(self, schema_dict: dict, index_dir: str, num_shards: int,
                  html_fallback: tuple[str, str] | None = None,
-                 exact_fieldnorms: bool = False, checkpoint: bool = True):
+                 exact_fieldnorms: bool = False, checkpoint: bool = True,
+                 hot_salts: int = 4, hot_df_frac: float = 0.05):
         self.schema = IndexSchema.from_dict(schema_dict)
         self.index_dir = index_dir
         self.num_shards = num_shards
         self.html_fallback = html_fallback
         self.exact_fieldnorms = exact_fieldnorms
         self.checkpoint = checkpoint
+        self.hot_salts = hot_salts
+        self.hot_df_frac = hot_df_frac
         self.analyzers = {f.name: get_analyzer(f.tokenizer)
                           for f in self.schema.fields
                           if f.type is FieldType.TEXT}
@@ -343,6 +358,16 @@ class PartitionIndexer:
 
         term_per_group = vocab[pair_code[tstarts]]
         shards = term_shard(field, term_per_group, self.num_shards)
+        # head-term skew: terms hot in THIS partition (partial df above a
+        # fraction of its docs) are salted by pid so their postings spread
+        # across up to hot_salts reduce tasks; purely local decision, no
+        # coordination — readers probe all salt candidates
+        if self.hot_salts > 1 and self.num_shards > 1:
+            hot = tlens >= max(64, int(self.hot_df_frac * n_rows))
+            if hot.any():
+                shards[hot] = term_shard_salted(
+                    field, term_per_group[hot],
+                    spec["pid"] % self.hot_salts, self.num_shards)
 
         n_terms = len(tstarts)
         acc["shard"].extend(shards.tolist())
@@ -505,7 +530,9 @@ class IndexBuilder:
                  exact_fieldnorms: bool = False,
                  concurrency: int | None = None,
                  bm25_k1: float = 1.2,
-                 bm25_b: float = 0.75):
+                 bm25_b: float = 0.75,
+                 hot_salts: int = 4,
+                 hot_df_frac: float = 0.05):
         self.paths = paths
         self.index_dir = index_dir
         self.schema = schema
@@ -517,6 +544,8 @@ class IndexBuilder:
         self.exact_fieldnorms = exact_fieldnorms
         self.concurrency = concurrency
         self.bm25 = {"k1": bm25_k1, "b": bm25_b}
+        self.hot_salts = hot_salts
+        self.hot_df_frac = hot_df_frac
 
     def build(self) -> BuildResult:
         import ray
@@ -559,6 +588,7 @@ class IndexBuilder:
             "config": {"target_docs_per_partition": self.target,
                        "exact_fieldnorms": self.exact_fieldnorms,
                        "bm25": self.bm25,
+                       "hot_salts": self.hot_salts,
                        "html_fallback": self.html_fallback}}}])
 
         try:
@@ -579,7 +609,8 @@ class IndexBuilder:
                 schema_dict=self.schema.to_dict(), index_dir=self.index_dir,
                 num_shards=nshards, html_fallback=self.html_fallback,
                 exact_fieldnorms=self.exact_fieldnorms,
-                checkpoint=self.checkpoint),
+                checkpoint=self.checkpoint, hot_salts=self.hot_salts,
+                hot_df_frac=self.hot_df_frac),
             batch_format="pyarrow", batch_size=None,
             concurrency=conc, num_cpus=1)
         shard_stats = (partials

@@ -91,6 +91,7 @@ class IndexReader:
         self.k1: float = cfg["bm25"]["k1"]
         self.b: float = cfg["bm25"]["b"]
         self.exact_fieldnorms: bool = cfg.get("exact_fieldnorms", False)
+        self.hot_salts: int = cfg.get("hot_salts", 0)
         #: score dtype: f32 (tantivy parity) or f64 (SQL-oracle parity)
         self.score_dtype = np.float64 if self.exact_fieldnorms else np.float32
         self.num_shards: int = meta["plan"]["num_shards"]
@@ -112,10 +113,33 @@ class IndexReader:
             np.load(dpath) if os.path.exists(dpath) else None)
 
     # -- shard access -------------------------------------------------------
-    def _shard_of(self, field: str, term: str) -> int:
-        # \x1f separator: pandas siphash truncates at NUL (see build.term_shard)
-        key = np.array([f"{field}\x1f{term}"], dtype=object)
-        return int(pd.util.hash_array(key)[0] % np.uint64(self.num_shards))
+    def _candidate_shards(self, field: str, term: str) -> list[int]:
+        """Base shard + every hot-salt shard (build.term_shard_salted):
+        a hot term's runs may be spread across up to ``hot_salts`` shards.
+        \x1f separator: pandas siphash truncates at NUL."""
+        keys = [f"{field}\x1f{term}"]
+        keys += [f"{field}\x1f{term}\x1f#s{s}"
+                 for s in range(self.hot_salts)]
+        hs = pd.util.hash_array(np.array(keys, dtype=object))
+        return list(dict.fromkeys(
+            int(h % np.uint64(self.num_shards)) for h in hs))
+
+    def _term_runs(self, field: str, term: str) -> list[tuple[int, int]]:
+        """-> [(sid, dict_row)] for every run of the term, ascending
+        ``run_base`` across all candidate shards (the merge-heap order —
+        runs are doc-range-disjoint by construction)."""
+        runs: list[tuple[int, int, int]] = []
+        key = f"{field}\x00{term}"
+        for sid in self._candidate_shards(field, term):
+            d = self._dict(sid)
+            if d is None:
+                continue
+            lo = np.searchsorted(d["key"], key, side="left")
+            hi = np.searchsorted(d["key"], key, side="right")
+            for r in range(int(lo), int(hi)):
+                runs.append((int(d["run_base"][r]), sid, r))
+        runs.sort()
+        return [(sid, r) for _, sid, r in runs]
 
     def _dict(self, sid: int) -> dict | None:
         if sid not in self._dicts:
@@ -149,51 +173,47 @@ class IndexReader:
                           else None)
         return cache[sid]
 
-    def _term_rows(self, field: str, term: str) -> tuple[int, np.ndarray]:
-        """-> (sid, indices of the term's runs in the shard dict)."""
-        sid = self._shard_of(field, term)
-        d = self._dict(sid)
-        if d is None:
-            return sid, np.empty(0, np.int64)
-        key = f"{field}\x00{term}"
-        lo = np.searchsorted(d["key"], key, side="left")
-        hi = np.searchsorted(d["key"], key, side="right")
-        return sid, np.arange(lo, hi)
-
     # -- dictionary-level metadata -----------------------------------------
     def doc_freq(self, field: str, term: str) -> int:
         """df(term) — ``core/Searcher.java:221-226``."""
-        sid, rows = self._term_rows(field, term)
-        if not len(rows):
-            return 0
-        return int(self._dict(sid)["df"][rows].sum())
+        return sum(int(self._dict(sid)["df"][r])
+                   for sid, r in self._term_runs(field, term))
 
     def postings(self, field: str, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """-> (global doc ids int64 ascending, tfs uint32)."""
-        sid, rows = self._term_rows(field, term)
-        if not len(rows):
+        """-> (global doc ids int64 ascending, tfs uint32).
+
+        Salted hot terms produce runs whose doc RANGES overlap across
+        shards (doc *sets* are always disjoint — a doc lives in exactly one
+        partition); a final merge-sort restores global order when needed."""
+        runs = self._term_runs(field, term)
+        if not runs:
             return np.empty(0, np.int64), np.empty(0, np.uint32)
-        d = self._dict(sid)
-        mm = self._mm(sid)
         doc_parts, tf_parts = [], []
-        for r in rows:
+        for sid, r in runs:
+            d = self._dict(sid)
+            mm = self._mm(sid)
             docs, tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
             doc_parts.append(docs.astype(np.int64) + int(d["run_base"][r]))
             tf_parts.append(tfs)
-        return np.concatenate(doc_parts), np.concatenate(tf_parts)
+        docs = np.concatenate(doc_parts)
+        tfs = np.concatenate(tf_parts)
+        if len(doc_parts) > 1 and np.any(docs[1:] <= docs[:-1]):
+            order = np.argsort(docs, kind="stable")
+            docs, tfs = docs[order], tfs[order]
+        return docs, tfs
 
     def positions(self, field: str, term: str
                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (docs, tfs, flat positions aligned by cumsum(tfs))."""
-        sid, rows = self._term_rows(field, term)
-        if not len(rows):
+        runs = self._term_runs(field, term)
+        if not runs:
             return (np.empty(0, np.int64), np.empty(0, np.uint32),
                     np.empty(0, np.uint32))
-        d = self._dict(sid)
-        mm = self._mm(sid)
-        pmm = self._mm(sid, "positions")
         doc_parts, tf_parts, pos_parts = [], [], []
-        for r in rows:
+        for sid, r in runs:
+            d = self._dict(sid)
+            mm = self._mm(sid)
+            pmm = self._mm(sid, "positions")
             docs, tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
             doc_parts.append(docs.astype(np.int64) + int(d["run_base"][r]))
             tf_parts.append(tfs)
@@ -202,7 +222,21 @@ class IndexReader:
                     pmm, int(d["pos_offset"][r])))
         pos = (np.concatenate(pos_parts) if pos_parts
                else np.empty(0, np.uint32))
-        return np.concatenate(doc_parts), np.concatenate(tf_parts), pos
+        docs = np.concatenate(doc_parts)
+        tfs = np.concatenate(tf_parts)
+        if len(doc_parts) > 1 and np.any(docs[1:] <= docs[:-1]):
+            # merge-sort salted runs; position chunks follow their doc
+            order = np.argsort(docs, kind="stable")
+            off = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+            lengths = tfs[order].astype(np.int64)
+            starts = off[order]
+            if len(pos):
+                cum = np.cumsum(lengths)
+                within = (np.arange(int(cum[-1]), dtype=np.int64)
+                          - np.repeat(cum - lengths, lengths))
+                pos = pos[np.repeat(starts, lengths) + within]
+            docs, tfs = docs[order], tfs[order]
+        return docs, tfs, pos
 
     def terms_matching(self, field: str, predicate) -> list[str]:
         """Scan the (sorted) dictionaries of all shards — regex/fuzzy/
@@ -639,8 +673,7 @@ class IndexReader:
         terms = [(f, t, b) for f, t, b in _collect_union_terms(query)]
         cursors = []
         for field, term, boost in terms:
-            cur = _TermCursor.open(self, field, term, boost)
-            if cur is not None:
+            for cur in _TermCursor.open_runs(self, field, term, boost):
                 cur.ord = len(cursors)
                 cursors.append(cur)
         if not cursors:
@@ -839,37 +872,46 @@ class _TermCursor:
                  "norms", "max_score", "exhausted", "offset", "ord")
 
     @classmethod
-    def open(cls, reader: IndexReader, field: str, term: str, boost: float):
-        sid, rows = reader._term_rows(field, term)
-        if not len(rows):
-            return None
-        d = reader._dict(sid)
-        self = cls()
-        self.reader = reader
-        self.field = field
-        self.mm = reader._mm(sid)
-        self.runs = [(int(d["run_base"][r]), int(d["offset"][r]))
-                     for r in rows]
-        df = int(d["df"][rows].sum())
-        self.weight = np.float32(boost * reader.idf(df) * (reader.k1 + 1.0))
-        self.norm_cache = reader._norm_factor_cache(field)
-        self.norms = reader.norms(field)
-        min_norm = float(self.norm_cache.min())
-        self.run_i = -1
-        self.exhausted = False
-        self._next_run()
-        # global upper bound on this term's score
-        gmax_tf = max(float(pcodec.read_skip(self.mm, off).max_tf.max())
-                      for _, off in self.runs)
-        self.max_score = float(self.weight) * gmax_tf / (gmax_tf + min_norm)
-        return self
+    def open_runs(cls, reader: IndexReader, field: str, term: str,
+                  boost: float) -> list["_TermCursor"]:
+        """One cursor PER RUN: salted hot terms spread runs across shards
+        with overlapping doc ranges, but doc *sets* are disjoint, so WAND
+        treats each run as an independent posting list — contributions for
+        any doc come from exactly one of them."""
+        run_refs = reader._term_runs(field, term)
+        if not run_refs:
+            return []
+        df = sum(int(reader._dict(sid)["df"][r]) for sid, r in run_refs)
+        weight = np.float32(boost * reader.idf(df) * (reader.k1 + 1.0))
+        norm_cache = reader._norm_factor_cache(field)
+        norms = reader.norms(field)
+        min_norm = float(norm_cache.min())
+        out = []
+        for sid, r in run_refs:
+            d = reader._dict(sid)
+            self = cls()
+            self.reader = reader
+            self.field = field
+            self.runs = [(int(d["run_base"][r]), int(d["offset"][r]),
+                          reader._mm(sid))]
+            self.weight = weight
+            self.norm_cache = norm_cache
+            self.norms = norms
+            self.run_i = -1
+            self.exhausted = False
+            self._next_run()
+            gmax_tf = float(pcodec.read_skip(self.runs[0][2],
+                                             self.runs[0][1]).max_tf.max())
+            self.max_score = float(weight) * gmax_tf / (gmax_tf + min_norm)
+            out.append(self)
+        return out
 
     def _next_run(self) -> None:
         self.run_i += 1
         if self.run_i >= len(self.runs):
             self.exhausted = True
             return
-        self.base, self.offset = self.runs[self.run_i]
+        self.base, self.offset, self.mm = self.runs[self.run_i]
         self.skip = pcodec.read_skip(self.mm, self.offset)
         self.block_i = -1
         self._load_block(0)
