@@ -128,6 +128,44 @@ def q_ft_bm25_topk(sf_dir: str):
 # aggregations
 # ---------------------------------------------------------------------------
 
+def q_ft_source_term(sf_dir: str):
+    """Exact-match STRING (raw keyword) field query."""
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.term("source", "src5"))
+    return _docs_table(r, docs)
+
+
+def q_ft_regex(sf_dir: str):
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.regex("text", "jo.n"))
+    return _docs_table(r, docs)
+
+
+def q_json_props_term(sf_dir: str):
+    """JSON field subpath term over events.props."""
+    import json
+
+    import duckdb
+    import ray.data  # noqa: F401  (ray already initialised by driver)
+    from tantivy4java_ray.api import Index
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+
+    s = IndexSchema()
+    s.add_integer_field("event_id", fast=True)
+    s.add_json_field("props")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = Index.create_from_parquet(
+        f"{sf_dir}/events.parquet", f"/tmp/t4jr_cache/idx-{tag}-events",
+        s, target_docs_per_partition=50_000, num_shards=4)
+    r = idx.reader()
+    # events.props is {"k": <int>}; query k == 42
+    docs, _ = r.evaluate(Query.json_term("props", "k", json.dumps(42)))
+    return pd.DataFrame({"event_id": np.asarray(docs, np.int64)})
+
+
 def q_agg_terms_lang(sf_dir: str):
     import ray.data
     from tantivy4java_ray.aggs import aggregate_dataset
@@ -352,6 +390,9 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ft_term": q_ft_term,
+        "ft_source_term": q_ft_source_term,
+        "ft_regex": q_ft_regex,
+        "json_props_term": q_json_props_term,
         "ft_term_counts": q_ft_term_counts,
         "ft_bool": q_ft_bool,
         "ft_phrase": q_ft_phrase,
@@ -389,6 +430,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT '{t}' AS term, (SELECT count(*) FROM documents "
             f"WHERE {tok_match(t)}) AS n_docs"
             for t in ("merge", "join", "sort", "spark", "nosuchterm")),
+        "ft_source_term":
+            "SELECT doc_id FROM documents WHERE source = 'src5'",
+        "ft_regex":
+            f"SELECT doc_id FROM documents WHERE regexp_matches("
+            f"lower(text), '{_B}jo[a-z0-9]n{_E}')",
+        "json_props_term":
+            "SELECT event_id FROM events "
+            "WHERE json_extract(props, '$.k') = '42'",
         "ft_bool":
             f"SELECT doc_id FROM documents WHERE {tok_match('merge')} "
             f"AND {tok_match('join')} AND NOT {tok_match('sort')}",
