@@ -146,7 +146,9 @@ class PartitionIndexer:
     def __init__(self, schema_dict: dict, index_dir: str, num_shards: int,
                  html_fallback: tuple[str, str] | None = None,
                  exact_fieldnorms: bool = False, checkpoint: bool = True,
-                 hot_salts: int = 4, hot_df_frac: float = 0.05):
+                 hot_salts: int = 4, hot_df_frac: float = 0.05,
+                 column_renames: dict[str, str] | None = None,
+                 phash_fields: tuple[str, ...] = ()):
         self.schema = IndexSchema.from_dict(schema_dict)
         self.index_dir = index_dir
         self.num_shards = num_shards
@@ -155,13 +157,18 @@ class PartitionIndexer:
         self.checkpoint = checkpoint
         self.hot_salts = hot_salts
         self.hot_df_frac = hot_df_frac
+        # parquet column name -> display name (Iceberg-style name mapping;
+        # parquet_companion/name_mapping.rs analog)
+        self.renames = column_renames or {}
+        self.inv_renames = {v: k for k, v in self.renames.items()}
+        self.phash_fields = tuple(phash_fields)
         self.analyzers = {f.name: get_analyzer(f.tokenizer)
                           for f in self.schema.fields
                           if f.type is FieldType.TEXT}
         cols = {f.name for f in self.schema.fields}
         if html_fallback:
             cols.add(html_fallback[1])
-        self.columns = sorted(cols)
+        self.columns = sorted(self.inv_renames.get(c, c) for c in cols)
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         for spec in batch.to_pylist():
@@ -185,6 +192,10 @@ class PartitionIndexer:
         avail = set(pf.schema_arrow.names)
         cols = [c for c in self.columns if c in avail]
         tbl = pf.read_row_groups(spec["row_groups"], columns=cols)
+        if self.renames:
+            tbl = tbl.rename_columns(
+                [self.renames.get(c, c) for c in tbl.column_names])
+            avail = set(tbl.column_names)
         n = tbl.num_rows
 
         acc: dict[str, list] = {k: [] for k in _PARTIAL_SCHEMA.names}
@@ -285,6 +296,16 @@ class PartitionIndexer:
 
         # docdata: fieldnorms + fast fields, one file per partition, with
         # build lineage + metrics in the parquet footer (txlog-visible)
+        # hidden _phash_<field> u64 fingerprints (indexing.rs:57-78 analog:
+        # cheap distinct/terms without the string column)
+        for pf_name in self.phash_fields:
+            if pf_name in avail:
+                from tantivy4java_ray.functions.scalars import (
+                    string_fingerprint)
+                vals = tbl.column(pf_name).to_numpy(zero_copy_only=False)
+                docdata_cols[f"_phash_{pf_name}"] = pa.array(
+                    string_fingerprint(vals), pa.uint64())
+
         # per-partition fast-field min/max: enables query-time predicate
         # pruning of partitions (async_impl.rs:16-46 analog)
         col_stats: dict[str, list] = {}
@@ -532,7 +553,9 @@ class IndexBuilder:
                  bm25_k1: float = 1.2,
                  bm25_b: float = 0.75,
                  hot_salts: int = 4,
-                 hot_df_frac: float = 0.05):
+                 hot_df_frac: float = 0.05,
+                 column_renames: dict[str, str] | None = None,
+                 phash_fields: tuple[str, ...] = ()):
         self.paths = paths
         self.index_dir = index_dir
         self.schema = schema
@@ -546,6 +569,8 @@ class IndexBuilder:
         self.bm25 = {"k1": bm25_k1, "b": bm25_b}
         self.hot_salts = hot_salts
         self.hot_df_frac = hot_df_frac
+        self.column_renames = column_renames
+        self.phash_fields = tuple(phash_fields)
 
     def build(self) -> BuildResult:
         import ray
@@ -610,7 +635,9 @@ class IndexBuilder:
                 num_shards=nshards, html_fallback=self.html_fallback,
                 exact_fieldnorms=self.exact_fieldnorms,
                 checkpoint=self.checkpoint, hot_salts=self.hot_salts,
-                hot_df_frac=self.hot_df_frac),
+                hot_df_frac=self.hot_df_frac,
+                column_renames=self.column_renames,
+                phash_fields=self.phash_fields),
             batch_format="pyarrow", batch_size=None,
             concurrency=conc, num_cpus=1)
         shard_stats = (partials

@@ -729,6 +729,21 @@ class IndexReader:
         from tantivy4java_ray.aggs import run_aggregations_on_index
         return run_aggregations_on_index(self, query, aggs)
 
+    def prewarm(self, fields: list[str] | None = None) -> None:
+        """Eagerly load term dictionaries, posting mmaps, and fieldnorms —
+        the component-prewarm analog (``SplitSearcher.preloadComponents``,
+        ``native/src/prewarm/field_specific.rs``)."""
+        for sid in range(self.num_shards):
+            self._dict(sid)
+            self._mm(sid)
+            self._mm(sid, "positions")
+        for f in (fields or [fc.name for fc in self.schema.text_fields
+                             if fc.fieldnorms]):
+            try:
+                self.norms(f)
+            except KeyError:
+                pass
+
     def facet_counts(self, field: str, prefix: str = "/",
                      query: Query | None = None) -> list[tuple[str, int]]:
         """Doc counts for child facets directly under ``prefix``
