@@ -21,6 +21,22 @@ from tantivy4java_ray.schema import (  # noqa: F401
     IndexSchema,
     infer_index_schema,
 )
-from tantivy4java_ray.analyzer import TextAnalyzer, tokenize_column  # noqa: F401
+from tantivy4java_ray.analyzer import (  # noqa: F401
+    TextAnalyzer,
+    register_tokenizer,
+    tokenize_column,
+)
+from tantivy4java_ray.query import Occur, Query, parse_query  # noqa: F401
+from tantivy4java_ray.pipelines.build import (  # noqa: F401
+    IndexBuilder,
+    build_index,
+)
+from tantivy4java_ray.pipelines.merge import merge_indexes  # noqa: F401
+from tantivy4java_ray.pipelines.search import (  # noqa: F401
+    IndexReader,
+    batch_search,
+    matching_docs_dataset,
+)
+from tantivy4java_ray.api import Index, Searcher  # noqa: F401
 
 __version__ = "0.1.0"

@@ -108,7 +108,8 @@ def _stem_array(tokens: np.ndarray) -> np.ndarray:
 
 
 def tokenize_column(col: pa.Array | pa.ChunkedArray,
-                    analyzer: TextAnalyzer) -> dict[str, np.ndarray]:
+                    analyzer: TextAnalyzer,
+                    include_tokens: bool = True) -> dict[str, np.ndarray]:
     """Tokenize a string column; fully vectorized and dictionary-encoded.
 
     Per-token Python strings are NEVER materialized: the flat token array is
@@ -133,10 +134,12 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray,
     def _result(parents: np.ndarray, codes: np.ndarray, vocab: np.ndarray,
                 positions: np.ndarray) -> dict[str, np.ndarray]:
         counts = np.bincount(parents, minlength=n_rows).astype(np.int64)
-        return {"row": parents, "codes": codes, "vocab": vocab,
-                "token": (vocab[codes] if len(codes)
-                          else np.empty(0, object)),
-                "position": positions, "row_token_counts": counts}
+        out = {"row": parents, "codes": codes, "vocab": vocab,
+               "position": positions, "row_token_counts": counts}
+        if include_tokens:  # skip the per-token object array in hot paths
+            out["token"] = (vocab[codes] if len(codes)
+                            else np.empty(0, object))
+        return out
 
     if n_rows == 0:
         return _result(np.empty(0, np.int64), np.empty(0, np.int64),

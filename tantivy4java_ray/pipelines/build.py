@@ -222,7 +222,8 @@ class PartitionIndexer:
                         and self.html_fallback[1] in avail):
                     col = fill_text_from_html(
                         col, tbl.column(self.html_fallback[1]).combine_chunks())
-                tok = tokenize_column(col, self.analyzers[fcfg.name])
+                tok = tokenize_column(col, self.analyzers[fcfg.name],
+                                      include_tokens=False)
                 counts = tok["row_token_counts"]
                 total_tokens[fcfg.name] = int(counts.sum())
                 if fcfg.fieldnorms:
@@ -270,7 +271,8 @@ class PartitionIndexer:
                                 fcodes.astype(np.int64),
                                 np.asarray(funiq, object), None, n)
                     else:
-                        tok = tokenize_column(col, get_analyzer("raw"))
+                        tok = tokenize_column(col, get_analyzer("raw"),
+                                              include_tokens=False)
                         n_postings += self._emit_terms(
                             acc, fcfg.name, spec, tok["row"], tok["codes"],
                             tok["vocab"], None, n)

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): codec roundtrips, quantization
+invariants, analyzer laws, top-k selection vs brute force."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from tantivy4java_ray.analyzer import get_analyzer
+from tantivy4java_ray.fieldnorm import fieldnorm_to_id, id_to_fieldnorm
+from tantivy4java_ray.postings import (
+    decode_block, decode_positions, decode_postings, encode_positions,
+    encode_postings, read_skip,
+)
+
+
+@st.composite
+def posting_lists(draw):
+    n = draw(st.integers(1, 600))
+    gaps = draw(st.lists(st.integers(1, 1 << 20), min_size=n, max_size=n))
+    docs = np.cumsum(np.asarray(gaps, np.uint64)).astype(np.uint32) - 1
+    tfs = np.asarray(draw(st.lists(st.integers(1, 1 << 16), min_size=n,
+                                   max_size=n)), np.uint32)
+    return docs, tfs
+
+
+@given(posting_lists())
+@settings(max_examples=60, deadline=None)
+def test_postings_roundtrip_property(pl):
+    docs, tfs = pl
+    buf = encode_postings(docs, tfs)
+    d, t = decode_postings(buf)
+    assert np.array_equal(d, docs)
+    assert np.array_equal(t, tfs)
+    # every block decodes independently and skip metadata is consistent
+    sk = read_skip(buf)
+    assert sk.df == len(docs)
+    for i in range(sk.nblocks):
+        bd, bt = decode_block(buf, sk, i)
+        lo = i * 128
+        assert np.array_equal(bd, docs[lo:lo + len(bd)])
+        assert np.array_equal(bt, tfs[lo:lo + len(bt)])
+        assert sk.last_doc[i] == bd[-1]
+        assert sk.max_tf[i] == bt.max()
+
+
+@given(st.lists(st.integers(0, 1 << 28), min_size=0, max_size=2000))
+@settings(max_examples=40, deadline=None)
+def test_positions_roundtrip_property(vals):
+    pos = np.asarray(vals, np.uint32)
+    assert np.array_equal(decode_positions(encode_positions(pos)), pos)
+
+
+@given(st.lists(st.integers(0, 1 << 40), min_size=1, max_size=500))
+@settings(max_examples=40, deadline=None)
+def test_fieldnorm_quantization_properties(vals):
+    lens = np.asarray(vals, np.uint64)
+    ids = fieldnorm_to_id(lens)
+    dec = id_to_fieldnorm(ids)
+    # floor contract + monotonicity of the quantizer
+    assert np.all(dec <= lens)
+    order = np.argsort(lens)
+    assert np.all(np.diff(ids[order].astype(np.int64)) >= 0)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_analyzer_laws(text):
+    a = get_analyzer("default")
+    toks = a.tokenize(text)
+    # all tokens lowercase, non-empty, within the byte limit, no separators
+    for t in toks:
+        assert t == t.lower()
+        assert 0 < len(t.encode()) <= 255
+    # idempotent: retokenizing the tokens yields the same tokens
+    assert a.tokenize(" ".join(toks)) == toks
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_raw_analyzer_identity(text):
+    a = get_analyzer("raw")
+    assert a.tokenize(text) == ([text] if text else [])
+
+
+@given(st.lists(st.tuples(st.integers(0, 10_000),
+                          st.floats(0.001, 100.0, allow_nan=False)),
+                min_size=1, max_size=500, unique_by=lambda x: x[0]),
+       st.integers(1, 20))
+@settings(max_examples=50, deadline=None)
+def test_top_k_matches_sorted_brute_force(items, k):
+    from tantivy4java_ray.pipelines.search import _top_k
+    items.sort()
+    docs = np.array([d for d, _ in items], np.int64)
+    scores = np.array([s for _, s in items], np.float32)
+    got = _top_k(docs, scores, k)
+    want = sorted(zip(scores.tolist(), docs.tolist()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    assert got == [(float(s), int(d)) for s, d in want]
+
+
+@given(st.text(max_size=120), st.text(max_size=120), st.integers(0, 3))
+@settings(max_examples=80, deadline=None)
+def test_edit_distance_symmetry_and_bounds(a, b, cap):
+    from tantivy4java_ray.pipelines.search import _edit_distance
+    d1 = _edit_distance(a, b, cap, True)
+    d2 = _edit_distance(b, a, cap, True)
+    assert min(d1, cap + 1) == min(d2, cap + 1)
+    assert _edit_distance(a, a, cap, True) == 0
