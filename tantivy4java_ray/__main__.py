@@ -1,0 +1,107 @@
+"""CLI: build / search / merge / validate / info.
+
+Examples::
+
+    python -m tantivy4java_ray build data/*.parquet /tmp/idx \\
+        --text-fields text --num-shards 32
+    python -m tantivy4java_ray search /tmp/idx 'hello AND world' -k 10
+    python -m tantivy4java_ray merge /tmp/idx_a /tmp/idx_b -o /tmp/idx_m
+    python -m tantivy4java_ray validate /tmp/idx
+    python -m tantivy4java_ray info /tmp/idx
+
+Owns its Ray session (scripts own sessions; library code never inits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tantivy4java_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("paths", nargs="+")
+    b.add_argument("index_dir")
+    b.add_argument("--text-fields", nargs="*", default=["text"])
+    b.add_argument("--num-shards", type=int, default=None)
+    b.add_argument("--target-docs", type=int, default=100_000)
+    b.add_argument("--html-fallback", nargs=2, metavar=("TEXT", "HTML"))
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("query")
+    s.add_argument("-k", "--limit", type=int, default=10)
+    s.add_argument("--fields", nargs="*", help="columns to retrieve")
+
+    m = sub.add_parser("merge")
+    m.add_argument("inputs", nargs="+")
+    m.add_argument("-o", "--out", required=True)
+
+    v = sub.add_parser("validate")
+    v.add_argument("index_dir")
+
+    i = sub.add_parser("info")
+    i.add_argument("index_dir")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "build":
+        _init_ray()
+        from tantivy4java_ray.pipelines.build import build_index
+        res = build_index(
+            args.paths if len(args.paths) > 1 else args.paths[0],
+            args.index_dir, text_fields=tuple(args.text_fields),
+            num_shards=args.num_shards,
+            target_docs_per_partition=args.target_docs,
+            html_fallback=tuple(args.html_fallback)
+            if args.html_fallback else None)
+        print(json.dumps({"num_docs": res.num_docs,
+                          "partitions": res.num_partitions,
+                          "shards": res.num_shards,
+                          "elapsed_s": round(res.elapsed_s, 2),
+                          "docs_per_sec": round(res.docs_per_sec, 1)}))
+    elif args.cmd == "search":
+        from tantivy4java_ray.pipelines.search import IndexReader
+        r = IndexReader(args.index_dir)
+        res = r.search(args.query, args.limit)
+        rows = [{"rank": i, "doc_id": d, "score": round(s, 4)}
+                for i, (s, d) in enumerate(res.hits)]
+        if args.fields and rows:
+            tbl = r.retrieve_docs([x["doc_id"] for x in rows],
+                                  columns=args.fields)
+            for i, row in enumerate(rows):
+                for c in args.fields:
+                    row[c] = tbl.column(c)[i].as_py()
+        print(json.dumps(rows, default=str))
+    elif args.cmd == "merge":
+        _init_ray()
+        from tantivy4java_ray.pipelines.merge import merge_indexes
+        res = merge_indexes(args.inputs, args.out)
+        print(json.dumps({"num_docs": res.num_docs,
+                          "elapsed_s": round(res.elapsed_s, 2)}))
+    elif args.cmd == "validate":
+        from tantivy4java_ray.pipelines.search import validate_index
+        problems = validate_index(args.index_dir)
+        print(json.dumps({"valid": not problems, "problems": problems}))
+        return 1 if problems else 0
+    elif args.cmd == "info":
+        from tantivy4java_ray.pipelines.search import read_index_metadata
+        print(json.dumps(read_index_metadata(args.index_dir), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -298,6 +298,14 @@ class PartitionIndexer:
 
         # docdata: fieldnorms + fast fields, one file per partition, with
         # build lineage + metrics in the parquet footer (txlog-visible)
+        # stored fields: copied into docdata so retrieval works without the
+        # source parquet (the reference's STORE component; companion mode
+        # keeps this empty by leaving stored=False — indexing.rs:210)
+        for fcfg in self.schema.fields:
+            if fcfg.stored and fcfg.name in avail:
+                docdata_cols[f"stored__{fcfg.name}"] = (
+                    tbl.column(fcfg.name).combine_chunks())
+
         # hidden _phash_<field> u64 fingerprints (indexing.rs:57-78 analog:
         # cheap distinct/terms without the string column)
         for pf_name in self.phash_fields:

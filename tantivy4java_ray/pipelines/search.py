@@ -661,8 +661,12 @@ class IndexReader:
         if isinstance(query, str):
             from tantivy4java_ray.query import parse_query
             query = parse_query(query, self.schema)
-        if method == "wand" or (method == "auto" and _wand_eligible(query)
-                                and self.num_docs > 1_000_000):
+        # method="auto" always takes the vectorized scan: in this
+        # pure-Python runtime numpy full-decode scoring beats the
+        # doc-at-a-time WAND loop at every tested scale (WAND is the
+        # compiled-kernel / >>10^9-posting path; kept bit-identical and
+        # selectable via method="wand")
+        if method == "wand" and _wand_eligible(query):
             hits = self._wand_search(query, limit + offset)
         else:
             docs, scores = self.evaluate(query)
@@ -696,23 +700,36 @@ class IndexReader:
                 **detail}
 
     # -- doc retrieval (hits -> source parquet rows; companion-mode join) ---
-    def retrieve_docs(self, doc_ids, columns: list[str] | None = None
-                      ) -> pa.Table:
+    def retrieve_docs(self, doc_ids, columns: list[str] | None = None,
+                      from_store: bool = False) -> pa.Table:
         """Join hits back to the source parquet by positional key —
         ``(__pq_file_hash, __pq_row_in_file)`` analog, no shuffle
-        (``parquet_companion/doc_retrieval.rs`` semantics)."""
+        (``parquet_companion/doc_retrieval.rs`` semantics).
+
+        ``from_store=True`` reads fields marked ``stored`` from the
+        index's own docdata instead (the STORE component) — retrieval
+        without the source parquet."""
         doc_ids = np.asarray(doc_ids, np.int64)
         order = np.argsort(doc_ids, kind="stable")
         sorted_ids = doc_ids[order]
         pidx = np.searchsorted(self.doc_bases, sorted_ids, side="right") - 1
+        if from_store and columns is None:
+            columns = [f.name for f in self.schema.fields if f.stored]
         pieces: list[pa.Table] = []
         out_rows: list[np.ndarray] = []
         for pi in np.unique(pidx):
             part = self.partitions[pi]
             sel = pidx == pi
             local = sorted_ids[sel] - part["doc_base"]
-            pf = pq.ParquetFile(part["path"])
-            tbl = pf.read_row_groups(part["row_groups"], columns=columns)
+            if from_store:
+                path = os.path.join(self.index_dir, "docdata",
+                                    f"part-{part['pid']:05d}.parquet")
+                tbl = pq.read_table(
+                    path, columns=[f"stored__{c}" for c in columns])
+                tbl = tbl.rename_columns(columns)
+            else:
+                pf = pq.ParquetFile(part["path"])
+                tbl = pf.read_row_groups(part["row_groups"], columns=columns)
             pieces.append(tbl.take(pa.array(local)))
             out_rows.append(np.flatnonzero(sel))
         if not pieces:
