@@ -318,28 +318,60 @@ def aggregate_dataset(ds, specs: dict[str, dict]) -> dict:
     return finalize(specs, merged)
 
 
-def run_aggregations_on_index(reader, query, specs: dict[str, dict]) -> dict:
-    """Aggregate over index fast fields for docs matching ``query`` —
-    per-partition partials merged like the reference's per-split
-    intermediate results."""
+def _partition_partial(index_dir: str, part: dict, specs: dict,
+                       match: np.ndarray | None) -> dict:
     import os
 
     import pyarrow.parquet as pq
 
+    path = os.path.join(index_dir, "docdata",
+                        f"part-{part['pid']:05d}.parquet")
+    tbl = pq.read_table(path)
+    mask = None
+    if match is not None:
+        lo = np.searchsorted(match, part["doc_base"])
+        hi = np.searchsorted(match, part["doc_base"] + part["num_docs"])
+        local = (match[lo:hi] - part["doc_base"]).astype(np.int64)
+        mask = np.zeros(tbl.num_rows, bool)
+        mask[local] = True
+    return partial_agg(specs, tbl, mask)
+
+
+def run_aggregations_on_index(reader, query, specs: dict[str, dict],
+                              distributed: bool | None = None) -> dict:
+    """Aggregate over index fast fields for docs matching ``query`` —
+    per-partition partials merged like the reference's per-split
+    intermediate results (``IntermediateAggregationResults``).
+
+    With several partitions the partial pass fans out as Ray tasks (the
+    matched id set broadcast once via ``ray.put``); tiny indexes stay
+    inline to skip task overhead."""
     match: np.ndarray | None = None
     if query is not None and query.kind != "all":
         match = reader.evaluate(query)[0]  # sorted global doc ids
-    merged: dict = {}
-    for p in reader.partitions:
-        path = os.path.join(reader.index_dir, "docdata",
-                            f"part-{p['pid']:05d}.parquet")
-        tbl = pq.read_table(path)
-        mask = None
-        if match is not None:
-            lo = np.searchsorted(match, p["doc_base"])
-            hi = np.searchsorted(match, p["doc_base"] + p["num_docs"])
-            local = (match[lo:hi] - p["doc_base"]).astype(np.int64)
-            mask = np.zeros(tbl.num_rows, bool)
-            mask[local] = True
-        merged = merge_states(specs, merged, partial_agg(specs, tbl, mask))
+
+    parts = reader.partitions
+    if distributed is None:
+        distributed = len(parts) > 4
+    if distributed:
+        import ray
+
+        match_ref = ray.put(match)
+        specs_ref = ray.put(specs)
+
+        @ray.remote(num_cpus=1)
+        def _task(index_dir: str, part: dict):
+            return pickle.dumps(_partition_partial(
+                index_dir, part, ray.get(specs_ref), ray.get(match_ref)))
+
+        futs = [_task.remote(reader.index_dir, p) for p in parts]
+        merged: dict = {}
+        for blob in ray.get(futs):
+            merged = merge_states(specs, merged, pickle.loads(blob))
+    else:
+        merged = {}
+        for p in parts:
+            merged = merge_states(
+                specs, merged,
+                _partition_partial(reader.index_dir, p, specs, match))
     return finalize(specs, merged)

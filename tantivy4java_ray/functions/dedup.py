@@ -294,14 +294,43 @@ def connected_duplicates(pairs_df: pd.DataFrame) -> set[int]:
 
 
 def minhash_dedup(ds, col: str, id_col: str, **kw):
-    """-> (surviving ids Dataset-free list path) convenience wrapper:
-    all ids minus union-find drops."""
+    """Convenience wrapper for small/medium data: all ids minus union-find
+    drops, materialized on the driver. At scale use
+    ``minhash_dedup_dataset`` (nothing but the pairs ever leaves the
+    cluster)."""
     pairs = minhash_lsh_pairs(ds, col, id_col, **kw).to_pandas()
     if len(pairs):
         pairs = pairs.drop_duplicates(subset=["a", "b"])
     drop = connected_duplicates(pairs)
     ids = ds.select_columns([id_col]).to_pandas()[id_col]
     return sorted(set(ids) - drop), pairs
+
+
+def minhash_dedup_dataset(ds, col: str, id_col: str, **kw):
+    """Scale path: -> (filtered Dataset with duplicates removed, pairs df).
+
+    Only the candidate PAIRS (tiny: near-dup clusters) reach the driver for
+    union-find; the drop set broadcasts back via ``ray.put`` and rows are
+    filtered inside ``map_batches`` — the full corpus never materializes."""
+    import ray
+
+    pairs = minhash_lsh_pairs(ds, col, id_col, **kw).to_pandas()
+    if len(pairs):
+        pairs = pairs.drop_duplicates(subset=["a", "b"])
+    drop = np.array(sorted(connected_duplicates(pairs)), np.int64)
+    drop_ref = ray.put(drop)
+
+    def filt(t: pa.Table) -> pa.Table:
+        dl = ray.get(drop_ref)
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                         np.int64)
+        idx = np.searchsorted(dl, ids)
+        ok = idx < len(dl)
+        dead = np.zeros(len(ids), bool)
+        dead[ok] = dl[idx[ok]] == ids[ok]
+        return t.filter(pa.array(~dead))
+
+    return ds.map_batches(filt, batch_format="pyarrow"), pairs
 
 
 # ---------------------------------------------------------------------------

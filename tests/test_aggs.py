@@ -130,3 +130,21 @@ def test_aggregate_dataset(ray_session, table):
         "s": {"stats": {"field": "price"}}})
     assert out["cats"]["buckets"][0] == {"key": "cat0", "doc_count": 50}
     assert out["s"]["count"] == 100
+
+
+def test_index_aggs_distributed_equals_inline(ray_session):
+    """The Ray-task fan-out path must equal the inline partial merge."""
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.aggs import run_aggregations_on_index
+    from tantivy4java_ray.query import Query
+    idx = "/tmp/t4jr_test_index"
+    import os
+    if not os.path.exists(f"{idx}/manifest.json"):
+        pytest.skip("webpages index not built in this session order")
+    r = IndexReader(idx)
+    specs = {"langs": {"terms": {"field": "lang", "size": 10}},
+             "n": {"value_count": {"field": "warc_ts"}}}
+    q = Query.term("text", "w0000")
+    a = run_aggregations_on_index(r, q, specs, distributed=False)
+    b = run_aggregations_on_index(r, q, specs, distributed=True)
+    assert a == b

@@ -188,3 +188,17 @@ def test_multimodal_plumbing(ray_session):
     with pytest.raises(NotImplementedError):
         ImageDecodeResize(fake=False)(pa.table(
             {"doc_id": [0], "image": [b"x"]}))
+
+
+def test_minhash_dedup_dataset_scale_path(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import minhash_dedup_dataset
+    rng = np.random.default_rng(3)
+    base = [" ".join(f"w{rng.integers(0, 400):03d}" for _ in range(60))
+            for _ in range(20)]
+    texts = base + [base[0], base[7]]  # exact dups of 0 and 7
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    out, pairs = minhash_dedup_dataset(ds, "text", "doc_id", threshold=0.9)
+    kept = sorted(out.to_pandas()["doc_id"])
+    assert kept == list(range(20))  # ids 20, 21 dropped
