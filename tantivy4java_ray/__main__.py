@@ -58,6 +58,20 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    try:
+        return _dispatch(args)
+    except (FileNotFoundError, KeyError) as e:
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 2
+    except Exception as e:  # QueryParseError etc. — friendly, no traceback
+        if type(e).__name__ in ("QueryParseError", "ValueError"):
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
+                  file=sys.stderr)
+            return 2
+        raise
+
+
+def _dispatch(args) -> int:
     if args.cmd == "build":
         _init_ray()
         from tantivy4java_ray.pipelines.build import build_index

@@ -80,8 +80,15 @@ class IndexReader:
             with open(mpath) as f:
                 self.state = json.load(f)
         else:
+            if not os.path.isdir(os.path.join(index_dir, "txlog")):
+                raise FileNotFoundError(
+                    f"{index_dir!r} is not an index: no manifest.json or "
+                    f"txlog/ found (was it built with build_index?)")
             from tantivy4java_ray.state.manifest import TransactionLog
             self.state = TransactionLog(index_dir).read_state()
+        if not self.state.get("meta"):
+            raise FileNotFoundError(
+                f"{index_dir!r}: txlog present but no committed build")
         meta = self.state["meta"]
         self.schema = IndexSchema.from_dict(meta["schema"])
         self.stats = meta["stats"]

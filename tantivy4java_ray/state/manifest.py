@@ -50,11 +50,13 @@ def atomic_write_json(path: str, obj: Any) -> None:
 
 class TransactionLog:
     def __init__(self, index_dir: str):
+        # the directory is created lazily on first WRITE: constructing a
+        # log for reading must not scaffold directories at arbitrary paths
         self.dir = os.path.join(index_dir, "txlog")
-        os.makedirs(self.dir, exist_ok=True)
 
     # -- write --------------------------------------------------------------
     def append(self, actions: list[dict]) -> int:
+        os.makedirs(self.dir, exist_ok=True)
         v = self.latest_version() + 1
         atomic_write_json(os.path.join(self.dir, f"v{v:08d}.json"),
                           {"version": v, "ts": time.time(), "actions": actions})
@@ -62,27 +64,34 @@ class TransactionLog:
 
     def create_checkpoint(self) -> int:
         """Materialize the replayed state at the latest version."""
+        os.makedirs(self.dir, exist_ok=True)
         state, v = self._replay()
         atomic_write_json(os.path.join(self.dir, f"checkpoint-{v:08d}.json"),
                           {"version": v, "state": state})
         return v
 
     # -- read ---------------------------------------------------------------
+    def _ls(self) -> list[str]:
+        try:
+            return os.listdir(self.dir)
+        except FileNotFoundError:
+            return []
+
     def latest_version(self) -> int:
-        vs = [int(m.group(1)) for f in os.listdir(self.dir)
+        vs = [int(m.group(1)) for f in self._ls()
               if (m := _V_RE.match(f))]
         return max(vs, default=-1)
 
     def versions(self) -> list[dict]:
         out = []
-        for f in sorted(os.listdir(self.dir)):
+        for f in sorted(self._ls()):
             if _V_RE.match(f):
                 with open(os.path.join(self.dir, f)) as fh:
                     out.append(json.load(fh))
         return out
 
     def _latest_checkpoint(self) -> tuple[dict, int]:
-        cps = sorted((int(m.group(1)), f) for f in os.listdir(self.dir)
+        cps = sorted((int(m.group(1)), f) for f in self._ls()
                      if (m := _CP_RE.match(f)))
         if not cps:
             return self._empty_state(), -1
