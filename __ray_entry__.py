@@ -32,10 +32,15 @@ _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
 # per-sf_dir index cache (idempotent: committed builds are reused)
 # ---------------------------------------------------------------------------
 
+#: bump when the on-disk index format changes — keys the /tmp cache so a
+#: stale-format index from an earlier code version is never reused
+_FORMAT_VERSION = 2
+
+
 def _index_dir(sf_dir: str, exact: bool) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     kind = "exact" if exact else "quant"
-    return f"/tmp/t4jr_cache/idx-{tag}-{kind}"
+    return f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/idx-{tag}-{kind}"
 
 
 def _doc_index(sf_dir: str, exact: bool = False):
@@ -158,7 +163,7 @@ def q_json_props_term(sf_dir: str):
     s.add_json_field("props")
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     idx = Index.create_from_parquet(
-        f"{sf_dir}/events.parquet", f"/tmp/t4jr_cache/idx-{tag}-events",
+        f"{sf_dir}/events.parquet", f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/idx-{tag}-events",
         s, target_docs_per_partition=50_000, num_shards=4)
     r = idx.reader()
     # events.props is {"k": <int>}; query k == 42
