@@ -93,13 +93,21 @@ def query_benchmark(index_dir: str) -> dict:
 
 
 def batch_search_benchmark(index_dir: str, num_cpus: int) -> dict:
-    from tantivy4java_ray.pipelines.search import batch_search
+    """Steady-state QPS through a persistent query-actor pool (startup
+    measured separately)."""
+    from tantivy4java_ray.pipelines.search import SearchPool
     queries = [f"w{i % 3000:04d}" for i in range(500)]
     t0 = time.monotonic()
-    n = batch_search(index_dir, queries, limit=10,
-                     concurrency=min(8, num_cpus)).count()
+    pool = SearchPool(index_dir, num_actors=min(8, num_cpus))
+    startup = time.monotonic() - t0
+    pool.search_many(queries[:32])  # warm actor-side caches
+    t0 = time.monotonic()
+    res = pool.search_many(queries)
     el = time.monotonic() - t0
-    return {"batch_search_sec": el, "qps": len(queries) / el, "hit_rows": n}
+    pool.shutdown()
+    return {"batch_search_sec": el, "qps": len(queries) / el,
+            "pool_startup_sec": startup,
+            "hit_rows": sum(len(h) for h in res)}
 
 
 def suite(sf_dir: str, num_cpus: int) -> dict:

@@ -1189,6 +1189,63 @@ def validate_index(index_dir: str) -> list[str]:
     return problems
 
 
+class SearchPool:
+    """Long-lived query-actor pool (SURVEY.md §3.2: actors pinned to the
+    index, shards mmap'd once in ``__init__``; driver broadcasts queries
+    and merges). Unlike ``batch_search`` (a fresh Dataset pipeline per
+    call), the pool persists across calls — the steady-state QPS surface.
+    """
+
+    def __init__(self, index_dir: str, num_actors: int = 4,
+                 limit: int = 10):
+        import ray
+
+        @ray.remote(num_cpus=1)
+        class _QueryActor:
+            def __init__(self, index_dir: str):
+                self.reader = IndexReader(index_dir)
+                self.reader.prewarm()
+
+            def search_many(self, queries: list[str], limit: int
+                            ) -> list[list[tuple[float, int]]]:
+                return [self.reader.search(q, limit).hits for q in queries]
+
+        self._actors = [_QueryActor.remote(index_dir)
+                        for _ in range(num_actors)]
+        self.limit = limit
+        import ray as _ray
+        _ray.get([a.__ray_ready__.remote() for a in self._actors])
+
+    def search_many(self, queries: list[str],
+                    limit: int | None = None) -> list[list]:
+        """Round-robin the query set over the pool; order preserved."""
+        import ray
+        limit = limit or self.limit
+        n = len(self._actors)
+        chunks: list[list[str]] = [[] for _ in range(n)]
+        owners: list[list[int]] = [[] for _ in range(n)]
+        for i, q in enumerate(queries):
+            chunks[i % n].append(q)
+            owners[i % n].append(i)
+        futs = [a.search_many.remote(c, limit)
+                for a, c in zip(self._actors, chunks) if c]
+        out: list[list] = [None] * len(queries)  # type: ignore[list-item]
+        fi = 0
+        for ai in range(n):
+            if not chunks[ai]:
+                continue
+            for idx, hits in zip(owners[ai], ray.get(futs[fi])):
+                out[idx] = hits
+            fi += 1
+        return out
+
+    def shutdown(self) -> None:
+        import ray
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
+
+
 def batch_search(index_dir: str, queries: list[str], limit: int = 10,
                  concurrency: int | None = None, method: str = "auto"):
     """Execute many queries as a Dataset pipeline (QPS path)."""
