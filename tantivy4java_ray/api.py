@@ -77,6 +77,26 @@ class Index:
         build_index(paths, index_dir, schema, **build_kwargs)
         return cls(index_dir)
 
+    @classmethod
+    def create_from_documents(cls, docs, index_dir: str,
+                              schema: IndexSchema | None = None,
+                              **build_kwargs: Any) -> "Index":
+        """``IndexWriter.addDocument``/``Document.fromMap`` analog: ingest
+        in-memory rows (list of dicts or a pyarrow Table). Rows are staged
+        as parquet under the index dir, then the normal distributed build
+        runs — document ingestion is just a tiny parquet source."""
+        import os
+
+        import pyarrow.parquet as pq
+        if isinstance(docs, list):
+            docs = pa.Table.from_pylist(docs)
+        stage = os.path.join(index_dir, "_ingest")
+        os.makedirs(stage, exist_ok=True)
+        path = os.path.join(stage, "docs-0000.parquet")
+        pq.write_table(docs, path)
+        build_index(path, index_dir, schema, **build_kwargs)
+        return cls(index_dir)
+
     @staticmethod
     def merge(index_dirs: list[str], out_dir: str,
               delete_queries: list[Query] | None = None) -> "Index":

@@ -632,7 +632,10 @@ class IndexBuilder:
             cpus = 8
         # leave CPU headroom for the repartition/sort operators: a fixed
         # actor pool equal to all CPUs deadlocks the streaming executor
-        conc = max(1, min(self.concurrency or npart, npart, cpus - 2))
+        # the indexer pool may take every CPU: its input blocks exist up
+        # front (from_items) and the pipeline breaks at a materialize()
+        # below, releasing the actors before the shuffle needs CPUs
+        conc = max(1, min(self.concurrency or npart, npart, cpus))
 
         specs = [p.to_row() for p in plan.partitions]
         # one block per partition spec up front — repartition() is an
@@ -649,7 +652,10 @@ class IndexBuilder:
                 column_renames=self.column_renames,
                 phash_fields=self.phash_fields),
             batch_format="pyarrow", batch_size=None,
-            concurrency=conc, num_cpus=1)
+            concurrency=conc, num_cpus=1).materialize()
+        # ^ the stage barrier: partials pin in the object store (they are
+        # ~index-sized; Ray spills if needed) and the actor pool tears
+        # down, so the sort + shard-writer stages get the full CPU budget
         shard_stats = (partials
                        .groupby("shard")
                        .map_groups(lambda g: _write_shard(g, self.index_dir),

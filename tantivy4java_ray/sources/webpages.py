@@ -24,6 +24,9 @@ _LANGS = ["en"] * 18 + ["de", "fr"]
 
 def generate_webpages(n_rows: int, seed: int = 42,
                       start_doc_id: int = 0) -> pa.Table:
+    """Vectorized generation (token join + html wrap in Arrow kernels);
+    output is token-for-token identical to the original per-doc loop."""
+    import pyarrow.compute as pc
     rng = np.random.default_rng(seed + start_doc_id)
     doc_ids = np.arange(start_doc_id, start_doc_id + n_rows)
 
@@ -35,33 +38,53 @@ def generate_webpages(n_rows: int, seed: int = 42,
     flat = words[word_ids]
     offsets = np.concatenate(([0], np.cumsum(lengths)))
 
-    texts: list[str | None] = []
-    urls: list[str] = []
-    htmls: list[bytes] = []
-    langs: list[str] = []
-    for i, did in enumerate(doc_ids):
-        toks = list(flat[offsets[i]:offsets[i + 1]])
-        if did % 97 == 0:
-            toks.insert(len(toks) // 2, "needleterm")
-        if did % 997 == 0:
-            toks[len(toks) // 3:len(toks) // 3] = ["alpha", "bravo", "charlie"]
-        text = " ".join(toks)
-        urls.append(f"https://site{did % 1000}.example/page/{did}")
-        htmls.append(b"<html><head><title>T%d</title></head><body><p>" % did
-                     + text.encode() + b"</p></body></html>")
-        # ~5% of rows: null text -> build must fall back to html extraction
-        texts.append(None if did % 20 == 7 else text)
-        langs.append("" if did % 20 == 19 else _LANGS[did % 20])
+    # marker insertion, replicated exactly: needleterm first (before index
+    # len//2), then the phrase (before index len//3 of the post-needle doc)
+    needle_docs = np.flatnonzero(doc_ids % 97 == 0)
+    ins_pos = offsets[needle_docs] + lengths[needle_docs] // 2
+    flat = np.insert(flat, ins_pos, "needleterm")
+    lengths2 = lengths.copy()
+    lengths2[needle_docs] += 1
+    offsets2 = np.concatenate(([0], np.cumsum(lengths2)))
+    phrase_docs = np.flatnonzero(doc_ids % 997 == 0)
+    ppos = offsets2[phrase_docs] + lengths2[phrase_docs] // 3
+    flat = np.insert(flat, np.repeat(ppos, 3),
+                     np.tile(np.array(["alpha", "bravo", "charlie"],
+                                      object), len(phrase_docs)))
+    lengths3 = lengths2.copy()
+    lengths3[phrase_docs] += 3
+    offsets3 = np.concatenate(([0], np.cumsum(lengths3)))
+
+    toks_arr = pa.array(flat, pa.string())
+    lists = pa.ListArray.from_arrays(pa.array(offsets3, pa.int32()
+                                              if offsets3[-1] < 2**31
+                                              else pa.int64()).cast(
+                                         pa.int32())
+                                     if offsets3[-1] < 2**31 else
+                                     pa.array(offsets3, pa.int64()),
+                                     toks_arr)
+    text_all = pc.binary_join(lists, " ")
+
+    urls = pa.array([f"https://site{d % 1000}.example/page/{d}"
+                     for d in doc_ids], pa.string())
+    titles = pa.array([f"<html><head><title>T{d}</title></head><body><p>"
+                       for d in doc_ids], pa.string())
+    html = pc.binary_join_element_wise(
+        titles, text_all, pa.scalar("</p></body></html>"), "")
+    null_mask = (doc_ids % 20 == 7)
+    texts = pc.if_else(pa.array(~null_mask), text_all,
+                       pa.scalar(None, pa.string()))
+    langs = pa.array(["" if d % 20 == 19 else _LANGS[d % 20]
+                      for d in doc_ids], pa.string())
 
     ts0 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
-    warc_ts = pa.array(ts0 + doc_ids * 1_000_000,
-                       pa.timestamp("us"))
+    warc_ts = pa.array(ts0 + doc_ids * 1_000_000, pa.timestamp("us"))
     return pa.table({
-        "url": pa.array(urls, pa.string()),
+        "url": urls,
         "warc_ts": warc_ts,
-        "html": pa.array(htmls, pa.binary()),
-        "text": pa.array(texts, pa.string()),
-        "lang": pa.array(langs, pa.string()),
+        "html": html.cast(pa.binary()),
+        "text": texts,
+        "lang": langs,
     })
 
 

@@ -166,3 +166,19 @@ def test_highlight_hits(facet_index):
     q = Query.term("title", "saw")
     snips = highlight_hits(r, q, [0], field="title")
     assert snips == ["<b>saw</b>"]
+
+
+def test_create_from_documents(ray_session):
+    from tantivy4java_ray.api import Index
+    idx_dir = f"{BASE}/idx_docs"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    s = IndexSchema()
+    s.add_text_field("body", stored=True)
+    s.add_integer_field("ref", fast=True)
+    ix = Index.create_from_documents(
+        [{"body": "the old man and the sea", "ref": 100},
+         {"body": "of mice and men", "ref": 200}],
+        idx_dir, s, num_shards=1)
+    srch = ix.searcher()
+    assert srch.search("body:mice", 5).hits[0][1] == 1
+    assert srch.doc(0, fields=["ref"])["ref"] == 100
