@@ -277,11 +277,16 @@ def q_lineitem_revenue(sf_dir: str):
 
 
 def q_events_topk_value(sf_dir: str):
+    """Top-20 click events by value: vectorized filter + per-block
+    partial top-k + driver merge — no all-to-all sort, no row UDF."""
+    import pyarrow.compute as pc
     import ray.data
+    from tantivy4java_ray.functions.topk import topk
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "event_type", "value"])
-    top = (ds.filter(lambda r: r["event_type"] == "click")
-             .sort("value", descending=True).limit(20).to_pandas())
+    top = topk(ds, "value", 20, descending=True, tie_cols=("event_id",),
+               filter_expr=lambda t: pc.equal(t.column("event_type"),
+                                              "click"))
     return top[["event_id"]]
 
 

@@ -319,7 +319,8 @@ def aggregate_dataset(ds, specs: dict[str, dict]) -> dict:
 
 
 def _partition_partial(index_dir: str, part: dict, specs: dict,
-                       match: np.ndarray | None) -> dict:
+                       match: np.ndarray | None,
+                       deleted: np.ndarray | None = None) -> dict:
     import os
 
     import pyarrow.parquet as pq
@@ -334,6 +335,15 @@ def _partition_partial(index_dir: str, part: dict, specs: dict,
         local = (match[lo:hi] - part["doc_base"]).astype(np.int64)
         mask = np.zeros(tbl.num_rows, bool)
         mask[local] = True
+    if deleted is not None and len(deleted):
+        # merge-time delete tombstones: a match-all aggregation must
+        # exclude them just like every query path does (_drop_deleted)
+        lo = np.searchsorted(deleted, part["doc_base"])
+        hi = np.searchsorted(deleted, part["doc_base"] + part["num_docs"])
+        if hi > lo:
+            if mask is None:
+                mask = np.ones(tbl.num_rows, bool)
+            mask[(deleted[lo:hi] - part["doc_base"]).astype(np.int64)] = False
     return partial_agg(specs, tbl, mask)
 
 
@@ -349,6 +359,9 @@ def run_aggregations_on_index(reader, query, specs: dict[str, dict],
     match: np.ndarray | None = None
     if query is not None and query.kind != "all":
         match = reader.evaluate(query)[0]  # sorted global doc ids
+    # evaluate() already drops delete tombstones; a match-all pass must
+    # drop them here instead
+    deleted = reader.deleted if match is None else None
 
     parts = reader.partitions
     if distributed is None:
@@ -358,11 +371,13 @@ def run_aggregations_on_index(reader, query, specs: dict[str, dict],
 
         match_ref = ray.put(match)
         specs_ref = ray.put(specs)
+        deleted_ref = ray.put(deleted)
 
         @ray.remote(num_cpus=1)
         def _task(index_dir: str, part: dict):
             return pickle.dumps(_partition_partial(
-                index_dir, part, ray.get(specs_ref), ray.get(match_ref)))
+                index_dir, part, ray.get(specs_ref), ray.get(match_ref),
+                ray.get(deleted_ref)))
 
         futs = [_task.remote(reader.index_dir, p) for p in parts]
         merged: dict = {}
@@ -373,5 +388,6 @@ def run_aggregations_on_index(reader, query, specs: dict[str, dict],
         for p in parts:
             merged = merge_states(
                 specs, merged,
-                _partition_partial(reader.index_dir, p, specs, match))
+                _partition_partial(reader.index_dir, p, specs, match,
+                                   deleted))
     return finalize(specs, merged)

@@ -35,29 +35,47 @@ def _hash_obj(vals: np.ndarray) -> np.ndarray:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+#: second independent siphash key (must be exactly 16 bytes)
+_DEDUP_KEY2 = "t4jr-dedup-key-2"
+
+
+def exact_dedup_keys(t: pa.Table, col: str, id_col: str) -> pa.Table:
+    """Map side of exact dedup: ``(id, __h, __h2)`` — 24 bytes/row.
+
+    The text column is dropped BEFORE the shuffle; identity is the
+    128-bit pair of two independently-keyed siphashes, so a false merge
+    needs a simultaneous collision in both (P ~ 2^-128 per pair).
+    pandas' siphash reads object strings as C strings (stops at NUL), so
+    NULs are first mapped to U+FFFD — only texts differing purely in
+    \\x00-vs-U+FFFD placement can collide, and that mapping is vectorized
+    Arrow, not Python."""
+    import pyarrow.compute as pc
+    vals_col = pc.replace_substring(
+        t.column(col).combine_chunks()
+        if isinstance(t.column(col), pa.ChunkedArray) else t.column(col),
+        "\x00", "\N{REPLACEMENT CHARACTER}")
+    vals = np.asarray(vals_col.to_numpy(zero_copy_only=False), object)
+    h1 = pd.util.hash_array(vals).view(np.int64)
+    h2 = pd.util.hash_array(vals, hash_key=_DEDUP_KEY2).view(np.int64)
+    return pa.table({id_col: t.column(id_col),
+                     "__h": pa.array(h1, pa.int64()),
+                     "__h2": pa.array(h2, pa.int64())})
+
+
 def exact_dedup(ds, col: str, id_col: str):
     """-> Dataset of ``{id_col}`` rows that survive (min id per distinct
-    value). Equivalent SQL: ``SELECT min(id) FROM t GROUP BY col``."""
+    value). Equivalent SQL: ``SELECT min(id) FROM t GROUP BY col``.
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        vals = t.column(col).to_numpy(zero_copy_only=False)
-        return pa.table({
-            id_col: t.column(id_col),
-            "__v": t.column(col),
-            "__h": pa.array(_hash_obj(vals).view(np.int64), pa.int64())})
+    Scale: the only shuffle moves ``(h1, h2, id)`` — never the text
+    (``exact_dedup_keys`` drops it on the map side; asserted by tests)."""
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        # within a hash bucket, group by the exact value (python dict —
-        # avoids pandas' NUL-truncating groupby) and keep the min id
-        best: dict = {}
-        ids = g[id_col].to_numpy()
-        vals = g["__v"].to_numpy()
-        for i, v in zip(ids, vals):
-            if v not in best or i < best[v]:
-                best[v] = i
-        return pd.DataFrame({id_col: sorted(best.values())})
+        out = g.groupby("__h2", sort=False, as_index=False)[id_col].min()
+        return pd.DataFrame(
+            {id_col: np.sort(out[id_col].to_numpy(np.int64))})
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
+    return (ds.map_batches(lambda t: exact_dedup_keys(t, col, id_col),
+                           batch_format="pyarrow")
               .groupby("__h")
               .map_groups(keep_min, batch_format="pandas"))
 
@@ -338,22 +356,39 @@ def minhash_dedup_dataset(ds, col: str, id_col: str, **kw):
 # ---------------------------------------------------------------------------
 
 def simhash64(texts: list[str | None]) -> np.ndarray:
-    """Vectorized-per-doc 64-bit simhash over whitespace tokens."""
-    out = np.zeros(len(texts), np.uint64)
-    for i, text in enumerate(texts):
-        if not text:
-            continue
-        toks, counts = np.unique(np.array(text.split(), object),
-                                 return_counts=True)
-        if not len(toks):
-            continue
-        h = _hash_obj(toks)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1
-                ).astype(np.int64)
-        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        out[i] = np.uint64(
-            int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2))
-    return out
+    """Batch-vectorized 64-bit simhash over whitespace tokens.
+
+    Per-token work happens once per distinct VOCAB term (bit matrix is
+    (V, 64)); the per-document accumulate is a single ``np.add.at``
+    scatter over token occurrences — no Python loop over docs/tokens."""
+    import pyarrow.compute as _pc
+    n = len(texts)
+    out = np.zeros(n, np.uint64)
+    if n == 0:
+        return out
+    col = pa.array([t or "" for t in texts], pa.string())
+    lists = _pc.split_pattern_regex(col, pattern=r"\s+")
+    flat = _pc.list_flatten(lists)
+    rows = np.asarray(_pc.list_parent_indices(lists)
+                      .to_numpy(zero_copy_only=False), np.int64)
+    ok = np.asarray(_pc.binary_length(flat).to_numpy(zero_copy_only=False),
+                    np.int64) > 0
+    rows = rows[ok]
+    if not len(rows):
+        return out
+    enc = flat.filter(pa.array(ok)).dictionary_encode()
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+    vocab = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False), object)
+    vh = pd.util.hash_array(vocab)
+    # (V, 64) signs in int8; summing tf-weighted signs per occurrence
+    # equals the per-unique-token count-weighted sum
+    signs = (((vh[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+             .astype(np.int8) * 2 - 1)
+    acc = np.zeros((n, 64), np.int64)
+    np.add.at(acc, rows, signs[codes].astype(np.int64))
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return ((acc > 0).astype(np.uint64) * powers[None, :]).sum(
+        axis=1, dtype=np.uint64)
 
 
 def simhash_pairs(ds, col: str, id_col: str, *, hamming_k: int = 3,

@@ -120,6 +120,16 @@ class IndexReader:
             np.load(dpath) if os.path.exists(dpath) else None)
 
     # -- shard access -------------------------------------------------------
+    def _query_term(self, field: str, term: str) -> str:
+        """Mirror the build side's NUL sanitization (build.py:_emit_terms):
+        non-TEXT vocab had \\x00 -> U+FFFD applied before hashing/storing
+        (pandas siphash truncates at NUL), so exact-match query terms must
+        map identically or they hash to the wrong shard key."""
+        if "\x00" in term and \
+                self.schema.get_field(field).type is not FieldType.TEXT:
+            return term.replace("\x00", "\N{REPLACEMENT CHARACTER}")
+        return term
+
     def _candidate_shards(self, field: str, term: str) -> list[int]:
         """Base shard + every hot-salt shard (build.term_shard_salted):
         a hot term's runs may be spread across up to ``hot_salts`` shards.
@@ -136,6 +146,7 @@ class IndexReader:
         ``run_base`` across all candidate shards (the merge-heap order —
         runs are doc-range-disjoint by construction)."""
         runs: list[tuple[int, int, int]] = []
+        term = self._query_term(field, term)
         key = f"{field}\x00{term}"
         for sid in self._candidate_shards(field, term):
             d = self._dict(sid)
@@ -517,8 +528,12 @@ class IndexReader:
         # (Bm25Weight::for_terms semantics)
         idf_sum = sum(self.idf(self.doc_freq(field, w)) for w in words)
         weight = np.float32(boost * idf_sum * (self.k1 + 1.0))
-        cache = self._norm_factor_cache(field)
-        denom = cache[self.norms(field)[docs]]
+        if fcfg.fieldnorms:
+            cache = self._norm_factor_cache(field)
+            denom = cache[self.norms(field)[docs]]
+        else:
+            # no norms stored: score with fieldnorm = 1 (term-path parity)
+            denom = np.float32(self.k1 * (1.0 - self.b + self.b))
         tff = tfs.astype(np.float32)
         return docs, weight * tff / (tff + denom)
 
@@ -824,21 +839,31 @@ def _count_phrase_matches(plists: list[np.ndarray], offsets: list[int],
         for pl, off in zip(plists[1:], offsets[1:]):
             ok &= np.isin(base, pl - off)
         return int(ok.sum())
+    # exact span check: a base position b matches iff some window
+    # [lo, lo+slop] contains b AND >= 1 normalized candidate from every
+    # other term. The window's min is either b or a candidate <= b, so
+    # enumerating lo over {b} + (candidates in [b-slop, b]) is exhaustive
+    # — no greedy nearest-candidate choice (which can reject valid spans:
+    # base=10, cands {8,12}, third term {12}, slop=2).
+    others = [pl - off for pl, off in zip(plists[1:], offsets[1:])]
     cnt = 0
     for b in base:
-        spans_lo, spans_hi = b, b
-        good = True
-        for pl, off in zip(plists[1:], offsets[1:]):
-            cand = pl - off
-            near = cand[np.abs(cand - b) <= slop]
-            if not len(near):
-                good = False
+        lows = {int(b)}
+        for cand in others:
+            i0 = int(np.searchsorted(cand, b - slop, side="left"))
+            i1 = int(np.searchsorted(cand, b, side="right"))
+            lows.update(int(c) for c in cand[i0:i1])
+        for lo in lows:
+            hi = lo + slop
+            ok = True
+            for cand in others:
+                j = int(np.searchsorted(cand, lo, side="left"))
+                if j >= len(cand) or cand[j] > hi:
+                    ok = False
+                    break
+            if ok:
+                cnt += 1
                 break
-            c = near[np.argmin(np.abs(near - b))]
-            spans_lo = min(spans_lo, c)
-            spans_hi = max(spans_hi, c)
-        if good and spans_hi - spans_lo <= slop:
-            cnt += 1
     return cnt
 
 
@@ -1020,7 +1045,9 @@ def block_max_wand(cursors: list[_TermCursor], k: int,
         pivot_i = -1
         for i, c in enumerate(cursors):
             acc += c.max_score
-            if acc > threshold or len(heap) < k:
+            # >= so a candidate tying the kth score is still scored —
+            # it can displace the kth hit on the doc-id tie-break
+            if acc >= threshold or len(heap) < k:
                 pivot_i = i
                 break
         if pivot_i < 0:
@@ -1030,7 +1057,7 @@ def block_max_wand(cursors: list[_TermCursor], k: int,
             # block-max check: refined bound at the pivot
             bm = sum(c.block_max_score() for c in cursors
                      if c.doc == pivot_doc)
-            if bm > threshold or len(heap) < k:
+            if bm >= threshold or len(heap) < k:
                 # accumulate in float32 in original term order — bit-equal
                 # to the vectorized scatter-add
                 matching = sorted((c for c in cursors if c.doc == pivot_doc),

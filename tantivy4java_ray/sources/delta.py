@@ -39,29 +39,67 @@ def _log_entries(table_path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _checkpoints(table_path: str) -> dict[int, list[str]]:
+    """version -> its checkpoint parquet part files (sorted).
+
+    Handles both single-part ``NNN.checkpoint.parquet`` and multi-part
+    ``NNN.checkpoint.MMM.PPP.parquet`` names (the Delta protocol's
+    classic checkpoint forms)."""
+    out: dict[int, list[str]] = {}
+    for p in glob.glob(os.path.join(table_path, "_delta_log",
+                                    "*.checkpoint*.parquet")):
+        parts = os.path.basename(p).split(".")
+        if parts[0].isdigit() and "checkpoint" in parts:
+            out.setdefault(int(parts[0]), []).append(p)
+    for v in out:
+        out[v].sort()
+    return out
+
+
+def _last_checkpoint_hint(table_path: str) -> int | None:
+    """Parse ``_delta_log/_last_checkpoint`` (version + parts hint)."""
+    p = os.path.join(table_path, "_delta_log", "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return int(json.load(f).get("version"))
+    except (json.JSONDecodeError, TypeError, ValueError):
+        return None
+
+
 def read_delta_snapshot(table_path: str,
                         version: int | None = None) -> DeltaSnapshot:
     """Replay the Delta log up to ``version`` (default: latest)."""
     entries = _log_entries(table_path)
-    if not entries:
+    cps = _checkpoints(table_path)
+    if not entries and not cps:
         raise FileNotFoundError(f"no _delta_log under {table_path}")
     live: dict[str, dict] = {}
     schema = None
     metadata: dict = {}
     last_v = -1
-    cp_files = sorted(glob.glob(os.path.join(
-        table_path, "_delta_log", "*.checkpoint.parquet")))
-    if cp_files:
+    usable = [v for v in cps if version is None or v <= version]
+    hint = _last_checkpoint_hint(table_path)
+    if hint in cps and (version is None or hint <= version):
+        cp_v = hint
+    else:
+        cp_v = max(usable) if usable else None
+    if cp_v is not None:
         import pyarrow.parquet as pq
-        cp_v = max(int(os.path.basename(p).split(".")[0]) for p in cp_files)
-        if version is None or cp_v <= version:
-            t = pq.read_table(cp_files[-1])
+        for part in cps[cp_v]:
+            t = pq.read_table(part)
+            names = set(t.column_names)
             for row in t.to_pylist():
                 if row.get("add"):
                     live[row["add"]["path"]] = row["add"]
+                # compacted logs carry unexpired remove tombstones in the
+                # checkpoint — a later part/row may tombstone an earlier add
+                if "remove" in names and row.get("remove"):
+                    live.pop(row["remove"]["path"], None)
                 if row.get("metaData"):
                     metadata = row["metaData"]
-            last_v = cp_v
+        last_v = cp_v
     for v, p in entries:
         if v <= last_v:
             continue

@@ -1,0 +1,246 @@
+"""Round-2 regression tests: scale-shape fixes (hash-only dedup shuffle,
+block top-k), exact phrase-slop matching, deleted-doc aggregation, delta
+checkpoint edge cases, vectorized fingerprint/simhash semantics."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup: hash-only shuffle
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_shuffle_carries_no_text():
+    from tantivy4java_ray.functions.dedup import exact_dedup_keys
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["aaa", "bbb", "aaa"]})
+    keys = exact_dedup_keys(t, "text", "doc_id")
+    assert set(keys.column_names) == {"doc_id", "__h", "__h2"}
+    assert all(not pa.types.is_string(f.type) for f in keys.schema
+               if f.name != "doc_id")
+    # identical values -> identical 128-bit key; distinct -> distinct
+    h = keys.to_pandas()
+    assert (h.iloc[0]["__h"], h.iloc[0]["__h2"]) == \
+        (h.iloc[2]["__h"], h.iloc[2]["__h2"])
+    assert (h.iloc[0]["__h"], h.iloc[0]["__h2"]) != \
+        (h.iloc[1]["__h"], h.iloc[1]["__h2"])
+
+
+def test_exact_dedup_nul_bytes_distinct():
+    # pandas siphash truncates at NUL; the NUL->U+FFFD mapping must keep
+    # "a\x00b" and "a\x00c" apart
+    from tantivy4java_ray.functions.dedup import exact_dedup_keys
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": ["a\x00b", "a\x00c"]})
+    h = exact_dedup_keys(t, "text", "doc_id").to_pandas()
+    assert (h.iloc[0]["__h"], h.iloc[0]["__h2"]) != \
+        (h.iloc[1]["__h"], h.iloc[1]["__h2"])
+
+
+def test_exact_dedup_end_to_end(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import exact_dedup
+    rng = np.random.default_rng(3)
+    texts = [f"doc {rng.integers(0, 30)}" for _ in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(df)
+    mine = sorted(exact_dedup(ds, "text", "doc_id").to_pandas()["doc_id"])
+    want = sorted(df.groupby("text")["doc_id"].min())
+    assert mine == want
+
+
+# ---------------------------------------------------------------------------
+# block top-k
+# ---------------------------------------------------------------------------
+
+def test_topk_matches_sort(ray_session):
+    import pyarrow.compute as pc
+    import ray.data
+    from tantivy4java_ray.functions.topk import topk
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "grp": rng.choice(["a", "b"], 1000),
+                       "v": rng.integers(0, 50, 1000)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = topk(ds, "v", 15, descending=True, tie_cols=("id",),
+               filter_expr=lambda t: pc.equal(t.column("grp"), "a"))
+    want = (df[df.grp == "a"]
+            .sort_values(["v", "id"], ascending=[False, True])
+            .head(15).reset_index(drop=True))
+    assert got["id"].tolist() == want["id"].tolist()
+    # ascending too
+    got2 = topk(ds, "v", 5, descending=False, tie_cols=("id",))
+    want2 = df.sort_values(["v", "id"]).head(5)
+    assert got2["id"].tolist() == want2["id"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# phrase slop: exact span matching
+# ---------------------------------------------------------------------------
+
+def test_phrase_slop_greedy_counterexample():
+    from tantivy4java_ray.pipelines.search import _count_phrase_matches
+    plists = [np.array([10], np.int64), np.array([8, 12], np.int64),
+              np.array([12], np.int64)]
+    offsets = [0, 0, 0]
+    # valid window [10,12] exists; the old greedy picked 8 and rejected
+    assert _count_phrase_matches(plists, offsets, slop=2) == 1
+    assert _count_phrase_matches(plists, offsets, slop=1) == 0
+
+
+def test_phrase_slop_end_to_end(ray_session, tmp_path):
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    texts = ["alpha beta gamma", "alpha gamma beta", "alpha x y beta",
+             "beta alpha", "alpha beta"]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                             "text": texts}), src)
+    s = IndexSchema().add_text_field("text", index_option="position")
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, s, num_shards=2)
+    r = IndexReader(idx)
+    hit = lambda slop: sorted(  # noqa: E731
+        r.evaluate(Query.phrase("text", ["alpha", "beta"], slop=slop))[0]
+        .tolist())
+    assert hit(0) == [0, 4]
+    assert hit(1) == [0, 1, 4]      # "alpha gamma beta": displacement 1
+    # slop=2 admits both the transposition ("beta alpha", span 2) and two
+    # intervening words ("alpha x y beta", span 2)
+    assert hit(2) == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# phrase on a fieldnorms=False field scores with norm 1
+# ---------------------------------------------------------------------------
+
+def test_phrase_without_fieldnorms(ray_session, tmp_path):
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                             "text": ["hello world", "world hello"]}), src)
+    s = IndexSchema().add_text_field("text", index_option="position",
+                                     fieldnorms=False)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, s, num_shards=1)
+    r = IndexReader(idx)
+    docs, scores = r.evaluate(Query.phrase("text", ["hello", "world"]))
+    assert docs.tolist() == [0]
+    assert scores[0] > 0
+
+
+# ---------------------------------------------------------------------------
+# aggregations exclude merge-time deleted docs on match-all
+# ---------------------------------------------------------------------------
+
+def test_aggs_exclude_deleted(ray_session, tmp_path):
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.merge import merge_indexes
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    texts = ["keepme one", "dropme two", "keepme three", "dropme four"]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": texts,
+        "val": pa.array([10.0, 100.0, 20.0, 200.0])}), src)
+    s = IndexSchema().add_text_field("text")
+    s.add_float_field("val", fast=True)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, s, num_shards=1)
+    out = str(tmp_path / "merged")
+    merge_indexes([idx], out, delete_queries=[Query.term("text", "dropme")])
+    r = IndexReader(out)
+    res = r.aggregate(None, {"s": {"stats": {"field": "val"}}})
+    assert res["s"]["count"] == 2
+    assert res["s"]["sum"] == 30.0
+    # explicit match-all query path too
+    res2 = r.aggregate(Query.all(), {"s": {"sum": {"field": "val"}}})
+    assert res2["s"]["value"] == 30.0
+
+
+# ---------------------------------------------------------------------------
+# delta: multi-part checkpoint + remove tombstones + _last_checkpoint
+# ---------------------------------------------------------------------------
+
+def test_delta_multipart_checkpoint(tmp_path):
+    from tantivy4java_ray.sources.delta import (delta_live_files,
+                                                read_delta_snapshot)
+    table = str(tmp_path / "dt")
+    logdir = os.path.join(table, "_delta_log")
+    os.makedirs(logdir)
+    none_cols = {"metaData": None, "remove": None}
+
+    def cp_row(add=None, remove=None, meta=None):
+        return {"add": add, "remove": remove, "metaData": meta}
+
+    # checkpoint at version 10, two parts; fileC tombstoned in part 2
+    part1 = pa.Table.from_pylist([
+        cp_row(add={"path": "fileA.parquet"}),
+        cp_row(add={"path": "fileC.parquet"}),
+        cp_row(meta={"schemaString": json.dumps(
+            {"type": "struct", "fields": []})})])
+    part2 = pa.Table.from_pylist([
+        cp_row(add={"path": "fileB.parquet"}),
+        cp_row(remove={"path": "fileC.parquet"})])
+    pq.write_table(part1, os.path.join(
+        logdir, "00000000000000000010.checkpoint.0000000001.0000000002.parquet"))
+    pq.write_table(part2, os.path.join(
+        logdir, "00000000000000000010.checkpoint.0000000002.0000000002.parquet"))
+    with open(os.path.join(logdir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 10, "parts": 2}, f)
+    # post-checkpoint commit: add fileD, remove fileA
+    with open(os.path.join(logdir, "00000000000000000011.json"), "w") as f:
+        f.write(json.dumps({"add": {"path": "fileD.parquet"}}) + "\n")
+        f.write(json.dumps({"remove": {"path": "fileA.parquet"}}) + "\n")
+
+    files = [os.path.basename(p) for p in delta_live_files(table)]
+    assert files == ["fileB.parquet", "fileD.parquet"]
+    snap = read_delta_snapshot(table)
+    assert snap.version == 11
+    # time travel to checkpoint version only
+    snap10 = read_delta_snapshot(table, version=10)
+    assert sorted(os.path.basename(p) for p in snap10.files) == \
+        ["fileA.parquet", "fileB.parquet"]
+
+
+# ---------------------------------------------------------------------------
+# vectorized fingerprints / simhash semantics
+# ---------------------------------------------------------------------------
+
+def test_fingerprint_batch_semantics():
+    from tantivy4java_ray.functions.textstats import fingerprint_batch
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": ["hello", None, "", "hello"]})
+    out = fingerprint_batch(t).to_pandas()
+    assert out["fp64"][1] == 0 and out["fp64"][2] == 0
+    assert out["fp64"][0] == out["fp64"][3] != 0
+    import hashlib
+    assert out["md5"][0] == hashlib.md5(b"hello").hexdigest()
+
+
+def test_simhash64_vectorized_semantics():
+    from tantivy4java_ray.functions.dedup import simhash64
+    sims = simhash64(["", None, "aaa bbb ccc", "aaa bbb ccc",
+                      "aaa  bbb\tccc", "xxx yyy zzz"])
+    assert sims[0] == 0 and sims[1] == 0
+    assert sims[2] == sims[3] == sims[4] != sims[5]
+    # near-dup texts land within small hamming distance
+    a = "the quick brown fox jumps over the lazy dog " * 8
+    b = a.replace("lazy", "sleepy")
+    d = bin(int(simhash64([a])[0]) ^ int(simhash64([b])[0])).count("1")
+    assert d <= 12
