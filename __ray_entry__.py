@@ -34,7 +34,7 @@ _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
 
 #: bump when the on-disk index format changes — keys the /tmp cache so a
 #: stale-format index from an earlier code version is never reused
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def _index_dir(sf_dir: str, exact: bool) -> str:
@@ -152,22 +152,34 @@ def q_json_props_term(sf_dir: str):
     """JSON field subpath term over events.props."""
     import json
 
-    import duckdb
-    import ray.data  # noqa: F401  (ray already initialised by driver)
-    from tantivy4java_ray.api import Index
     from tantivy4java_ray.query import Query
-    from tantivy4java_ray.schema import IndexSchema
 
+    r = _events_index(sf_dir).reader()
+    # events.props is {"k": <int>}; query k == 42
+    docs, _ = r.evaluate(Query.json_term("props", "k", json.dumps(42)))
+    return pd.DataFrame({"event_id": np.asarray(docs, np.int64)})
+
+
+def _events_index(sf_dir: str):
+    from tantivy4java_ray.api import Index
+    from tantivy4java_ray.schema import IndexSchema
     s = IndexSchema()
     s.add_integer_field("event_id", fast=True)
     s.add_json_field("props")
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = Index.create_from_parquet(
-        f"{sf_dir}/events.parquet", f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/idx-{tag}-events",
+    return Index.create_from_parquet(
+        f"{sf_dir}/events.parquet",
+        f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/idx-{tag}-events",
         s, target_docs_per_partition=50_000, num_shards=4)
-    r = idx.reader()
-    # events.props is {"k": <int>}; query k == 42
-    docs, _ = r.evaluate(Query.json_term("props", "k", json.dumps(42)))
+
+
+def q_json_range_numeric(sf_dir: str):
+    """Numeric range over a JSON subpath: compares via the typed \\x02
+    order-preserving f64 terms, NOT lexicographically (17 < 100)."""
+    from tantivy4java_ray.query import Query
+    r = _events_index(sf_dir).reader()
+    docs, _ = r.evaluate(Query.json_range("props", "k", 7, 33,
+                                          include_upper=False))
     return pd.DataFrame({"event_id": np.asarray(docs, np.int64)})
 
 
@@ -408,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase": q_ft_phrase,
         "ft_wildcard": q_ft_wildcard,
         "ft_range_nchars": q_ft_range_nchars,
+        "json_range_numeric": q_json_range_numeric,
         "ft_bm25_topk": q_ft_bm25_topk,
         "agg_terms_lang": q_agg_terms_lang,
         "agg_stats_events": q_agg_stats_events,
@@ -460,6 +473,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_range_nchars":
             "SELECT doc_id FROM documents WHERE n_chars >= 100 "
             "AND n_chars < 300",
+        "json_range_numeric":
+            "SELECT event_id FROM events WHERE "
+            "CAST(json_extract(props, '$.k') AS DOUBLE) >= 7 "
+            "AND CAST(json_extract(props, '$.k') AS DOUBLE) < 33",
         "ft_bm25_topk": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKS} AS ts FROM documents),

@@ -105,8 +105,14 @@ def term_shard_salted(field: str, terms: np.ndarray, salt: int,
 
 def _flatten_json_terms(col: pa.Array, expand_dots: bool = True
                         ) -> tuple[np.ndarray, np.ndarray]:
-    """JSON string column -> (row_idx, 'path\\x01value') term pairs
-    (dot-expanded subpaths; ``core/JsonObjectOptions.java`` semantics)."""
+    """JSON string column -> (row_idx, term) pairs, dot-expanded subpaths
+    (``core/JsonObjectOptions.java`` semantics). Every leaf emits a
+    ``path\\x01<str>`` term (exact match); numeric leaves ALSO emit a
+    ``path\\x02<f64 order-preserving hex>`` term so range queries compare
+    numerically, mirroring the reference's typed subpath discovery
+    (``native/src/quickwit_split/json_discovery.rs``,
+    ``native/src/query/json_query.rs``)."""
+    from tantivy4java_ray.pipelines.search import encode_f64_sortable
     rows: list[int] = []
     terms: list[str] = []
 
@@ -123,6 +129,10 @@ def _flatten_json_terms(col: pa.Array, expand_dots: bool = True
             sval = val if isinstance(val, str) else json.dumps(val)
             rows.append(row)
             terms.append(f"{prefix}\x01{sval}")
+            if isinstance(val, (int, float)) and not isinstance(val, bool):
+                rows.append(row)
+                terms.append(
+                    f"{prefix}\x02{encode_f64_sortable(float(val))}")
 
     for i, s in enumerate(col.to_pylist()):
         if not s:

@@ -108,6 +108,7 @@ class IndexReader:
         self.doc_bases = np.array([p["doc_base"] for p in parts], np.int64)
         # lazy caches (per-process; actor pools get one per actor)
         self._dicts: dict[int, dict] = {}
+        self._fslices: dict[tuple[int, str], dict | None] = {}
         self._post_mm: dict[int, np.memmap] = {}
         self._pos_mm: dict[int, np.memmap] = {}
         self._norms: dict[str, np.ndarray] = {}
@@ -256,18 +257,135 @@ class IndexReader:
             docs, tfs = docs[order], tfs[order]
         return docs, tfs, pos
 
-    def terms_matching(self, field: str, predicate) -> list[str]:
-        """Scan the (sorted) dictionaries of all shards — regex/fuzzy/
-        wildcard/range-over-terms support."""
-        out: list[str] = []
-        for sid in range(self.num_shards):
+    # -- automaton / range term matching (vectorized) -----------------------
+    def _field_slice(self, sid: int, field: str) -> dict | None:
+        """Cached per-(shard, field) view of the sorted term dictionary:
+        unique terms + the contiguous dict-row range of each (a term has
+        one row per posting run). The dict key is ``field\\x00term`` and
+        sorted, so the field's rows are one contiguous window."""
+        ck = (sid, field)
+        if ck not in self._fslices:
             d = self._dict(sid)
             if d is None:
+                self._fslices[ck] = None
+            else:
+                lo = int(np.searchsorted(d["key"], f"{field}\x00", "left"))
+                hi = int(np.searchsorted(d["key"], f"{field}\x01", "left"))
+                if hi <= lo:
+                    self._fslices[ck] = None
+                else:
+                    terms = d["term"][lo:hi]
+                    new = np.empty(len(terms), bool)
+                    new[0] = True
+                    np.not_equal(terms[1:], terms[:-1], out=new[1:])
+                    starts = np.flatnonzero(new)
+                    counts = np.diff(np.append(starts, len(terms)))
+                    uterms = terms[starts]
+                    self._fslices[ck] = {
+                        "lo": lo, "uterms": uterms,
+                        "uterms_pa": pa.array(uterms, pa.string()),
+                        "starts": starts.astype(np.int64),
+                        "counts": counts.astype(np.int64)}
+        return self._fslices[ck]
+
+    def _matched_rows(self, sid: int, fs: dict, uidx: np.ndarray
+                      ) -> np.ndarray:
+        """Matched unique-term indices -> absolute dict rows (all runs)."""
+        starts = fs["starts"][uidx]
+        counts = fs["counts"][uidx]
+        return (np.repeat(starts + fs["lo"], counts)
+                + _ranges_within(counts))
+
+    def match_terms(self, field: str, kind: str, *,
+                    lo=None, hi=None, incl_lo=True, incl_hi=True,
+                    prefix: str | None = None, pattern: str | None = None,
+                    predicate=None) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """Vectorized dictionary matching -> ``[(sid, dict_rows, uidx)]``.
+
+        kinds: ``range`` (searchsorted window — O(log V) compares),
+        ``prefix`` (range to the prefix successor), ``regex`` (literal-
+        prefix window + Arrow RE2 kernel over the window, Python ``re``
+        fallback), ``predicate`` (Python scan — the compat path). The
+        reference walks an FST automaton (native/src/query/wildcard.rs);
+        here the sorted dictionary IS the automaton's data structure."""
+        out = []
+        for sid in range(self.num_shards):
+            fs = self._field_slice(sid, field)
+            if fs is None:
                 continue
-            mask = d["field"] == field
-            terms = np.unique(d["term"][mask])
-            out.extend(t for t in terms if predicate(t))
-        return sorted(set(out))
+            ut = fs["uterms"]
+            if kind in ("range", "prefix"):
+                if kind == "prefix":
+                    lo_b, hi_b = prefix, _prefix_successor(prefix)
+                    i0 = int(np.searchsorted(ut, lo_b, "left"))
+                    i1 = (int(np.searchsorted(ut, hi_b, "left"))
+                          if hi_b is not None else len(ut))
+                else:
+                    i0 = (0 if lo is None else int(np.searchsorted(
+                        ut, lo, "left" if incl_lo else "right")))
+                    i1 = (len(ut) if hi is None else int(np.searchsorted(
+                        ut, hi, "right" if incl_hi else "left")))
+                if i1 <= i0:
+                    continue
+                uidx = np.arange(i0, i1, dtype=np.int64)
+            elif kind == "regex":
+                lit = _literal_prefix_of_regex(pattern)
+                i0, i1 = 0, len(ut)
+                if lit:
+                    i0 = int(np.searchsorted(ut, lit, "left"))
+                    succ = _prefix_successor(lit)
+                    if succ is not None:
+                        i1 = int(np.searchsorted(ut, succ, "left"))
+                if i1 <= i0:
+                    continue
+                window = fs["uterms_pa"].slice(i0, i1 - i0)
+                try:
+                    import pyarrow.compute as pc
+                    m = pc.match_substring_regex(
+                        window, f"^(?:{pattern})$")
+                    mask = np.asarray(m.to_numpy(zero_copy_only=False), bool)
+                except pa.ArrowInvalid:
+                    # RE2 rejects the pattern (backrefs, lookaround):
+                    # Python re over the (already windowed) slice
+                    cre = re.compile(pattern)
+                    mask = np.fromiter(
+                        (cre.fullmatch(t) is not None for t in ut[i0:i1]),
+                        bool, i1 - i0)
+                uidx = np.flatnonzero(mask).astype(np.int64) + i0
+            else:  # predicate
+                mask = np.fromiter((bool(predicate(t)) for t in ut),
+                                   bool, len(ut))
+                uidx = np.flatnonzero(mask).astype(np.int64)
+            if len(uidx):
+                out.append((sid, self._matched_rows(sid, fs, uidx), uidx))
+        return out
+
+    def _union_docs_for_rows(self, matched: list[tuple[int, np.ndarray,
+                                                       np.ndarray]]
+                             ) -> np.ndarray:
+        """Union of doc ids over matched dictionary rows (all runs)."""
+        parts: list[np.ndarray] = []
+        for sid, rows, _u in matched:
+            d = self._dict(sid)
+            mm = self._mm(sid)
+            for r in rows:
+                docs, _tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
+                parts.append(docs.astype(np.int64) + int(d["run_base"][r]))
+        if not parts:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def terms_matching(self, field: str, predicate) -> list[str]:
+        """All terms of ``field`` satisfying a Python predicate (compat /
+        generic path — the hot query kinds go through ``match_terms``)."""
+        out: set[str] = set()
+        for sid in range(self.num_shards):
+            fs = self._field_slice(sid, field)
+            if fs is None:
+                continue
+            ut = fs["uterms"]
+            out.update(t for t in ut if predicate(t))
+        return sorted(out)
 
     # -- fieldnorms / fast fields ------------------------------------------
     def _docdata_concat(self, col: str, dtype=None) -> np.ndarray:
@@ -405,26 +523,15 @@ class IndexReader:
         if k == "exists":
             return self._eval_exists(p[0], boost)
         if k == "json_range":
-            field, path, lo, hi, ilo, ihi = p
-            pref = f"{path}\x01"
-            def pred(t: str) -> bool:
-                if not t.startswith(pref):
-                    return False
-                v = t[len(pref):]
-                if lo is not None and (v < lo or (v == lo and not ilo)):
-                    return False
-                if hi is not None and (v > hi or (v == hi and not ihi)):
-                    return False
-                return True
-            return self._const_union(field, self.terms_matching(field, pred),
-                                     boost)
+            return self._eval_json_range(*p, boost=boost)
         if k == "json_exists":
             field, path = p
-            pref = f"{path}\x01"
-            sub = f"{path}."
-            terms = self.terms_matching(
-                field, lambda t: t.startswith(pref) or t.startswith(sub))
-            return self._const_union(field, terms, boost)
+            matched = []
+            # values at the path (str \x01 + numeric \x02) and any subpath
+            for pref in (f"{path}\x01", f"{path}\x02", f"{path}."):
+                matched += self.match_terms(field, "prefix", prefix=pref)
+            docs = self._drop_deleted(self._union_docs_for_rows(matched))
+            return docs, np.full(len(docs), boost, np.float32)
         if k == "more_like_this":
             return self.evaluate(self._expand_mlt(*p), boost)
         raise ValueError(f"unknown query kind {k!r}")
@@ -537,20 +644,67 @@ class IndexReader:
         tff = tfs.astype(np.float32)
         return docs, weight * tff / (tff + denom)
 
+    def _eval_json_range(self, field: str, path: str, lo, hi,
+                         ilo: bool, ihi: bool, boost: float):
+        """Typed JSON subpath range. Numeric bounds use the \\x02 terms
+        (order-preserving f64 encoding written at build) so the compare
+        is numeric; string bounds range over the \\x01 string terms
+        lexicographically (json_query.rs typed-subpath semantics)."""
+        numeric = any(isinstance(b, (int, float)) and not isinstance(b, bool)
+                      for b in (lo, hi))
+        if numeric:
+            pref = f"{path}\x02"
+            lo_t = (pref + encode_f64_sortable(float(lo))
+                    if lo is not None else pref)
+            hi_t = (pref + encode_f64_sortable(float(hi))
+                    if hi is not None else _prefix_successor(pref))
+            matched = self.match_terms(
+                field, "range", lo=lo_t, hi=hi_t,
+                incl_lo=ilo if lo is not None else True,
+                incl_hi=ihi if hi is not None else False)
+        else:
+            pref = f"{path}\x01"
+            lo_t = pref + lo if lo is not None else pref
+            hi_t = pref + hi if hi is not None else _prefix_successor(pref)
+            matched = self.match_terms(
+                field, "range", lo=lo_t, hi=hi_t,
+                incl_lo=ilo if lo is not None else True,
+                incl_hi=ihi if hi is not None else False)
+        docs = self._drop_deleted(self._union_docs_for_rows(matched))
+        return docs, np.full(len(docs), boost, np.float32)
+
     def _eval_fuzzy(self, field: str, value: str, distance: int,
                     transposition: bool, prefix: bool, boost: float):
-        def pred(t: str) -> bool:
-            if prefix and t.startswith(value):
-                return True
-            if abs(len(t) - len(value)) > distance:
-                return False
-            return _edit_distance(value, t, distance, transposition) <= distance
-        terms = self.terms_matching(field, pred)
-        return self._const_union(field, terms, boost)
+        """Vectorized length prefilter over the dictionary, banded DP only
+        on surviving candidates; ``prefix=True`` additionally admits a
+        prefix window (no DP needed for it)."""
+        import pyarrow.compute as pc
+        matched = []
+        if prefix:
+            matched += self.match_terms(field, "prefix", prefix=value)
+        for sid in range(self.num_shards):
+            fs = self._field_slice(sid, field)
+            if fs is None:
+                continue
+            lens = np.asarray(pc.utf8_length(fs["uterms_pa"])
+                              .to_numpy(zero_copy_only=False), np.int64)
+            cand = np.flatnonzero(np.abs(lens - len(value)) <= distance)
+            if not len(cand):
+                continue
+            keep = np.fromiter(
+                (_edit_distance(value, t, distance, transposition)
+                 <= distance for t in fs["uterms"][cand]), bool, len(cand))
+            uidx = cand[keep]
+            if len(uidx):
+                matched.append((sid, self._matched_rows(sid, fs, uidx),
+                                uidx))
+        docs = self._drop_deleted(self._union_docs_for_rows(matched))
+        return docs, np.full(len(docs), boost, np.float32)
 
     def _eval_automaton(self, kind: str, field: str, pattern: str,
                         lenient: bool, boost: float):
         fcfg = self.schema.get_field(field)
+        lit_prefix = None
         if kind == "wildcard":
             # lowercase only if the field's tokenizer lowercases
             # (native/src/query/wildcard.rs:8-16)
@@ -558,19 +712,27 @@ class IndexReader:
             if (fcfg.type is FieldType.TEXT
                     and get_analyzer(fcfg.tokenizer).lowercase):
                 pattern = pattern.lower()
+            lit_prefix = pattern.split("*", 1)[0].split("?", 1)[0]
+            if pattern == lit_prefix + "*":
+                # pure prefix wildcard: dictionary window, no regex at all
+                matched = self.match_terms(field, "prefix",
+                                           prefix=lit_prefix)
+                docs = self._drop_deleted(self._union_docs_for_rows(matched))
+                return docs, np.full(len(docs), boost, np.float32)
             regex = "".join(
                 ".*" if c == "*" else "." if c == "?" else re.escape(c)
                 for c in pattern)
         else:
             regex = pattern
         try:
-            cre = re.compile(regex)
+            re.compile(regex)
         except re.error:
             if lenient:
                 return _EMPTY
             raise
-        terms = self.terms_matching(field, lambda t: cre.fullmatch(t) is not None)
-        return self._const_union(field, terms, boost)
+        matched = self.match_terms(field, "regex", pattern=regex)
+        docs = self._drop_deleted(self._union_docs_for_rows(matched))
+        return docs, np.full(len(docs), boost, np.float32)
 
     def _const_union(self, field: str, terms: list[str], boost: float):
         """Automaton queries (fuzzy/regex/wildcard/term-range) -> const 1.0."""
@@ -586,15 +748,11 @@ class IndexReader:
         fcfg = self.schema.get_field(field)
         if fcfg.type in (FieldType.STRING, FieldType.TEXT, FieldType.FACET,
                          FieldType.IP_ADDR):
-            lo, hi = lower, upper
-            def pred(t: str) -> bool:
-                if lo is not None and (t < lo or (t == lo and not incl_lo)):
-                    return False
-                if hi is not None and (t > hi or (t == hi and not incl_hi)):
-                    return False
-                return True
-            return self._const_union(field, self.terms_matching(field, pred),
-                                     boost)
+            # term-range: one searchsorted window per shard dictionary
+            matched = self.match_terms(field, "range", lo=lower, hi=upper,
+                                       incl_lo=incl_lo, incl_hi=incl_hi)
+            docs = self._union_docs_for_rows(matched)
+            return docs, np.full(len(docs), boost, np.float32)
         is_date = fcfg.type is FieldType.DATE
         if is_date:
             lower = _to_us(lower) if lower is not None else None
@@ -791,10 +949,13 @@ class IndexReader:
         from tantivy4java_ray.functions.scalars import facet_parts
         depth = len(facet_parts(prefix)) if prefix != "/" else 0
         pref = "" if prefix == "/" else prefix.rstrip("/")
-        children = self.terms_matching(
-            field, lambda t: (t.startswith(pref + "/") if pref else
-                              t.startswith("/"))
-            and len(facet_parts(t)) == depth + 1)
+        child_set: set[str] = set()
+        for sid, _rows, uidx in self.match_terms(
+                field, "prefix", prefix=(pref + "/") if pref else "/"):
+            fs = self._field_slice(sid, field)
+            child_set.update(t for t in fs["uterms"][uidx]
+                             if len(facet_parts(t)) == depth + 1)
+        children = sorted(child_set)
         qdocs = None
         if query is not None:
             qdocs = self.evaluate(query)[0]
@@ -813,6 +974,68 @@ class IndexReader:
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _ranges_within(counts: np.ndarray) -> np.ndarray:
+    """[3, 2] -> [0, 1, 2, 0, 1] (per-group offsets, vectorized)."""
+    if not len(counts):
+        return np.empty(0, np.int64)
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(cum - counts, counts))
+
+
+def _prefix_successor(p: str) -> str | None:
+    """Smallest string > every string with prefix ``p`` (None = no bound)."""
+    while p and ord(p[-1]) >= 0x10FFFF:
+        p = p[:-1]
+    if not p:
+        return None
+    return p[:-1] + chr(ord(p[-1]) + 1)
+
+
+_RE_META = set(r"\.^$*+?()[]{}|")
+
+
+def _literal_prefix_of_regex(pattern: str) -> str:
+    """Longest literal prefix of a regex (conservative: stops at any
+    metacharacter, excludes a literal that the NEXT char quantifies
+    ('ab*c' -> 'a'), and yields no prefix at all when the pattern
+    contains an alternation — a top-level '|' restarts matching from
+    the beginning ('jo.n|apple')."""
+    if "|" in pattern:
+        return ""
+    out = []
+    for i, c in enumerate(pattern):
+        if c in _RE_META:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break
+        out.append(c)
+    return "".join(out)
+
+
+def encode_f64_sortable(v: float) -> str:
+    """Order-preserving fixed-width (16 hex chars) encoding of float64:
+    flip the sign bit for positives, complement for negatives — the
+    standard trick so lexicographic order on the encoding equals numeric
+    order (the reference types JSON numeric subpaths the same way,
+    native/src/query/json_query.rs i64/f64 fast paths)."""
+    bits = np.float64(v).view(np.uint64)
+    if bits & np.uint64(1 << 63):
+        bits = ~bits
+    else:
+        bits = bits | np.uint64(1 << 63)
+    return format(int(bits), "016x")
+
+
+def encode_f64_sortable_array(vals: np.ndarray) -> np.ndarray:
+    """Vectorized ``encode_f64_sortable`` -> object array of hex strings."""
+    bits = np.ascontiguousarray(vals, np.float64).view(np.uint64)
+    neg = (bits & np.uint64(1 << 63)) != 0
+    out = np.where(neg, ~bits, bits | np.uint64(1 << 63))
+    return np.array([format(int(b), "016x") for b in out], dtype=object)
+
 
 def _top_k(docs: np.ndarray, scores: np.ndarray, k: int
            ) -> list[tuple[float, int]]:

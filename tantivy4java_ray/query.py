@@ -122,10 +122,16 @@ class Query:
     def json_range(field: str, path: str, lower: Any = None,
                    upper: Any = None, include_lower: bool = True,
                    include_upper: bool = True) -> "Query":
-        return Query("json_range", (field, path, _term_str(lower) if lower
-                                    is not None else None,
-                                    _term_str(upper) if upper is not None
-                                    else None, include_lower, include_upper))
+        """int/float bounds -> numeric compare over the typed \\x02 terms
+        (order-preserving f64 encoding); str bounds -> lexicographic over
+        the \\x01 string terms."""
+        def conv(v: Any):
+            if v is None or (isinstance(v, (int, float))
+                             and not isinstance(v, bool)):
+                return v
+            return _term_str(v)
+        return Query("json_range", (field, path, conv(lower), conv(upper),
+                                    include_lower, include_upper))
 
     @staticmethod
     def json_exists(field: str, path: str) -> "Query":

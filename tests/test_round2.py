@@ -244,3 +244,112 @@ def test_simhash64_vectorized_semantics():
     b = a.replace("lazy", "sleepy")
     d = bin(int(simhash64([a])[0]) ^ int(simhash64([b])[0])).count("1")
     assert d <= 12
+
+
+# ---------------------------------------------------------------------------
+# typed JSON numeric subpaths + vectorized term matching
+# ---------------------------------------------------------------------------
+
+def test_encode_f64_sortable_order():
+    from tantivy4java_ray.pipelines.search import (encode_f64_sortable,
+                                                   encode_f64_sortable_array)
+    vals = [-1e300, -123.5, -1.0, -1e-9, -0.0, 0.0, 1e-9, 2.5, 17.0,
+            100.0, 1e300]
+    encs = [encode_f64_sortable(v) for v in vals]
+    # -0.0 and 0.0 encode differently but adjacently; order preserved
+    assert encs == sorted(encs)
+    arr = encode_f64_sortable_array(np.array(vals))
+    assert list(arr) == encs
+
+
+@pytest.fixture(scope="module")
+def jnum_idx(ray_session, tmp_path_factory):
+    from tantivy4java_ray.api import Index
+    from tantivy4java_ray.schema import IndexSchema
+    base = tmp_path_factory.mktemp("jnum")
+    metas = ['{"n": 5}', '{"n": 17}', '{"n": 100}', '{"n": -3.5}',
+             '{"n": "xyz"}', None, '{"m": 1}']
+    pq.write_table(pa.table({
+        "id": pa.array(range(len(metas)), pa.int64()),
+        "meta": pa.array(metas, pa.string())}), str(base / "d.parquet"))
+    s = IndexSchema().add_integer_field("id", fast=True)
+    s.add_json_field("meta")
+    return Index.create_from_parquet(str(base / "d.parquet"),
+                                     str(base / "idx"), s, num_shards=2)
+
+
+def test_json_range_numeric(jnum_idx):
+    from tantivy4java_ray.query import Query
+    r = jnum_idx.reader()
+    # numeric compare: 5 < 17 < 100 (lexicographic would put "100" first)
+    docs, _ = r.evaluate(Query.json_range("meta", "n", 5, 100,
+                                          include_upper=False))
+    assert docs.tolist() == [0, 1]
+    docs, _ = r.evaluate(Query.json_range("meta", "n", -10, 6))
+    assert docs.tolist() == [0, 3]
+    docs, _ = r.evaluate(Query.json_range("meta", "n", lower=17))
+    assert docs.tolist() == [1, 2]
+    docs, _ = r.evaluate(Query.json_range("meta", "n", upper=0))
+    assert docs.tolist() == [3]
+    # exclusive lower
+    docs, _ = r.evaluate(Query.json_range("meta", "n", 5, None,
+                                          include_lower=False))
+    assert docs.tolist() == [1, 2]
+    # string bounds still range over the string terms
+    docs, _ = r.evaluate(Query.json_range("meta", "n", "x", "z"))
+    assert docs.tolist() == [4]
+
+
+def test_json_exists_covers_numeric_terms(jnum_idx):
+    from tantivy4java_ray.query import Query
+    r = jnum_idx.reader()
+    docs, _ = r.evaluate(Query.json_exists("meta", "n"))
+    assert docs.tolist() == [0, 1, 2, 3, 4]
+
+
+def test_vectorized_matchers_equal_python(ray_session, tmp_path):
+    """match_terms(regex/prefix/range) must agree with a Python re scan."""
+    import re as _re
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(50)] + \
+        ["join", "joan", "jon", "john", "apple", "apply", "applied"]
+    texts = [" ".join(rng.choice(words, 20)) for _ in range(300)]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                             "text": texts}), src)
+    s = IndexSchema().add_text_field("text")
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, s, num_shards=4)
+    r = IndexReader(idx)
+
+    def python_docs(pred):
+        terms = sorted({t for txt in texts for t in txt.split() if pred(t)})
+        parts = [r.postings("text", t)[0] for t in terms]
+        return (sorted(np.unique(np.concatenate(parts)).tolist())
+                if parts else [])
+
+    for pattern in ["jo.n", "appl.*", "w0[0-4]\\d", "jo.n|apple"]:
+        cre = _re.compile(pattern)
+        got, _ = r.evaluate(Query.regex("text", pattern))
+        assert got.tolist() == python_docs(
+            lambda t: cre.fullmatch(t) is not None), pattern
+    for wc in ["jo*", "appl?", "w00?", "*pple"]:
+        got, _ = r.evaluate(Query.wildcard("text", wc))
+        cre = _re.compile("".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in wc))
+        assert got.tolist() == python_docs(
+            lambda t: cre.fullmatch(t) is not None), wc
+    # term range on the text dictionary
+    got, _ = r.evaluate(Query.range("text", "w010", "w020",
+                                    include_upper=False))
+    assert got.tolist() == python_docs(lambda t: "w010" <= t < "w020")
+    # fuzzy
+    got, _ = r.evaluate(Query.fuzzy_term("text", "john", distance=1))
+    # dl distance <= 1: jon (del), joan (sub h->a), join (sub h->i)
+    want_terms = {"john", "jon", "joan", "join"}
+    assert got.tolist() == python_docs(lambda t: t in want_terms)
