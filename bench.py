@@ -110,6 +110,24 @@ def batch_search_benchmark(index_dir: str, num_cpus: int) -> dict:
             "hit_rows": sum(len(h) for h in res)}
 
 
+def sharded_search_benchmark(index_dir: str, num_cpus: int) -> dict:
+    """Leaf/root fan-out QPS: doc-range-pinned actors, each resident set
+    O(index/N), every query merged from per-leaf top-k."""
+    from tantivy4java_ray.pipelines.search import ShardedSearchPool
+    queries = [f"w{i % 3000:04d}" for i in range(500)]
+    t0 = time.monotonic()
+    pool = ShardedSearchPool(index_dir, num_actors=min(8, num_cpus))
+    startup = time.monotonic() - t0
+    pool.search_many(queries[:32])  # warm
+    t0 = time.monotonic()
+    res = pool.search_many(queries)
+    el = time.monotonic() - t0
+    pool.shutdown()
+    return {"sharded_search_sec": el, "qps": len(queries) / el,
+            "pool_startup_sec": startup,
+            "hit_rows": sum(len(h) for h in res)}
+
+
 def suite(sf_dir: str, num_cpus: int) -> dict:
     import ray.data
     import numpy as np
@@ -127,6 +145,8 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
     out["query_p99"] = round(qb["query_p99"], 5)
     bs = batch_search_benchmark(b["index_dir"], num_cpus)
     out["batch_search_500"] = round(bs["batch_search_sec"], 3)
+    ss = sharded_search_benchmark(b["index_dir"], num_cpus)
+    out["sharded_search_500"] = round(ss["sharded_search_sec"], 3)
 
     t0 = time.monotonic()
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -158,6 +178,7 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
 
     out["_build_docs_per_sec"] = round(b["docs_per_sec"], 1)
     out["_batch_search_qps"] = round(bs["qps"], 1)
+    out["_sharded_search_qps"] = round(ss["qps"], 1)
     return out
 
 

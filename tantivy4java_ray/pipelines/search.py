@@ -73,7 +73,20 @@ _EMPTY = (np.empty(0, np.int64), np.empty(0, np.float32))
 
 
 class IndexReader:
-    def __init__(self, index_dir: str):
+    """Opens the manifest once; per-shard dictionaries/postings are lazy.
+
+    ``doc_range=(lo, hi)`` pins the reader to the partitions covering
+    that global doc-id window (boundaries must align to partition
+    boundaries): fieldnorms / fast columns / docdata load ONLY for the
+    owned partitions (resident set O(docs/num_actors)) and posting reads
+    skip to the intersecting 128-blocks via the skip array. Global BM25
+    stats (N, df, avgdl) still come from the manifest + full dictionary,
+    so a range reader scores every owned doc exactly like a full reader —
+    the per-split leaf search contract (``async_impl.rs:1007`` leaf
+    search + caller merge, ``jni_searcher.rs:83-88`` global stats)."""
+
+    def __init__(self, index_dir: str,
+                 doc_range: tuple[int, int] | None = None):
         self.index_dir = index_dir
         mpath = os.path.join(index_dir, "manifest.json")
         if os.path.exists(mpath):
@@ -104,6 +117,20 @@ class IndexReader:
         self.num_shards: int = meta["plan"]["num_shards"]
         parts = sorted(self.state["partitions"].values(),
                        key=lambda p: p["doc_base"])
+        if doc_range is not None:
+            lo, hi = int(doc_range[0]), int(doc_range[1])
+            parts = [p for p in parts if p["doc_base"] >= lo
+                     and p["doc_base"] + p["num_docs"] <= hi]
+            covered = sum(p["num_docs"] for p in parts)
+            if covered != hi - lo or (parts and parts[0]["doc_base"] != lo):
+                raise ValueError(
+                    f"doc_range {doc_range} does not align to partition "
+                    f"boundaries (covered {covered} of {hi - lo} docs)")
+            self.doc_lo, self.doc_hi = lo, hi
+        else:
+            self.doc_lo = 0
+            self.doc_hi = self.num_docs
+        self.doc_range = doc_range
         self.partitions = parts
         self.doc_bases = np.array([p["doc_base"] for p in parts], np.int64)
         # lazy caches (per-process; actor pools get one per actor)
@@ -211,9 +238,23 @@ class IndexReader:
         for sid, r in runs:
             d = self._dict(sid)
             mm = self._mm(sid)
-            docs, tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
-            doc_parts.append(docs.astype(np.int64) + int(d["run_base"][r]))
+            base = int(d["run_base"][r])
+            if self.doc_range is not None:
+                # leaf mode: decode only the 128-blocks inside the range
+                llo = max(self.doc_lo - base, 0)
+                lhi = self.doc_hi - base
+                if lhi <= 0:
+                    continue
+                docs, tfs = pcodec.decode_postings_range(
+                    mm, int(d["offset"][r]), llo, lhi)
+            else:
+                docs, tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
+            if not len(docs):
+                continue
+            doc_parts.append(docs.astype(np.int64) + base)
             tf_parts.append(tfs)
+        if not doc_parts:
+            return np.empty(0, np.int64), np.empty(0, np.uint32)
         docs = np.concatenate(doc_parts)
         tfs = np.concatenate(tf_parts)
         if len(doc_parts) > 1 and np.any(docs[1:] <= docs[:-1]):
@@ -233,12 +274,28 @@ class IndexReader:
             d = self._dict(sid)
             mm = self._mm(sid)
             pmm = self._mm(sid, "positions")
+            base = int(d["run_base"][r])
             docs, tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
-            doc_parts.append(docs.astype(np.int64) + int(d["run_base"][r]))
+            pos = (pcodec.decode_positions(pmm, int(d["pos_offset"][r]))
+                   if int(d["pos_offset"][r]) >= 0 and pmm is not None
+                   else None)
+            if self.doc_range is not None:
+                # positions are tf-aligned: mask docs, repeat over tfs
+                keep = ((docs >= self.doc_lo - base)
+                        & (docs < self.doc_hi - base))
+                if not keep.all():
+                    if pos is not None and len(pos):
+                        pos = pos[np.repeat(keep, tfs)]
+                    docs, tfs = docs[keep], tfs[keep]
+            if not len(docs):
+                continue
+            doc_parts.append(docs.astype(np.int64) + base)
             tf_parts.append(tfs)
-            if int(d["pos_offset"][r]) >= 0 and pmm is not None:
-                pos_parts.append(pcodec.decode_positions(
-                    pmm, int(d["pos_offset"][r])))
+            if pos is not None:
+                pos_parts.append(pos)
+        if not doc_parts:
+            return (np.empty(0, np.int64), np.empty(0, np.uint32),
+                    np.empty(0, np.uint32))
         pos = (np.concatenate(pos_parts) if pos_parts
                else np.empty(0, np.uint32))
         docs = np.concatenate(doc_parts)
@@ -369,8 +426,19 @@ class IndexReader:
             d = self._dict(sid)
             mm = self._mm(sid)
             for r in rows:
-                docs, _tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
-                parts.append(docs.astype(np.int64) + int(d["run_base"][r]))
+                base = int(d["run_base"][r])
+                if self.doc_range is not None:
+                    lhi = self.doc_hi - base
+                    if lhi <= 0:
+                        continue
+                    docs, _tfs = pcodec.decode_postings_range(
+                        mm, int(d["offset"][r]),
+                        max(self.doc_lo - base, 0), lhi)
+                else:
+                    docs, _tfs = pcodec.decode_postings(mm,
+                                                        int(d["offset"][r]))
+                if len(docs):
+                    parts.append(docs.astype(np.int64) + base)
         if not parts:
             return np.empty(0, np.int64)
         return np.unique(np.concatenate(parts))
@@ -463,11 +531,11 @@ class IndexReader:
             # full float64 (oracle-parity mode; SQL-reproducible formula)
             w64 = boost * self.idf(df) * (self.k1 + 1.0)
             avgdl = max(self.avgdl.get(field, 0.0), 1e-9)
-            dl = self.exact_dls(field)[docs]
+            dl = self.exact_dls(field)[docs - self.doc_lo]
             denom = self.k1 * (1.0 - self.b + self.b * dl / avgdl)
             return (w64 * tfs / (tfs + denom)).astype(np.float64)
         cache = self._norm_factor_cache(field)
-        denom = cache[self.norms(field)[docs]]
+        denom = cache[self.norms(field)[docs - self.doc_lo]]
         tff = tfs.astype(np.float32)
         return weight * tff / (tff + denom)
 
@@ -496,7 +564,7 @@ class IndexReader:
                     np.empty(0, np.int64))
             return docs, np.full(len(docs), boost, np.float32)
         if k == "all":
-            docs = np.arange(self.num_docs, dtype=np.int64)
+            docs = np.arange(self.doc_lo, self.doc_hi, dtype=np.int64)
             docs = self._drop_deleted(docs)
             return docs, np.full(len(docs), boost, np.float32)
         if k == "none":
@@ -637,7 +705,7 @@ class IndexReader:
         weight = np.float32(boost * idf_sum * (self.k1 + 1.0))
         if fcfg.fieldnorms:
             cache = self._norm_factor_cache(field)
-            denom = cache[self.norms(field)[docs]]
+            denom = cache[self.norms(field)[docs - self.doc_lo]]
         else:
             # no norms stored: score with fieldnorm = 1 (term-path parity)
             denom = np.float32(self.k1 * (1.0 - self.b + self.b))
@@ -808,7 +876,8 @@ class IndexReader:
         if not fcfg.fast:
             raise ValueError(f"exists({field}) requires a fast field")
         _, valid = self.fast_column(field)
-        docs = self._drop_deleted(np.flatnonzero(valid).astype(np.int64))
+        docs = self._drop_deleted(np.flatnonzero(valid).astype(np.int64)
+                                  + self.doc_lo)
         return docs, np.full(len(docs), boost, np.float32)
 
     def _expand_mlt(self, doc_fields, max_terms: int, min_tf: int,
@@ -1156,7 +1225,8 @@ class _TermCursor:
 
     __slots__ = ("reader", "field", "runs", "run_i", "skip", "mm", "base",
                  "block_i", "docs", "tfs", "pos", "weight", "norm_cache",
-                 "norms", "max_score", "exhausted", "offset", "ord")
+                 "norms", "max_score", "exhausted", "offset", "ord",
+                 "doc_lo", "doc_hi")
 
     @classmethod
     def open_runs(cls, reader: IndexReader, field: str, term: str,
@@ -1179,14 +1249,24 @@ class _TermCursor:
             self = cls()
             self.reader = reader
             self.field = field
+            self.doc_lo = reader.doc_lo
+            self.doc_hi = reader.doc_hi
             self.runs = [(int(d["run_base"][r]), int(d["offset"][r]),
                           reader._mm(sid))]
+            if reader.doc_range is not None and \
+                    self.runs[0][0] >= reader.doc_hi:
+                continue
             self.weight = weight
             self.norm_cache = norm_cache
             self.norms = norms
             self.run_i = -1
             self.exhausted = False
             self._next_run()
+            if reader.doc_range is not None and not self.exhausted \
+                    and self.doc < reader.doc_lo:
+                self.seek(reader.doc_lo)
+            if self.exhausted:
+                continue
             gmax_tf = float(pcodec.read_skip(self.runs[0][2],
                                              self.runs[0][1]).max_tf.max())
             self.max_score = float(weight) * gmax_tf / (gmax_tf + min_norm)
@@ -1225,13 +1305,15 @@ class _TermCursor:
         # float32 arithmetic in the exact op order of the vectorized path,
         # so WAND and scan produce bit-identical scores
         tf = np.float32(self.tfs[self.pos])
-        nid = self.norms[self.doc]
+        nid = self.norms[self.doc - self.doc_lo]
         return self.weight * tf / (tf + self.norm_cache[nid])
 
     def advance(self) -> None:
         self.pos += 1
         if self.pos >= len(self.docs):
             self._load_block(self.block_i + 1)
+        if not self.exhausted and self.doc >= self.doc_hi:
+            self.exhausted = True
 
     def seek(self, target: int) -> None:
         """Advance to the first doc >= target, skipping whole blocks."""
@@ -1248,6 +1330,8 @@ class _TermCursor:
             if self.pos >= len(self.docs):
                 self._load_block(self.block_i + 1)
                 continue
+            if self.doc >= self.doc_hi:
+                self.exhausted = True
             return
 
 
@@ -1488,6 +1572,89 @@ class SearchPool:
                 out[idx] = hits
             fi += 1
         return out
+
+    def shutdown(self) -> None:
+        import ray
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
+
+
+def split_doc_ranges(index_dir: str, n: int) -> list[tuple[int, int]]:
+    """Partition-aligned contiguous doc ranges, balanced by num_docs —
+    the leaf assignment for ``ShardedSearchPool``."""
+    r = IndexReader(index_dir)
+    parts = r.partitions
+    n = max(1, min(n, len(parts)))
+    target = r.num_docs / n
+    ranges: list[tuple[int, int]] = []
+    lo = 0
+    acc = 0
+    for i, p in enumerate(parts):
+        acc += p["num_docs"]
+        remaining = len(parts) - i - 1
+        still_to_cut = n - len(ranges) - 1
+        if len(ranges) < n - 1 and (acc >= target
+                                    or remaining <= still_to_cut):
+            hi = p["doc_base"] + p["num_docs"]
+            ranges.append((lo, hi))
+            lo, acc = hi, 0
+    ranges.append((lo, r.num_docs))
+    return [(a, b) for a, b in ranges if b > a]
+
+
+class ShardedSearchPool:
+    """Leaf/root distributed search (SURVEY.md §3.2): each actor is
+    pinned to a disjoint partition-aligned doc range and opens a
+    range-restricted ``IndexReader`` — its resident fieldnorm/docdata
+    set is O(index / num_actors), unlike ``SearchPool`` where every
+    actor holds the whole index. Global BM25 stats come from the
+    manifest, so per-leaf top-k lists merge EXACTLY (every doc is fully
+    scored by exactly one leaf) — the reference's per-split leaf search
+    + caller merge contract (``async_impl.rs:1007``)."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4,
+                 limit: int = 10, prewarm: bool = True):
+        import ray
+
+        ranges = split_doc_ranges(index_dir, num_actors)
+
+        @ray.remote(num_cpus=1)
+        class _LeafActor:
+            def __init__(self, index_dir: str, lo: int, hi: int,
+                         prewarm: bool):
+                self.reader = IndexReader(index_dir, doc_range=(lo, hi))
+                if prewarm:
+                    self.reader.prewarm()
+
+            def search_many(self, queries: list[str], limit: int
+                            ) -> list[list[tuple[float, int]]]:
+                return [self.reader.search(q, limit).hits
+                        for q in queries]
+
+        self._actors = [_LeafActor.remote(index_dir, lo, hi, prewarm)
+                        for lo, hi in ranges]
+        self.ranges = ranges
+        self.limit = limit
+        ray.get([a.__ray_ready__.remote() for a in self._actors])
+
+    def search_many(self, queries: list[str],
+                    limit: int | None = None) -> list[list]:
+        """Every leaf sees every query (it owns a doc subset); the root
+        merge keeps the global top-k by (score desc, doc asc)."""
+        import ray
+        limit = limit or self.limit
+        per_leaf = ray.get([a.search_many.remote(queries, limit)
+                            for a in self._actors])
+        out = []
+        for qi in range(len(queries)):
+            allhits = [h for leaf in per_leaf for h in leaf[qi]]
+            allhits.sort(key=lambda h: (-h[0], h[1]))
+            out.append(allhits[:limit])
+        return out
+
+    def search(self, query: str, limit: int | None = None) -> SearchResult:
+        return SearchResult(self.search_many([query], limit)[0])
 
     def shutdown(self) -> None:
         import ray

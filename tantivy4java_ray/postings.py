@@ -246,6 +246,33 @@ def decode_postings(buf: bytes | memoryview,
     return docs, tfs
 
 
+def decode_postings_range(buf: bytes | memoryview, offset: int,
+                          lo: int, hi: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the blocks whose docs intersect local range [lo, hi).
+
+    The leaf-search path: a doc-range-pinned reader decodes ~1/N of each
+    posting list via the ``last_doc`` skip array instead of the whole
+    run (the reference's per-split leaf search reads only its split's
+    postings, ``async_impl.rs:1007``)."""
+    skip = read_skip(buf, offset)
+    b0 = int(np.searchsorted(skip.last_doc, lo, side="left"))
+    if b0 >= skip.nblocks:
+        return np.empty(0, np.uint32), np.empty(0, np.uint32)
+    # first block whose last_doc >= hi fully covers the range end
+    b1 = min(int(np.searchsorted(skip.last_doc, hi, side="left")) + 1,
+             skip.nblocks)
+    doc_parts, tf_parts = [], []
+    for bi in range(b0, b1):
+        d, t = decode_block(buf, skip, bi, offset)
+        doc_parts.append(d)
+        tf_parts.append(t)
+    docs = np.concatenate(doc_parts)
+    tfs = np.concatenate(tf_parts)
+    keep = (docs >= lo) & (docs < hi)
+    return docs[keep], tfs[keep]
+
+
 # ---------------------------------------------------------------------------
 # positions stream (index_option="position" only): per term, all positions
 # concatenated in doc order; per-doc counts == tfs, so offsets come free.

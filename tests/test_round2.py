@@ -353,3 +353,98 @@ def test_vectorized_matchers_equal_python(ray_session, tmp_path):
     # dl distance <= 1: jon (del), joan (sub h->a), join (sub h->i)
     want_terms = {"john", "jon", "joan", "join"}
     assert got.tolist() == python_docs(lambda t: t in want_terms)
+
+
+# ---------------------------------------------------------------------------
+# doc-range leaf readers + sharded search pool
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def range_idx(ray_session, tmp_path_factory):
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.schema import IndexSchema
+    from tantivy4java_ray.sources.webpages import write_webpages
+    base = tmp_path_factory.mktemp("rangeidx")
+    write_webpages(str(base / "data"), 2000, n_files=2,
+                   rows_per_row_group=250)
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    s.add_string_field("lang", fast=True)
+    idx = str(base / "idx")
+    build_index(str(base / "data"), idx, s, html_fallback=("text", "html"),
+                target_docs_per_partition=250, num_shards=4)
+    return idx
+
+
+def test_range_reader_equals_full(range_idx):
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.query import Occur, Query
+    full = IndexReader(range_idx)
+    lo, hi = 500, 1250   # partition-aligned (250-doc partitions)
+    leaf = IndexReader(range_idx, doc_range=(lo, hi))
+    queries = [
+        Query.term("text", "w0000"),
+        Query.boolean([(Occur.SHOULD, Query.term("text", "w0001")),
+                       (Occur.SHOULD, Query.term("text", "w0042"))]),
+        Query.phrase("text", ["alpha", "bravo", "charlie"]),
+        Query.wildcard("text", "w00*"),
+        Query.regex("text", "w01.2"),
+        Query.range("text", "w000", "w010", include_upper=False),
+        Query.term("lang", "de"),
+        Query.all(),
+        Query.exists("lang"),
+    ]
+    for q in queries:
+        fd, fsc = full.evaluate(q)
+        ld, lsc = leaf.evaluate(q)
+        inr = (fd >= lo) & (fd < hi)
+        assert ld.tolist() == fd[inr].tolist(), q.kind
+        np.testing.assert_array_equal(lsc, fsc[inr], err_msg=q.kind)
+
+
+def test_range_reader_wand_matches_scan(range_idx):
+    from tantivy4java_ray.pipelines.search import IndexReader
+    leaf = IndexReader(range_idx, doc_range=(250, 1000))
+    res_scan = leaf.search("w0001 OR w0042", 10, method="auto")
+    res_wand = leaf.search("w0001 OR w0042", 10, method="wand")
+    assert res_scan.hits == res_wand.hits
+    assert all(250 <= d < 1000 for _s, d in res_wand.hits)
+
+
+def test_range_reader_misaligned_raises(range_idx):
+    from tantivy4java_ray.pipelines.search import IndexReader
+    with pytest.raises(ValueError):
+        IndexReader(range_idx, doc_range=(100, 900))
+
+
+def test_sharded_pool_equals_single_reader(range_idx):
+    from tantivy4java_ray.pipelines.search import (IndexReader,
+                                                   ShardedSearchPool,
+                                                   split_doc_ranges)
+    ranges = split_doc_ranges(range_idx, 3)
+    assert [r[0] for r in ranges][0] == 0
+    assert ranges[-1][1] == 2000
+    assert all(a < b for a, b in ranges)
+    assert [b for _a, b in ranges][:-1] == [a for a, _b in ranges][1:]
+
+    pool = ShardedSearchPool(range_idx, num_actors=3, limit=10)
+    try:
+        single = IndexReader(range_idx)
+        queries = ["needleterm", "w0000 AND w0042",
+                   'text:"alpha bravo charlie"', "w0123 OR w0456",
+                   "lang:de", "w00*"]
+        got = pool.search_many(queries, 10)
+        for q, hits in zip(queries, got):
+            assert hits == single.search(q, 10).hits, q
+    finally:
+        pool.shutdown()
+
+
+def test_leaf_actor_resident_set_is_partial(range_idx):
+    """A range reader's fieldnorm array covers only its own docs."""
+    from tantivy4java_ray.pipelines.search import IndexReader
+    full = IndexReader(range_idx)
+    leaf = IndexReader(range_idx, doc_range=(500, 1250))
+    assert len(full.norms("text")) == 2000
+    assert len(leaf.norms("text")) == 750
+    assert len(leaf.fast_column("lang")[0]) == 750
