@@ -321,13 +321,11 @@ def aggregate_dataset(ds, specs: dict[str, dict]) -> dict:
 def _partition_partial(index_dir: str, part: dict, specs: dict,
                        match: np.ndarray | None,
                        deleted: np.ndarray | None = None) -> dict:
-    import os
+    from tantivy4java_ray import storage as st
 
-    import pyarrow.parquet as pq
-
-    path = os.path.join(index_dir, "docdata",
-                        f"part-{part['pid']:05d}.parquet")
-    tbl = pq.read_table(path)
+    path = st.sjoin(index_dir, "docdata",
+                    f"part-{part['pid']:05d}.parquet")
+    tbl = st.read_parquet_any(path)
     mask = None
     if match is not None:
         lo = np.searchsorted(match, part["doc_base"])

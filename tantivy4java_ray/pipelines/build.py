@@ -186,19 +186,21 @@ class PartitionIndexer:
 
     # ------------------------------------------------------------------
     def _paths(self, pid: int) -> tuple[str, str]:
-        return (os.path.join(self.index_dir, "docdata", f"part-{pid:05d}.parquet"),
-                os.path.join(self.index_dir, "_partials", f"part-{pid:05d}.parquet"))
+        from tantivy4java_ray import storage as st
+        return (st.sjoin(self.index_dir, "docdata", f"part-{pid:05d}.parquet"),
+                st.sjoin(self.index_dir, "_partials", f"part-{pid:05d}.parquet"))
 
     def _index_partition(self, spec: dict) -> pa.Table:
+        from tantivy4java_ray import storage as st
         pid = spec["pid"]
         docdata_path, partial_path = self._paths(pid)
-        if (self.checkpoint and os.path.exists(docdata_path)
-                and os.path.exists(partial_path)):
+        if (self.checkpoint and st.sexists(docdata_path)
+                and st.sexists(partial_path)):
             # resume: this partition is already built (atomic rename = done)
-            return pq.read_table(partial_path)
+            return st.read_parquet_any(partial_path)
 
         t0 = time.monotonic()
-        pf = pq.ParquetFile(spec["path"])
+        pf = st.parquet_file_any(spec["path"])
         avail = set(pf.schema_arrow.names)
         cols = [c for c in self.columns if c in avail]
         tbl = pf.read_row_groups(spec["row_groups"], columns=cols)
@@ -357,10 +359,8 @@ class PartitionIndexer:
 
     @staticmethod
     def _atomic_parquet(table: pa.Table, path: str) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp-{os.getpid()}"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        from tantivy4java_ray.storage import write_parquet_atomic
+        write_parquet_atomic(table, path)
 
     def _emit_terms(self, acc: dict[str, list], field: str, spec: dict,
                     rows: np.ndarray, codes: np.ndarray, vocab: np.ndarray,
@@ -515,21 +515,16 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
             run_start = run_end
         i = j
 
-    shard_dir = os.path.join(index_dir, "shards", f"shard-{sid:05d}")
-    os.makedirs(shard_dir, exist_ok=True)
+    from tantivy4java_ray import storage as st
+    shard_dir = st.sjoin(index_dir, "shards", f"shard-{sid:05d}")
     for name, buf in (("postings.bin", post_buf), ("positions.bin", pos_buf)):
-        tmp = os.path.join(shard_dir, f".tmp-{name}-{os.getpid()}")
-        with open(tmp, "wb") as f:
-            f.write(buf.getvalue())
-        os.replace(tmp, os.path.join(shard_dir, name))
+        st.write_bytes_atomic(buf.getvalue(), st.sjoin(shard_dir, name))
     terms_tbl = pa.table(dict_rows)
     meta = {"sid": sid, "num_terms": len(dict_rows["key"]),
             "write_s": round(time.monotonic() - t0, 4)}
     terms_tbl = terms_tbl.replace_schema_metadata({"shard_meta": json.dumps(meta)})
-    tmp = os.path.join(shard_dir, f".tmp-terms-{os.getpid()}.parquet")
-    pq.write_table(terms_tbl, tmp)
     # terms.parquet lands last: its presence marks the shard complete
-    os.replace(tmp, os.path.join(shard_dir, "terms.parquet"))
+    st.write_parquet_atomic(terms_tbl, st.sjoin(shard_dir, "terms.parquet"))
 
     return pa.table({"sid": pa.array([sid], pa.int32()),
                      "num_terms": pa.array([len(dict_rows["key"])], pa.int64()),
@@ -596,14 +591,15 @@ class IndexBuilder:
         import ray
         import ray.data
 
+        from tantivy4java_ray import storage as st
+
         t0 = time.monotonic()
         plan = plan_partitions(self.paths, self.target)
         # idempotent fast path: a committed build over the same plan is
         # reused (the txlog is the source of truth; resume semantics)
-        mpath = os.path.join(self.index_dir, "manifest.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                state = json.load(f)
+        mpath = st.sjoin(self.index_dir, "manifest.json")
+        if st.sexists(mpath):
+            state = st.read_json_any(mpath)
             if (state.get("committed")
                     and state["meta"]["plan"]["files"] == plan.files
                     and state["meta"]["plan"]["num_docs"] == plan.num_docs):
@@ -614,7 +610,7 @@ class IndexBuilder:
                                    resumed_partitions=m["num_partitions"])
         if self.schema is None:
             self.schema = infer_index_schema(
-                pq.ParquetFile(plan.files[0]).schema_arrow,
+                st.parquet_file_any(plan.files[0]).schema_arrow,
                 text_fields=self.text_fields,
                 skip_fields=(self.html_fallback[1],) if self.html_fallback else ())
         nshards = self.num_shards or max(
@@ -622,7 +618,7 @@ class IndexBuilder:
         npart = len(plan.partitions)
         resumed = sum(
             1 for p in plan.partitions
-            if os.path.exists(os.path.join(
+            if st.sexists(st.sjoin(
                 self.index_dir, "docdata", f"part-{p.pid:05d}.parquet")))
 
         txlog = TransactionLog(self.index_dir)
@@ -677,10 +673,10 @@ class IndexBuilder:
         num_docs = 0
         total_tokens: dict[str, int] = {}
         for p in plan.partitions:
-            path = os.path.join(self.index_dir, "docdata",
-                                f"part-{p.pid:05d}.parquet")
-            meta = json.loads(
-                pq.read_metadata(path).metadata[b"build_meta"].decode())
+            path = st.sjoin(self.index_dir, "docdata",
+                            f"part-{p.pid:05d}.parquet")
+            meta = json.loads(st.read_parquet_metadata_any(path)
+                              .metadata[b"build_meta"].decode())
             num_docs += meta["num_docs"]
             for f_, t_ in meta["total_tokens"].items():
                 total_tokens[f_] = total_tokens.get(f_, 0) + t_
@@ -696,7 +692,7 @@ class IndexBuilder:
         txlog.append(actions)
         txlog.create_checkpoint()
         # fast-open manifest snapshot
-        atomic_write_json(os.path.join(self.index_dir, "manifest.json"),
+        atomic_write_json(st.sjoin(self.index_dir, "manifest.json"),
                           txlog.read_state())
 
         return BuildResult(self.index_dir, num_docs, npart, nshards,

@@ -46,11 +46,9 @@ class MergeResult:
 
 
 def _load_states(index_dirs: list[str]) -> list[dict]:
-    states = []
-    for d in index_dirs:
-        with open(os.path.join(d, "manifest.json")) as f:
-            states.append(json.load(f))
-    return states
+    from tantivy4java_ray import storage as st
+    return [st.read_json_any(st.sjoin(d, "manifest.json"))
+            for d in index_dirs]
 
 
 class _ShardMerger:
@@ -70,23 +68,24 @@ class _ShardMerger:
         dicts, posts, poss = [], [], []
         post_off, pos_off = [], []
         cur_p, cur_q = 0, 0
+        from tantivy4java_ray import storage as st
         for i, d in enumerate(self.index_dirs):
-            sd = os.path.join(d, "shards", f"shard-{sid:05d}")
-            tp = os.path.join(sd, "terms.parquet")
-            if not os.path.exists(tp):
+            sd = st.sjoin(d, "shards", f"shard-{sid:05d}")
+            tp = st.sjoin(sd, "terms.parquet")
+            if not st.sexists(tp):
                 continue
-            t = pq.read_table(tp).to_pandas()
+            t = st.read_parquet_any(tp).to_pandas()
             t["run_base"] += self.doc_offsets[i]
             t["__src"] = i
             dicts.append(t)
             post_off.append(cur_p)
             pos_off.append(cur_q)
-            with open(os.path.join(sd, "postings.bin"), "rb") as f:
+            with st.sopen(st.sjoin(sd, "postings.bin"), "rb") as f:
                 pb = f.read()
             qb = b""
-            qpath = os.path.join(sd, "positions.bin")
-            if os.path.exists(qpath):
-                with open(qpath, "rb") as f:
+            qpath = st.sjoin(sd, "positions.bin")
+            if st.sexists(qpath):
+                with st.sopen(qpath, "rb") as f:
                     qb = f.read()
             posts.append(pb)
             poss.append(qb)
@@ -113,18 +112,13 @@ class _ShardMerger:
         dict_df = dict_df.iloc[order]
         dict_df = dict_df.drop(columns="__src").reset_index(drop=True)
 
-        shard_dir = os.path.join(self.out_dir, "shards", f"shard-{sid:05d}")
-        os.makedirs(shard_dir, exist_ok=True)
+        shard_dir = st.sjoin(self.out_dir, "shards", f"shard-{sid:05d}")
         for name, blob in (("postings.bin", post_blob),
                            ("positions.bin", pos_blob)):
-            tmp = os.path.join(shard_dir, f".tmp-{name}-{os.getpid()}")
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, os.path.join(shard_dir, name))
+            st.write_bytes_atomic(blob, st.sjoin(shard_dir, name))
         out_t = pa.Table.from_pandas(dict_df, preserve_index=False)
-        tmp = os.path.join(shard_dir, f".tmp-terms-{os.getpid()}.parquet")
-        pq.write_table(out_t, tmp)
-        os.replace(tmp, os.path.join(shard_dir, "terms.parquet"))
+        # terms.parquet lands last: completion marker
+        st.write_parquet_atomic(out_t, st.sjoin(shard_dir, "terms.parquet"))
         return pa.table({"sid": pa.array([sid], pa.int32()),
                          "num_terms": pa.array([len(dict_df)], pa.int64())})
 
@@ -207,7 +201,8 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
             deleted_per_index.append(arr)
             num_deleted += len(arr)
 
-    os.makedirs(out_dir, exist_ok=True)
+    from tantivy4java_ray import storage as st
+    st.smakedirs(out_dir)
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
@@ -224,21 +219,25 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         concurrency=conc, num_cpus=1).take_all()
 
     # docdata + manifest: re-base partitions, copy docdata files
-    os.makedirs(os.path.join(out_dir, "docdata"), exist_ok=True)
+    st.smakedirs(st.sjoin(out_dir, "docdata"))
     parts_out = []
     new_pid = 0
     for i, s in enumerate(states):
         parts = sorted(s["partitions"].values(), key=lambda p: p["doc_base"])
         for p in parts:
-            src = os.path.join(index_dirs[i], "docdata",
-                               f"part-{p['pid']:05d}.parquet")
-            dst = os.path.join(out_dir, "docdata",
-                               f"part-{new_pid:05d}.parquet")
-            if not os.path.exists(dst):
-                try:
-                    os.link(src, dst)
-                except OSError:
-                    shutil.copyfile(src, dst)
+            src = st.sjoin(index_dirs[i], "docdata",
+                           f"part-{p['pid']:05d}.parquet")
+            dst = st.sjoin(out_dir, "docdata",
+                           f"part-{new_pid:05d}.parquet")
+            if not st.sexists(dst):
+                if not st.is_url(src) and not st.is_url(dst):
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copyfile(src, dst)
+                else:
+                    with st.sopen(src, "rb") as fi:
+                        st.write_bytes_atomic(fi.read(), dst)
             q = dict(p)
             q["pid"] = new_pid
             q["doc_base"] = p["doc_base"] + doc_offsets[i]
@@ -271,12 +270,16 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     if deleted_per_index is not None:
         all_del = np.sort(np.concatenate(
             [d + off for d, off in zip(deleted_per_index, doc_offsets)]))
-        np.save(os.path.join(out_dir, "deleted_docs.npy"), all_del)
+        import io as _io
+        _b = _io.BytesIO()
+        np.save(_b, all_del)
+        st.write_bytes_atomic(_b.getvalue(),
+                              st.sjoin(out_dir, "deleted_docs.npy"))
         actions.append({"set_meta": {"deleted_docs": int(len(all_del))}})
     actions.append({"commit": {"ts": time.time()}})
     txlog.append(actions)
     txlog.create_checkpoint()
-    atomic_write_json(os.path.join(out_dir, "manifest.json"),
+    atomic_write_json(st.sjoin(out_dir, "manifest.json"),
                       txlog.read_state())
     return MergeResult(out_dir, num_docs, num_deleted,
                        time.monotonic() - t0, [])

@@ -87,13 +87,14 @@ class IndexReader:
 
     def __init__(self, index_dir: str,
                  doc_range: tuple[int, int] | None = None):
+        from tantivy4java_ray import storage as st
+        self._st = st
         self.index_dir = index_dir
-        mpath = os.path.join(index_dir, "manifest.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                self.state = json.load(f)
+        mpath = st.sjoin(index_dir, "manifest.json")
+        if st.sexists(mpath):
+            self.state = st.read_json_any(mpath)
         else:
-            if not os.path.isdir(os.path.join(index_dir, "txlog")):
+            if not st.sexists(st.sjoin(index_dir, "txlog")):
                 raise FileNotFoundError(
                     f"{index_dir!r} is not an index: no manifest.json or "
                     f"txlog/ found (was it built with build_index?)")
@@ -143,9 +144,11 @@ class IndexReader:
         self._fast: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._fast_part: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         self._norm_cache: dict[str, np.ndarray] = {}
-        dpath = os.path.join(index_dir, "deleted_docs.npy")
-        self.deleted: np.ndarray | None = (
-            np.load(dpath) if os.path.exists(dpath) else None)
+        dpath = st.sjoin(index_dir, "deleted_docs.npy")
+        self.deleted: np.ndarray | None = None
+        if st.sexists(dpath):
+            with st.sopen(dpath, "rb") as f:
+                self.deleted = np.load(f)
 
     # -- shard access -------------------------------------------------------
     def _query_term(self, field: str, term: str) -> str:
@@ -189,12 +192,12 @@ class IndexReader:
 
     def _dict(self, sid: int) -> dict | None:
         if sid not in self._dicts:
-            path = os.path.join(self.index_dir, "shards", f"shard-{sid:05d}",
-                                "terms.parquet")
-            if not os.path.exists(path):
+            path = self._st.sjoin(self.index_dir, "shards",
+                                  f"shard-{sid:05d}", "terms.parquet")
+            if not self._st.sexists(path):
                 self._dicts[sid] = None
             else:
-                t = pq.read_table(path)
+                t = self._st.read_parquet_any(path)
                 self._dicts[sid] = {
                     "key": np.asarray(t.column("key").to_numpy(zero_copy_only=False), object),
                     "field": t.column("field").to_numpy(zero_copy_only=False),
@@ -209,15 +212,27 @@ class IndexReader:
                 }
         return self._dicts[sid]
 
-    def _mm(self, sid: int, which: str = "postings") -> np.memmap | None:
+    def _mm(self, sid: int, which: str = "postings"):
+        """np.memmap (local) or RangedBlob (URL): both support byte-range
+        slicing; posting runs are sliced by (offset, nbytes) before
+        decode, so remote reads are one ranged GET per run."""
         cache = self._post_mm if which == "postings" else self._pos_mm
         if sid not in cache:
-            path = os.path.join(self.index_dir, "shards", f"shard-{sid:05d}",
-                                f"{which}.bin")
-            cache[sid] = (np.memmap(path, np.uint8, "r")
-                          if os.path.exists(path) and os.path.getsize(path)
-                          else None)
+            path = self._st.sjoin(self.index_dir, "shards",
+                                  f"shard-{sid:05d}", f"{which}.bin")
+            cache[sid] = self._st.blob_open(path)
         return cache[sid]
+
+    def _run_bytes(self, sid: int, r: int, which: str = "postings"):
+        """One posting/position run's exact byte range: a zero-copy
+        memmap view locally, ONE ranged GET on object storage."""
+        d = self._dict(sid)
+        mm = self._mm(sid, which)
+        if which == "postings":
+            off, nb = int(d["offset"][r]), int(d["nbytes"][r])
+        else:
+            off, nb = int(d["pos_offset"][r]), int(d["pos_nbytes"][r])
+        return mm[off:off + nb]
 
     # -- dictionary-level metadata -----------------------------------------
     def doc_freq(self, field: str, term: str) -> int:
@@ -237,18 +252,16 @@ class IndexReader:
         doc_parts, tf_parts = [], []
         for sid, r in runs:
             d = self._dict(sid)
-            mm = self._mm(sid)
             base = int(d["run_base"][r])
+            if self.doc_range is not None and self.doc_hi - base <= 0:
+                continue
+            buf = self._run_bytes(sid, r)
             if self.doc_range is not None:
                 # leaf mode: decode only the 128-blocks inside the range
-                llo = max(self.doc_lo - base, 0)
-                lhi = self.doc_hi - base
-                if lhi <= 0:
-                    continue
                 docs, tfs = pcodec.decode_postings_range(
-                    mm, int(d["offset"][r]), llo, lhi)
+                    buf, 0, max(self.doc_lo - base, 0), self.doc_hi - base)
             else:
-                docs, tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
+                docs, tfs = pcodec.decode_postings(buf, 0)
             if not len(docs):
                 continue
             doc_parts.append(docs.astype(np.int64) + base)
@@ -272,13 +285,12 @@ class IndexReader:
         doc_parts, tf_parts, pos_parts = [], [], []
         for sid, r in runs:
             d = self._dict(sid)
-            mm = self._mm(sid)
-            pmm = self._mm(sid, "positions")
             base = int(d["run_base"][r])
-            docs, tfs = pcodec.decode_postings(mm, int(d["offset"][r]))
-            pos = (pcodec.decode_positions(pmm, int(d["pos_offset"][r]))
-                   if int(d["pos_offset"][r]) >= 0 and pmm is not None
-                   else None)
+            docs, tfs = pcodec.decode_postings(self._run_bytes(sid, r), 0)
+            pos = (pcodec.decode_positions(
+                self._run_bytes(sid, r, "positions"), 0)
+                if int(d["pos_offset"][r]) >= 0
+                and self._mm(sid, "positions") is not None else None)
             if self.doc_range is not None:
                 # positions are tf-aligned: mask docs, repeat over tfs
                 keep = ((docs >= self.doc_lo - base)
@@ -424,7 +436,6 @@ class IndexReader:
         parts: list[np.ndarray] = []
         for sid, rows, _u in matched:
             d = self._dict(sid)
-            mm = self._mm(sid)
             for r in rows:
                 base = int(d["run_base"][r])
                 if self.doc_range is not None:
@@ -432,11 +443,11 @@ class IndexReader:
                     if lhi <= 0:
                         continue
                     docs, _tfs = pcodec.decode_postings_range(
-                        mm, int(d["offset"][r]),
+                        self._run_bytes(sid, r), 0,
                         max(self.doc_lo - base, 0), lhi)
                 else:
-                    docs, _tfs = pcodec.decode_postings(mm,
-                                                        int(d["offset"][r]))
+                    docs, _tfs = pcodec.decode_postings(
+                        self._run_bytes(sid, r), 0)
                 if len(docs):
                     parts.append(docs.astype(np.int64) + base)
         if not parts:
@@ -459,9 +470,9 @@ class IndexReader:
     def _docdata_concat(self, col: str, dtype=None) -> np.ndarray:
         arrs = []
         for p in self.partitions:
-            path = os.path.join(self.index_dir, "docdata",
-                                f"part-{p['pid']:05d}.parquet")
-            t = pq.read_table(path, columns=[col])
+            path = self._st.sjoin(self.index_dir, "docdata",
+                                  f"part-{p['pid']:05d}.parquet")
+            t = self._st.read_parquet_any(path, columns=[col])
             arrs.append(t.column(col).to_numpy(zero_copy_only=False))
         out = np.concatenate(arrs) if arrs else np.empty(0)
         return out.astype(dtype) if dtype is not None else out
@@ -481,9 +492,9 @@ class IndexReader:
         """One partition's fast column -> (values, valid_mask); cached."""
         key = (field, pid)
         if key not in self._fast_part:
-            path = os.path.join(self.index_dir, "docdata",
-                                f"part-{pid:05d}.parquet")
-            t = pq.read_table(path, columns=[field]).column(field)
+            path = self._st.sjoin(self.index_dir, "docdata",
+                                  f"part-{pid:05d}.parquet")
+            t = self._st.read_parquet_any(path, columns=[field]).column(field)
             t = t.combine_chunks()
             self._fast_part[key] = (
                 t.to_numpy(zero_copy_only=False),
@@ -971,13 +982,13 @@ class IndexReader:
             sel = pidx == pi
             local = sorted_ids[sel] - part["doc_base"]
             if from_store:
-                path = os.path.join(self.index_dir, "docdata",
-                                    f"part-{part['pid']:05d}.parquet")
-                tbl = pq.read_table(
+                path = self._st.sjoin(self.index_dir, "docdata",
+                                      f"part-{part['pid']:05d}.parquet")
+                tbl = self._st.read_parquet_any(
                     path, columns=[f"stored__{c}" for c in columns])
                 tbl = tbl.rename_columns(columns)
             else:
-                pf = pq.ParquetFile(part["path"])
+                pf = self._st.parquet_file_any(part["path"])
                 tbl = pf.read_row_groups(part["row_groups"], columns=columns)
             pieces.append(tbl.take(pa.array(local)))
             out_rows.append(np.flatnonzero(sel))
@@ -1251,8 +1262,9 @@ class _TermCursor:
             self.field = field
             self.doc_lo = reader.doc_lo
             self.doc_hi = reader.doc_hi
-            self.runs = [(int(d["run_base"][r]), int(d["offset"][r]),
-                          reader._mm(sid))]
+            # the run's byte slice (memmap view / one remote ranged GET)
+            self.runs = [(int(d["run_base"][r]), 0,
+                          reader._run_bytes(sid, r))]
             if reader.doc_range is not None and \
                     self.runs[0][0] >= reader.doc_hi:
                 continue
@@ -1454,7 +1466,8 @@ def matching_docs_dataset(index_dir: str, query: Query | str,
             if lo == hi:
                 continue
             local = (ids[lo:hi] - spec["doc_base"]).astype(np.int64)
-            pf = pq.ParquetFile(spec["path"])
+            from tantivy4java_ray.storage import parquet_file_any
+            pf = parquet_file_any(spec["path"])
             tbl = pf.read_row_groups(spec["row_groups"], columns=columns)
             out = tbl.take(pa.array(local))
             idc = "__doc_id" if "doc_id" in out.column_names else "doc_id"
@@ -1481,12 +1494,9 @@ def read_index_metadata(index_dir: str) -> dict:
 
 
 def list_index_files(index_dir: str) -> list[str]:
-    out = []
-    for root, _dirs, files in os.walk(index_dir):
-        for f in sorted(files):
-            if not f.startswith(".tmp"):
-                out.append(os.path.relpath(os.path.join(root, f), index_dir))
-    return sorted(out)
+    from tantivy4java_ray import storage as st
+    return sorted(f for f in st.swalk_files(index_dir)
+                  if not os.path.basename(f).startswith(".tmp"))
 
 
 def validate_index(index_dir: str) -> list[str]:
@@ -1501,7 +1511,7 @@ def validate_index(index_dir: str) -> list[str]:
             problems.append(f"partition {p['pid']}: doc_base "
                             f"{p['doc_base']} != expected {expected_base}")
         expected_base = p["doc_base"] + p["num_docs"]
-        if not os.path.exists(os.path.join(
+        if not r._st.sexists(r._st.sjoin(
                 index_dir, "docdata", f"part-{p['pid']:05d}.parquet")):
             problems.append(f"partition {p['pid']}: docdata missing")
     if expected_base != r.num_docs:

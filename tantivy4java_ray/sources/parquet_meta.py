@@ -44,11 +44,22 @@ class BuildPlan:
 
 
 def expand_paths(paths: str | list[str]) -> list[str]:
+    from tantivy4java_ray import storage as st
     if isinstance(paths, str):
         paths = [paths]
     out: list[str] = []
     for p in paths:
-        if os.path.isdir(p):
+        if st.is_url(p):
+            fs, fp = st.fs_for(p)
+            proto = p.split("://", 1)[0]
+            if any(ch in p for ch in "*?["):
+                hits = fs.glob(fp)
+            elif fs.isdir(fp):
+                hits = fs.glob(fp.rstrip("/") + "/**/*.parquet")
+            else:
+                hits = [fp]
+            out.extend(f"{proto}://{h}" for h in sorted(hits))
+        elif os.path.isdir(p):
             out.extend(sorted(glob.glob(os.path.join(p, "**", "*.parquet"),
                                         recursive=True)))
         elif any(ch in p for ch in "*?["):
@@ -69,7 +80,8 @@ def plan_partitions(paths: str | list[str],
     base = 0
     pid = 0
     for path in files:
-        meta = pq.ParquetFile(path).metadata
+        from tantivy4java_ray.storage import read_parquet_metadata_any
+        meta = read_parquet_metadata_any(path)
         cur_rgs: list[int] = []
         cur_rows = 0
         for rg in range(meta.num_row_groups):

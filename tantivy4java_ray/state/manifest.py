@@ -31,7 +31,12 @@ _CP_RE = re.compile(r"^checkpoint-(\d{8})\.json$")
 
 
 def atomic_write_bytes(path: str, data: bytes) -> None:
-    """Write-then-rename so concurrent/retried writers are idempotent."""
+    """Write-then-rename so concurrent/retried writers are idempotent.
+    URL paths (``s3://`` etc.) route through the storage layer."""
+    if "://" in path:
+        from tantivy4java_ray.storage import write_bytes_atomic
+        write_bytes_atomic(data, path)
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
                                prefix=".tmp-" + os.path.basename(path))
@@ -52,30 +57,29 @@ class TransactionLog:
     def __init__(self, index_dir: str):
         # the directory is created lazily on first WRITE: constructing a
         # log for reading must not scaffold directories at arbitrary paths
-        self.dir = os.path.join(index_dir, "txlog")
+        from tantivy4java_ray import storage as st
+        self._st = st
+        self.dir = st.sjoin(index_dir, "txlog")
 
     # -- write --------------------------------------------------------------
     def append(self, actions: list[dict]) -> int:
-        os.makedirs(self.dir, exist_ok=True)
+        self._st.smakedirs(self.dir)
         v = self.latest_version() + 1
-        atomic_write_json(os.path.join(self.dir, f"v{v:08d}.json"),
+        atomic_write_json(self._st.sjoin(self.dir, f"v{v:08d}.json"),
                           {"version": v, "ts": time.time(), "actions": actions})
         return v
 
     def create_checkpoint(self) -> int:
         """Materialize the replayed state at the latest version."""
-        os.makedirs(self.dir, exist_ok=True)
+        self._st.smakedirs(self.dir)
         state, v = self._replay()
-        atomic_write_json(os.path.join(self.dir, f"checkpoint-{v:08d}.json"),
+        atomic_write_json(self._st.sjoin(self.dir, f"checkpoint-{v:08d}.json"),
                           {"version": v, "state": state})
         return v
 
     # -- read ---------------------------------------------------------------
     def _ls(self) -> list[str]:
-        try:
-            return os.listdir(self.dir)
-        except FileNotFoundError:
-            return []
+        return self._st.slistdir(self.dir)
 
     def latest_version(self) -> int:
         vs = [int(m.group(1)) for f in self._ls()
@@ -86,8 +90,8 @@ class TransactionLog:
         out = []
         for f in sorted(self._ls()):
             if _V_RE.match(f):
-                with open(os.path.join(self.dir, f)) as fh:
-                    out.append(json.load(fh))
+                out.append(self._st.read_json_any(
+                    self._st.sjoin(self.dir, f)))
         return out
 
     def _latest_checkpoint(self) -> tuple[dict, int]:
@@ -96,8 +100,8 @@ class TransactionLog:
         if not cps:
             return self._empty_state(), -1
         v, f = cps[-1]
-        with open(os.path.join(self.dir, f)) as fh:
-            return json.load(fh)["state"], v
+        return (self._st.read_json_any(self._st.sjoin(self.dir, f))["state"],
+                v)
 
     @staticmethod
     def _empty_state() -> dict:

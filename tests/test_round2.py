@@ -448,3 +448,75 @@ def test_leaf_actor_resident_set_is_partial(range_idx):
     assert len(full.norms("text")) == 2000
     assert len(leaf.norms("text")) == 750
     assert len(leaf.fast_column("lang")[0]) == 750
+
+
+# ---------------------------------------------------------------------------
+# fsspec storage: build -> search round-trip over a file:// URL
+# ---------------------------------------------------------------------------
+
+def test_storage_helpers(tmp_path):
+    from tantivy4java_ray import storage as st
+    url = f"file://{tmp_path}/a/b"
+    assert st.is_url(url) and not st.is_url(str(tmp_path))
+    st.write_bytes_atomic(b"hello", st.sjoin(url, "x.bin"))
+    assert st.sexists(st.sjoin(url, "x.bin"))
+    assert st.ssize(st.sjoin(url, "x.bin")) == 5
+    blob = st.blob_open(st.sjoin(url, "x.bin"))
+    assert len(blob) == 5
+    assert bytes(blob[1:4]) == b"ell"
+    st.write_json_atomic(st.sjoin(url, "m.json"), {"k": 1})
+    assert st.read_json_any(st.sjoin(url, "m.json")) == {"k": 1}
+    assert st.swalk_files(url) == ["m.json", "x.bin"]
+
+
+def test_fsspec_build_search_roundtrip(ray_session, tmp_path):
+    """Full build -> search -> merge against file:// URLs: every index
+    artifact (txlog, manifest, docdata, shards, deleted_docs) goes
+    through the fsspec path, posting reads are ranged."""
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.merge import merge_indexes
+    from tantivy4java_ray.pipelines.search import (IndexReader,
+                                                   list_index_files,
+                                                   validate_index)
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    from tantivy4java_ray.sources.webpages import write_webpages
+    write_webpages(str(tmp_path / "data"), 600, n_files=1,
+                   rows_per_row_group=200)
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    s.add_string_field("lang", fast=True)
+    idx_url = f"file://{tmp_path}/idx"
+    # source read via URL too
+    res = build_index(f"file://{tmp_path}/data", idx_url, s,
+                      html_fallback=("text", "html"),
+                      target_docs_per_partition=200, num_shards=4)
+    assert res.num_docs == 600
+    # resume fast path over the URL
+    res2 = build_index(f"file://{tmp_path}/data", idx_url, s,
+                       html_fallback=("text", "html"),
+                       target_docs_per_partition=200, num_shards=4)
+    assert res2.resumed_partitions == 3
+
+    r_url = IndexReader(idx_url)
+    r_loc = IndexReader(str(tmp_path / "idx"))
+    for q in ["needleterm", "w0001 OR w0042", 'text:"alpha bravo charlie"',
+              "lang:de", "w00*"]:
+        assert r_url.search(q, 10).hits == r_loc.search(q, 10).hits, q
+    docs, _ = r_url.evaluate(Query.phrase("text", ["alpha", "bravo"]))
+    assert docs.tolist() == r_loc.evaluate(
+        Query.phrase("text", ["alpha", "bravo"]))[0].tolist()
+    assert validate_index(idx_url) == []
+    assert list_index_files(idx_url) == list_index_files(
+        str(tmp_path / "idx"))
+    # doc retrieval joins back to the URL-addressed source parquet
+    hits = [d for _s, d in r_url.search("needleterm", 5).hits]
+    tbl = r_url.retrieve_docs(hits, columns=["url"])
+    assert tbl.num_rows == len(hits)
+    # merge with deletes, URL output
+    out_url = f"file://{tmp_path}/merged"
+    mr = merge_indexes([idx_url], out_url,
+                       delete_queries=[Query.term("text", "needleterm")])
+    rm = IndexReader(out_url)
+    assert rm.search("needleterm", 10).hits == []
+    assert mr.num_deleted > 0
