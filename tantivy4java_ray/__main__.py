@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("inputs", nargs="+")
     m.add_argument("-o", "--out", required=True)
 
+    bd = sub.add_parser("bundle", help="pack an index into one .split")
+    bd.add_argument("index_dir")
+    bd.add_argument("out", help="output .split path (local or URL)")
+    bd.add_argument("--include-txlog", action="store_true")
+
     v = sub.add_parser("validate")
     v.add_argument("index_dir")
 
@@ -87,9 +92,16 @@ def _dispatch(args) -> int:
                           "shards": res.num_shards,
                           "elapsed_s": round(res.elapsed_s, 2),
                           "docs_per_sec": round(res.docs_per_sec, 1)}))
+    elif args.cmd == "bundle":
+        from tantivy4java_ray.pipelines.bundle import bundle_index
+        footer = bundle_index(args.index_dir, args.out,
+                              include_txlog=args.include_txlog)
+        print(json.dumps({"out": args.out,
+                          "num_files": footer["num_files"],
+                          "hotcached": len(footer["hotcache"])}))
     elif args.cmd == "search":
         from tantivy4java_ray.pipelines.search import IndexReader
-        r = IndexReader(args.index_dir)
+        r = IndexReader(_maybe_split(args.index_dir))
         res = r.search(args.query, args.limit)
         rows = [{"rank": i, "doc_id": d, "score": round(s, 4)}
                 for i, (s, d) in enumerate(res.hits)]
@@ -108,13 +120,22 @@ def _dispatch(args) -> int:
                           "elapsed_s": round(res.elapsed_s, 2)}))
     elif args.cmd == "validate":
         from tantivy4java_ray.pipelines.search import validate_index
-        problems = validate_index(args.index_dir)
+        problems = validate_index(_maybe_split(args.index_dir))
         print(json.dumps({"valid": not problems, "problems": problems}))
         return 1 if problems else 0
     elif args.cmd == "info":
         from tantivy4java_ray.pipelines.search import read_index_metadata
-        print(json.dumps(read_index_metadata(args.index_dir), indent=2))
+        print(json.dumps(read_index_metadata(_maybe_split(args.index_dir)),
+                         indent=2))
     return 0
+
+
+def _maybe_split(path: str) -> str:
+    """A ``.split`` bundle path opens through the bundle protocol."""
+    if path.endswith(".split") and "://" not in path:
+        from tantivy4java_ray.pipelines.bundle import split_url
+        return split_url(path)
+    return path
 
 
 if __name__ == "__main__":

@@ -39,6 +39,10 @@ def fs_for(path: str):
     """-> (fs, fs_path); fs is None for plain local paths."""
     if not is_url(path):
         return None, path
+    if path.startswith("t4jrsplit://"):
+        # single-file split bundles register their own fsspec protocol
+        from tantivy4java_ray.pipelines.bundle import register_split_protocol
+        register_split_protocol()
     import fsspec
     fs, p = fsspec.core.url_to_fs(path)
     return fs, p
@@ -157,7 +161,8 @@ def parquet_file_any(path: str) -> pq.ParquetFile:
 def write_parquet_atomic(table: pa.Table, path: str) -> None:
     fs, p = fs_for(path)
     if fs is None:
-        os.makedirs(os.path.dirname(p), exist_ok=True)
+        if os.path.dirname(p):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
         tmp = p + f".tmp-{os.getpid()}"
         pq.write_table(table, tmp)
         os.replace(tmp, p)
@@ -172,7 +177,8 @@ def write_parquet_atomic(table: pa.Table, path: str) -> None:
 def write_bytes_atomic(data: bytes, path: str) -> None:
     fs, p = fs_for(path)
     if fs is None:
-        os.makedirs(os.path.dirname(p), exist_ok=True)
+        if os.path.dirname(p):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
         tmp = p + f".tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(data)

@@ -520,3 +520,54 @@ def test_fsspec_build_search_roundtrip(ray_session, tmp_path):
     rm = IndexReader(out_url)
     assert rm.search("needleterm", 10).hits == []
     assert mr.num_deleted > 0
+
+
+# ---------------------------------------------------------------------------
+# single-file split bundle (.split) with footer + hotcache
+# ---------------------------------------------------------------------------
+
+def test_split_bundle_roundtrip(ray_session, tmp_path):
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.bundle import (bundle_index,
+                                                   read_bundle_footer,
+                                                   split_url)
+    from tantivy4java_ray.pipelines.search import IndexReader, validate_index
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    from tantivy4java_ray.sources.webpages import write_webpages
+    write_webpages(str(tmp_path / "data"), 500, n_files=1,
+                   rows_per_row_group=250)
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    s.add_string_field("lang", fast=True)
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "data"), idx, s,
+                html_fallback=("text", "html"),
+                target_docs_per_partition=250, num_shards=4)
+    bundle = str(tmp_path / "web.split")
+    footer = bundle_index(idx, bundle)
+    assert "manifest.json" in footer["hotcache"]
+    assert all(len(v) == 2 for v in footer["files"].values())
+    # footer parses with two ranged reads
+    f2 = read_bundle_footer(bundle)
+    assert f2["files"] == footer["files"]
+
+    r_dir = IndexReader(idx)
+    r_split = IndexReader(split_url(bundle))
+    for q in ["needleterm", "w0001 OR w0042", 'text:"alpha bravo charlie"',
+              "lang:de", "w00*"]:
+        assert r_split.search(q, 10).hits == r_dir.search(q, 10).hits, q
+    d1, _ = r_split.evaluate(Query.regex("text", "w0[0-1]23"))
+    d2, _ = r_dir.evaluate(Query.regex("text", "w0[0-1]23"))
+    assert d1.tolist() == d2.tolist()
+    assert r_split.num_docs == 500
+    assert validate_index(split_url(bundle)) == []
+    # aggregations over the bundle's docdata fast fields
+    agg = r_split.aggregate(None, {"l": {"terms": {"field": "lang",
+                                                   "size": 10}}})
+    assert sum(b["doc_count"] for b in agg["l"]["buckets"]) == 500
+    # stored-field/docdata retrieval path (from_store=False needs source
+    # parquet, which lives outside the bundle -> positional join still ok)
+    hits = [d for _s, d in r_split.search("needleterm", 3).hits]
+    got = r_split.retrieve_docs(hits, columns=["url"])
+    assert got.num_rows == len(hits)
