@@ -262,6 +262,28 @@ def q_agg_subagg_events(sf_dir: str):
                          for b in out["t"]["buckets"]])
 
 
+def q_agg_nested_2level(sf_dir: str):
+    """terms(event_type) -> histogram(value, 50) -> avg(value): two
+    levels of sub-aggregation under a bucket agg, flattened."""
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = aggregate_dataset(ds, {"t": {
+        "terms": {"field": "event_type", "size": 20},
+        "aggs": {"h": {"histogram": {"field": "value", "interval": 50.0},
+                 "aggs": {"v": {"avg": {"field": "value"}}}}}}})
+    rows = []
+    for tb in out["t"]["buckets"]:
+        for hb in tb["h"]["buckets"]:
+            rows.append({"event_type": tb["key"],
+                         "bucket": float(hb["key"]),
+                         "doc_count": hb["doc_count"],
+                         "avg_value": round(hb["v"]["value"], 2)})
+    return (pd.DataFrame(rows).sort_values(["event_type", "bucket"])
+            .reset_index(drop=True))
+
+
 def q_lineitem_revenue(sf_dir: str):
     """TPC-H-style grouped aggregate through the same partial-agg engine."""
     import pyarrow as pa
@@ -429,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_range_events": q_agg_range_events,
         "agg_cardinality_users": q_agg_cardinality_users,
         "agg_subagg_events": q_agg_subagg_events,
+        "agg_nested_2level": q_agg_nested_2level,
         "lineitem_revenue": q_lineitem_revenue,
         "events_topk_value": q_events_topk_value,
         "dedup_exact": q_dedup_exact,
@@ -526,6 +549,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS doc_count, "
             "ROUND(avg(value), 4) AS avg_value FROM events "
             "GROUP BY event_type ORDER BY doc_count DESC, event_type",
+        "agg_nested_2level":
+            "SELECT event_type, floor(value / 50.0) * 50.0 AS bucket, "
+            "count(*) AS doc_count, ROUND(avg(value), 2) AS avg_value "
+            "FROM events WHERE value IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2",
         "lineitem_revenue":
             "SELECT l_returnflag, "
             "ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "

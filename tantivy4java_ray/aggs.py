@@ -9,10 +9,15 @@ state is computed vectorized (pandas/numpy) per Arrow batch or per docdata
 partition, and merging is associative, so it runs as ``map_batches`` +
 driver merge with no shuffle.
 
-Supported: terms (size, shard_size), multi_terms, histogram,
-date_histogram, range, min/max/sum/avg/count/value_count/stats,
-cardinality (HyperLogLog), one level of sub-aggregations under any bucket
-agg (``GroupBySubAggregationTest.java`` semantics).
+Supported: terms (size + optional shard_size partial truncation),
+multi_terms, histogram, date_histogram, range,
+min/max/sum/avg/count/value_count/stats, cardinality (HyperLogLog), and
+ARBITRARILY NESTED sub-aggregations under any bucket agg — partial
+compute, merge, and finalize all recurse
+(``GroupBySubAggregationTest.java``, ``TermsAggregation.java:93-105``
+semantics). ``shard_size`` bounds each partial's terms dict (top
+shard_size by doc_count, ES-style approximate mode); without it terms
+are exact.
 """
 
 from __future__ import annotations
@@ -200,6 +205,16 @@ def _partial_one(spec: dict, table: pa.Table) -> Any:
         vc = grp.value_counts()
         for key, cnt in vc.items():
             out[key] = {"doc_count": int(cnt), "sub": {}}
+    if kind in ("terms", "multi_terms"):
+        shard_size = body.get("shard_size")
+        if shard_size is not None and len(out) > int(shard_size):
+            # ES-style partial truncation: bounds per-shard state on
+            # high-cardinality fields (TermsAggregation.java:87) at the
+            # cost of exactness for near-tied tails
+            keep = sorted(out.items(),
+                          key=lambda kv: (-kv[1]["doc_count"],
+                                          _sort_key(kv[0])))[:int(shard_size)]
+            out = dict(keep)
     return out
 
 

@@ -148,3 +148,45 @@ def test_index_aggs_distributed_equals_inline(ray_session):
     a = run_aggregations_on_index(r, q, specs, distributed=False)
     b = run_aggregations_on_index(r, q, specs, distributed=True)
     assert a == b
+
+
+def test_nested_two_level_subaggs():
+    import pyarrow as pa
+    from tantivy4java_ray.aggs import partial_agg, merge_states, finalize
+    t1 = pa.table({"a": ["x", "x", "y", "y"], "b": [1.0, 2.0, 1.0, 3.0],
+                   "v": [10.0, 20.0, 30.0, 40.0]})
+    t2 = pa.table({"a": ["x", "z"], "b": [1.0, 9.0], "v": [5.0, 7.0]})
+    specs = {"t": {"terms": {"field": "a", "size": 10},
+                   "aggs": {"h": {"histogram": {"field": "b",
+                                                "interval": 1.0},
+                                  "aggs": {"s": {"sum": {"field": "v"}}}}}}}
+    m = merge_states(specs, partial_agg(specs, t1), partial_agg(specs, t2))
+    out = finalize(specs, m)
+    x = out["t"]["buckets"][0]
+    assert x["key"] == "x" and x["doc_count"] == 3
+    b1 = x["h"]["buckets"][0]
+    assert b1["key"] == 1.0 and b1["doc_count"] == 2 and b1["s"]["value"] == 15.0
+
+
+def test_terms_shard_size_truncation():
+    import numpy as np
+    import pyarrow as pa
+    from tantivy4java_ray.aggs import partial_agg, merge_states, finalize
+    rng = np.random.default_rng(0)
+    # zipf-ish: key k appears (50 - k) times
+    keys = [f"k{k:02d}" for k in range(40) for _ in range(50 - k)]
+    t = pa.table({"a": keys})
+    specs_exact = {"t": {"terms": {"field": "a", "size": 5}}}
+    specs_trunc = {"t": {"terms": {"field": "a", "size": 5,
+                                   "shard_size": 8}}}
+    pe = partial_agg(specs_exact, t)
+    pt = partial_agg(specs_trunc, t)
+    assert len(pe["t"]) == 40
+    assert len(pt["t"]) == 8          # partial state bounded
+    top_exact = [b["key"] for b in finalize(
+        specs_exact, merge_states(specs_exact, {}, pe))["t"]["buckets"]]
+    top_trunc = [b["key"] for b in finalize(
+        specs_trunc, merge_states(specs_trunc, {}, pt))["t"]["buckets"]]
+    # heads agree on a single shard (approximation shows only across
+    # shards with divergent tails)
+    assert top_exact == top_trunc
