@@ -136,3 +136,66 @@ def test_more_like_this(reader):
     q = Query.more_like_this({"body": DOCS[0]["body"]}, min_doc_freq=1)
     hits = reader.search(q, 3).hits
     assert hits[0][1] == 0  # most similar to itself
+
+
+# ---------------------------------------------------------------------------
+# Pinned f32 scores on the QUANTIZED-norm path (the default users get).
+# A live differential against the tantivy PyPI bindings is impossible in
+# this environment (no network/pip), so the expectation is re-derived
+# INDEPENDENTLY here from tantivy's published BM25 (idf = ln(1 + (N - df
+# + 0.5)/(df + 0.5)), k1=1.2, b=0.75) with the u8 fieldnorm
+# quantization table (tantivy fieldnorm.rs constants, pinned separately
+# in test_fieldnorm.py) and f32 arithmetic — exercising the whole
+# analyzer -> norm-id -> table-decode -> f32 scoring chain end to end.
+# ---------------------------------------------------------------------------
+
+def _expected_f32_term_score(texts, qdoc, term, boost=1.0):
+    import re as _re
+
+    import numpy as np
+    from tantivy4java_ray.fieldnorm import FIELD_NORMS_TABLE, fieldnorm_to_id
+
+    toks = [_re.findall(r"[a-z0-9]+", (t or "").lower()) for t in texts]
+    n = len(texts)
+    dls = np.array([len(t) for t in toks], np.int64)
+    avgdl = dls.sum() / n
+    tf = toks[qdoc].count(term)
+    df = sum(1 for t in toks if term in t)
+    idf = np.log1p((n - df + 0.5) / (df + 0.5))
+    weight = np.float32(boost * idf * (1.2 + 1.0))
+    # quantized dl: encode to u8 id, decode through the table
+    dl_q = np.float64(FIELD_NORMS_TABLE[fieldnorm_to_id(dls[qdoc:qdoc + 1])[0]])
+    denom = np.float32(1.2 * (1.0 - 0.75 + 0.75 * dl_q / avgdl))
+    return np.float32(weight * np.float32(tf) / (np.float32(tf) + denom))
+
+
+def test_quantized_f32_scores_pinned(reader):
+    import numpy as np
+
+    bodies = [d["body"] for d in DOCS]
+    # term 'sea' on body: only doc4 (tf=4)
+    docs, scores = reader.evaluate(Query.term("body", "sea"))
+    assert docs.tolist() == [4]
+    want = _expected_f32_term_score(bodies, 4, "sea")
+    assert scores.dtype == np.float32
+    assert scores[0] == want          # bit-exact f32
+    # term 'old' on body: doc0 (tf=2: 'old man' + 'eighty-four'? no —
+    # 'old' appears once; recompute expectation rather than assume)
+    docs, scores = reader.evaluate(Query.term("body", "old"))
+    assert docs.tolist() == [0]
+    assert scores[0] == _expected_f32_term_score(bodies, 0, "old")
+    # boost multiplies the weight INSIDE the f32 chain
+    docs, bscores = reader.evaluate(Query.boost(Query.term("body", "old"),
+                                                2.0))
+    assert bscores[0] == _expected_f32_term_score(bodies, 0, "old", 2.0)
+    # SHOULD-union sums the two term scores in f32
+    q = Query.boolean([(Occur.SHOULD, Query.term("body", "sea")),
+                       (Occur.SHOULD, Query.term("body", "water"))])
+    docs, sscores = reader.evaluate(q)
+    by_doc = dict(zip(docs.tolist(), sscores))
+    assert by_doc[4] == _expected_f32_term_score(bodies, 4, "sea")
+    assert by_doc[3] == _expected_f32_term_score(bodies, 3, "water")
+    # WAND produces the identical f32 hits
+    hits_scan = reader.search(q, 5, method="auto").hits
+    hits_wand = reader.search(q, 5, method="wand").hits
+    assert hits_scan == hits_wand
