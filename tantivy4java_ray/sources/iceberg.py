@@ -1,11 +1,17 @@
-"""Iceberg source — STUB.
+"""Iceberg source: table metadata, snapshots, and live data-file listing.
 
 The reference reads Iceberg tables (``iceberg/IcebergTableReader.java``:
-manifests, snapshots, live file scan). Iceberg's manifest lists and
-manifest files are Avro; this environment has no Avro reader, so only the
-table-metadata JSON (snapshot inventory) is parsed here, and data-file
-listing raises with that explanation. Swap in ``pyiceberg`` on a cluster
-that has it.
+111-503 — manifests, snapshots, live file scan). Iceberg's manifest
+lists and manifest files are Avro object container files; this module
+reads them with the engine's own minimal Avro decoder
+(``sources/avro.py``, pure Python + zlib — the environment has no Avro
+library). Paths may be local or fsspec URLs.
+
+Listing semantics: pick the snapshot (current by default), read its
+manifest LIST (one row per manifest file), then each manifest's entries;
+an entry is live when ``status != 2`` (2 = DELETED) and its content is
+data (content 0; position/equality deletes are skipped — the engine
+indexes data files only).
 """
 
 from __future__ import annotations
@@ -17,21 +23,65 @@ import os
 
 def read_table_metadata(table_path: str) -> dict:
     """Latest ``metadata/v*.metadata.json`` — schema, snapshots, specs."""
-    metas = sorted(glob.glob(os.path.join(table_path, "metadata",
-                                          "*.metadata.json")))
+    from tantivy4java_ray import storage as st
+    if st.is_url(table_path):
+        fs, p = st.fs_for(table_path)
+        proto = table_path.split("://", 1)[0]
+        metas = sorted(f"{proto}://{h}" for h in
+                       fs.glob(p.rstrip("/") + "/metadata/*.metadata.json"))
+    else:
+        metas = sorted(glob.glob(os.path.join(table_path, "metadata",
+                                              "*.metadata.json")))
     if not metas:
         raise FileNotFoundError(f"no iceberg metadata under {table_path}")
-    with open(metas[-1]) as f:
-        return json.load(f)
+    return st.read_json_any(metas[-1])
 
 
 def iceberg_snapshots(table_path: str) -> list[dict]:
     return read_table_metadata(table_path).get("snapshots", [])
 
 
-def iceberg_live_files(table_path: str) -> list[str]:
-    raise NotImplementedError(
-        "Iceberg data-file listing requires reading Avro manifest files; "
-        "no Avro reader is available in this environment. Use pyiceberg "
-        "(table.scan().plan_files()) where installed, then pass the paths "
-        "to build_index().")
+def _localize(path: str, table_path: str) -> str:
+    """Iceberg metadata stores absolute URIs from write time; remap the
+    table-location prefix onto the path we were given."""
+    meta_loc = path
+    for scheme in ("file://",):
+        if meta_loc.startswith(scheme):
+            meta_loc = meta_loc[len(scheme):]
+    if os.path.isabs(meta_loc) and not os.path.exists(meta_loc):
+        # remap <old-table-location>/suffix -> <table_path>/suffix
+        for marker in ("/metadata/", "/data/"):
+            if marker in meta_loc:
+                suffix = meta_loc[meta_loc.index(marker) + 1:]
+                return os.path.join(table_path, suffix)
+    return meta_loc
+
+
+def iceberg_live_files(table_path: str,
+                       snapshot_id: int | None = None) -> list[str]:
+    """Live data-file paths of a snapshot (default: current)."""
+    from tantivy4java_ray.sources.avro import read_avro_file
+
+    meta = read_table_metadata(table_path)
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        return []
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id", snaps[-1]["snapshot-id"])
+    snap = next(s for s in snaps if s["snapshot-id"] == snapshot_id)
+    mlist_path = _localize(snap["manifest-list"], table_path)
+    _schema, manifests = read_avro_file(mlist_path)
+    files: list[str] = []
+    for m in manifests:
+        mpath = _localize(m["manifest_path"], table_path)
+        _s, entries = read_avro_file(mpath)
+        for e in entries:
+            if e.get("status") == 2:  # DELETED
+                continue
+            df = e.get("data_file") or {}
+            if df.get("content", 0) != 0:  # delete files
+                continue
+            fp = df.get("file_path")
+            if fp:
+                files.append(_localize(fp, table_path))
+    return sorted(set(files))

@@ -571,3 +571,99 @@ def test_split_bundle_roundtrip(ray_session, tmp_path):
     hits = [d for _s, d in r_split.search("needleterm", 3).hits]
     got = r_split.retrieve_docs(hits, columns=["url"])
     assert got.num_rows == len(hits)
+
+
+# ---------------------------------------------------------------------------
+# Avro reader + Iceberg live-file listing
+# ---------------------------------------------------------------------------
+
+def test_avro_roundtrip():
+    from tantivy4java_ray.sources.avro import read_avro_file, write_avro_file
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "opt", "type": ["null", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "double"}},
+        {"name": "sub", "type": {"type": "record", "name": "sub",
+                                 "fields": [{"name": "x", "type": "long"}]}},
+    ]}
+    recs = [{"s": "héllo", "n": -42, "opt": None, "arr": [1, 2, 3],
+             "m": {"a": 1.5}, "sub": {"x": 7}},
+            {"s": "", "n": 2 ** 40, "opt": "y", "arr": [],
+             "m": {}, "sub": {"x": -1}}]
+    for codec in ("null", "deflate"):
+        blob = write_avro_file(schema, recs, codec=codec)
+        _s, got = read_avro_file(blob)
+        assert got == recs, codec
+
+
+def _mini_iceberg_table(base, data_files):
+    """Synthesize an Iceberg table layout: metadata JSON + avro manifest
+    list + avro manifest (the public spec field subset)."""
+    import json as _json
+
+    from tantivy4java_ray.sources.avro import write_avro_file
+    meta_dir = os.path.join(base, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    manifest_schema = {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "long"},
+        {"name": "data_file", "type": {"type": "record", "name": "df",
+         "fields": [{"name": "content", "type": "long"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "record_count", "type": "long"}]}}]}
+    entries = [{"status": 1, "data_file":
+                {"content": 0, "file_path": p, "record_count": 10}}
+               for p in data_files]
+    # one deleted entry + one delete-file entry that must be skipped
+    entries.append({"status": 2, "data_file":
+                    {"content": 0, "file_path": "/gone.parquet",
+                     "record_count": 1}})
+    entries.append({"status": 1, "data_file":
+                    {"content": 1, "file_path": "/posdel.parquet",
+                     "record_count": 1}})
+    mpath = os.path.join(meta_dir, "manifest-1.avro")
+    with open(mpath, "wb") as f:
+        f.write(write_avro_file(manifest_schema, entries))
+    mlist_schema = {"type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"}]}
+    lpath = os.path.join(meta_dir, "snap-1.avro")
+    with open(lpath, "wb") as f:
+        f.write(write_avro_file(
+            mlist_schema, [{"manifest_path": mpath,
+                            "manifest_length": os.path.getsize(mpath)}]))
+    meta = {"format-version": 2, "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "manifest-list": lpath}],
+            "schemas": []}
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+
+
+def test_iceberg_live_files_and_build(ray_session, tmp_path):
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.schema import IndexSchema
+    from tantivy4java_ray.sources.iceberg import (iceberg_live_files,
+                                                  iceberg_snapshots)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    paths = []
+    for i in range(2):
+        p = str(data_dir / f"f{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+            "text": [f"iceberg doc {j} alpha" for j in range(10)]}), p)
+        paths.append(p)
+    base = str(tmp_path / "table")
+    _mini_iceberg_table(base, paths)
+    assert len(iceberg_snapshots(base)) == 1
+    files = iceberg_live_files(base)
+    assert files == sorted(paths)      # tombstones + delete files skipped
+    s = IndexSchema().add_text_field("text")
+    idx = str(tmp_path / "idx")
+    build_index(files, idx, s, num_shards=2)
+    from tantivy4java_ray.query import Query
+    r = IndexReader(idx)
+    docs, _ = r.evaluate(Query.term("text", "alpha"))
+    assert len(docs) == 20
