@@ -1,12 +1,19 @@
 """Multimodal column stages: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment): each stage raises ``NotImplementedError`` unless constructed
-with ``fake=True``, which substitutes a deterministic hash-derived decode so
-the Ray-side plumbing — schema, actor signature, batch sizing, output
-layout — is real and tested. Swap ``_decode_*_real`` for PIL/ffmpeg/soundfile
-on a cluster that has them.
+Decode support in this environment (no PIL/opencv/ffmpeg):
+
+- images: REAL pure-numpy decoders for the uncompressed container
+  formats — PPM (P6) and BMP (24/32-bit) — with nearest-neighbor
+  resize; compressed codecs (JPEG/PNG) raise ``NotImplementedError``
+  (entropy decoders need a codec library) unless ``fake=True``
+  substitutes the deterministic stand-in.
+- audio: REAL WAV/PCM decode via the stdlib ``wave`` module (8/16/32
+  bit) -> per-frame RMS energies; other containers raise unless
+  ``fake=True``.
+
+The Ray-side plumbing — schema, actor-pool signature, batch sizing,
+output layout — is identical for real and fake decode paths.
 
 Batch-size guidance (SCALE.md): binary payloads dominate memory; size
 ``batch_size`` so ``batch_size x concurrency x payload`` fits the worker
@@ -14,6 +21,8 @@ heap (e.g. 32 rows for ~4 MB images at 8 actors/32 GB).
 """
 
 from __future__ import annotations
+
+import io
 
 import numpy as np
 import pyarrow as pa
@@ -24,6 +33,86 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(H, W, 3) -> (h, w, 3) nearest-neighbor, pure indexing."""
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (H, W, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: P6 <w> <h> <maxval> then raw RGB; '#' comments allowed
+    toks: list[bytes] = []
+    pos = 2
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end:end + 1].isspace():
+            end += 1
+        toks.append(payload[pos:end])
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    arr = np.frombuffer(payload, np.uint8, h * w * 3, pos)
+    return arr.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP -> (H, W, 3) uint8."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    nchan = bpp // 8
+    row_bytes = (w * nchan + 3) & ~3
+    arr = np.frombuffer(payload, np.uint8, row_bytes * h, data_off)
+    arr = arr.reshape(h, row_bytes)[:, :w * nchan].reshape(h, w, nchan)
+    rgb = arr[:, :, 2::-1]  # BGR(A) -> RGB
+    return rgb[::-1] if flip else rgb
+
+
+def decode_wav_energies(payload: bytes, n_frames: int) -> np.ndarray:
+    """WAV/PCM -> n_frames per-frame RMS energies in [0, 1] (float32)."""
+    import wave
+    with wave.open(io.BytesIO(payload)) as wf:
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, np.uint8).astype(np.float64)
+                   - 128.0) / 128.0
+    elif width == 4:
+        samples = np.frombuffer(raw, np.int32).astype(np.float64) / 2 ** 31
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if not len(samples):
+        return np.zeros(n_frames, np.float32)
+    # trim so frames divide evenly, then vectorized per-frame RMS
+    per = max(len(samples) // n_frames, 1)
+    trimmed = samples[:per * n_frames]
+    if len(trimmed) < per * n_frames:
+        trimmed = np.pad(trimmed, (0, per * n_frames - len(trimmed)))
+    return np.sqrt((trimmed.reshape(n_frames, per) ** 2)
+                   .mean(axis=1)).astype(np.float32)
 
 
 class ImageDecodeResize:
@@ -42,9 +131,14 @@ class ImageDecodeResize:
         self.fake = fake
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
+        if payload.startswith(b"P6"):
+            return _resize_nearest(decode_ppm(payload), self.h, self.w)
+        if payload.startswith(b"BM"):
+            return _resize_nearest(decode_bmp(payload), self.h, self.w)
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "construct with fake=True for the deterministic stand-in")
+            "compressed image codecs (JPEG/PNG) require PIL/opencv (not in "
+            "this container); PPM/BMP decode natively, or construct with "
+            "fake=True for the deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.col).to_pylist()
@@ -75,8 +169,11 @@ class AudioFrameSample:
         self.fake = fake
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
+        if payload.startswith(b"RIFF"):
+            return decode_wav_energies(payload, self.n_frames)
         raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg (not in this container); "
+            "compressed audio (MP3/FLAC/OGG) requires soundfile/ffmpeg "
+            "(not in this container); WAV/PCM decodes natively, or "
             "construct with fake=True for the deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:

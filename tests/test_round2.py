@@ -667,3 +667,87 @@ def test_iceberg_live_files_and_build(ray_session, tmp_path):
     r = IndexReader(idx)
     docs, _ = r.evaluate(Query.term("text", "alpha"))
     assert len(docs) == 20
+
+
+# ---------------------------------------------------------------------------
+# real multimodal decode: PPM / BMP / WAV
+# ---------------------------------------------------------------------------
+
+def _make_ppm(w, h):
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (h, w, 3), np.uint8)
+    return (b"P6\n# comment\n%d %d\n255\n" % (w, h)) + px.tobytes(), px
+
+
+def _make_bmp(w, h):
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (h, w, 3), np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):     # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\0" * (row_bytes - len(row)))
+    data = b"".join(rows)
+    header = (b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\0" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + b"\0" * 24)
+    return header + data, px
+
+
+def _make_wav(n_samples=8000):
+    import io
+    import wave
+    t = np.arange(n_samples)
+    samples = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_ppm_bmp_decode_exact():
+    from tantivy4java_ray.stages.multimodal import decode_bmp, decode_ppm
+    blob, px = _make_ppm(7, 5)
+    np.testing.assert_array_equal(decode_ppm(blob), px)
+    blob, px = _make_bmp(6, 4)
+    np.testing.assert_array_equal(decode_bmp(blob), px)
+
+
+def test_image_decode_stage_real(ray_session):
+    import ray.data
+    from tantivy4java_ray.stages.multimodal import decode_images
+    ppm, _ = _make_ppm(16, 12)
+    bmp, _ = _make_bmp(10, 10)
+    ds = ray.data.from_items([{"doc_id": 0, "image": ppm},
+                              {"doc_id": 1, "image": bmp}])
+    out = decode_images(ds, size=(8, 8), concurrency=1).to_pandas()
+    assert len(out) == 2
+    assert all(len(p) == 8 * 8 * 3 for p in out["pixels"])
+    assert out["orig_bytes"].tolist() == [len(ppm), len(bmp)]
+
+
+def test_wav_decode_stage_real(ray_session):
+    import ray.data
+    from tantivy4java_ray.stages.multimodal import sample_audio_frames
+    wav = _make_wav()
+    ds = ray.data.from_items([{"doc_id": 0, "audio": wav}])
+    out = sample_audio_frames(ds, n_frames=8, concurrency=1).to_pandas()
+    e = np.asarray(out["frame_energy"][0])
+    assert len(e) == 8
+    # a constant-amplitude sine has RMS ~ A/sqrt(2) in every frame
+    np.testing.assert_allclose(e, (20000 / 32768) / np.sqrt(2), rtol=0.05)
+
+
+def test_compressed_codecs_still_raise():
+    from tantivy4java_ray.stages.multimodal import (AudioFrameSample,
+                                                    ImageDecodeResize)
+    with pytest.raises(NotImplementedError):
+        ImageDecodeResize()._decode_real(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        AudioFrameSample()._decode_real(b"ID3....")
