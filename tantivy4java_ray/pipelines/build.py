@@ -188,16 +188,17 @@ class PartitionIndexer:
     def _paths(self, pid: int) -> tuple[str, str]:
         from tantivy4java_ray import storage as st
         return (st.sjoin(self.index_dir, "docdata", f"part-{pid:05d}.parquet"),
-                st.sjoin(self.index_dir, "_partials", f"part-{pid:05d}.parquet"))
+                st.sjoin(self.index_dir, "_partials", f"part-{pid:05d}"))
 
     def _index_partition(self, spec: dict) -> pa.Table:
         from tantivy4java_ray import storage as st
         pid = spec["pid"]
-        docdata_path, partial_path = self._paths(pid)
+        docdata_path, partial_dir = self._paths(pid)
+        summary = pa.table({"pid": pa.array([pid], pa.int32())})
         if (self.checkpoint and st.sexists(docdata_path)
-                and st.sexists(partial_path)):
+                and st.sexists(st.sjoin(partial_dir, ".complete"))):
             # resume: this partition is already built (atomic rename = done)
-            return st.read_parquet_any(partial_path)
+            return summary
 
         t0 = time.monotonic()
         pf = st.parquet_file_any(spec["path"])
@@ -352,10 +353,33 @@ class PartitionIndexer:
         dd = pa.table(docdata_cols) if docdata_cols else pa.table(
             {"__rows__": pa.nulls(n, pa.int8())})
         dd = dd.replace_schema_metadata({"build_meta": json.dumps(meta)})
+        # partials are the map-side shuffle output: one file PER SHARD so
+        # each shard writer reads exactly its slice straight from storage
+        # — no object-store all-to-all of index-sized blobs (the classic
+        # external shuffle; on a cluster the shared store scales with
+        # nodes while a sort exchange saturates the network bisection)
+        shard_col = np.asarray(partial.column("shard")
+                               .to_numpy(zero_copy_only=False), np.int32)
+        order = np.argsort(shard_col, kind="stable")
+        sorted_p = partial.take(pa.array(order))
+        sc = shard_col[order]
+        bounds = np.flatnonzero(np.diff(sc)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sc)]))
+        for s0, s1 in zip(starts, ends):
+            if s1 <= s0:
+                continue
+            sid = int(sc[s0])
+            # zstd-1 halves partial bytes vs snappy (position streams are
+            # raw u32 here) at ~no CPU cost — partials are written once,
+            # read once, and dominate the build's storage traffic
+            st.write_parquet_atomic(
+                sorted_p.slice(s0, s1 - s0),
+                st.sjoin(partial_dir, f"shard-{sid:05d}.parquet"),
+                compression="zstd", compression_level=1)
+        st.write_bytes_atomic(b"", st.sjoin(partial_dir, ".complete"))
         self._atomic_parquet(dd, docdata_path)
-        if self.checkpoint:
-            self._atomic_parquet(partial, partial_path)
-        return partial
+        return summary
 
     @staticmethod
     def _atomic_parquet(table: pa.Table, path: str) -> None:
@@ -532,6 +556,26 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
                      "positions_bytes": pa.array([pos_buf.tell()], pa.int64())})
 
 
+def _write_shard_from_partials(batch: pa.Table, index_dir: str,
+                               pids: list[int]) -> pa.Table:
+    """Reduce task: read this shard's per-partition partial files straight
+    from storage and merge them (the storage-backed shuffle's reduce
+    side — reads exactly 1/num_shards of the map output, no exchange)."""
+    from tantivy4java_ray import storage as st
+    outs = []
+    for sid in batch.column("sid").to_pylist():
+        pieces = []
+        for pid in pids:
+            p = st.sjoin(index_dir, "_partials", f"part-{pid:05d}",
+                         f"shard-{int(sid):05d}.parquet")
+            if st.sexists(p):
+                pieces.append(st.read_parquet_any(p))
+        group = (pa.concat_tables(pieces) if pieces else
+                 _PARTIAL_SCHEMA.empty_table())
+        outs.append(_write_shard(group, index_dir))
+    return pa.concat_tables(outs)
+
+
 # ---------------------------------------------------------------------------
 # driver orchestration
 # ---------------------------------------------------------------------------
@@ -647,7 +691,10 @@ class IndexBuilder:
         # one block per partition spec up front — repartition() is an
         # AllToAll operator and costs seconds even for 24 rows
         ds = ray.data.from_items(specs, override_num_blocks=npart)
-        partials = ds.map_batches(
+        # map side: index partitions; partial postings are written to
+        # storage split BY SHARD (the external-shuffle map output). Only
+        # tiny per-partition summaries flow through the object store.
+        ds.map_batches(
             PartitionIndexer,
             fn_constructor_kwargs=dict(
                 schema_dict=self.schema.to_dict(), index_dir=self.index_dir,
@@ -659,24 +706,33 @@ class IndexBuilder:
                 phash_fields=self.phash_fields),
             batch_format="pyarrow", batch_size=None,
             concurrency=conc, num_cpus=1).materialize()
-        # ^ the stage barrier: partials pin in the object store (they are
-        # ~index-sized; Ray spills if needed) and the actor pool tears
-        # down, so the sort + shard-writer stages get the full CPU budget
-        shard_stats = (partials
-                       .groupby("shard")
-                       .map_groups(lambda g: _write_shard(g, self.index_dir),
-                                   batch_format="pyarrow")
-                       .take_all())
+        # reduce side: one task per shard reads its own partial files —
+        # no sort exchange, no index-sized data in the object store
+        pids = [p.pid for p in plan.partitions]
+        idx_dir = self.index_dir
+        shard_ds = ray.data.from_items(
+            [{"sid": s} for s in range(nshards)],
+            override_num_blocks=nshards)
+        shard_stats = shard_ds.map_batches(
+            lambda b: _write_shard_from_partials(b, idx_dir, pids),
+            batch_format="pyarrow", batch_size=None,
+            num_cpus=1).take_all()
 
         # finalize: per-partition lineage from docdata footers -> txlog
         actions: list[dict] = []
         num_docs = 0
         total_tokens: dict[str, int] = {}
-        for p in plan.partitions:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _read_meta(p):
             path = st.sjoin(self.index_dir, "docdata",
                             f"part-{p.pid:05d}.parquet")
-            meta = json.loads(st.read_parquet_metadata_any(path)
+            return json.loads(st.read_parquet_metadata_any(path)
                               .metadata[b"build_meta"].decode())
+
+        with ThreadPoolExecutor(8) as ex:  # footer reads are IO-bound
+            metas = list(ex.map(_read_meta, plan.partitions))
+        for meta in metas:
             num_docs += meta["num_docs"]
             for f_, t_ in meta["total_tokens"].items():
                 total_tokens[f_] = total_tokens.get(f_, 0) + t_

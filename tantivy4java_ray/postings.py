@@ -116,7 +116,6 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint32)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
     nblocks = (df + BLOCK - 1) // BLOCK
-    last_count = df - (nblocks - 1) * BLOCK
 
     # global gap-1 deltas; a block's first delta is relative to the
     # previous block's last doc, which IS the previous global doc -> the
@@ -126,13 +125,30 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
     np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
     deltas[1:] -= 1
 
-    pad = nblocks * BLOCK - df
-    dmat = np.pad(deltas, (0, pad)).reshape(nblocks, BLOCK)
-    tmat = np.pad(tfs - 1, (0, pad)).reshape(nblocks, BLOCK)
+    if nblocks == 1:
+        # the overwhelmingly common case (df <= 128): no block matrices
+        tfs1 = tfs - 1
+        wd = _width(deltas)
+        wt = _width(tfs1)
+        header = np.array([df, 1], dtype=np.uint32).tobytes()
+        return b"".join([
+            header,
+            doc_ids[df - 1:df].tobytes(),                # last_doc
+            np.array([int(tfs.max())], np.uint32).tobytes(),
+            bytes([wd, wt]),
+            _pack(deltas, wd), _pack(tfs1, wt)])
+
+    last_count = df - (nblocks - 1) * BLOCK
+    flat = np.zeros(nblocks * BLOCK, np.uint32)
+    flat[:df] = deltas
+    dmat = flat.reshape(nblocks, BLOCK)
+    flat_t = np.zeros(nblocks * BLOCK, np.uint32)
+    np.subtract(tfs, 1, out=flat_t[:df])
+    tmat = flat_t.reshape(nblocks, BLOCK)
     last_doc = doc_ids[np.minimum(np.arange(1, nblocks + 1) * BLOCK - 1,
                                   df - 1)].astype(np.uint32)
-    tf_pad = np.pad(tfs, (0, pad)).reshape(nblocks, BLOCK)
-    max_tf = tf_pad.max(axis=1).astype(np.uint32)
+    # every block has >= 1 real entry, so block max(tf) = max(tf-1) + 1
+    max_tf = (tmat.max(axis=1) + 1).astype(np.uint32)
     bits_doc = _bit_widths(dmat.max(axis=1))
     bits_tf = _bit_widths(tmat.max(axis=1))
 

@@ -158,19 +158,19 @@ def parquet_file_any(path: str) -> pq.ParquetFile:
     return pq.ParquetFile(fs.open(p, "rb"))
 
 
-def write_parquet_atomic(table: pa.Table, path: str) -> None:
+def write_parquet_atomic(table: pa.Table, path: str, **pq_kwargs) -> None:
     fs, p = fs_for(path)
     if fs is None:
         if os.path.dirname(p):
             os.makedirs(os.path.dirname(p), exist_ok=True)
         tmp = p + f".tmp-{os.getpid()}"
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, **pq_kwargs)
         os.replace(tmp, p)
         return
     fs.makedirs(posixpath.dirname(p), exist_ok=True)
     tmp = p + f".tmp-{os.getpid()}"
     with fs.open(tmp, "wb") as f:
-        pq.write_table(table, f)
+        pq.write_table(table, f, **pq_kwargs)
     fs.mv(tmp, p)
 
 

@@ -111,7 +111,8 @@ def test_partial_resume_produces_identical_index(setup):
     os.makedirs(f"{crash}/docdata")
     os.makedirs(f"{crash}/_partials")
     shutil.copy(f"{src}/docdata/part-00000.parquet", f"{crash}/docdata/")
-    shutil.copy(f"{src}/_partials/part-00000.parquet", f"{crash}/_partials/")
+    shutil.copytree(f"{src}/_partials/part-00000",
+                    f"{crash}/_partials/part-00000")
     build_index(f"{BASE}/data_a", crash, schema(),
                 html_fallback=("text", "html"),
                 target_docs_per_partition=300, num_shards=4)

@@ -76,9 +76,11 @@ def test_build_from_delta(delta_table, ray_session):
     assert len(docs) == 6
 
 
-def test_iceberg_stub():
+def test_iceberg_missing_table_raises():
+    # live listing is real now (sources/avro.py); a missing table still
+    # fails loudly rather than returning an empty list
     from tantivy4java_ray.sources.iceberg import iceberg_live_files
-    with pytest.raises(NotImplementedError, match="Avro"):
+    with pytest.raises(FileNotFoundError, match="iceberg"):
         iceberg_live_files("/nonexistent")
 
 
