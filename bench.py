@@ -201,6 +201,30 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def _cpu_control(workers: int, seconds: float = 4.0) -> float:
+    """Aggregate busy-loop units/s at ``workers`` processes — the host's
+    actual deliverable parallel CPU at that width, measured now."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.monotonic()
+        x, n = 0, 0
+        while time.monotonic() - t0 < seconds:
+            for _ in range(100_000):
+                x = (x * 1103515245 + 12345) % (1 << 31)
+            n += 1
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(workers)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / seconds
+
+
 def _init_ray(num_cpus: int) -> None:
     import ray
     if not ray.is_initialized():
@@ -239,12 +263,18 @@ def main() -> None:
     if "--scaling" in sys.argv:
         lo, hi = (int(x) for x in os.environ.get(
             "GRAFT_SCALING_CPUS", "2,8").split(","))
-        n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
+        n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
         ensure_webpages(SCALING_DOCS)  # generate once so children only build
-        runs = []
-        for n in (lo, hi):
-            best = None
-            for _ in range(n_runs):  # best-of-N: shared-host noise smoothing
+        # CPU control: raw busy-loop scaling at the same worker counts —
+        # separates ENGINE scaling from host noise (this is a shared VM;
+        # identical 8-CPU builds have measured 49 s and 69 s minutes
+        # apart). Efficiency is reported raw AND normalized by control.
+        ctl = {n: _cpu_control(n) for n in (lo, hi)}
+        ctl_eff = (ctl[hi] / ctl[lo]) / (hi / lo)
+        best: dict[int, dict] = {}
+        all_runs: list[dict] = []
+        for _ in range(n_runs):        # interleave levels: decorrelates
+            for n in (lo, hi):         # time-varying host load
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--scaling-child", str(n)],
@@ -253,21 +283,28 @@ def main() -> None:
                 line = [ln for ln in p.stdout.strip().splitlines()
                         if ln.startswith("{")][-1]
                 r = json.loads(line)
-                if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                    best = r
-            runs.append(best)
-        thr = {r["num_cpus"]: r["docs_per_sec"] for r in runs}
+                all_runs.append(r)
+                if n not in best or r["docs_per_sec"] > \
+                        best[n]["docs_per_sec"]:
+                    best[n] = r
+        thr = {n: best[n]["docs_per_sec"] for n in (lo, hi)}
         eff = (thr[hi] / thr[lo]) / (hi / lo)
         print(json.dumps({
             "metric": "index_build_scaling", "unit": "docs_per_sec",
             "value": round(thr[hi], 1), "sf": sf_dir,
-            "num_docs": runs[0]["num_docs"],
+            "num_docs": best[lo]["num_docs"],
             "cpus": [lo, hi],
             "throughput": {str(k): round(v, 1) for k, v in thr.items()},
-            "build_sec": {str(r["num_cpus"]): round(r["build_sec"], 2)
-                          for r in runs},
-            "index_storage": runs[0].get("out_base", "/tmp/t4jr_bench"),
-            "scaling_efficiency": round(eff, 3)}))
+            "build_sec": {str(n): round(best[n]["build_sec"], 2)
+                          for n in (lo, hi)},
+            "all_runs": [{"cpus": r["num_cpus"],
+                          "docs_per_sec": round(r["docs_per_sec"], 1)}
+                         for r in all_runs],
+            "index_storage": best[lo].get("out_base", "/tmp/t4jr_bench"),
+            "cpu_control_efficiency": round(ctl_eff, 3),
+            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency_normalized": round(
+                min(eff / ctl_eff, 1.0) if ctl_eff else eff, 3)}))
         return
 
     _init_ray(num_cpus)

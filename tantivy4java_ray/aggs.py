@@ -360,15 +360,13 @@ def _partition_partial(index_dir: str, part: dict, specs: dict,
     return partial_agg(specs, tbl, mask)
 
 
-def run_aggregations_on_index(reader, query, specs: dict[str, dict],
-                              distributed: bool | None = None) -> dict:
-    """Aggregate over index fast fields for docs matching ``query`` —
-    per-partition partials merged like the reference's per-split
-    intermediate results (``IntermediateAggregationResults``).
-
-    With several partitions the partial pass fans out as Ray tasks (the
-    matched id set broadcast once via ``ray.put``); tiny indexes stay
-    inline to skip task overhead."""
+def merged_partial_on_index(reader, query, specs: dict[str, dict],
+                            distributed: bool | None = None) -> dict:
+    """The intermediate (mergeable) aggregation state for ``reader``'s
+    docs matching ``query`` — the per-split ``IntermediateAggregationResults``
+    analog. A doc-range-pinned leaf reader produces the partial for its
+    range; partials from disjoint leaves merge associatively at the root
+    before one ``finalize``."""
     match: np.ndarray | None = None
     if query is not None and query.kind != "all":
         match = reader.evaluate(query)[0]  # sorted global doc ids
@@ -403,4 +401,16 @@ def run_aggregations_on_index(reader, query, specs: dict[str, dict],
                 specs, merged,
                 _partition_partial(reader.index_dir, p, specs, match,
                                    deleted))
-    return finalize(specs, merged)
+    return merged
+
+
+def run_aggregations_on_index(reader, query, specs: dict[str, dict],
+                              distributed: bool | None = None) -> dict:
+    """Aggregate over index fast fields for docs matching ``query`` —
+    per-partition partials merged like the reference's per-split
+    intermediate results. With several partitions the partial pass fans
+    out as Ray tasks (matched ids broadcast once via ``ray.put``); tiny
+    indexes stay inline to skip task overhead."""
+    return finalize(specs,
+                    merged_partial_on_index(reader, query, specs,
+                                            distributed))

@@ -172,13 +172,14 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray,
 
     # 2) positions within each row (parents is non-decreasing)
     if len(parents):
+        from tantivy4java_ray.nputil import repeat_int
         change = np.empty(len(parents), bool)
         change[0] = True
         np.not_equal(parents[1:], parents[:-1], out=change[1:])
         starts = np.flatnonzero(change)
         run_lens = np.diff(np.append(starts, len(parents)))
         positions = (np.arange(len(parents), dtype=np.int64)
-                     - np.repeat(starts, run_lens)).astype(np.int32)
+                     - repeat_int(starts, run_lens)).astype(np.int32)
     else:
         positions = np.empty(0, np.int32)
 

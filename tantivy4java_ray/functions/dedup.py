@@ -184,8 +184,9 @@ class MinHasher:
         sigs = np.full((int(valid.sum()), self.num_perm),
                        np.iinfo(np.uint64).max, np.uint64)
         if len(h):
+            from tantivy4java_ray.nputil import segment_ids
             vdocs = np.flatnonzero(valid)
-            seg_ids = np.repeat(np.arange(len(vdocs)), counts[vdocs])
+            seg_ids = segment_ids(counts[vdocs])
             chunk = 32  # perms at a time: bounds memory at |shingles|*32*8B
             for c0 in range(0, self.num_perm, chunk):
                 c1 = min(c0 + chunk, self.num_perm)

@@ -460,8 +460,26 @@ class PartitionIndexer:
 # shard writer (the reduce side of the groupby(shard) shuffle)
 # ---------------------------------------------------------------------------
 
+def _binary_column_view(col: pa.ChunkedArray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(row byte-offsets int64[n+1], flat data uint8) of a large_binary
+    column — zero-copy views into Arrow buffers, no per-row objects."""
+    arr = col.combine_chunks()
+    raw_off = np.frombuffer(arr.buffers()[1], np.int64,
+                            len(arr) + 1 + arr.offset)
+    off = raw_off[arr.offset:]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return off, data
+
+
 def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
-    """Merge one shard's partial postings into final segment-shard files."""
+    """Merge one shard's partial postings into final segment-shard files.
+
+    Fully buffer-level: after the (field, term, doc_base) sort the rows
+    of one term are CONTIGUOUS, so each term's merged docs/tfs/positions
+    are single slices of the column data buffers — no per-row
+    ``frombuffer``/concat (at web scale the merge loop touches each byte
+    once; the per-term Python work is the encode call only)."""
     if group.num_rows == 0:
         return pa.table({"sid": pa.array([], pa.int32()),
                          "num_terms": pa.array([], pa.int64()),
@@ -469,15 +487,50 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
                          "positions_bytes": pa.array([], pa.int64())})
     t0 = time.monotonic()
     sid = int(group.column("shard")[0].as_py())
-    df_ = group.to_pandas()
     # chained stable argsorts == lexsort by (field, term, doc_base).
     # NOT pandas sort_values: pandas compares object strings as C strings
     # and truncates at NUL bytes (verified), silently mis-sorting any term
     # containing \x00; numpy object argsort uses real Python comparison.
-    order = np.argsort(df_["doc_base"].to_numpy(), kind="stable")
-    order = order[np.argsort(df_["term"].to_numpy()[order], kind="stable")]
-    order = order[np.argsort(df_["field"].to_numpy()[order], kind="stable")]
-    df_ = df_.iloc[order]
+    fields_o = np.asarray(group.column("field").to_numpy(
+        zero_copy_only=False), object)
+    terms_o = np.asarray(group.column("term").to_numpy(
+        zero_copy_only=False), object)
+    bases_o = group.column("doc_base").to_numpy(zero_copy_only=False)
+    order = np.argsort(bases_o, kind="stable")
+    order = order[np.argsort(terms_o[order], kind="stable")]
+    order = order[np.argsort(fields_o[order], kind="stable")]
+    group = group.take(pa.array(order))
+    fields_arr = fields_o[order]
+    terms_arr = terms_o[order]
+    bases_arr = bases_o[order].astype(np.int64)
+    dfs_arr = group.column("df").to_numpy(zero_copy_only=False)
+
+    # whole-column flat views (take materialized rows in sorted order,
+    # so consecutive rows' bytes are contiguous)
+    doc_off, doc_data = _binary_column_view(group.column("docs"))
+    tf_off, tf_data = _binary_column_view(group.column("tfs"))
+    pos_off, pos_data = _binary_column_view(group.column("positions"))
+
+    def _u32(data: np.ndarray) -> np.ndarray:
+        return data[:(len(data) // 4) * 4].view(np.uint32)
+
+    # per-row pair/position offsets in VALUE units
+    pair_off = (doc_off // 4).astype(np.int64)
+    posv_off = (pos_off // 4).astype(np.int64)
+    from tantivy4java_ray.nputil import repeat_int
+    docs_all = _u32(doc_data)[:pair_off[-1]].astype(np.int64)
+    docs_all += repeat_int(bases_arr, dfs_arr)
+    tfs_all = _u32(tf_data)
+    pos_all = _u32(pos_data)
+
+    # term-group boundaries over rows (object != is an elementwise C loop)
+    n = group.num_rows
+    new_term = np.empty(n, bool)
+    new_term[0] = True
+    np.logical_or(terms_arr[1:] != terms_arr[:-1],
+                  fields_arr[1:] != fields_arr[:-1], out=new_term[1:])
+    tstarts = np.flatnonzero(new_term)
+    tends = np.append(tstarts[1:], n)
 
     post_buf = io.BytesIO()
     pos_buf = io.BytesIO()
@@ -486,30 +539,14 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
                                    "ttf", "offset", "nbytes", "pos_offset",
                                    "pos_nbytes")}
 
-    fields_arr = df_["field"].to_numpy()
-    terms_arr = df_["term"].to_numpy()
-    bases_arr = df_["doc_base"].to_numpy()
-    docs_arr = df_["docs"].to_numpy()
-    tfs_arr = df_["tfs"].to_numpy()
-    pos_arr = df_["positions"].to_numpy()
-
-    n = len(df_)
-    i = 0
-    while i < n:
-        j = i
-        while j < n and fields_arr[j] == fields_arr[i] and terms_arr[j] == terms_arr[i]:
-            j += 1
-        # ordered concat of doc-range-disjoint partials (merge-heap concat)
-        docs = np.concatenate([
-            np.frombuffer(docs_arr[k], np.uint32).astype(np.int64) + bases_arr[k]
-            for k in range(i, j)])
-        tfs = np.concatenate([np.frombuffer(tfs_arr[k], np.uint32)
-                              for k in range(i, j)])
-        has_pos = any(len(pos_arr[k]) for k in range(i, j))
-        pos = (np.concatenate([np.frombuffer(pos_arr[k], np.uint32)
-                               for k in range(i, j)]) if has_pos else None)
+    for i, j in zip(tstarts, tends):
+        docs = docs_all[pair_off[i]:pair_off[j]]
+        tfs = tfs_all[pair_off[i]:pair_off[j]]
+        has_pos = posv_off[j] > posv_off[i]
+        pos = pos_all[posv_off[i]:posv_off[j]] if has_pos else None
         # split into u32-addressable runs (needed beyond 2^32 docs)
         run_start = 0
+        tf_cum = 0
         while run_start < len(docs):
             run_base = int(docs[run_start])
             run_end = int(np.searchsorted(docs, run_base + RUN_SPAN, side="left"))
@@ -518,26 +555,25 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
                                    tfs[sl])
             off = post_buf.tell()
             post_buf.write(blob)
+            ttf_run = int(tfs[sl].sum())
             if pos is not None:
-                tf_off = int(tfs[:run_start].sum())
-                tf_end = tf_off + int(tfs[sl].sum())
-                pblob = encode_positions(pos[tf_off:tf_end])
+                pblob = encode_positions(pos[tf_cum:tf_cum + ttf_run])
                 poff = pos_buf.tell()
                 pos_buf.write(pblob)
             else:
                 poff, pblob = -1, b""
+            tf_cum += ttf_run
             dict_rows["key"].append(f"{fields_arr[i]}\x00{terms_arr[i]}")
             dict_rows["field"].append(fields_arr[i])
             dict_rows["term"].append(terms_arr[i])
             dict_rows["run_base"].append(run_base)
             dict_rows["df"].append(run_end - run_start)
-            dict_rows["ttf"].append(int(tfs[sl].sum()))
+            dict_rows["ttf"].append(ttf_run)
             dict_rows["offset"].append(off)
             dict_rows["nbytes"].append(len(blob))
             dict_rows["pos_offset"].append(poff)
             dict_rows["pos_nbytes"].append(len(pblob))
             run_start = run_end
-        i = j
 
     from tantivy4java_ray import storage as st
     shard_dir = st.sjoin(index_dir, "shards", f"shard-{sid:05d}")

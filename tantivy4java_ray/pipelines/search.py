@@ -1642,6 +1642,18 @@ class ShardedSearchPool:
                 return [self.reader.search(q, limit).hits
                         for q in queries]
 
+            def aggregate_partial(self, query_blob: bytes,
+                                  specs_blob: bytes) -> bytes:
+                import pickle
+                from tantivy4java_ray.aggs import merged_partial_on_index
+                query = pickle.loads(query_blob)
+                specs = pickle.loads(specs_blob)
+                if isinstance(query, str):
+                    from tantivy4java_ray.query import parse_query
+                    query = parse_query(query, self.reader.schema)
+                return pickle.dumps(merged_partial_on_index(
+                    self.reader, query, specs, distributed=False))
+
         self._actors = [_LeafActor.remote(index_dir, lo, hi, prewarm)
                         for lo, hi in ranges]
         self.ranges = ranges
@@ -1665,6 +1677,24 @@ class ShardedSearchPool:
 
     def search(self, query: str, limit: int | None = None) -> SearchResult:
         return SearchResult(self.search_many([query], limit)[0])
+
+    def aggregate(self, query, aggs: dict) -> dict:
+        """Leaf/root distributed aggregation: each leaf computes the
+        intermediate state over its doc range, the root merges the
+        (associative) partials and finalizes once — the reference's
+        per-split ``IntermediateAggregationResults`` merge."""
+        import pickle
+
+        import ray
+        from tantivy4java_ray.aggs import finalize, merge_states
+        qb = pickle.dumps(query)
+        sb = pickle.dumps(aggs)
+        blobs = ray.get([a.aggregate_partial.remote(qb, sb)
+                         for a in self._actors])
+        merged: dict = {}
+        for b in blobs:
+            merged = merge_states(aggs, merged, pickle.loads(b))
+        return finalize(aggs, merged)
 
     def shutdown(self) -> None:
         import ray

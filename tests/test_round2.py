@@ -751,3 +751,41 @@ def test_compressed_codecs_still_raise():
         ImageDecodeResize()._decode_real(b"\x89PNG....")
     with pytest.raises(NotImplementedError):
         AudioFrameSample()._decode_real(b"ID3....")
+
+
+def test_sharded_pool_aggregate(range_idx):
+    """Leaf/root aggregation partials merge to the single-reader result."""
+    from tantivy4java_ray.pipelines.search import (IndexReader,
+                                                   ShardedSearchPool)
+    from tantivy4java_ray.query import Query
+    pool = ShardedSearchPool(range_idx, num_actors=3)
+    try:
+        single = IndexReader(range_idx)
+        specs = {"l": {"terms": {"field": "lang", "size": 10}},
+                 "n": {"value_count": {"field": "lang"}}}
+        for q in [None, Query.term("text", "w0001"), "w0001 OR w0042"]:
+            got = pool.aggregate(q, specs)
+            qq = q
+            if isinstance(qq, str):
+                from tantivy4java_ray.query import parse_query
+                qq = parse_query(qq, single.schema)
+            want = single.aggregate(qq, specs)
+            assert got == want, q
+    finally:
+        pool.shutdown()
+
+
+def test_nputil_repeat_matches_numpy():
+    from tantivy4java_ray.nputil import repeat_int, segment_ids
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        n = int(rng.integers(1, 200))
+        vals = rng.integers(-10**9, 10**9, n)
+        counts = rng.integers(0, 7, n)
+        np.testing.assert_array_equal(repeat_int(vals, counts),
+                                      np.repeat(vals, counts))
+        np.testing.assert_array_equal(segment_ids(counts),
+                                      np.repeat(np.arange(n), counts))
+    assert repeat_int(np.array([], np.int64),
+                      np.array([], np.int64)).tolist() == []
+    assert segment_ids(np.array([0, 0])).tolist() == []
