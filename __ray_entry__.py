@@ -107,6 +107,30 @@ def q_ft_wildcard(sf_dir: str):
     return _docs_table(r, docs)
 
 
+def q_ft_phrase_slop1(sf_dir: str):
+    """2-term phrase with slop=1: adjacency or ONE intervening word
+    (span semantics; reversal costs 2, so it is NOT admitted)."""
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.phrase("text", ["merge", "join"], slop=1))
+    return _docs_table(r, docs)
+
+
+def q_ft_fuzzy(sf_dir: str):
+    """Damerau-Levenshtein distance <= 1 from 'merge' on any token."""
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.fuzzy_term("text", "merge", distance=1))
+    return _docs_table(r, docs)
+
+
+def q_ft_exists(sf_dir: str):
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.exists("lang"))
+    return _docs_table(r, docs)
+
+
 def q_ft_range_nchars(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
@@ -440,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_counts": q_ft_term_counts,
         "ft_bool": q_ft_bool,
         "ft_phrase": q_ft_phrase,
+        "ft_phrase_slop1": q_ft_phrase_slop1,
+        "ft_fuzzy": q_ft_fuzzy,
+        "ft_exists": q_ft_exists,
         "ft_wildcard": q_ft_wildcard,
         "ft_range_nchars": q_ft_range_nchars,
         "json_range_numeric": q_json_range_numeric,
@@ -490,6 +517,16 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase":
             f"SELECT doc_id FROM documents WHERE regexp_matches("
             f"lower(text), '{_B}batch[^a-z0-9]+batch{_E}')",
+        "ft_phrase_slop1":
+            f"SELECT doc_id FROM documents WHERE regexp_matches("
+            f"lower(text), '{_B}merge([^a-z0-9]+[a-z0-9]+)?"
+            f"[^a-z0-9]+join{_E}')",
+        "ft_fuzzy": f"""
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            WHERE damerau_levenshtein(tok, 'merge') <= 1""",
+        "ft_exists":
+            "SELECT doc_id FROM documents WHERE lang IS NOT NULL",
         "ft_wildcard":
             f"SELECT doc_id FROM documents WHERE regexp_matches("
             f"lower(text), '{_B}jo[a-z0-9]*')",
