@@ -103,6 +103,18 @@ class Index:
         merge_indexes(index_dirs, out_dir, delete_queries=delete_queries)
         return Index(out_dir)
 
+    def writer(self, schema: IndexSchema | None = None, *,
+               heap_docs: int = 100_000, num_shards: int | None = None):
+        """Streaming ingest handle (``Index.writer`` analog): buffered
+        add_document/add_json with commit/rollback; each commit
+        LSM-merges a delta into this index. Call ``reload()`` after a
+        commit to observe it."""
+        from tantivy4java_ray.pipelines.writer import IndexWriter
+        if schema is None:
+            schema = self.schema
+        return IndexWriter(self.index_dir, schema, heap_docs=heap_docs,
+                           num_shards=num_shards)
+
     # -- read ----------------------------------------------------------------
     def reader(self) -> IndexReader:
         if self._reader is None:

@@ -1,0 +1,137 @@
+"""Streaming ingest: the ``IndexWriter`` commit/rollback surface.
+
+The reference's ``IndexWriter`` (``core/IndexWriter.java``: addDocument /
+addJson / commit / rollback) accumulates documents in a writer heap and
+commits segments. The Ray-Data retelling: documents buffer in Arrow
+batches, flush to staged parquet at ``heap_docs``, and ``commit()``
+builds a delta index over the staged files and LSM-merges it with the
+existing index (``merge_indexes`` byte-copy path), swapping the result
+in atomically. ``rollback()`` discards everything staged since the last
+commit — the files never touch the committed index.
+
+Doc ids: each commit re-bases the delta after the existing docs
+(identical to the reference's segment append), so committed doc ids are
+stable across later commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tantivy4java_ray.schema import IndexSchema
+
+
+class IndexWriter:
+    """Buffered document ingest with commit/rollback.
+
+    Local-path indexes only (the atomic generation swap is a rename);
+    bulk parquet-scale ingest should use ``build_index`` directly.
+    """
+
+    def __init__(self, index_dir: str, schema: IndexSchema, *,
+                 heap_docs: int = 100_000, num_shards: int | None = None,
+                 staging_dir: str | None = None):
+        self.index_dir = index_dir
+        self.schema = schema
+        self.heap_docs = heap_docs
+        self.num_shards = num_shards
+        self.staging = staging_dir or index_dir + ".staging"
+        self._rows: list[dict] = []
+        self._staged: list[str] = []
+        self._flush_i = 0
+
+    # -- ingest -------------------------------------------------------------
+    def add_document(self, doc: dict[str, Any]) -> None:
+        self._rows.append(doc)
+        if len(self._rows) >= self.heap_docs:
+            self._flush()
+
+    def add_json(self, doc_json: str) -> None:
+        self.add_document(json.loads(doc_json))
+
+    def add_documents_batch(self, table: pa.Table) -> None:
+        """Arrow-native bulk add (the batch-document-protocol analog)."""
+        self._rows.extend(table.to_pylist())
+        if len(self._rows) >= self.heap_docs:
+            self._flush()
+
+    @property
+    def pending_docs(self) -> int:
+        n = len(self._rows)
+        for p in self._staged:
+            n += pq.read_metadata(p).num_rows
+        return n
+
+    def _flush(self) -> None:
+        if not self._rows:
+            return
+        os.makedirs(self.staging, exist_ok=True)
+        cols = [f.name for f in self.schema.fields]
+        arrays = {}
+        for c in cols:
+            arrays[c] = pa.array([r.get(c) for r in self._rows])
+        path = os.path.join(self.staging,
+                            f"staged-{self._flush_i:05d}.parquet")
+        pq.write_table(pa.table(arrays), path)
+        self._staged.append(path)
+        self._flush_i += 1
+        self._rows = []
+
+    # -- commit / rollback --------------------------------------------------
+    def rollback(self) -> int:
+        """Discard everything added since the last commit -> #docs dropped
+        (``IndexWriter.rollback`` semantics: staged data never becomes
+        visible). Files from PREVIOUS commits are the index's doc store
+        and stay."""
+        n = self.pending_docs
+        self._rows = []
+        for p in self._staged:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        self._staged = []
+        return n
+
+    def commit(self):
+        """Build the staged delta and merge it into the index; returns the
+        merge/build result. No-op (returns None) with nothing staged."""
+        from tantivy4java_ray.pipelines.build import build_index
+        from tantivy4java_ray.pipelines.merge import merge_indexes
+
+        self._flush()
+        if not self._staged:
+            return None
+        tag = uuid.uuid4().hex[:8]
+        delta_dir = f"{self.index_dir}.delta-{tag}"
+        exists = os.path.exists(os.path.join(self.index_dir,
+                                             "manifest.json"))
+        if not exists:
+            res = build_index(list(self._staged), self.index_dir,
+                              self.schema, num_shards=self.num_shards)
+        else:
+            from tantivy4java_ray.pipelines.search import IndexReader
+            nsh = IndexReader(self.index_dir).num_shards
+            build_index(list(self._staged), delta_dir, self.schema,
+                        num_shards=nsh)
+            merged_dir = f"{self.index_dir}.merged-{tag}"
+            res = merge_indexes([self.index_dir, delta_dir], merged_dir)
+            # atomic-ish generation swap (local rename dance)
+            old = f"{self.index_dir}.old-{tag}"
+            os.rename(self.index_dir, old)
+            os.rename(merged_dir, self.index_dir)
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(delta_dir, ignore_errors=True)
+        # committed staged files STAY in place: the index's partitions
+        # reference them as the doc store (parquet-companion contract);
+        # only the uncommitted list resets (flush counter keeps rising so
+        # later flushes never collide with committed files)
+        self._staged = []
+        return res

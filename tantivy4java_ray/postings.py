@@ -200,11 +200,16 @@ def decode_block(buf: bytes | memoryview, skip: SkipInfo, i: int,
 
 def _gather_unpack(buf, starts: np.ndarray, nbytes: int, w: int,
                    count_per_block: int) -> np.ndarray:
-    """Unpack same-width full blocks in one batched unpackbits call."""
-    raw = np.empty((len(starts), nbytes), np.uint8)
-    mv = memoryview(buf)
-    for j, s in enumerate(starts):
-        raw[j] = np.frombuffer(mv, np.uint8, nbytes, int(s))
+    """Unpack same-width full blocks in one batched unpackbits call.
+
+    The block-byte gather is ONE fancy-index (doc and tf chunks
+    interleave in the stream, so blocks of one width are never
+    contiguous) — a per-block frombuffer loop dominated hot-term decode
+    otherwise."""
+    mv = np.frombuffer(memoryview(buf), np.uint8)
+    idx = (np.asarray(starts, np.int64)[:, None]
+           + np.arange(nbytes, dtype=np.int64)[None, :])
+    raw = mv[idx]
     bits = np.unpackbits(raw, axis=1, count=count_per_block * w,
                          bitorder="little")
     return (bits.reshape(len(starts) * count_per_block, w).astype(np.uint64)

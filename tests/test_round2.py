@@ -789,3 +789,51 @@ def test_nputil_repeat_matches_numpy():
     assert repeat_int(np.array([], np.int64),
                       np.array([], np.int64)).tolist() == []
     assert segment_ids(np.array([0, 0])).tolist() == []
+
+
+# ---------------------------------------------------------------------------
+# IndexWriter: streaming ingest with commit / rollback
+# ---------------------------------------------------------------------------
+
+def test_index_writer_commit_rollback(ray_session, tmp_path):
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.pipelines.writer import IndexWriter
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_integer_field("doc_id", fast=True)
+    idx = str(tmp_path / "idx")
+    w = IndexWriter(idx, s, heap_docs=3, num_shards=2)
+    for i in range(5):
+        w.add_document({"doc_id": i, "text": f"first batch doc {i}"})
+    w.add_json('{"doc_id": 5, "text": "json ingested doc"}')
+    res = w.commit()
+    assert res.num_docs == 6
+    r = IndexReader(idx)
+    assert r.num_docs == 6
+    docs, _ = r.evaluate(Query.term("text", "json"))
+    assert docs.tolist() == [5]
+
+    # second commit merges a delta, doc ids continue after existing
+    w.add_document({"doc_id": 6, "text": "second batch needle"})
+    w.commit()
+    r = IndexReader(idx)
+    assert r.num_docs == 7
+    docs, _ = r.evaluate(Query.term("text", "needle"))
+    assert docs.tolist() == [6]
+    # earlier docs unchanged
+    docs, _ = r.evaluate(Query.term("text", "json"))
+    assert docs.tolist() == [5]
+    # doc retrieval still resolves committed staged files
+    tbl = r.retrieve_docs([5, 6], columns=["text"])
+    assert tbl.num_rows == 2
+
+    # rollback discards only uncommitted adds
+    w.add_document({"doc_id": 7, "text": "rolled back doc"})
+    assert w.rollback() == 1
+    out = w.commit()
+    assert out is None
+    assert IndexReader(idx).num_docs == 7
+    docs, _ = IndexReader(idx).evaluate(Query.term("text", "rolled"))
+    assert docs.tolist() == []
