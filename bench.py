@@ -167,6 +167,18 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
     ss = sharded_search_benchmark(b["index_dir"], num_cpus)
     out["sharded_search_500"] = round(ss["sharded_search_sec"], 3)
 
+    # doc retrieval: positional-key join back into the source parquet
+    # (reference local path ~100k docs/s, BULK_RETRIEVAL_PROGRESS.md)
+    from tantivy4java_ray.pipelines.search import IndexReader
+    rd = IndexReader(b["index_dir"])
+    ids = np.arange(0, b["num_docs"], max(1, b["num_docs"] // 1000))[:1000]
+    rd.retrieve_docs(ids[:10], columns=["url"])  # warm
+    t0 = time.monotonic()
+    rd.retrieve_docs(ids, columns=["url", "lang"])
+    el = max(time.monotonic() - t0, 1e-9)
+    out["doc_retrieval_1000"] = round(el, 3)
+    out["_doc_retrieval_per_sec"] = round(len(ids) / el, 1)
+
     t0 = time.monotonic()
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])

@@ -61,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
     i = sub.add_parser("info")
     i.add_argument("index_dir")
 
+    a = sub.add_parser("agg", help="run an aggregation DSL spec")
+    a.add_argument("index_dir")
+    a.add_argument("spec", help='JSON, e.g. \'{"l": {"terms": '
+                                '{"field": "lang"}}}\'')
+    a.add_argument("-q", "--query", default=None)
+
     args = p.parse_args(argv)
 
     try:
@@ -127,6 +133,13 @@ def _dispatch(args) -> int:
         from tantivy4java_ray.pipelines.search import read_index_metadata
         print(json.dumps(read_index_metadata(_maybe_split(args.index_dir)),
                          indent=2))
+    elif args.cmd == "agg":
+        from tantivy4java_ray.pipelines.search import IndexReader
+        from tantivy4java_ray.query import parse_query
+        r = IndexReader(_maybe_split(args.index_dir))
+        q = parse_query(args.query, r.schema) if args.query else None
+        print(json.dumps(r.aggregate(q, json.loads(args.spec)),
+                         default=str))
     return 0
 
 

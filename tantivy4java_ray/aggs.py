@@ -127,6 +127,12 @@ def _partial_one(spec: dict, table: pa.Table) -> Any:
 
     if kind in _METRICS:
         vals = _col_numpy(table, body["field"])
+        if kind in ("count", "value_count"):
+            # count valid values of ANY type — numeric coercion would
+            # zero out string fields
+            n_valid = int(pd.notna(pd.Series(vals)).sum())
+            return {"min": math.inf, "max": -math.inf, "sum": 0.0,
+                    "sum_sq": 0.0, "count": n_valid}
         vals = pd.to_numeric(pd.Series(vals), errors="coerce").to_numpy(np.float64)
         ok = ~np.isnan(vals)
         v = vals[ok]

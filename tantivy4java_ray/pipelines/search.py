@@ -144,6 +144,14 @@ class IndexReader:
         self._fast: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._fast_part: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         self._norm_cache: dict[str, np.ndarray] = {}
+        # decoded-postings LRU (byte-bounded): the hotcache analog for
+        # repeated terms in a steady-state query workload; the index is
+        # immutable so entries never invalidate
+        from collections import OrderedDict
+        self._post_cache: "OrderedDict[tuple[str, str], tuple]" = \
+            OrderedDict()
+        self._post_cache_bytes = 0
+        self.postings_cache_max = 128 << 20
         dpath = st.sjoin(index_dir, "deleted_docs.npy")
         self.deleted: np.ndarray | None = None
         if st.sexists(dpath):
@@ -246,6 +254,11 @@ class IndexReader:
         Salted hot terms produce runs whose doc RANGES overlap across
         shards (doc *sets* are always disjoint — a doc lives in exactly one
         partition); a final merge-sort restores global order when needed."""
+        ck = (field, term)
+        hit = self._post_cache.get(ck)
+        if hit is not None:
+            self._post_cache.move_to_end(ck)
+            return hit
         runs = self._term_runs(field, term)
         if not runs:
             return np.empty(0, np.int64), np.empty(0, np.uint32)
@@ -273,6 +286,13 @@ class IndexReader:
         if len(doc_parts) > 1 and np.any(docs[1:] <= docs[:-1]):
             order = np.argsort(docs, kind="stable")
             docs, tfs = docs[order], tfs[order]
+        nbytes = docs.nbytes + tfs.nbytes
+        if nbytes < self.postings_cache_max // 4:
+            self._post_cache[ck] = (docs, tfs)
+            self._post_cache_bytes += nbytes
+            while self._post_cache_bytes > self.postings_cache_max:
+                _k, (d, t) = self._post_cache.popitem(last=False)
+                self._post_cache_bytes -= d.nbytes + t.nbytes
         return docs, tfs
 
     def positions(self, field: str, term: str

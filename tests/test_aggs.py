@@ -190,3 +190,14 @@ def test_terms_shard_size_truncation():
     # heads agree on a single shard (approximation shows only across
     # shards with divergent tails)
     assert top_exact == top_trunc
+
+
+def test_value_count_on_string_field():
+    import pyarrow as pa
+    from tantivy4java_ray.aggs import partial_agg, merge_states, finalize
+    t = pa.table({"s": ["a", "b", None, "c"]})
+    specs = {"n": {"value_count": {"field": "s"}},
+             "c": {"count": {"field": "s"}}}
+    out = finalize(specs, merge_states(specs, {}, partial_agg(specs, t)))
+    assert out["n"]["value"] == 3
+    assert out["c"]["value"] == 3
