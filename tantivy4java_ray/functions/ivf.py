@@ -1,0 +1,141 @@
+"""Persisted IVF (inverted-file) ANN index over an embedding column.
+
+``ivf_topk_cosine`` (functions/similarity.py) recomputes cluster
+assignments on every query run; this module is the scale path the
+round-1 review asked for: assignments are computed ONCE and the vectors
+land in cluster-partitioned parquet, so a query reads only its probed
+clusters' files —
+
+    build:  sample -> k-means (driver)        # centroids.npy + meta
+            map_batches(assign, broadcast)    # one pass over the data
+            write_parquet(partition_cols=[__cluster])
+    query:  probe top-nprobe centroids        # driver, tiny
+            read_parquet(<probed dirs only>)  # prunes at the READ
+            brute-force cosine top-k inside   # partial top-k per block
+
+The k-means sample uses ``random_sample`` (not ``limit`` — a head
+sample is ordering-biased).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tantivy4java_ray import storage as st
+from tantivy4java_ray.functions.similarity import (_emb_matrix, _kmeans,
+                                                   _normalize)
+
+
+def build_ivf_index(ds, out_dir: str, *, emb_col: str = "embedding",
+                    id_col: str = "vec_id", n_clusters: int = 64,
+                    sample_size: int = 10_000, seed: int = 42,
+                    concurrency: int = 4) -> "IVFIndex":
+    import ray
+
+    total = ds.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    sample_ds = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    sample = np.stack(sample_ds.limit(sample_size)
+                      .to_pandas()[emb_col].to_numpy())
+    n_clusters = min(n_clusters, len(sample))
+    cents = _kmeans(sample, n_clusters, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        mat = _normalize(_emb_matrix(t, emb_col))
+        a = np.argmax(mat @ ray.get(cents_ref).T, axis=1)
+        return t.append_column("__cluster",
+                               pa.array(a.astype(np.int32)))
+
+    (ds.map_batches(assign, batch_format="pyarrow")
+       .write_parquet(st.sjoin(out_dir, "data"),
+                      partition_cols=["__cluster"]))
+    buf = io.BytesIO()
+    np.save(buf, cents)
+    st.write_bytes_atomic(buf.getvalue(), st.sjoin(out_dir, "centroids.npy"))
+    st.write_json_atomic(st.sjoin(out_dir, "meta.json"),
+                         {"emb_col": emb_col, "id_col": id_col,
+                          "n_clusters": int(n_clusters),
+                          "dim": int(cents.shape[1]), "num_vectors": total})
+    return IVFIndex(out_dir)
+
+
+class IVFIndex:
+    """Open a persisted IVF index; queries read only probed clusters."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta = st.read_json_any(st.sjoin(path, "meta.json"))
+        with st.sopen(st.sjoin(path, "centroids.npy"), "rb") as f:
+            self.centroids = np.load(f)
+
+    def search(self, query_vecs: np.ndarray, *, k: int = 10,
+               nprobe: int = 4, concurrency: int = 4) -> pd.DataFrame:
+        """-> (query_id, rank, <id_col>, score) cosine-desc, id-asc ties."""
+        import ray
+        import ray.data
+
+        emb_col = self.meta["emb_col"]
+        id_col = self.meta["id_col"]
+        q = _normalize(np.asarray(query_vecs, np.float32))
+        nprobe = min(nprobe, len(self.centroids))
+        probe = np.argpartition(-(q @ self.centroids.T), nprobe - 1,
+                                axis=1)[:, :nprobe]        # (nq, nprobe)
+        probed = np.unique(probe)
+        files: list[str] = []
+        for c in probed.tolist():
+            d = st.sjoin(self.path, "data", f"__cluster={c}")
+            if st.sexists(d):
+                files.extend(st.sjoin(d, f) for f in st.slistdir(d)
+                             if f.endswith(".parquet"))
+        if not files:
+            return pd.DataFrame({"query_id": [], "rank": [], id_col: [],
+                                 "score": []})
+        sub = ray.data.read_parquet(files, columns=[id_col, emb_col])
+        qref = ray.put(q)
+        probe_ref = ray.put(probe)
+        cent_ref = ray.put(self.centroids)
+
+        def block(t: pa.Table) -> pa.Table:
+            qm = ray.get(qref)
+            pm = ray.get(probe_ref)
+            cents = ray.get(cent_ref)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            mat = _normalize(_emb_matrix(t, emb_col))
+            # per-query cluster filter: recover assignment from the
+            # centroids (the hive partition value is not in the columns)
+            assign = np.argmax(mat @ cents.T, axis=1)
+            sims = qm @ mat.T
+            out_q, out_id, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                keep = np.isin(assign, pm[qi])
+                if not keep.any():
+                    continue
+                s = sims[qi][keep]
+                sel_ids = ids[keep]
+                kk = min(k, len(s))
+                sel = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(sel_ids[sel].tolist())
+                out_s.extend(s[sel].astype(np.float64).tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                             id_col: pa.array(out_id, pa.int64()),
+                             "score": pa.array(out_s, pa.float64())})
+
+        partials = sub.map_batches(block, batch_format="pyarrow",
+                                   concurrency=concurrency,
+                                   num_cpus=1).to_pandas()
+        out = []
+        for qi, g in partials.groupby("query_id"):
+            g = (g.sort_values(["score", id_col], ascending=[False, True],
+                               kind="stable").head(k).reset_index(drop=True))
+            g["rank"] = np.arange(len(g), dtype=np.int32)
+            out.append(g)
+        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"query_id": [], id_col: [], "score": [], "rank": []})
+        return res[["query_id", "rank", id_col, "score"]]

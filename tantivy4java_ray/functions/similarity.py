@@ -111,7 +111,11 @@ def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
     to rows whose cluster is probed by at least one query."""
     import ray
 
-    sample_rows = ds.limit(sample_size).to_pandas()
+    # random sample, not limit(): a head sample is ordering-biased
+    total = ds.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    sample_ds = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    sample_rows = sample_ds.limit(sample_size).to_pandas()
     sample = np.stack(sample_rows[emb_col].to_numpy())
     cents = _kmeans(sample, min(n_clusters, len(sample)), seed=seed)
     q = _normalize(np.asarray(query_vecs, np.float32))

@@ -937,10 +937,32 @@ class IndexReader:
 
     # -- top-k --------------------------------------------------------------
     def search(self, query: Query | str, limit: int = 10,
-               method: str = "auto", offset: int = 0) -> SearchResult:
+               method: str = "auto", offset: int = 0,
+               order_by_field: str | None = None,
+               descending: bool = True) -> SearchResult:
+        """Top-k by BM25, or by a FAST FIELD when ``order_by_field`` is
+        given (the reference's Java surface accepts count/orderByField/
+        offset/order, ``core/Searcher.java:59-66``, though its native
+        impl ignores them — here it is implemented: hits carry the field
+        value as the score; docs with a null field are excluded)."""
         if isinstance(query, str):
             from tantivy4java_ray.query import parse_query
             query = parse_query(query, self.schema)
+        if order_by_field is not None:
+            docs, _scores = self.evaluate(query)
+            vals, valid = self.fast_column(order_by_field)
+            local = docs - self.doc_lo
+            ok = valid[local]
+            docs = docs[ok]
+            raw = vals[local[ok]]
+            if np.issubdtype(np.asarray(raw).dtype, np.datetime64):
+                v = (np.asarray(raw, "datetime64[us]").astype(np.int64)
+                     .astype(np.float64))
+            else:
+                v = np.asarray(raw, np.float64)
+            order = np.lexsort((docs, -v if descending else v))
+            sel = order[offset:offset + limit]
+            return SearchResult([(float(v[i]), int(docs[i])) for i in sel])
         # method="auto" always takes the vectorized scan: in this
         # pure-Python runtime numpy full-decode scoring beats the
         # doc-at-a-time WAND loop at every tested scale (WAND is the

@@ -837,3 +837,55 @@ def test_index_writer_commit_rollback(ray_session, tmp_path):
     assert IndexReader(idx).num_docs == 7
     docs, _ = IndexReader(idx).evaluate(Query.term("text", "rolled"))
     assert docs.tolist() == []
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index + order-by-fast-field search
+# ---------------------------------------------------------------------------
+
+def test_persisted_ivf_index(ray_session, sf_dir, tmp_path):
+    import ray.data
+    from tantivy4java_ray.functions.ivf import IVFIndex, build_ivf_index
+    from tantivy4java_ray.functions.similarity import topk_cosine
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    idx = build_ivf_index(ds, str(tmp_path / "ivf"), n_clusters=8,
+                          sample_size=400)
+    # reload from disk
+    idx2 = IVFIndex(str(tmp_path / "ivf"))
+    q = np.stack(ds.limit(3).to_pandas()["embedding"].to_numpy())
+    approx = idx2.search(q, k=10, nprobe=4)
+    exact = topk_cosine(ds, q, k=10)
+    # recall@10 across the 3 queries with half the clusters probed
+    hits = 0
+    for qi in range(3):
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        hits += len(a & e)
+    assert hits >= 15, f"recall too low: {hits}/30"
+    # each query's own vector must be its top hit (cosine 1.0)
+    for qi in range(3):
+        top = approx[approx.query_id == qi].iloc[0]
+        assert top["score"] > 0.999
+
+
+def test_search_order_by_field(ray_session, tmp_path):
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.schema import IndexSchema
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": ["apple pie"] * 6,
+        "price": pa.array([5.0, 2.0, None, 9.0, 2.0, 7.0])}), src)
+    s = IndexSchema().add_text_field("text")
+    s.add_float_field("price", fast=True)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, s, num_shards=1)
+    r = IndexReader(idx)
+    hits = r.search("apple", 3, order_by_field="price").hits
+    assert [d for _v, d in hits] == [3, 5, 0]
+    assert hits[0][0] == 9.0
+    # ascending + offset; null-price doc 2 excluded
+    hits = r.search("apple", 10, order_by_field="price",
+                    descending=False).hits
+    assert [d for _v, d in hits] == [1, 4, 0, 5, 3]
