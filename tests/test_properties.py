@@ -105,3 +105,52 @@ def test_edit_distance_symmetry_and_bounds(a, b, cap):
     d2 = _edit_distance(b, a, cap, True)
     assert min(d1, cap + 1) == min(d2, cap + 1)
     assert _edit_distance(a, a, cap, True) == 0
+
+
+# ---------------------------------------------------------------------------
+# round-2 properties
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=600,
+                unique=True),
+       st.integers(0, 2**31))
+@settings(max_examples=40, deadline=None)
+def test_decode_postings_range_equals_slice(doc_ids, lo):
+    from tantivy4java_ray import postings as pc
+    docs = np.sort(np.array(doc_ids, np.uint32))
+    tfs = (docs % 7 + 1).astype(np.uint32)
+    blob = pc.encode_postings(docs, tfs)
+    hi = lo + 2**20
+    d, t = pc.decode_postings_range(blob, 0, lo, hi)
+    keep = (docs >= lo) & (docs < hi)
+    np.testing.assert_array_equal(d, docs[keep])
+    np.testing.assert_array_equal(t, tfs[keep])
+
+
+@given(st.lists(st.floats(allow_nan=False, width=64), min_size=2,
+                max_size=50))
+@settings(max_examples=60, deadline=None)
+def test_f64_sortable_encoding_order(vals):
+    from tantivy4java_ray.pipelines.search import encode_f64_sortable
+    pairs = sorted((v, encode_f64_sortable(v)) for v in vals)
+    encs = [e for _v, e in pairs]
+    assert encs == sorted(encs)
+
+
+@given(st.lists(st.tuples(st.text(max_size=20),
+                          st.integers(-2**62, 2**62),
+                          st.one_of(st.none(), st.text(max_size=8)),
+                          st.lists(st.integers(-100, 100), max_size=5)),
+                max_size=20),
+       st.sampled_from(["null", "deflate"]))
+@settings(max_examples=30, deadline=None)
+def test_avro_roundtrip_fuzz(rows, codec):
+    from tantivy4java_ray.sources.avro import read_avro_file, write_avro_file
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "o", "type": ["null", "string"]},
+        {"name": "a", "type": {"type": "array", "items": "long"}}]}
+    recs = [{"s": s, "n": n, "o": o, "a": a} for s, n, o, a in rows]
+    _schema, got = read_avro_file(write_avro_file(schema, recs, codec=codec))
+    assert got == recs
