@@ -381,15 +381,18 @@ def simhash64(texts: list[str | None]) -> np.ndarray:
     codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
     vocab = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False), object)
     vh = pd.util.hash_array(vocab)
-    # (V, 64) signs in int8; summing tf-weighted signs per occurrence
-    # equals the per-unique-token count-weighted sum
-    signs = (((vh[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-             .astype(np.int8) * 2 - 1)
-    acc = np.zeros((n, 64), np.int64)
-    np.add.at(acc, rows, signs[codes].astype(np.int64))
-    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    return ((acc > 0).astype(np.uint64) * powers[None, :]).sum(
-        axis=1, dtype=np.uint64)
+    # Per-bit accumulate as 64 thin bincount passes: bit j of the
+    # simhash is set iff more than half the token occurrences have bit
+    # j set (sum of +/-1 signs > 0 <=> set-count*2 > token-count). A
+    # (tokens x 64) sign matrix never materializes — np.add.at and even
+    # reduceat on that matrix are memory-bound on this host.
+    tok_counts = np.bincount(rows, minlength=n).astype(np.int64)
+    for j in range(64):
+        bit_j = ((vh >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+        set_cnt = np.bincount(rows, weights=bit_j[codes], minlength=n)
+        out |= (set_cnt.astype(np.int64) * 2
+                > tok_counts).astype(np.uint64) << np.uint64(j)
+    return out
 
 
 def simhash_pairs(ds, col: str, id_col: str, *, hamming_k: int = 3,
