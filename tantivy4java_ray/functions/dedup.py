@@ -184,18 +184,23 @@ class MinHasher:
         sigs = np.full((int(valid.sum()), self.num_perm),
                        np.iinfo(np.uint64).max, np.uint64)
         if len(h):
-            from tantivy4java_ray.nputil import segment_ids
             vdocs = np.flatnonzero(valid)
-            seg_ids = segment_ids(counts[vdocs])
+            vc = counts[vdocs].astype(np.int64)
+            seg_starts = np.concatenate(([0], np.cumsum(vc)[:-1]))
+            sixty_one = np.uint64(61)
             chunk = 32  # perms at a time: bounds memory at |shingles|*32*8B
             for c0 in range(0, self.num_perm, chunk):
                 c1 = min(c0 + chunk, self.num_perm)
                 vals = (h[:, None] * self.a[None, c0:c1]
-                        + self.b[None, c0:c1]) % _MERSENNE
-                mins = np.full((len(vdocs), c1 - c0),
-                               np.iinfo(np.uint64).max, np.uint64)
-                np.minimum.at(mins, seg_ids, vals)
-                sigs[:, c0:c1] = mins
+                        + self.b[None, c0:c1])
+                # exact x mod (2^61-1) via shift-fold — u64 division is
+                # the hot instruction otherwise
+                vals = (vals & _MERSENNE) + (vals >> sixty_one)
+                vals = np.where(vals >= _MERSENNE, vals - _MERSENNE, vals)
+                # per-doc minima: segments are contiguous -> reduceat
+                # (minimum.at is the slow unbuffered path)
+                sigs[:, c0:c1] = np.minimum.reduceat(vals, seg_starts,
+                                                     axis=0)
         return valid, sigs
 
     def _band_hashes(self, sigs: np.ndarray) -> np.ndarray:
