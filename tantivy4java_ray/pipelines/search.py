@@ -987,19 +987,42 @@ class IndexReader:
         return block_max_wand(cursors, k, self)
 
     def explain(self, query: Query, doc_id: int) -> dict:
-        """Score breakdown for one doc (``Query.java:459-465``)."""
+        """Recursive score breakdown for one doc (``Query.java:459-465``;
+        Lucene-style explanation tree: every sub-query node reports its
+        own contribution at the doc, with BM25 inputs on term leaves)."""
         docs, scores = self.evaluate(query)
         i = np.searchsorted(docs, doc_id)
         score = float(scores[i]) if i < len(docs) and docs[i] == doc_id else 0.0
-        detail = {}
+        out = {"doc_id": doc_id, "score": score, "matched": bool(score),
+               "kind": query.kind}
         if query.kind == "term":
             field, term = query.params
             df = self.doc_freq(field, term)
-            detail = {"df": df, "idf": self.idf(df), "k1": self.k1, "b": self.b,
-                      "num_docs": self.num_docs,
-                      "avgdl": self.avgdl.get(field)}
-        return {"doc_id": doc_id, "score": score, "matched": bool(score),
-                **detail}
+            d, tfs = self.postings(field, term)
+            j = np.searchsorted(d, doc_id)
+            tf = int(tfs[j]) if j < len(d) and d[j] == doc_id else 0
+            out.update({"field": field, "term": term, "df": df, "tf": tf,
+                        "idf": self.idf(df), "k1": self.k1, "b": self.b,
+                        "num_docs": self.num_docs,
+                        "avgdl": self.avgdl.get(field)})
+        elif query.kind == "bool":
+            out["clauses"] = [
+                {"occur": occur.name if hasattr(occur, "name") else
+                 str(occur), **self.explain(sub, doc_id)}
+                for occur, sub in query.params]
+        elif query.kind == "dismax":
+            subs, tie = query.params
+            out["tie_breaker"] = tie
+            out["clauses"] = [self.explain(sub, doc_id) for sub in subs]
+        elif query.kind == "boost":
+            sub, factor = query.params
+            out["boost"] = factor
+            out["clauses"] = [self.explain(sub, doc_id)]
+        elif query.kind == "phrase":
+            field, elems, slop = query.params
+            out.update({"field": field, "slop": slop,
+                        "terms": [w for _o, w in elems]})
+        return out
 
     # -- doc retrieval (hits -> source parquet rows; companion-mode join) ---
     def retrieve_docs(self, doc_ids, columns: list[str] | None = None,

@@ -889,3 +889,35 @@ def test_search_order_by_field(ray_session, tmp_path):
     hits = r.search("apple", 10, order_by_field="price",
                     descending=False).hits
     assert [d for _v, d in hits] == [1, 4, 0, 5, 3]
+
+
+def test_explain_recursive(ray_session, tmp_path):
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.query import Occur, Query
+    from tantivy4java_ray.schema import IndexSchema
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": ["red fish blue fish", "red boat", "blue sky"]}), src)
+    s = IndexSchema().add_text_field("text")
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, s, num_shards=1)
+    r = IndexReader(idx)
+    q = Query.boolean([(Occur.SHOULD, Query.term("text", "red")),
+                       (Occur.SHOULD, Query.boost(Query.term("text", "fish"),
+                                                  2.0))])
+    ex = r.explain(q, 0)
+    assert ex["matched"] and ex["kind"] == "bool"
+    clauses = ex["clauses"]
+    assert clauses[0]["occur"] == "SHOULD"
+    assert clauses[0]["term"] == "red" and clauses[0]["tf"] == 1
+    assert clauses[1]["kind"] == "boost" and clauses[1]["boost"] == 2.0
+    inner = clauses[1]["clauses"][0]
+    assert inner["term"] == "fish" and inner["tf"] == 2
+    # parent score = sum of clause contributions (f32 tolerance)
+    total = clauses[0]["score"] + clauses[1]["score"]
+    assert abs(total - ex["score"]) < 1e-5
+    # non-matching doc
+    ex2 = r.explain(Query.term("text", "boat"), 0)
+    assert not ex2["matched"] and ex2["tf"] == 0
