@@ -26,6 +26,7 @@ Token positions are assigned after empty-token removal and *before* the long
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -59,8 +60,19 @@ class TextAnalyzer:
         return toks
 
     def tokenize_with_positions(self, text: str) -> tuple[list[str], list[int]]:
-        out = tokenize_column(pa.array([text]), self)
-        return list(out["token"]), list(out["position"])
+        t, p = _cached_single_tokenize(self, text)
+        return list(t), list(p)
+
+
+@lru_cache(maxsize=16_384)
+def _cached_single_tokenize(analyzer: "TextAnalyzer", text: str
+                            ) -> tuple[tuple, tuple]:
+    """Single-string tokenize goes through the SAME Arrow column kernels
+    (the byte-identical invariant) but the per-call kernel dispatch is
+    ~1 ms — an LRU makes repeated query analysis (the steady-state QPS
+    path) free. Analyzers are frozen dataclasses, so they key safely."""
+    out = tokenize_column(pa.array([text]), analyzer)
+    return tuple(out["token"]), tuple(out["position"])
 
 
 _REGISTRY: dict[str, TextAnalyzer] = {}

@@ -152,6 +152,7 @@ class IndexReader:
             OrderedDict()
         self._post_cache_bytes = 0
         self.postings_cache_max = 128 << 20
+        self._df_cache: dict[tuple[str, str], int] = {}
         dpath = st.sjoin(index_dir, "deleted_docs.npy")
         self.deleted: np.ndarray | None = None
         if st.sexists(dpath):
@@ -244,9 +245,16 @@ class IndexReader:
 
     # -- dictionary-level metadata -----------------------------------------
     def doc_freq(self, field: str, term: str) -> int:
-        """df(term) — ``core/Searcher.java:221-226``."""
-        return sum(int(self._dict(sid)["df"][r])
-                   for sid, r in self._term_runs(field, term))
+        """df(term) — ``core/Searcher.java:221-226``. Cached (tiny
+        entries; the index is immutable)."""
+        ck = (field, term)
+        df = self._df_cache.get(ck)
+        if df is None:
+            df = sum(int(self._dict(sid)["df"][r])
+                     for sid, r in self._term_runs(field, term))
+            if len(self._df_cache) < 1_000_000:
+                self._df_cache[ck] = df
+        return df
 
     def postings(self, field: str, term: str) -> tuple[np.ndarray, np.ndarray]:
         """-> (global doc ids int64 ascending, tfs uint32).
