@@ -643,6 +643,30 @@ class IndexReader:
             return self.evaluate(self._expand_mlt(*p), boost)
         raise ValueError(f"unknown query kind {k!r}")
 
+    def _union_sum(self, parts: list[tuple[np.ndarray, np.ndarray]]
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """SHOULD-union with score sum. Dense accumulator over the
+        reader's doc span when it fits (the leaf regime — O(span +
+        total_df) with vectorized adds); concat+unique otherwise.
+        Addition order per doc is part order in both paths, so f32
+        results are identical."""
+        span = self.doc_hi - self.doc_lo
+        if span <= (1 << 23):
+            dense = np.zeros(span, self.score_dtype)
+            seen = np.zeros(span, bool)
+            for d, s in parts:
+                loc = d - self.doc_lo
+                dense[loc] += s
+                seen[loc] = True
+            loc = np.flatnonzero(seen)
+            return loc + self.doc_lo, dense[loc]
+        alldocs = np.concatenate([pp[0] for pp in parts])
+        allscores = np.concatenate([pp[1] for pp in parts])
+        docs, inv = np.unique(alldocs, return_inverse=True)
+        scores = np.zeros(len(docs), self.score_dtype)
+        np.add.at(scores, inv, allscores)
+        return docs, scores
+
     def _eval_bool(self, clauses, boost: float):
         musts = [(o, q) for o, q in clauses if o == Occur.MUST]
         shoulds = [(o, q) for o, q in clauses if o == Occur.SHOULD]
@@ -651,9 +675,13 @@ class IndexReader:
             docs, scores = self.evaluate(musts[0][1], boost)
             for _, q in musts[1:]:
                 d2, s2 = self.evaluate(q, boost)
-                docs, ia, ib = np.intersect1d(docs, d2, assume_unique=True,
-                                              return_indices=True)
-                scores = scores[ia] + s2[ib]
+                # both sorted: probe with searchsorted (no re-sort)
+                idx = np.searchsorted(d2, docs)
+                ok = idx < len(d2)
+                hit = np.zeros(len(docs), bool)
+                hit[ok] = d2[idx[ok]] == docs[ok]
+                docs = docs[hit]
+                scores = scores[hit] + s2[idx[hit]]
             # shoulds contribute score on docs already matching
             for _, q in shoulds:
                 d2, s2 = self.evaluate(q, boost)
@@ -668,11 +696,7 @@ class IndexReader:
             parts = [pp for pp in parts if len(pp[0])]
             if not parts:
                 return _EMPTY
-            alldocs = np.concatenate([pp[0] for pp in parts])
-            allscores = np.concatenate([pp[1] for pp in parts])
-            docs, inv = np.unique(alldocs, return_inverse=True)
-            scores = np.zeros(len(docs), self.score_dtype)
-            np.add.at(scores, inv, allscores)
+            docs, scores = self._union_sum(parts)
         else:
             return _EMPTY
         for _, q in nots:
@@ -690,13 +714,27 @@ class IndexReader:
         parts = [pp for pp in parts if len(pp[0])]
         if not parts:
             return _EMPTY
-        alldocs = np.concatenate([pp[0] for pp in parts])
-        allscores = np.concatenate([pp[1] for pp in parts])
-        docs, inv = np.unique(alldocs, return_inverse=True)
-        mx = np.zeros(len(docs), self.score_dtype)
-        sm = np.zeros(len(docs), self.score_dtype)
-        np.maximum.at(mx, inv, allscores)
-        np.add.at(sm, inv, allscores)
+        span = self.doc_hi - self.doc_lo
+        if span <= (1 << 23):
+            mx_d = np.zeros(span, self.score_dtype)
+            sm_d = np.zeros(span, self.score_dtype)
+            seen = np.zeros(span, bool)
+            for d, s in parts:
+                loc = d - self.doc_lo
+                mx_d[loc] = np.maximum(mx_d[loc], s)
+                sm_d[loc] += s
+                seen[loc] = True
+            loc = np.flatnonzero(seen)
+            docs = loc + self.doc_lo
+            mx, sm = mx_d[loc], sm_d[loc]
+        else:
+            alldocs = np.concatenate([pp[0] for pp in parts])
+            allscores = np.concatenate([pp[1] for pp in parts])
+            docs, inv = np.unique(alldocs, return_inverse=True)
+            mx = np.zeros(len(docs), self.score_dtype)
+            sm = np.zeros(len(docs), self.score_dtype)
+            np.maximum.at(mx, inv, allscores)
+            np.add.at(sm, inv, allscores)
         return docs, mx + np.float32(tie_breaker) * (sm - mx)
 
     def _eval_phrase(self, field: str, elems, slop: int, boost: float):
