@@ -478,9 +478,7 @@ class IndexReader:
                         self._run_bytes(sid, r), 0)
                 if len(docs):
                     parts.append(docs.astype(np.int64) + base)
-        if not parts:
-            return np.empty(0, np.int64)
-        return np.unique(np.concatenate(parts))
+        return self._union_docs(parts)
 
     def terms_matching(self, field: str, predicate) -> list[str]:
         """All terms of ``field`` satisfying a Python predicate (compat /
@@ -598,9 +596,8 @@ class IndexReader:
         if k == "term_set":
             field, terms = p
             # const-score union (termSet has no per-term scoring)
-            parts = [self.postings(field, t)[0] for t in terms]
-            docs = (np.unique(np.concatenate(parts)) if parts else
-                    np.empty(0, np.int64))
+            docs = self._union_docs([self.postings(field, t)[0]
+                                     for t in terms])
             return docs, np.full(len(docs), boost, np.float32)
         if k == "all":
             docs = np.arange(self.doc_lo, self.doc_hi, dtype=np.int64)
@@ -642,6 +639,19 @@ class IndexReader:
         if k == "more_like_this":
             return self.evaluate(self._expand_mlt(*p), boost)
         raise ValueError(f"unknown query kind {k!r}")
+
+    def _union_docs(self, parts: list[np.ndarray]) -> np.ndarray:
+        """Sorted union of doc-id arrays (dense seen-mask when the span
+        fits; unique-sort fallback)."""
+        if not parts:
+            return np.empty(0, np.int64)
+        span = self.doc_hi - self.doc_lo
+        if span <= (1 << 23):
+            seen = np.zeros(span, bool)
+            for d in parts:
+                seen[d - self.doc_lo] = True
+            return np.flatnonzero(seen) + self.doc_lo
+        return np.unique(np.concatenate(parts))
 
     def _union_sum(self, parts: list[tuple[np.ndarray, np.ndarray]]
                    ) -> tuple[np.ndarray, np.ndarray]:
@@ -881,11 +891,11 @@ class IndexReader:
 
     def _const_union(self, field: str, terms: list[str], boost: float):
         """Automaton queries (fuzzy/regex/wildcard/term-range) -> const 1.0."""
-        parts = [self.postings(field, t)[0] for t in terms]
-        parts = [d for d in parts if len(d)]
+        parts = [d for d in (self.postings(field, t)[0] for t in terms)
+                 if len(d)]
         if not parts:
             return _EMPTY
-        docs = np.unique(np.concatenate(parts))
+        docs = self._union_docs(parts)
         return docs, np.full(len(docs), boost, np.float32)
 
     def _eval_range(self, field: str, lower, upper, incl_lo: bool,
