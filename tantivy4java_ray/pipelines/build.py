@@ -211,7 +211,7 @@ class PartitionIndexer:
             avail = set(tbl.column_names)
         n = tbl.num_rows
 
-        acc: dict[str, list] = {k: [] for k in _PARTIAL_SCHEMA.names}
+        acc: list[pa.Table] = []   # one table per indexed field
         docdata_cols: dict[str, pa.Array] = {}
         total_tokens: dict[str, int] = {}
         n_postings = 0
@@ -305,9 +305,8 @@ class PartitionIndexer:
                 if col is not None and fcfg.fast:
                     docdata_cols[fcfg.name] = col
 
-        partial = pa.table(
-            {k: pa.array(v, type=_PARTIAL_SCHEMA.field(k).type)
-             for k, v in acc.items()})
+        partial = (pa.concat_tables(acc) if acc
+                   else _PARTIAL_SCHEMA.empty_table())
 
         # docdata: fieldnorms + fast fields, one file per partition, with
         # build lineage + metrics in the parquet footer (txlog-visible)
@@ -386,7 +385,7 @@ class PartitionIndexer:
         from tantivy4java_ray.storage import write_parquet_atomic
         write_parquet_atomic(table, path)
 
-    def _emit_terms(self, acc: dict[str, list], field: str, spec: dict,
+    def _emit_terms(self, acc: list, field: str, spec: dict,
                     rows: np.ndarray, codes: np.ndarray, vocab: np.ndarray,
                     positions: np.ndarray | None, n_rows: int) -> int:
         """Aggregate dictionary-encoded (token, row) pairs into per-term
@@ -434,26 +433,41 @@ class PartitionIndexer:
                     field, term_per_group[hot],
                     spec["pid"] % self.hot_salts, self.num_shards)
 
+        # whole-column construction: the per-term docs/tfs/positions are
+        # contiguous slices of the pair-sorted arrays, so the binary
+        # columns come straight from (offsets, data) buffers — no
+        # per-term Python loop, no per-term bytes objects
         n_terms = len(tstarts)
-        acc["shard"].extend(shards.tolist())
-        acc["field"].extend([field] * n_terms)
-        acc["term"].extend(term_per_group.tolist())
-        acc["pid"].extend([spec["pid"]] * n_terms)
-        acc["doc_base"].extend([spec["doc_base"]] * n_terms)
-        for j in range(n_terms):
-            lo = tstarts[j]
-            hi = lo + tlens[j]
-            tfs_j = tf[lo:hi]
-            acc["df"].append(int(hi - lo))
-            acc["ttf"].append(int(tfs_j.sum()))
-            acc["docs"].append(pair_row[lo:hi].tobytes())
-            acc["tfs"].append(tfs_j.tobytes())
-            if pos_sorted is not None:
-                acc["positions"].append(
-                    pos_sorted[pair_pos_off[lo]:pair_pos_off[hi]].tobytes())
-            else:
-                acc["positions"].append(b"")
-        return int(len(pstarts))
+        n_pairs = len(pstarts)
+        term_bounds = np.append(tstarts, n_pairs).astype(np.int64)
+        ttf_arr = np.add.reduceat(tf.astype(np.int64), tstarts)
+
+        def bin_col(values_u32: np.ndarray, bounds: np.ndarray) -> pa.Array:
+            offsets = (bounds * 4).astype(np.int64)
+            data = np.ascontiguousarray(values_u32, np.uint32)
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), n_terms,
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(data.tobytes())])
+
+        if pos_sorted is not None:
+            pos_col = bin_col(pos_sorted, pair_pos_off[term_bounds])
+        else:
+            pos_col = bin_col(np.empty(0, np.uint32),
+                              np.zeros(n_terms + 1, np.int64))
+        acc.append(pa.table({
+            "shard": pa.array(shards, pa.int32()),
+            "field": pa.array([field] * n_terms, pa.string()),
+            "term": pa.array(term_per_group, pa.string()),
+            "pid": pa.array(np.full(n_terms, spec["pid"], np.int32)),
+            "doc_base": pa.array(
+                np.full(n_terms, spec["doc_base"], np.int64)),
+            "df": pa.array(tlens.astype(np.int64)),
+            "ttf": pa.array(ttf_arr),
+            "docs": bin_col(pair_row, term_bounds),
+            "tfs": bin_col(tf, term_bounds),
+            "positions": pos_col}))
+        return int(n_pairs)
 
 
 # ---------------------------------------------------------------------------
