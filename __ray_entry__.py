@@ -286,6 +286,58 @@ def q_agg_subagg_events(sf_dir: str):
                          for b in out["t"]["buckets"]])
 
 
+def q_agg_multi_terms(sf_dir: str):
+    """Composite-key terms over (lang, source)."""
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+    out = aggregate_dataset(ds, {"m": {
+        "multi_terms": {"fields": ["lang", "source"], "size": 100}}})
+    rows = [{"lang": b["key"][0], "source": b["key"][1],
+             "doc_count": b["doc_count"]} for b in out["m"]["buckets"]]
+    return (pd.DataFrame(rows).sort_values(["lang", "source"])
+            .reset_index(drop=True))
+
+
+def q_facet_counts(sf_dir: str):
+    """Hierarchical facet counts: documents get a /lang/source facet
+    path; counts for the children of /en must equal GROUP BY source."""
+    import duckdb  # noqa: F401
+
+    import pyarrow.parquet as pq
+
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.schema import IndexSchema
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/facet-{tag}"
+    src = f"{base}/docs.parquet"
+    idx = f"{base}/idx"
+    if not os.path.exists(src):
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang", "source"])
+        langs = t.column("lang").to_pylist()
+        sources = t.column("source").to_pylist()
+        facet = [f"/{lg}/{sc}" if lg else None
+                 for lg, sc in zip(langs, sources)]
+        import pyarrow as pa
+        pq.write_table(t.append_column("cat", pa.array(facet, pa.string())),
+                       src + ".tmp")
+        os.replace(src + ".tmp", src)
+    s = IndexSchema()
+    s.add_integer_field("doc_id", fast=True)
+    s.add_facet_field("cat")
+    build_index(src, idx, s, target_docs_per_partition=20_000, num_shards=4)
+    r = IndexReader(idx)
+    rows = [{"facet": f, "doc_count": c}
+            for f, c in r.facet_counts("cat", "/en")]
+    return (pd.DataFrame(rows).sort_values("facet")
+            .reset_index(drop=True))
+
+
 def q_agg_nested_2level(sf_dir: str):
     """terms(event_type) -> histogram(value, 50) -> avg(value): two
     levels of sub-aggregation under a bucket agg, flattened."""
@@ -479,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_cardinality_users": q_agg_cardinality_users,
         "agg_subagg_events": q_agg_subagg_events,
         "agg_nested_2level": q_agg_nested_2level,
+        "agg_multi_terms": q_agg_multi_terms,
+        "facet_counts": q_facet_counts,
         "lineitem_revenue": q_lineitem_revenue,
         "events_topk_value": q_events_topk_value,
         "dedup_exact": q_dedup_exact,
@@ -591,6 +645,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS doc_count, ROUND(avg(value), 2) AS avg_value "
             "FROM events WHERE value IS NOT NULL "
             "GROUP BY 1, 2 ORDER BY 1, 2",
+        "agg_multi_terms":
+            "SELECT lang, source, count(*) AS doc_count FROM documents "
+            "GROUP BY lang, source ORDER BY lang, source",
+        "facet_counts":
+            "SELECT '/en/' || source AS facet, count(*) AS doc_count "
+            "FROM documents WHERE lang = 'en' GROUP BY source "
+            "ORDER BY facet",
         "lineitem_revenue":
             "SELECT l_returnflag, "
             "ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
