@@ -59,12 +59,15 @@ def quality_batch(t: pa.Table, col: str = "text",
     # alpha ratio: fraction of chars that are token chars
     tok_chars = np.zeros(n, np.float64)
     if len(tok["row"]):
-        # vocab-level work only: per-token arrays come from fancy indexing
+        # vocab-level work only: per-token arrays come from fancy
+        # indexing; per-doc sums via bincount (np.add.at is the slow
+        # unbuffered ufunc path)
         vlen = np.array([len(s) for s in tok["vocab"]], np.float64)
-        np.add.at(tok_chars, tok["row"], vlen[tok["codes"]])
-        stop_hits = np.zeros(n, np.float64)
+        tok_chars = np.bincount(tok["row"], weights=vlen[tok["codes"]],
+                                minlength=n)
         vstop = np.isin(tok["vocab"], _STOPWORDS).astype(np.float64)
-        np.add.at(stop_hits, tok["row"], vstop[tok["codes"]])
+        stop_hits = np.bincount(tok["row"], weights=vstop[tok["codes"]],
+                                minlength=n)
     else:
         stop_hits = np.zeros(n, np.float64)
     safe_chars = np.maximum(n_chars, 1.0)
@@ -124,7 +127,8 @@ class LanguageId:
         if len(tok["row"]):
             for li, prof in enumerate(self.profiles):
                 vhit = np.isin(tok["vocab"], list(prof)).astype(np.float64)
-                np.add.at(scores[:, li], tok["row"], vhit[tok["codes"]])
+                scores[:, li] = np.bincount(
+                    tok["row"], weights=vhit[tok["codes"]], minlength=n)
         totals = np.maximum(tok["row_token_counts"].astype(np.float64), 1.0)
         ratios = scores / totals[:, None]
         best = np.argmax(ratios, axis=1)
