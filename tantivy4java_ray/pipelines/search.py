@@ -152,6 +152,9 @@ class IndexReader:
             OrderedDict()
         self._post_cache_bytes = 0
         self.postings_cache_max = 128 << 20
+        self._pos_cache: "OrderedDict[tuple[str, str], tuple]" = \
+            OrderedDict()
+        self._pos_cache_bytes = 0
         self._df_cache: dict[tuple[str, str], int] = {}
         dpath = st.sjoin(index_dir, "deleted_docs.npy")
         self.deleted: np.ndarray | None = None
@@ -306,6 +309,11 @@ class IndexReader:
     def positions(self, field: str, term: str
                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (docs, tfs, flat positions aligned by cumsum(tfs))."""
+        ck = (field, term)
+        hit = self._pos_cache.get(ck)
+        if hit is not None:
+            self._pos_cache.move_to_end(ck)
+            return hit
         runs = self._term_runs(field, term)
         if not runs:
             return (np.empty(0, np.int64), np.empty(0, np.uint32),
@@ -352,6 +360,13 @@ class IndexReader:
                           - np.repeat(cum - lengths, lengths))
                 pos = pos[np.repeat(starts, lengths) + within]
             docs, tfs = docs[order], tfs[order]
+        nbytes = docs.nbytes + tfs.nbytes + pos.nbytes
+        if nbytes < self.postings_cache_max // 4:
+            self._pos_cache[ck] = (docs, tfs, pos)
+            self._pos_cache_bytes += nbytes
+            while self._pos_cache_bytes > self.postings_cache_max:
+                _k, v = self._pos_cache.popitem(last=False)
+                self._pos_cache_bytes -= sum(x.nbytes for x in v)
         return docs, tfs, pos
 
     # -- automaton / range term matching (vectorized) -----------------------

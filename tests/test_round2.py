@@ -921,3 +921,19 @@ def test_explain_recursive(ray_session, tmp_path):
     # non-matching doc
     ex2 = r.explain(Query.term("text", "boat"), 0)
     assert not ex2["matched"] and ex2["tf"] == 0
+
+
+def test_sharded_pool_over_bundle(range_idx, tmp_path):
+    """ShardedSearchPool opens a single-file split bundle directly."""
+    from tantivy4java_ray.pipelines.bundle import bundle_index, split_url
+    from tantivy4java_ray.pipelines.search import (IndexReader,
+                                                   ShardedSearchPool)
+    bundle = str(tmp_path / "r.split")
+    bundle_index(range_idx, bundle)
+    pool = ShardedSearchPool(split_url(bundle), num_actors=2)
+    try:
+        single = IndexReader(range_idx)
+        for q in ["needleterm", "w0042 OR w0001"]:
+            assert pool.search(q, 10).hits == single.search(q, 10).hits, q
+    finally:
+        pool.shutdown()
