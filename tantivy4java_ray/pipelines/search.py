@@ -1039,7 +1039,10 @@ class IndexReader:
         # doc-at-a-time WAND loop at every tested scale (WAND is the
         # compiled-kernel / >>10^9-posting path; kept bit-identical and
         # selectable via method="wand")
-        if method == "wand" and _wand_eligible(query):
+        # WAND scores the quantized-f32 path; exact-fieldnorm (f64
+        # oracle-parity) indexes must keep the scan for score identity
+        if method == "wand" and not self.exact_fieldnorms \
+                and _wand_eligible(query):
             hits = self._wand_search(query, limit + offset)
         else:
             docs, scores = self.evaluate(query)
