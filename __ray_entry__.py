@@ -444,12 +444,48 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
+    """Persisted IVF index: cluster-partitioned parquet built once and
+    cached; queries read only the probed clusters' files."""
     import ray.data
-    from tantivy4java_ray.functions.similarity import ivf_topk_cosine
+    from tantivy4java_ray.functions.ivf import IVFIndex, build_ivf_index
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/ivf-{tag}"
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = IVFIndex(path)
+    else:
+        idx = build_ivf_index(ds, path, n_clusters=16, sample_size=2000)
     q = np.asarray(ds.take(1)[0]["embedding"], np.float32)
-    res = ivf_topk_cosine(ds, q[None, :], k=10, n_clusters=16, nprobe=8)
+    res = idx.search(q[None, :], k=10, nprobe=8)
     return res[["vec_id"]]
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding near-duplicate pairs (hyperplane-LSH bucketed cosine).
+
+    The synthetic embeddings have no natural near-dups, so the pipeline
+    plants five: the first five vectors re-enter with ids offset by N —
+    the expected output is exactly the pairs (i, N+i)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from tantivy4java_ray.functions.dedup import embedding_neardup_pairs
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = ds.count()
+
+    def bump(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("vec_id")
+        return t.set_column(i, "vec_id",
+                            pc.add(t.column("vec_id"), n))
+
+    dup = ds.limit(5).map_batches(bump, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs(ds.union(dup), "embedding", "vec_id",
+                                    tau=0.99).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    pairs = pairs.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
+    return pairs[["a", "b"]].reset_index(drop=True)
 
 
 def q_token_stats(sf_dir: str):
@@ -540,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "dedup_embedding": q_dedup_embedding,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "language_id": q_language_id,
@@ -668,6 +705,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "fingerprints":
             "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
+        "dedup_embedding": """
+            WITH u AS (SELECT vec_id, embedding FROM embeddings
+                       UNION ALL
+                       SELECT vec_id + (SELECT count(*) FROM embeddings),
+                              embedding
+                       FROM (SELECT * FROM embeddings
+                             ORDER BY vec_id LIMIT 5))
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM u x JOIN u y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
+            ORDER BY 1, 2""",
         "ann_topk": """
             SELECT e.vec_id, ROUND(
               list_cosine_similarity(e.embedding, q.embedding), 3) AS score

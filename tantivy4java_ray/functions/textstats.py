@@ -25,9 +25,12 @@ def token_stats_batch(t: pa.Table, col: str = "text",
     counts = tok["row_token_counts"]
     uniq = np.zeros(n, np.int64)
     if len(tok["row"]):
-        df_ = pd.DataFrame({"row": tok["row"], "code": tok["codes"]})
-        u = df_.groupby("row")["code"].nunique()
-        uniq[u.index.to_numpy()] = u.to_numpy()
+        # distinct (row, code) pairs -> per-row counts, all numpy
+        v = np.int64(len(tok["vocab"]))
+        key = tok["row"].astype(np.int64) * v + tok["codes"]
+        uk = np.unique(key)
+        uniq = np.bincount((uk // v).astype(np.int64),
+                           minlength=n).astype(np.int64)
     return pa.table({id_col: t.column(id_col),
                      "n_tokens": pa.array(counts, pa.int64()),
                      "n_unique_tokens": pa.array(uniq, pa.int64())})
