@@ -172,6 +172,21 @@ def q_ft_regex(sf_dir: str):
     return _docs_table(r, docs)
 
 
+def q_search_highlight(sf_dir: str):
+    """End-to-end search+highlight Dataset pipeline: every 'spark' hit
+    with max_chars >= doc length, so every occurrence is wrapped and the
+    <b> count equals the token-occurrence count (SQL-checkable)."""
+    from tantivy4java_ray.pipelines.search import highlighted_docs_dataset
+    from tantivy4java_ray.query import Query
+    _doc_index(sf_dir)  # ensure the cached index exists
+    ds = highlighted_docs_dataset(
+        _index_dir(sf_dir, False), Query.term("text", "spark"),
+        field="text", max_chars=1_000_000)
+    df = ds.to_pandas()
+    df["n_marks"] = df["snippet"].str.count("<b>").astype("int64")
+    return df[["doc_id", "n_marks"]].sort_values("doc_id")
+
+
 def q_json_props_term(sf_dir: str):
     """JSON field subpath term over events.props."""
     import json
@@ -549,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_source_term": q_ft_source_term,
         "ft_regex": q_ft_regex,
         "json_props_term": q_json_props_term,
+        "search_highlight": q_search_highlight,
         "ft_term_counts": q_ft_term_counts,
         "ft_bool": q_ft_bool,
         "ft_phrase": q_ft_phrase,
@@ -602,6 +618,10 @@ def oracle_sql() -> dict[str, str]:
         "json_props_term":
             "SELECT event_id FROM events "
             "WHERE json_extract(props, '$.k') = '42'",
+        "search_highlight":
+            f"SELECT doc_id, len(list_filter({_TOKS}, x -> x = 'spark'))"
+            f"::BIGINT AS n_marks FROM documents WHERE {tok_match('spark')} "
+            f"ORDER BY doc_id",
         "ft_bool":
             f"SELECT doc_id FROM documents WHERE {tok_match('merge')} "
             f"AND {tok_match('join')} AND NOT {tok_match('sort')}",

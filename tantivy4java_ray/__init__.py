@@ -35,6 +35,7 @@ from tantivy4java_ray.pipelines.merge import merge_indexes  # noqa: F401
 from tantivy4java_ray.pipelines.search import (  # noqa: F401
     IndexReader,
     batch_search,
+    highlighted_docs_dataset,
     matching_docs_dataset,
 )
 from tantivy4java_ray.api import Index, Searcher  # noqa: F401

@@ -1618,6 +1618,48 @@ def matching_docs_dataset(index_dir: str, query: Query | str,
         concurrency=concurrency, num_cpus=1)
 
 
+def highlighted_docs_dataset(index_dir: str, query, *,
+                             field: str = "text", max_chars: int = 150,
+                             columns: list[str] | None = None,
+                             concurrency: int = 4):
+    """End-to-end search-and-highlight as one streaming Dataset pipeline:
+    every doc matching ``query``, fetched by positional parquet reads (no
+    shuffle), annotated with a best-window ``<b>``-highlighted ``snippet``
+    column (reference: ``SnippetGenerator.java`` applied per hit after
+    ``SplitSearcher.search``; ``native/src/query/snippet.rs:16-152``).
+
+    The snippet stage is a stateful actor-pool ``map_batches`` class —
+    term set + analyzer are built once per actor in ``__init__``; the
+    per-batch work is the windowed highlight over the Arrow text column,
+    so the pipeline streams at corpus scale with backpressure."""
+    import ray.data  # noqa: F401  (ensures Data is importable on driver)
+
+    reader = IndexReader(index_dir)
+    if isinstance(query, str):
+        from tantivy4java_ray.query import parse_query
+        query = parse_query(query, reader.schema)
+    fcfg = reader.schema.get_field(field)
+    tokenizer = fcfg.tokenizer
+    cols = list(dict.fromkeys((columns or []) + [field]))
+    ds = matching_docs_dataset(index_dir, query, columns=cols,
+                               concurrency=concurrency)
+
+    class Snippeter:
+        def __init__(self):
+            from tantivy4java_ray.functions.snippet import SnippetGenerator
+            self.gen = SnippetGenerator(query, field, tokenizer, max_chars)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column(field).to_pylist()
+            snips = [self.gen.snippet_from_text(t) for t in texts]
+            return batch.append_column(
+                "snippet", pa.array(snips, pa.string()))
+
+    return ds.map_batches(Snippeter, batch_format="pyarrow",
+                          batch_size=4096, concurrency=concurrency,
+                          num_cpus=1)
+
+
 # ---------------------------------------------------------------------------
 # split-utility analogs (QuickwitSplit.readSplitMetadata/listSplitFiles/
 # validateSplit, QuickwitSplit.java:493-556)

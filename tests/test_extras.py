@@ -146,6 +146,16 @@ def test_matching_docs_dataset(facet_index, ray_session):
     assert out["title"].tolist() == ["saw", "drill", "hammer"]
 
 
+def test_highlighted_docs_dataset(facet_index, ray_session):
+    from tantivy4java_ray.pipelines.search import highlighted_docs_dataset
+    ds = highlighted_docs_dataset(facet_index.index_dir,
+                                  Query.term("title", "saw"),
+                                  field="title")
+    out = ds.to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    assert out["snippet"].tolist() == ["<b>saw</b>"]
+
+
 def test_api_facade(facet_index):
     s = facet_index.searcher()
     res = s.search("title:saw", limit=5)
