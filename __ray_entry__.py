@@ -153,6 +153,30 @@ def q_ft_bm25_topk(sf_dir: str):
                          "score": scores[order]})
 
 
+def q_ft_dismax(sf_dir: str):
+    """Disjunction-max (tie_breaker=0.3) over 'merge'/'join', exact-dl
+    mode so score = max + 0.3*min is SQL-reproducible; top-10."""
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir, exact=True)
+    q = Query.disjunction_max([Query.term("text", "merge"),
+                               Query.term("text", "join")],
+                              tie_breaker=0.3)
+    docs, scores = r.evaluate(q)
+    scores = np.round(scores.astype(np.float64), 4)
+    order = np.lexsort((docs, -scores))[:10]
+    return pd.DataFrame({"doc_id": docs[order],
+                         "score": scores[order]})
+
+
+def q_ft_term_set(sf_dir: str):
+    """Const-score term-set union (IN-list) over the text field."""
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.term_set(
+        "text", ["spark", "sort", "zzznosuchterm"]))
+    return _docs_table(r, docs)
+
+
 # ---------------------------------------------------------------------------
 # aggregations
 # ---------------------------------------------------------------------------
@@ -575,6 +599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_range_nchars": q_ft_range_nchars,
         "json_range_numeric": q_json_range_numeric,
         "ft_bm25_topk": q_ft_bm25_topk,
+        "ft_dismax": q_ft_dismax,
+        "ft_term_set": q_ft_term_set,
         "agg_terms_lang": q_agg_terms_lang,
         "agg_stats_events": q_agg_stats_events,
         "agg_histogram_events": q_agg_histogram_events,
@@ -672,6 +698,37 @@ def oracle_sql() -> dict[str, str]:
               4) AS score
             FROM tf, stats, dfs WHERE tf1 > 0 OR tf2 > 0
             ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_dismax": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS ts FROM documents),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     avg(len(ts))::DOUBLE AS avgdl FROM toks),
+            tf AS (
+              SELECT doc_id, len(ts)::DOUBLE AS dl,
+                     len(list_filter(ts, x -> x = 'merge'))::DOUBLE AS tf1,
+                     len(list_filter(ts, x -> x = 'join'))::DOUBLE AS tf2
+              FROM toks),
+            dfs AS (
+              SELECT count(*) FILTER (tf1 > 0)::DOUBLE AS df1,
+                     count(*) FILTER (tf2 > 0)::DOUBLE AS df2 FROM tf),
+            ss AS (
+              SELECT doc_id,
+                CASE WHEN tf1 > 0 THEN
+                  ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * 2.2 * tf1
+                  / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ELSE 0 END AS s1,
+                CASE WHEN tf2 > 0 THEN
+                  ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * 2.2 * tf2
+                  / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ELSE 0 END AS s2
+              FROM tf, stats, dfs WHERE tf1 > 0 OR tf2 > 0)
+            SELECT doc_id, ROUND(
+              greatest(s1, s2) + 0.3 * least(s1, s2), 4) AS score
+            FROM ss ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_term_set":
+            f"SELECT doc_id FROM documents WHERE {tok_match('spark')} "
+            f"OR {tok_match('sort')}",
         "agg_terms_lang":
             "SELECT lang, count(*) AS doc_count FROM documents "
             "GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10",
