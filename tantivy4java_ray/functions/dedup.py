@@ -71,8 +71,9 @@ def exact_dedup(ds, col: str, id_col: str):
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("__h2", sort=False, as_index=False)[id_col].min()
+        # id type is caller's (int doc ids, string urls, ...) — keep it
         return pd.DataFrame(
-            {id_col: np.sort(out[id_col].to_numpy(np.int64))})
+            {id_col: out[id_col].sort_values().to_numpy()})
 
     return (ds.map_batches(lambda t: exact_dedup_keys(t, col, id_col),
                            batch_format="pyarrow")

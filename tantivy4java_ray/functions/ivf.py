@@ -119,7 +119,14 @@ class IVFIndex:
                 s = sims[qi][keep]
                 sel_ids = ids[keep]
                 kk = min(k, len(s))
-                sel = np.argpartition(-s, kk - 1)[:kk]
+                # deterministic at score ties: argpartition alone keeps an
+                # arbitrary tied row; re-rank the candidate slice by
+                # (score desc, id asc) so the kth boundary is stable
+                cand = np.argpartition(-s, kk - 1)[:kk] \
+                    if kk < len(s) else np.arange(len(s))
+                thresh = s[cand].min()
+                cand = np.flatnonzero(s >= thresh)
+                sel = cand[np.lexsort((sel_ids[cand], -s[cand]))][:kk]
                 out_q.extend([qi] * kk)
                 out_id.extend(sel_ids[sel].tolist())
                 out_s.extend(s[sel].astype(np.float64).tolist())

@@ -186,7 +186,12 @@ def fingerprint_batch(t: pa.Table, col: str = "text",
     texts = text.to_pylist()
     md5s = [hashlib.md5((x or "").encode()).hexdigest() for x in texts]
     clean = pc.fill_null(text, "")
-    vals = np.asarray(clean.to_numpy(zero_copy_only=False), object)
+    # pandas siphash reads object strings as C strings (truncates at the
+    # first NUL) — map \x00 -> U+FFFD first, same as exact_dedup_keys,
+    # so texts differing after an embedded NUL don't collide
+    vals = np.asarray(pc.replace_substring(
+        clean, "\x00", "\N{REPLACEMENT CHARACTER}").to_numpy(
+        zero_copy_only=False), object)
     fp = pd.util.hash_array(vals).astype(np.uint64)
     empty = np.asarray(pc.equal(clean, "").to_numpy(zero_copy_only=False),
                        bool)

@@ -17,6 +17,24 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _desc_key(vals: np.ndarray) -> np.ndarray:
+    """Order-REVERSING transform usable as a lexsort key. Plain ``-vals``
+    wraps unsigned dtypes (0 stays the minimum) and overflows at
+    ``int64.min``; this handles unsigned/signed ints, bools, datetimes,
+    floats, and falls back to unique-rank for object dtypes."""
+    k = vals.dtype.kind
+    if k in "ub":
+        return ~vals
+    if k == "i":
+        return ~(vals.astype(np.uint64) ^ np.uint64(1 << 63))
+    if k in "Mm":
+        return _desc_key(vals.view(np.int64))
+    if k == "f":
+        return -vals
+    _, inv = np.unique(vals, return_inverse=True)
+    return inv.max() - inv
+
+
 def _block_topk(t: pa.Table, key: str, k: int, descending: bool,
                 tie_cols: tuple[str, ...]) -> pa.Table:
     if t.num_rows <= k:
@@ -24,7 +42,8 @@ def _block_topk(t: pa.Table, key: str, k: int, descending: bool,
     vals = np.asarray(t.column(key).to_numpy(zero_copy_only=False))
     ties = [np.asarray(t.column(c).to_numpy(zero_copy_only=False))
             for c in tie_cols]
-    sort_keys = tuple(reversed(ties)) + ((-vals,) if descending else (vals,))
+    sort_keys = tuple(reversed(ties)) + (
+        (_desc_key(vals),) if descending else (vals,))
     order = np.lexsort(sort_keys)[:k]
     return t.take(pa.array(order))
 

@@ -35,20 +35,3 @@ def repeat_int(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return out
 
 
-def segment_ids(counts: np.ndarray) -> np.ndarray:
-    """``np.repeat(np.arange(len(counts)), counts)`` -> int64 (same trick)."""
-    counts = np.asarray(counts, np.int64)
-    total = int(counts.sum())
-    out = np.zeros(total, np.int64)
-    if not len(counts):
-        return out
-    nz = np.flatnonzero(counts)
-    if not len(nz):
-        return out
-    starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
-    deltas = np.empty(len(nz), np.int64)
-    deltas[0] = nz[0]
-    np.subtract(nz[1:], nz[:-1], out=deltas[1:])
-    out[starts] = deltas
-    np.cumsum(out, out=out)
-    return out

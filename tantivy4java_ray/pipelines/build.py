@@ -664,7 +664,8 @@ class IndexBuilder:
                  hot_salts: int = 4,
                  hot_df_frac: float = 0.05,
                  column_renames: dict[str, str] | None = None,
-                 phash_fields: tuple[str, ...] = ()):
+                 phash_fields: tuple[str, ...] = (),
+                 keep_partials: bool = False):
         self.paths = paths
         self.index_dir = index_dir
         self.schema = schema
@@ -673,6 +674,7 @@ class IndexBuilder:
         self.target = target_docs_per_partition
         self.num_shards = num_shards
         self.checkpoint = checkpoint
+        self.keep_partials = keep_partials
         self.exact_fieldnorms = exact_fieldnorms
         self.concurrency = concurrency
         self.bm25 = {"k1": bm25_k1, "b": bm25_b}
@@ -800,6 +802,13 @@ class IndexBuilder:
         # fast-open manifest snapshot
         atomic_write_json(st.sjoin(self.index_dir, "manifest.json"),
                           txlog.read_state())
+        # the external-shuffle map outputs are ~index-sized; they exist
+        # to feed the shard writers and to resume an INTERRUPTED build —
+        # after a committed build they'd permanently double the index's
+        # storage footprint, so drop them (the committed fast path above
+        # never re-enters the partition stage)
+        if not self.keep_partials:
+            st.srmtree(st.sjoin(self.index_dir, "_partials"))
 
         return BuildResult(self.index_dir, num_docs, npart, nshards,
                            time.monotonic() - t0, resumed)

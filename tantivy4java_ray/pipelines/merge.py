@@ -188,6 +188,23 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         doc_offsets.append(base)
         base += m["stats"]["num_docs"]
 
+    from tantivy4java_ray import storage as st
+
+    # carry forward the inputs' existing tombstones: docdata files are
+    # copied verbatim below, so the merged index must keep masking those
+    # rows. Input postings already EXCLUDE their own tombstoned docs (the
+    # delete re-encode happened when they were created), so carried
+    # tombstones do NOT force the re-encode path — only new
+    # ``delete_queries`` deletions do.
+    carried: list[np.ndarray] = []
+    for d in index_dirs:
+        dpath = st.sjoin(d, "deleted_docs.npy")
+        if st.sexists(dpath):
+            with st.sopen(dpath, "rb") as f:
+                carried.append(np.load(f).astype(np.int64))
+        else:
+            carried.append(np.empty(0, np.int64))
+
     deleted_per_index: list[np.ndarray] | None = None
     num_deleted = 0
     if delete_queries:
@@ -200,8 +217,6 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
                    else np.empty(0, np.int64))
             deleted_per_index.append(arr)
             num_deleted += len(arr)
-
-    from tantivy4java_ray import storage as st
     st.smakedirs(out_dir)
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -267,9 +282,13 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     actions += [{"add_shard": {k: (v.item() if hasattr(v, "item") else v)
                                for k, v in s.items()}} for s in stats]
     actions.append({"set_meta": {"stats": stats_obj}})
+    tomb_parts = [d + off for d, off in zip(carried, doc_offsets)
+                  if len(d)]
     if deleted_per_index is not None:
-        all_del = np.sort(np.concatenate(
-            [d + off for d, off in zip(deleted_per_index, doc_offsets)]))
+        tomb_parts += [d + off for d, off
+                       in zip(deleted_per_index, doc_offsets) if len(d)]
+    if tomb_parts:
+        all_del = np.unique(np.concatenate(tomb_parts))
         import io as _io
         _b = _io.BytesIO()
         np.save(_b, all_del)

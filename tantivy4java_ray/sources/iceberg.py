@@ -34,7 +34,16 @@ def read_table_metadata(table_path: str) -> dict:
                                               "*.metadata.json")))
     if not metas:
         raise FileNotFoundError(f"no iceberg metadata under {table_path}")
-    return st.read_json_any(metas[-1])
+
+    # pick by NUMERIC version, not lexicographic order (v10 > v9; the
+    # HadoopCatalog form is vN.metadata.json, the metastore form
+    # NNNNN-<uuid>.metadata.json — both lead with the version number)
+    def version_of(path: str) -> int:
+        stem = os.path.basename(path).split(".metadata.json")[0]
+        digits = stem.lstrip("v").split("-")[0]
+        return int(digits) if digits.isdigit() else -1
+
+    return st.read_json_any(max(metas, key=lambda m: (version_of(m), m)))
 
 
 def iceberg_snapshots(table_path: str) -> list[dict]:

@@ -101,6 +101,19 @@ def slistdir(path: str) -> list[str]:
                   for e in fs.ls(p, detail=False))
 
 
+def srmtree(path: str) -> None:
+    """Recursively delete a directory tree (no-op when absent)."""
+    fs, p = fs_for(path)
+    if fs is None:
+        import shutil
+        shutil.rmtree(p, ignore_errors=True)
+    else:
+        try:
+            fs.rm(p, recursive=True)
+        except FileNotFoundError:
+            pass
+
+
 def swalk_files(path: str) -> list[str]:
     """All file paths below ``path``, relative, sorted."""
     fs, p = fs_for(path)

@@ -40,12 +40,19 @@ def setup(ray_session):
     pq.write_table(generate_webpages(600, start_doc_id=600),
                    f"{BASE}/data_b/webpages-0000.parquet", row_group_size=200)
 
+    # keep_partials: the partial-resume test below simulates a crash by
+    # copying this index's map-stage outputs (deleted on commit by default)
     build_index(f"{BASE}/data_a", f"{BASE}/idx_a", schema(),
                 html_fallback=("text", "html"),
-                target_docs_per_partition=300, num_shards=4)
+                target_docs_per_partition=300, num_shards=4,
+                keep_partials=True)
     build_index(f"{BASE}/data_b", f"{BASE}/idx_b", schema(),
                 html_fallback=("text", "html"),
                 target_docs_per_partition=300, num_shards=4)
+    # default builds drop the ~index-sized external-shuffle partials
+    # once committed; keep_partials retains them
+    assert not os.path.exists(f"{BASE}/idx_b/_partials")
+    assert os.path.exists(f"{BASE}/idx_a/_partials")
     both = sorted(glob.glob(f"{BASE}/data_a/*.parquet")) + \
         sorted(glob.glob(f"{BASE}/data_b/*.parquet"))
     build_index(both, f"{BASE}/idx_union", schema(),
@@ -85,6 +92,31 @@ def test_merge_with_deletes(setup):
     # and from fast-field matches
     dr, _ = r.evaluate(Query.range("warc_ts", None, None))
     assert set(dr) & set(marker_docs) == set()
+
+
+def test_plain_merge_carries_tombstones(setup):
+    """A plain merge (no delete_queries) of an index that already has
+    tombstones must NOT resurrect the deleted docs on fast-field /
+    match-all paths (regression: review finding, writer.commit path)."""
+    src = f"{BASE}/idx_del"
+    if not os.path.exists(os.path.join(src, "manifest.json")):
+        merge_indexes([f"{BASE}/idx_a", f"{BASE}/idx_b"], src,
+                      delete_queries=[Query.term("text", "needleterm")])
+    out = f"{BASE}/idx_del_remerged"
+    shutil.rmtree(out, ignore_errors=True)
+    merge_indexes([src], out)
+    r = IndexReader(out)
+    ru = IndexReader(f"{BASE}/idx_union")
+    marker_docs, _ = ru.evaluate(Query.term("text", "needleterm"))
+    assert r.deleted is not None and len(r.deleted) == len(marker_docs)
+    dr, _ = r.evaluate(Query.range("warc_ts", None, None))
+    assert set(dr) & set(marker_docs) == set()
+    # aggregations over the remerged index also exclude them
+    from tantivy4java_ray.aggs import run_aggregations_on_index
+    agg = run_aggregations_on_index(
+        r, None, {"n": {"value_count": {"field": "warc_ts"}}},
+        distributed=False)
+    assert agg["n"]["value"] == 1200 - len(marker_docs)
 
 
 def test_resume_skips_finished_partitions(setup):

@@ -33,6 +33,17 @@ def test_exact_dedup_shuffle_carries_no_text():
         (h.iloc[1]["__h"], h.iloc[1]["__h2"])
 
 
+def test_exact_dedup_string_ids(ray_session):
+    """id_col is caller-typed (urls, not just ints) — keep_min must not
+    coerce to int64 (regression: review finding)."""
+    import ray.data
+    from tantivy4java_ray.functions.dedup import exact_dedup
+    df = pd.DataFrame({"url": ["u/b", "u/a", "u/c"],
+                       "text": ["same", "same", "other"]})
+    keep = exact_dedup(ray.data.from_pandas(df), "text", "url").to_pandas()
+    assert sorted(keep["url"].tolist()) == ["u/a", "u/c"]
+
+
 def test_exact_dedup_nul_bytes_distinct():
     # pandas siphash truncates at NUL; the NUL->U+FFFD mapping must keep
     # "a\x00b" and "a\x00c" apart
@@ -80,6 +91,24 @@ def test_topk_matches_sort(ray_session):
     got2 = topk(ds, "v", 5, descending=False, tie_cols=("id",))
     want2 = df.sort_values(["v", "id"]).head(5)
     assert got2["id"].tolist() == want2["id"].tolist()
+
+
+def test_topk_unsigned_and_extreme_keys(ray_session):
+    """Descending top-k must not negate unsigned keys (0 would wrap to
+    the 'maximum') or overflow int64.min (regression: review finding)."""
+    import ray.data
+    from tantivy4java_ray.functions.topk import topk
+    dfu = pd.DataFrame({"id": np.arange(3, dtype=np.int64),
+                        "k": np.array([0, 5, 3], np.uint64)})
+    got = topk(ray.data.from_pandas(dfu).repartition(1), "k", 2,
+               descending=True, tie_cols=("id",))
+    assert got["k"].tolist() == [5, 3]
+    imin = np.iinfo(np.int64).min
+    dfi = pd.DataFrame({"id": np.arange(3, dtype=np.int64),
+                        "k": np.array([imin, -1, 7], np.int64)})
+    got = topk(ray.data.from_pandas(dfi).repartition(1), "k", 2,
+               descending=True, tie_cols=("id",))
+    assert got["k"].tolist() == [7, -1]
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +260,12 @@ def test_fingerprint_batch_semantics():
     assert out["fp64"][0] == out["fp64"][3] != 0
     import hashlib
     assert out["md5"][0] == hashlib.md5(b"hello").hexdigest()
+    # embedded NUL: texts differing only AFTER a \x00 must not collide
+    # (pandas siphash reads C strings; the NUL is sanitized first)
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": ["a\x00left", "a\x00right"]})
+    out2 = fingerprint_batch(t2).to_pandas()
+    assert out2["fp64"][0] != out2["fp64"][1]
 
 
 def test_simhash64_vectorized_semantics():
@@ -776,7 +811,7 @@ def test_sharded_pool_aggregate(range_idx):
 
 
 def test_nputil_repeat_matches_numpy():
-    from tantivy4java_ray.nputil import repeat_int, segment_ids
+    from tantivy4java_ray.nputil import repeat_int
     rng = np.random.default_rng(0)
     for _ in range(5):
         n = int(rng.integers(1, 200))
@@ -784,11 +819,8 @@ def test_nputil_repeat_matches_numpy():
         counts = rng.integers(0, 7, n)
         np.testing.assert_array_equal(repeat_int(vals, counts),
                                       np.repeat(vals, counts))
-        np.testing.assert_array_equal(segment_ids(counts),
-                                      np.repeat(np.arange(n), counts))
     assert repeat_int(np.array([], np.int64),
                       np.array([], np.int64)).tolist() == []
-    assert segment_ids(np.array([0, 0])).tolist() == []
 
 
 # ---------------------------------------------------------------------------
