@@ -27,10 +27,6 @@ import pyarrow as pa
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _hash_obj(vals: np.ndarray) -> np.ndarray:
-    return pd.util.hash_array(np.asarray(vals, dtype=object))
-
-
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------

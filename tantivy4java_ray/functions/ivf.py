@@ -130,8 +130,10 @@ class IVFIndex:
                 out_q.extend([qi] * kk)
                 out_id.extend(sel_ids[sel].tolist())
                 out_s.extend(s[sel].astype(np.float64).tolist())
+            # id column keeps the caller's type (string urls, uuids, ...)
             return pa.table({"query_id": pa.array(out_q, pa.int32()),
-                             id_col: pa.array(out_id, pa.int64()),
+                             id_col: pa.array(out_id,
+                                              t.column(id_col).type),
                              "score": pa.array(out_s, pa.float64())})
 
         partials = sub.map_batches(block, batch_format="pyarrow",

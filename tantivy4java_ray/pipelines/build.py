@@ -522,7 +522,7 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
     # whole-column flat views (take materialized rows in sorted order,
     # so consecutive rows' bytes are contiguous)
     doc_off, doc_data = _binary_column_view(group.column("docs"))
-    tf_off, tf_data = _binary_column_view(group.column("tfs"))
+    _, tf_data = _binary_column_view(group.column("tfs"))
     pos_off, pos_data = _binary_column_view(group.column("positions"))
 
     def _u32(data: np.ndarray) -> np.ndarray:
@@ -726,7 +726,10 @@ class IndexBuilder:
                        "exact_fieldnorms": self.exact_fieldnorms,
                        "bm25": self.bm25,
                        "hot_salts": self.hot_salts,
-                       "html_fallback": self.html_fallback}}}])
+                       "html_fallback": self.html_fallback,
+                       # capability stamps queries can gate on (readers
+                       # of OLDER indexes fail loudly, not silently)
+                       "index_features": ["json_numeric_terms"]}}}])
 
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8

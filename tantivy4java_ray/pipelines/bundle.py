@@ -21,8 +21,10 @@ just works, locally or with the bundle itself on object storage.
 from __future__ import annotations
 
 import base64
+import functools
 import io
 import json
+import re
 import struct
 
 import numpy as np
@@ -54,22 +56,38 @@ def bundle_index(index_dir: str, out_path: str, *,
             continue
         files.append(rel)
 
-    buf = io.BytesIO()
+    # stream file-by-file to a temp object then rename into place — the
+    # bundle is index-sized, buffering it (twice) in memory would OOM
+    # the driver on the multi-GB splits this feature targets
+    import os
     offsets: dict[str, list[int]] = {}
     hotcache: dict[str, str] = {}
-    for rel in files:
-        with st.sopen(st.sjoin(index_dir, rel), "rb") as f:
-            data = f.read()
-        offsets[rel] = [buf.tell(), len(data)]
-        buf.write(data)
-        if rel in HOT_ALWAYS or len(data) <= hotcache_max:
-            hotcache[rel] = base64.b64encode(data).decode()
-    footer = {"version": 1, "files": offsets, "hotcache": hotcache,
-              "num_files": len(files)}
-    fbytes = json.dumps(footer).encode()
-    buf.write(fbytes)
-    buf.write(struct.pack("<QI", len(fbytes), MAGIC))
-    st.write_bytes_atomic(buf.getvalue(), out_path)
+    tmp = out_path + f".tmp-{os.getpid()}"
+    chunk = 8 << 20
+    with st.sopen(tmp, "wb") as out:
+        pos = 0
+        for rel in files:
+            src = st.sjoin(index_dir, rel)
+            length = st.ssize(src)
+            offsets[rel] = [pos, length]
+            with st.sopen(src, "rb") as f:
+                if rel in HOT_ALWAYS or length <= hotcache_max:
+                    data = f.read()
+                    out.write(data)
+                    hotcache[rel] = base64.b64encode(data).decode()
+                else:
+                    while True:
+                        data = f.read(chunk)
+                        if not data:
+                            break
+                        out.write(data)
+            pos += length
+        footer = {"version": 1, "files": offsets, "hotcache": hotcache,
+                  "num_files": len(files)}
+        fbytes = json.dumps(footer).encode()
+        out.write(fbytes)
+        out.write(struct.pack("<QI", len(fbytes), MAGIC))
+    st.sreplace(tmp, out_path)
     return footer
 
 
@@ -77,6 +95,9 @@ def read_bundle_footer(path: str) -> dict:
     """Two ranged reads: 12-byte trailer, then the footer JSON."""
     size = st.ssize(path)
     blob = st.blob_open(path)
+    if blob is None or size < 12:
+        raise ValueError(f"{path!r} is not a t4jr split bundle "
+                         f"(empty or truncated: {size} bytes)")
     trailer = bytes(blob[size - 12:size])
     flen, magic = struct.unpack("<QI", trailer)
     if magic != MAGIC:
@@ -108,18 +129,42 @@ def register_split_protocol() -> None:
     _REGISTERED = True
 
 
-def _parse(path: str) -> tuple[str, str]:
-    """'<bundle>/<inner>' -> (bundle, inner); bundle ends at '.split'."""
-    path = path.lstrip("/")
-    if ".split" in path:
-        i = path.index(".split") + len(".split")
-        bundle, inner = path[:i], path[i:].lstrip("/")
-    else:
-        bundle, inner = path, ""
+def _qualify(bundle: str) -> str:
     if not bundle.startswith(("s3://", "gs://", "az://", "file://",
                               "memory://", "http")):
         bundle = "/" + bundle
-    return bundle, inner
+    return bundle
+
+
+@functools.lru_cache(maxsize=512)
+def _probe_split(path: str) -> tuple[str, str]:
+    """No '*.split' component: find the longest prefix that is an
+    existing FILE (the bundle may be named anything from the CLI)."""
+    import os
+    parts = path.split("/")
+    for i in range(len(parts), 0, -1):
+        cand = _qualify("/".join(parts[:i]))
+        try:
+            fs, p = st.fs_for(cand)
+            isfile = (os.path.isfile(p) if fs is None else fs.isfile(p))
+            if isfile and st.ssize(cand) > 0:
+                return cand, "/".join(parts[i:])
+        except (FileNotFoundError, OSError, ValueError):
+            continue
+    return _qualify(path), ""
+
+
+def _parse(path: str) -> tuple[str, str]:
+    """'<bundle>/<inner>' -> (bundle, inner). The bundle ends at the
+    first path COMPONENT named ``*.split`` (substring matching would cut
+    '/data.splits/x.split' inside 'data.splits'); bundles with any other
+    name resolve by probing for the longest existing-file prefix."""
+    path = path.lstrip("/")
+    for m in re.finditer(r"[^/]+", path):
+        if m.group(0).endswith(".split"):
+            return (_qualify(path[:m.end()]),
+                    path[m.end():].lstrip("/"))
+    return _probe_split(path)
 
 
 from fsspec import AbstractFileSystem  # noqa: E402  (import after st)

@@ -113,6 +113,7 @@ class IndexReader:
         self.b: float = cfg["bm25"]["b"]
         self.exact_fieldnorms: bool = cfg.get("exact_fieldnorms", False)
         self.hot_salts: int = cfg.get("hot_salts", 0)
+        self.features: frozenset = frozenset(cfg.get("index_features", ()))
         #: score dtype: f32 (tantivy parity) or f64 (SQL-oracle parity)
         self.score_dtype = np.float64 if self.exact_fieldnorms else np.float32
         self.num_shards: int = meta["plan"]["num_shards"]
@@ -823,6 +824,11 @@ class IndexReader:
         numeric = any(isinstance(b, (int, float)) and not isinstance(b, bool)
                       for b in (lo, hi))
         if numeric:
+            if "json_numeric_terms" not in self.features:
+                raise ValueError(
+                    "numeric json_range requires typed JSON numeric "
+                    "terms; this index predates the feature "
+                    "(config.index_features) — rebuild it")
             pref = f"{path}\x02"
             lo_t = (pref + encode_f64_sortable(float(lo))
                     if lo is not None else pref)
@@ -902,15 +908,6 @@ class IndexReader:
             raise
         matched = self.match_terms(field, "regex", pattern=regex)
         docs = self._drop_deleted(self._union_docs_for_rows(matched))
-        return docs, np.full(len(docs), boost, np.float32)
-
-    def _const_union(self, field: str, terms: list[str], boost: float):
-        """Automaton queries (fuzzy/regex/wildcard/term-range) -> const 1.0."""
-        parts = [d for d in (self.postings(field, t)[0] for t in terms)
-                 if len(d)]
-        if not parts:
-            return _EMPTY
-        docs = self._union_docs(parts)
         return docs, np.full(len(docs), boost, np.float32)
 
     def _eval_range(self, field: str, lower, upper, incl_lo: bool,
@@ -1401,12 +1398,13 @@ class _TermCursor:
             self.field = field
             self.doc_lo = reader.doc_lo
             self.doc_hi = reader.doc_hi
-            # the run's byte slice (memmap view / one remote ranged GET)
-            self.runs = [(int(d["run_base"][r]), 0,
-                          reader._run_bytes(sid, r))]
-            if reader.doc_range is not None and \
-                    self.runs[0][0] >= reader.doc_hi:
+            run_base = int(d["run_base"][r])
+            # skip BEFORE fetching: on a doc-range-pinned leaf an
+            # out-of-range run must not cost a full ranged GET
+            if reader.doc_range is not None and run_base >= reader.doc_hi:
                 continue
+            # the run's byte slice (memmap view / one remote ranged GET)
+            self.runs = [(run_base, 0, reader._run_bytes(sid, r))]
             self.weight = weight
             self.norm_cache = norm_cache
             self.norms = norms

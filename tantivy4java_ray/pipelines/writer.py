@@ -28,6 +28,39 @@ import pyarrow.parquet as pq
 from tantivy4java_ray.schema import IndexSchema
 
 
+def recover_interrupted_commit(index_dir: str) -> bool:
+    """Roll a crash-interrupted ``IndexWriter.commit`` generation swap
+    forward (or back). The swap is ``rename(index, old); rename(merged,
+    index)`` guarded by a ``<index>.swap.json`` marker; a crash between
+    the renames leaves no directory at ``index_dir``. Called on writer
+    open (and usable standalone); returns True if it repaired anything.
+    """
+    marker = f"{index_dir}.swap.json"
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as f:
+            info = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        os.unlink(marker)
+        return False
+    repaired = False
+    if not os.path.exists(index_dir):
+        if os.path.exists(info.get("merged", "")):
+            # crashed between the renames: finish the swap
+            os.rename(info["merged"], index_dir)
+            repaired = True
+        elif os.path.exists(info.get("old", "")):
+            # crashed before the merged dir was complete: restore
+            os.rename(info["old"], index_dir)
+            repaired = True
+    os.unlink(marker)
+    for leftover in (info.get("old"), info.get("merged")):
+        if leftover and os.path.exists(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+    return repaired
+
+
 class IndexWriter:
     """Buffered document ingest with commit/rollback.
 
@@ -38,6 +71,7 @@ class IndexWriter:
     def __init__(self, index_dir: str, schema: IndexSchema, *,
                  heap_docs: int = 100_000, num_shards: int | None = None,
                  staging_dir: str | None = None):
+        recover_interrupted_commit(index_dir)
         self.index_dir = index_dir
         self.schema = schema
         self.heap_docs = heap_docs
@@ -123,10 +157,18 @@ class IndexWriter:
                         num_shards=nsh)
             merged_dir = f"{self.index_dir}.merged-{tag}"
             res = merge_indexes([self.index_dir, delta_dir], merged_dir)
-            # atomic-ish generation swap (local rename dance)
+            # generation swap: two renames with a recovery marker so a
+            # crash between them (the window where index_dir does not
+            # exist) is repairable — recover_interrupted_commit() rolls
+            # the swap forward on the next open
             old = f"{self.index_dir}.old-{tag}"
+            marker = f"{self.index_dir}.swap.json"
+            with open(marker, "w") as f:
+                json.dump({"old": old, "merged": merged_dir,
+                           "index_dir": self.index_dir}, f)
             os.rename(self.index_dir, old)
             os.rename(merged_dir, self.index_dir)
+            os.unlink(marker)
             shutil.rmtree(old, ignore_errors=True)
             shutil.rmtree(delta_dir, ignore_errors=True)
         # committed staged files STAY in place: the index's partitions

@@ -262,8 +262,6 @@ def decode_postings(buf: bytes | memoryview,
         tfs[lo:] = t
 
     docs = (np.cumsum(deltas.astype(np.uint64) + 1) - 1).astype(np.uint32)
-    if counts[-1] == BLOCK:
-        pass
     return docs, tfs
 
 

@@ -607,6 +607,27 @@ def test_split_bundle_roundtrip(ray_session, tmp_path):
     got = r_split.retrieve_docs(hits, columns=["url"])
     assert got.num_rows == len(hits)
 
+    # bundle path edge cases (regression: review findings)
+    # 1. '.split' inside a PARENT directory name must not cut the path
+    nest = tmp_path / "data.splits"
+    nest.mkdir()
+    b2 = str(nest / "x.split")
+    bundle_index(idx, b2)
+    assert IndexReader(split_url(b2)).num_docs == 500
+    # 2. a bundle with a non-'.split' name resolves by file probing
+    b3 = str(tmp_path / "out.bundle")
+    bundle_index(idx, b3)
+    assert IndexReader(split_url(b3)).num_docs == 500
+    # 3. empty/truncated file -> clean ValueError, exists() False
+    bad = tmp_path / "empty.split"
+    bad.write_bytes(b"")
+    import pytest as _pytest
+
+    from tantivy4java_ray import storage as _st
+    with _pytest.raises(ValueError):
+        read_bundle_footer(str(bad))
+    assert not _st.sexists(split_url(str(bad)) + "/manifest.json")
+
 
 # ---------------------------------------------------------------------------
 # Avro reader + Iceberg live-file listing
@@ -869,6 +890,37 @@ def test_index_writer_commit_rollback(ray_session, tmp_path):
     assert IndexReader(idx).num_docs == 7
     docs, _ = IndexReader(idx).evaluate(Query.term("text", "rolled"))
     assert docs.tolist() == []
+
+
+def test_index_writer_crash_between_renames(ray_session, tmp_path):
+    """Simulated crash in the commit generation swap: the recovery
+    marker rolls the swap forward on the next writer open."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.pipelines.writer import (
+        IndexWriter, recover_interrupted_commit)
+    from tantivy4java_ray.schema import IndexSchema
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_integer_field("doc_id", fast=True)
+    idx = str(tmp_path / "idx")
+    w = IndexWriter(idx, s, num_shards=2)
+    w.add_document({"doc_id": 0, "text": "alpha"})
+    w.commit()
+    # fake the mid-swap state: index renamed away, merged ready, marker on
+    _shutil.copytree(idx, idx + ".merged-dead")
+    _os.rename(idx, idx + ".old-dead")
+    with open(idx + ".swap.json", "w") as f:
+        _json.dump({"old": idx + ".old-dead",
+                    "merged": idx + ".merged-dead", "index_dir": idx}, f)
+    assert not _os.path.exists(idx)
+    assert recover_interrupted_commit(idx)
+    assert IndexReader(idx).num_docs == 1
+    assert not _os.path.exists(idx + ".old-dead")
+    assert not _os.path.exists(idx + ".swap.json")
 
 
 # ---------------------------------------------------------------------------
