@@ -11,6 +11,9 @@ Decode support in this environment (no PIL/opencv/ffmpeg):
 - audio: REAL WAV/PCM decode via the stdlib ``wave`` module (8/16/32
   bit) -> per-frame RMS energies; other containers raise unless
   ``fake=True``.
+- video: REAL Y4M (YUV4MPEG2, uncompressed) decode — header parse,
+  YUV420/444 planes, vectorized BT.601 -> RGB — with even frame
+  sampling and resize; compressed codecs raise unless ``fake=True``.
 
 The Ray-side plumbing — schema, actor-pool signature, batch sizing,
 output layout — is identical for real and fake decode paths.
@@ -115,6 +118,75 @@ def decode_wav_energies(payload: bytes, n_frames: int) -> np.ndarray:
                    .mean(axis=1)).astype(np.float32)
 
 
+def decode_y4m_frames(payload: bytes, n_frames: int,
+                      size: tuple[int, int] | None = None) -> np.ndarray:
+    """YUV4MPEG2 (.y4m, uncompressed video) -> (n_frames, H, W, 3) uint8
+    RGB, frames sampled evenly across the stream. Pure numpy: header
+    parse, YUV420/444 planes, vectorized BT.601 conversion."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    hdr_end = payload.index(b"\n")
+    w = h = 0
+    cs = b"420"
+    for tok in payload[9:hdr_end].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cs = tok[1:]
+    if not (w and h):
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith(b"420"):
+        fsz, full = w * h * 3 // 2, False
+    elif cs.startswith(b"444"):
+        fsz, full = w * h * 3, True
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs!r}")
+    # frames: b"FRAME[params]\n" + fsz bytes, back to back
+    offs = []
+    pos = hdr_end + 1
+    while pos < len(payload) and payload.startswith(b"FRAME", pos):
+        data_at = payload.index(b"\n", pos) + 1
+        offs.append(data_at)
+        pos = data_at + fsz
+    if not offs:
+        raise ValueError("y4m stream has no frames")
+    take = np.linspace(0, len(offs) - 1, min(n_frames, len(offs)),
+                       dtype=np.int64)
+    out_h, out_w = size or (h, w)
+    out = np.empty((len(take), out_h, out_w, 3), np.uint8)
+    for oi, fi in enumerate(take):
+        at = offs[fi]
+        y = np.frombuffer(payload, np.uint8, w * h, at).reshape(h, w)
+        if full:
+            u = np.frombuffer(payload, np.uint8, w * h,
+                              at + w * h).reshape(h, w)
+            v = np.frombuffer(payload, np.uint8, w * h,
+                              at + 2 * w * h).reshape(h, w)
+        else:
+            hw, hh = w // 2, h // 2
+            u = np.frombuffer(payload, np.uint8, hw * hh,
+                              at + w * h).reshape(hh, hw)
+            v = np.frombuffer(payload, np.uint8, hw * hh,
+                              at + w * h + hw * hh).reshape(hh, hw)
+            u = u.repeat(2, 0).repeat(2, 1)[:h, :w]
+            v = v.repeat(2, 0).repeat(2, 1)[:h, :w]
+        # BT.601 full-range YUV -> RGB, vectorized
+        yf = y.astype(np.float32)
+        uf = u.astype(np.float32) - 128.0
+        vf = v.astype(np.float32) - 128.0
+        rgb = np.stack([yf + 1.402 * vf,
+                        yf - 0.344136 * uf - 0.714136 * vf,
+                        yf + 1.772 * uf], axis=-1)
+        frame = np.clip(rgb, 0, 255).astype(np.uint8)
+        out[oi] = _resize_nearest(frame, out_h, out_w)
+    if len(take) < n_frames:  # short stream: repeat the last frame
+        out = np.concatenate(
+            [out, np.repeat(out[-1:], n_frames - len(take), axis=0)])
+    return out
+
+
 class ImageDecodeResize:
     """binary 'image' -> fixed-size uint8 RGB tensor + basic metadata.
 
@@ -195,6 +267,54 @@ class AudioFrameSample:
                 np.array([len(p or b"") for p in payloads], np.int64))})
 
 
+class VideoFrameSample:
+    """binary 'video' -> n sampled RGB frames (fixed-size uint8 tensor)
+    + metadata. Y4M (uncompressed) decodes natively; compressed codecs
+    (H.264/VP9) raise unless ``fake=True``. Batch-size guidance: videos
+    are the largest payloads — keep ``batch_size`` small (4-8) and let
+    the actor pool provide the parallelism."""
+
+    def __init__(self, col: str = "video", id_col: str = "doc_id",
+                 n_frames: int = 8, size: tuple[int, int] = (64, 64),
+                 fake: bool = False):
+        self.col, self.id_col = col, id_col
+        self.n_frames = n_frames
+        self.h, self.w = size
+        self.fake = fake
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:
+        if payload.startswith(b"YUV4MPEG2"):
+            return decode_y4m_frames(payload, self.n_frames,
+                                     (self.h, self.w))
+        raise NotImplementedError(
+            "compressed video codecs (H.264/VP9/AV1) require ffmpeg (not "
+            "in this container); Y4M decodes natively, or construct with "
+            "fake=True for the deterministic stand-in")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column(self.col).to_pylist()
+        n = len(payloads)
+        out = np.empty((n, self.n_frames, self.h, self.w, 3), np.uint8)
+        n_bytes = np.zeros(n, np.int64)
+        for i, p in enumerate(payloads):
+            p = p or b""
+            n_bytes[i] = len(p)
+            if self.fake:
+                for f in range(self.n_frames):
+                    out[i, f] = _fake_pixels(p + bytes([f]), self.h, self.w)
+            else:
+                out[i] = self._decode_real(p)
+        per = self.n_frames * self.h * self.w * 3
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "frames": pa.FixedSizeListArray.from_arrays(
+                pa.array(out.reshape(n, -1).ravel(), pa.uint8()), per),
+            "n_frames": pa.array(np.full(n, self.n_frames, np.int32)),
+            "height": pa.array(np.full(n, self.h, np.int32)),
+            "width": pa.array(np.full(n, self.w, np.int32)),
+            "orig_bytes": pa.array(n_bytes)})
+
+
 def decode_images(ds, *, col: str = "image", id_col: str = "doc_id",
                   size=(224, 224), fake: bool = False, batch_size: int = 32,
                   concurrency: int = 4):
@@ -213,5 +333,17 @@ def sample_audio_frames(ds, *, col: str = "audio", id_col: str = "doc_id",
         AudioFrameSample,
         fn_constructor_kwargs=dict(col=col, id_col=id_col,
                                    n_frames=n_frames, fake=fake),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=1)
+
+
+def sample_video_frames(ds, *, col: str = "video", id_col: str = "doc_id",
+                        n_frames: int = 8, size=(64, 64),
+                        fake: bool = False, batch_size: int = 8,
+                        concurrency: int = 4):
+    return ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs=dict(col=col, id_col=id_col,
+                                   n_frames=n_frames, size=size, fake=fake),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency), num_cpus=1)

@@ -788,6 +788,53 @@ def test_image_decode_stage_real(ray_session):
     assert out["orig_bytes"].tolist() == [len(ppm), len(bmp)]
 
 
+def _make_y4m(w, h, n_frames, colorspace=b"420"):
+    """Solid-color frames: frame f is YUV (y=40+20f, u=96, v=160)."""
+    hdr = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" % (w, h, colorspace)
+    frames = []
+    for f in range(n_frames):
+        y = np.full(w * h, 40 + 20 * f, np.uint8)
+        if colorspace == b"444":
+            u = np.full(w * h, 96, np.uint8)
+            v = np.full(w * h, 160, np.uint8)
+        else:
+            u = np.full((w // 2) * (h // 2), 96, np.uint8)
+            v = np.full((w // 2) * (h // 2), 160, np.uint8)
+        frames.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+    return hdr + b"".join(frames)
+
+
+def test_y4m_decode_and_sampling():
+    from tantivy4java_ray.stages.multimodal import decode_y4m_frames
+    blob = _make_y4m(8, 6, 5)
+    out = decode_y4m_frames(blob, 3, (4, 4))
+    assert out.shape == (3, 4, 4, 3)
+    # even sampling picks frames 0, 2, 4 -> y = 40, 80, 120
+    for oi, yval in zip(range(3), (40.0, 80.0, 120.0)):
+        uf, vf = 96.0 - 128.0, 160.0 - 128.0
+        want = np.clip([yval + 1.402 * vf,
+                        yval - 0.344136 * uf - 0.714136 * vf,
+                        yval + 1.772 * uf], 0, 255).astype(np.uint8)
+        frame = out[oi]
+        assert (frame == want).all(), (oi, frame[0, 0], want)
+    # 444 parses too, and short streams pad by repeating the last frame
+    out444 = decode_y4m_frames(_make_y4m(4, 4, 2, b"444"), 4)
+    assert out444.shape == (4, 4, 4, 3)
+    np.testing.assert_array_equal(out444[1], out444[3])
+
+
+def test_video_frame_stage_real(ray_session):
+    import ray.data
+    from tantivy4java_ray.stages.multimodal import sample_video_frames
+    vid = _make_y4m(8, 6, 4)
+    ds = ray.data.from_items([{"doc_id": 0, "video": vid}])
+    out = sample_video_frames(ds, n_frames=2, size=(4, 4),
+                              concurrency=1).to_pandas()
+    assert len(out) == 1
+    assert len(out["frames"][0]) == 2 * 4 * 4 * 3
+    assert out["orig_bytes"].tolist() == [len(vid)]
+
+
 def test_wav_decode_stage_real(ray_session):
     import ray.data
     from tantivy4java_ray.stages.multimodal import sample_audio_frames
