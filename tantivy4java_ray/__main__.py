@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("query")
     s.add_argument("-k", "--limit", type=int, default=10)
     s.add_argument("--fields", nargs="*", help="columns to retrieve")
+    s.add_argument("--snippet", metavar="FIELD", default=None,
+                   help="add a <b>-highlighted best-fragment snippet "
+                        "from this field per hit")
+    s.add_argument("--snippet-chars", type=int, default=150)
 
     m = sub.add_parser("merge")
     m.add_argument("inputs", nargs="+")
@@ -117,6 +121,15 @@ def _dispatch(args) -> int:
             for i, row in enumerate(rows):
                 for c in args.fields:
                     row[c] = tbl.column(c)[i].as_py()
+        if args.snippet and rows:
+            from tantivy4java_ray.functions.snippet import highlight_hits
+            from tantivy4java_ray.query import parse_query
+            q = parse_query(args.query, r.schema)
+            snips = highlight_hits(r, q, [x["doc_id"] for x in rows],
+                                   field=args.snippet,
+                                   max_chars=args.snippet_chars)
+            for row, sn in zip(rows, snips):
+                row["snippet"] = sn
         print(json.dumps(rows, default=str))
     elif args.cmd == "merge":
         _init_ray()

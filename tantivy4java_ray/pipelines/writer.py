@@ -79,6 +79,7 @@ class IndexWriter:
         self.staging = staging_dir or index_dir + ".staging"
         self._rows: list[dict] = []
         self._staged: list[str] = []
+        self._delete_queries: list = []
         self._flush_i = 0
 
     # -- ingest -------------------------------------------------------------
@@ -118,6 +119,24 @@ class IndexWriter:
         self._flush_i += 1
         self._rows = []
 
+    # -- deletes ------------------------------------------------------------
+    def delete_documents(self, field: str, value) -> None:
+        """Stage a delete-by-term, applied at the next ``commit()``
+        (reference ``IndexWriter.deleteDocuments(field, value)``,
+        ``core/IndexWriter.java:153-178`` — tombstones at merge)."""
+        from tantivy4java_ray.query import Query
+        self._delete_queries.append(Query.term(field, value))
+
+    def delete_documents_by_query(self, query) -> None:
+        """Stage a delete-by-query for the next ``commit()``
+        (``IndexWriter.deleteDocumentsByQuery``)."""
+        self._delete_queries.append(query)
+
+    def delete_all_documents(self) -> None:
+        """Stage delete-everything (``IndexWriter.deleteAllDocuments``)."""
+        from tantivy4java_ray.query import Query
+        self._delete_queries.append(Query.all())
+
     # -- commit / rollback --------------------------------------------------
     def rollback(self) -> int:
         """Discard everything added since the last commit -> #docs dropped
@@ -132,48 +151,67 @@ class IndexWriter:
             except FileNotFoundError:
                 pass
         self._staged = []
+        self._delete_queries = []
         return n
 
+    def _swap_generation(self, merged_dir: str, tag: str) -> None:
+        """Two renames guarded by a recovery marker; a crash between
+        them is repaired by ``recover_interrupted_commit``."""
+        old = f"{self.index_dir}.old-{tag}"
+        marker = f"{self.index_dir}.swap.json"
+        with open(marker, "w") as f:
+            json.dump({"old": old, "merged": merged_dir,
+                       "index_dir": self.index_dir}, f)
+        os.rename(self.index_dir, old)
+        os.rename(merged_dir, self.index_dir)
+        os.unlink(marker)
+        shutil.rmtree(old, ignore_errors=True)
+
     def commit(self):
-        """Build the staged delta and merge it into the index; returns the
-        merge/build result. No-op (returns None) with nothing staged."""
+        """Build the staged delta, merge it into the index, and apply
+        staged deletes; returns the merge/build result (None with
+        nothing staged or deleted).
+
+        Delete semantics: staged deletes are applied AT COMMIT against
+        every doc present after the adds merge — unlike the reference's
+        opstamp ordering (``IndexWriter.java:164``), a delete staged
+        before an add still removes a matching added doc. Stage deletes
+        in a separate commit when the distinction matters."""
         from tantivy4java_ray.pipelines.build import build_index
         from tantivy4java_ray.pipelines.merge import merge_indexes
 
         self._flush()
-        if not self._staged:
+        dels = list(self._delete_queries)
+        if not self._staged and not dels:
             return None
         tag = uuid.uuid4().hex[:8]
         delta_dir = f"{self.index_dir}.delta-{tag}"
         exists = os.path.exists(os.path.join(self.index_dir,
                                              "manifest.json"))
-        if not exists:
-            res = build_index(list(self._staged), self.index_dir,
-                              self.schema, num_shards=self.num_shards)
-        else:
-            from tantivy4java_ray.pipelines.search import IndexReader
-            nsh = IndexReader(self.index_dir).num_shards
-            build_index(list(self._staged), delta_dir, self.schema,
-                        num_shards=nsh)
-            merged_dir = f"{self.index_dir}.merged-{tag}"
-            res = merge_indexes([self.index_dir, delta_dir], merged_dir)
-            # generation swap: two renames with a recovery marker so a
-            # crash between them (the window where index_dir does not
-            # exist) is repairable — recover_interrupted_commit() rolls
-            # the swap forward on the next open
-            old = f"{self.index_dir}.old-{tag}"
-            marker = f"{self.index_dir}.swap.json"
-            with open(marker, "w") as f:
-                json.dump({"old": old, "merged": merged_dir,
-                           "index_dir": self.index_dir}, f)
-            os.rename(self.index_dir, old)
-            os.rename(merged_dir, self.index_dir)
-            os.unlink(marker)
-            shutil.rmtree(old, ignore_errors=True)
-            shutil.rmtree(delta_dir, ignore_errors=True)
+        res = None
+        if self._staged:
+            if not exists:
+                res = build_index(list(self._staged), self.index_dir,
+                                  self.schema, num_shards=self.num_shards)
+                exists = True
+            else:
+                from tantivy4java_ray.pipelines.search import IndexReader
+                nsh = IndexReader(self.index_dir).num_shards
+                build_index(list(self._staged), delta_dir, self.schema,
+                            num_shards=nsh)
+                merged_dir = f"{self.index_dir}.merged-{tag}"
+                res = merge_indexes([self.index_dir, delta_dir], merged_dir)
+                self._swap_generation(merged_dir, tag)
+                shutil.rmtree(delta_dir, ignore_errors=True)
+        if dels and exists:
+            deld_dir = f"{self.index_dir}.merged-d{tag}"
+            res = merge_indexes([self.index_dir], deld_dir,
+                                delete_queries=dels)
+            self._swap_generation(deld_dir, f"d{tag}")
         # committed staged files STAY in place: the index's partitions
         # reference them as the doc store (parquet-companion contract);
         # only the uncommitted list resets (flush counter keeps rising so
         # later flushes never collide with committed files)
         self._staged = []
+        self._delete_queries = []
         return res

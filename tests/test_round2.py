@@ -939,6 +939,46 @@ def test_index_writer_commit_rollback(ray_session, tmp_path):
     assert docs.tolist() == []
 
 
+def test_index_writer_deletes(ray_session, tmp_path):
+    """Writer-level delete_documents / deleteAll, applied at commit
+    (IndexWriter.deleteDocuments semantics: tombstones at merge)."""
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.pipelines.writer import IndexWriter
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_integer_field("doc_id", fast=True)
+    idx = str(tmp_path / "idx")
+    w = IndexWriter(idx, s, num_shards=2)
+    for i, t in enumerate(["keep one", "drop two", "keep three"]):
+        w.add_document({"doc_id": i, "text": t})
+    w.commit()
+    w.delete_documents("text", "drop")
+    res = w.commit()
+    assert res.num_deleted == 1
+    r = IndexReader(idx)
+    assert r.doc_freq("text", "drop") == 0
+    docs, _ = r.evaluate(Query.term("text", "keep"))
+    assert docs.tolist() == [0, 2]
+    # fast-field path excludes the tombstoned doc too
+    docs, _ = r.evaluate(Query.range("doc_id", None, None))
+    assert docs.tolist() == [0, 2]
+    # add + delete staged together: delete applies at commit
+    w.add_document({"doc_id": 3, "text": "drop four"})
+    w.delete_documents("text", "drop")
+    w.commit()
+    r = IndexReader(idx)
+    docs, _ = r.evaluate(Query.term("text", "four"))
+    assert docs.tolist() == []
+    # rollback clears staged deletes
+    w.delete_all_documents()
+    w.rollback()
+    assert w.commit() is None
+    docs, _ = IndexReader(idx).evaluate(Query.term("text", "keep"))
+    assert docs.tolist() == [0, 2]
+
+
 def test_index_writer_crash_between_renames(ray_session, tmp_path):
     """Simulated crash in the commit generation swap: the recovery
     marker rolls the swap forward on the next writer open."""

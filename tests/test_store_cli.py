@@ -56,6 +56,13 @@ def test_cli_search_and_validate(stored_index):
     rows = json.loads(out.stdout.strip().splitlines()[-1])
     assert rows[0]["doc_id"] == 1
     out = subprocess.run(
+        [sys.executable, "-m", "tantivy4java_ray", "search", stored_index,
+         "title:beta", "-k", "1", "--snippet", "title"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=120)
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "<b>beta</b>" in rows[0]["snippet"]
+    out = subprocess.run(
         [sys.executable, "-m", "tantivy4java_ray", "validate", stored_index],
         capture_output=True, text=True, cwd="/root/repo", timeout=120)
     assert json.loads(out.stdout.strip().splitlines()[-1])["valid"]
