@@ -144,6 +144,107 @@ def _flatten_json_terms(col: pa.Array, expand_dots: bool = True
     return (np.asarray(rows, np.int64), np.asarray(terms, dtype=object))
 
 
+def _flatten_struct_terms(col: pa.Array, expand_dots: bool = True
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow STRUCT-typed JSON column -> (row_idx, term) pairs with no
+    per-row ``json.loads``: the type tree is walked once and every leaf
+    is processed as a whole child array (vectorized) — the scale path
+    for JSON-heavy tables where the per-row walk dominates the build.
+    Term strings are identical to ``_flatten_json_terms`` over the
+    equivalent JSON text (pinned by tests)."""
+    import pyarrow.compute as pc
+
+    from tantivy4java_ray.pipelines.search import encode_f64_sortable_array
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out_rows: list[np.ndarray] = []
+    out_terms: list[np.ndarray] = []
+
+    def _np_valid(arr: pa.Array, valid: np.ndarray) -> np.ndarray:
+        nulls = np.asarray(arr.is_null().to_numpy(zero_copy_only=False))
+        return valid & ~nulls
+
+    def walk(prefix: str, arr: pa.Array, row_map: np.ndarray,
+             valid: np.ndarray) -> None:
+        t = arr.type
+        if pa.types.is_struct(t):
+            v = _np_valid(arr, valid)
+            for i, f in enumerate(t):
+                name = (f.name if expand_dots
+                        else f.name.replace(".", "\\."))
+                walk(f"{prefix}.{name}" if prefix else name,
+                     arr.field(i), row_map, v)
+            return
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            v = _np_valid(arr, valid)
+            off = np.asarray(arr.offsets.to_numpy(zero_copy_only=False),
+                             np.int64)
+            starts = off[:-1]
+            lens = np.where(v, off[1:] - starts, 0)
+            total = int(lens.sum())
+            if not total:
+                return
+            base = np.repeat(np.cumsum(lens) - lens, lens)
+            idx = np.repeat(starts, lens) + (np.arange(total) - base)
+            child = arr.values.take(pa.array(idx))
+            walk(prefix, child, np.repeat(row_map, lens),
+                 np.ones(total, bool))
+            return
+        mask = _np_valid(arr, valid)
+        if not mask.any():
+            return
+        rm = row_map[mask]
+        pref = prefix + "\x01"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            sub = arr.filter(pa.array(mask))
+            terms = pc.binary_join_element_wise(
+                pa.array(np.full(len(rm), pref, object)),
+                pc.cast(sub, pa.string()), "")
+            out_rows.append(rm)
+            out_terms.append(np.asarray(
+                terms.to_numpy(zero_copy_only=False), object))
+            return
+        if pa.types.is_boolean(t):
+            vals = np.asarray(arr.to_numpy(zero_copy_only=False))[mask]
+            out_rows.append(rm)
+            out_terms.append(np.where(vals.astype(bool),
+                                      pref + "true",
+                                      pref + "false").astype(object))
+            return
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            vals = np.asarray(arr.to_numpy(zero_copy_only=False))[mask]
+            # numpy str() matches json.dumps for ints and floats
+            out_rows.append(rm)
+            out_terms.append(
+                np.char.add(pref, vals.astype(str)).astype(object))
+            npref = prefix + "\x02"
+            out_rows.append(rm)
+            out_terms.append(np.char.add(
+                npref, encode_f64_sortable_array(
+                    vals.astype(np.float64)).astype("U16")).astype(object))
+            return
+        # anything else (timestamps, binary, ...): stringify via Arrow
+        sub = arr.filter(pa.array(mask))
+        try:
+            svals = pc.cast(sub, pa.string())
+        except pa.ArrowNotImplementedError:
+            return
+        terms = pc.binary_join_element_wise(
+            pa.array(np.full(len(rm), pref, object)), svals, "")
+        out_rows.append(rm)
+        out_terms.append(np.asarray(
+            terms.to_numpy(zero_copy_only=False), object))
+
+    n = len(col)
+    walk("", col, np.arange(n, dtype=np.int64), np.ones(n, bool))
+    if not out_rows:
+        return np.empty(0, np.int64), np.empty(0, object)
+    rows = np.concatenate(out_rows)
+    terms = np.concatenate(out_terms)
+    order = np.argsort(rows, kind="stable")
+    return rows[order], terms[order]
+
+
 class PartitionIndexer:
     """Actor-pool stage: one call indexes one build partition.
 
@@ -294,7 +395,13 @@ class PartitionIndexer:
             elif fcfg.type is FieldType.JSON:
                 if col is None or not fcfg.indexed:
                     continue
-                rows, terms = _flatten_json_terms(col.cast(pa.string()))
+                if pa.types.is_struct(col.type):
+                    # struct-typed JSON (parquet nested columns): the
+                    # vectorized type-tree walk, no per-row json.loads
+                    rows, terms = _flatten_struct_terms(col)
+                else:
+                    rows, terms = _flatten_json_terms(
+                        col.cast(pa.string()))
                 if len(rows):
                     jcodes, juniq = pd.factorize(terms, sort=False)
                     n_postings += self._emit_terms(

@@ -102,3 +102,63 @@ def test_events_props_json(ray_session, sf_dir):
     docs, _ = r.evaluate(Query.json_term("props", key, sval))
     got = set(docs)
     assert set(expected).issubset(got)
+
+
+def test_struct_flatten_parity():
+    """Vectorized struct-column flatten emits the SAME (row, term) pairs
+    as the per-row JSON-string walk (term-string parity pinned)."""
+    import json
+
+    import numpy as np
+
+    from tantivy4java_ray.pipelines.build import (_flatten_json_terms,
+                                                  _flatten_struct_terms)
+    objs = [
+        {"color": "red", "size": 10.0, "tags": ["a", "b"],
+         "nested": {"deep": "x", "score": 1.5}},
+        {"color": "blue", "size": 20.0, "tags": [], "nested": None},
+        None,
+        {"color": None, "size": 30.5, "tags": ["c"],
+         "nested": {"deep": "y", "score": 2.0}},
+        {"color": "red", "size": 0.0, "tags": ["a", "a"],
+         "nested": {"deep": "", "score": -3.25}},
+    ]
+    struct_col = pa.array(objs, pa.struct([
+        ("color", pa.string()), ("size", pa.float64()),
+        ("tags", pa.list_(pa.string())),
+        ("nested", pa.struct([("deep", pa.string()),
+                              ("score", pa.float64())]))]))
+    str_col = pa.array(
+        [json.dumps({k: v for k, v in o.items() if v is not None})
+         if o is not None else None for o in objs], pa.string())
+    r1, t1 = _flatten_struct_terms(struct_col)
+    r2, t2 = _flatten_json_terms(str_col)
+    pairs1 = sorted(zip(r1.tolist(), t1.tolist()))
+    pairs2 = sorted(zip(r2.tolist(), t2.tolist()))
+    assert pairs1 == pairs2
+
+
+def test_struct_json_index_end_to_end(ray_session, tmp_path):
+    """An index built from a parquet STRUCT column answers the same
+    json_term / json_range queries as one built from JSON strings."""
+    import json
+
+    d = str(tmp_path / "structdocs")
+    os.makedirs(d)
+    objs = [{"k": i % 7, "name": f"n{i % 3}"} for i in range(40)]
+    pq.write_table(pa.table({
+        "id": pa.array(range(40), pa.int64()),
+        "props": pa.array(objs, pa.struct([("k", pa.int64()),
+                                           ("name", pa.string())])),
+    }), f"{d}/docs.parquet")
+    s = IndexSchema()
+    s.add_integer_field("id", fast=True)
+    s.add_json_field("props")
+    ix = Index.create_from_parquet(f"{d}/docs.parquet",
+                                   str(tmp_path / "idx"), s, num_shards=2)
+    r = ix.reader()
+    docs, _ = r.evaluate(Query.json_term("props", "name", "n1"))
+    assert docs.tolist() == [i for i in range(40) if i % 3 == 1]
+    docs, _ = r.evaluate(Query.json_range("props", "k", 2, 5,
+                                          True, False))
+    assert docs.tolist() == [i for i in range(40) if 2 <= i % 7 < 5]
