@@ -153,6 +153,31 @@ def q_ft_bm25_topk(sf_dir: str):
                          "score": scores[order]})
 
 
+def q_ft_order_by(sf_dir: str):
+    """search(order_by_field=...) — hits ranked by a fast field, not
+    BM25 (Searcher.java count/orderByField/offset/order surface)."""
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    res = r.search(Query.term("text", "merge"), limit=15,
+                   order_by_field="n_chars", descending=True)
+    return pd.DataFrame({"doc_id": [d for _v, d in res.hits],
+                         "n_chars": [int(v) for v, _d in res.hits]})
+
+
+def q_more_like_this(sf_dir: str):
+    """More-like-this seeded from the first 'spark' doc (rows-only
+    check: term selection is tf-idf ranked, not SQL-expressible)."""
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    seed, _ = r.evaluate(Query.term("text", "spark"))
+    text = r.retrieve_docs([int(seed[0])],
+                           columns=["text"]).column("text")[0].as_py()
+    docs, scores = r.evaluate(
+        Query.more_like_this({"text": text}, max_query_terms=10))
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:25]
+    return pd.DataFrame({"doc_id": docs[order]})
+
+
 def q_ft_dismax(sf_dir: str):
     """Disjunction-max (tie_breaker=0.3) over 'merge'/'join', exact-dl
     mode so score = max + 0.3*min is SQL-reproducible; top-10."""
@@ -601,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_dismax": q_ft_dismax,
         "ft_term_set": q_ft_term_set,
+        "ft_order_by": q_ft_order_by,
+        "more_like_this": q_more_like_this,
         "agg_terms_lang": q_agg_terms_lang,
         "agg_stats_events": q_agg_stats_events,
         "agg_histogram_events": q_agg_histogram_events,
@@ -729,6 +756,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_set":
             f"SELECT doc_id FROM documents WHERE {tok_match('spark')} "
             f"OR {tok_match('sort')}",
+        "ft_order_by":
+            f"SELECT doc_id, n_chars FROM documents "
+            f"WHERE {tok_match('merge')} AND n_chars IS NOT NULL "
+            f"ORDER BY n_chars DESC, doc_id LIMIT 15",
         "agg_terms_lang":
             "SELECT lang, count(*) AS doc_count FROM documents "
             "GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10",
