@@ -490,8 +490,9 @@ class IndexReader:
                         self._run_bytes(sid, r), 0,
                         max(self.doc_lo - base, 0), lhi)
                 else:
+                    # const-score union: doc ids only (skip tf unpack)
                     docs, _tfs = pcodec.decode_postings(
-                        self._run_bytes(sid, r), 0)
+                        self._run_bytes(sid, r), 0, with_tfs=False)
                 if len(docs):
                     parts.append(docs.astype(np.int64) + base)
         return self._union_docs(parts)
