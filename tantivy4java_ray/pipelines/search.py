@@ -156,6 +156,13 @@ class IndexReader:
         self._pos_cache: "OrderedDict[tuple[str, str], tuple]" = \
             OrderedDict()
         self._pos_cache_bytes = 0
+        # const-union (filter bitset) LRU: automaton / term-range /
+        # prefix unions are pure functions of the immutable index, so
+        # repeated filters cost one dictionary hit (Quickwit caches the
+        # same shape per-split)
+        self._union_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._union_cache_bytes = 0
+        self.union_cache_max = 32 << 20
         self._df_cache: dict[tuple[str, str], int] = {}
         dpath = st.sjoin(index_dir, "deleted_docs.npy")
         self.deleted: np.ndarray | None = None
@@ -472,6 +479,21 @@ class IndexReader:
             if len(uidx):
                 out.append((sid, self._matched_rows(sid, fs, uidx), uidx))
         return out
+
+    def _cached_union(self, key: tuple, matched_fn) -> np.ndarray:
+        """Byte-bounded LRU over const-score union doc arrays (the
+        returned array is shared — callers must not mutate it)."""
+        hit = self._union_cache.get(key)
+        if hit is not None:
+            self._union_cache.move_to_end(key)
+            return hit
+        docs = self._union_docs_for_rows(matched_fn())
+        self._union_cache[key] = docs
+        self._union_cache_bytes += docs.nbytes
+        while self._union_cache_bytes > self.union_cache_max:
+            _k, d = self._union_cache.popitem(last=False)
+            self._union_cache_bytes -= d.nbytes
+        return docs
 
     def _union_docs_for_rows(self, matched: list[tuple[int, np.ndarray,
                                                        np.ndarray]]
@@ -892,9 +914,10 @@ class IndexReader:
             lit_prefix = pattern.split("*", 1)[0].split("?", 1)[0]
             if pattern == lit_prefix + "*":
                 # pure prefix wildcard: dictionary window, no regex at all
-                matched = self.match_terms(field, "prefix",
-                                           prefix=lit_prefix)
-                docs = self._drop_deleted(self._union_docs_for_rows(matched))
+                docs = self._drop_deleted(self._cached_union(
+                    ("prefix", field, lit_prefix),
+                    lambda: self.match_terms(field, "prefix",
+                                             prefix=lit_prefix)))
                 return docs, np.full(len(docs), boost, np.float32)
             regex = "".join(
                 ".*" if c == "*" else "." if c == "?" else re.escape(c)
@@ -907,8 +930,9 @@ class IndexReader:
             if lenient:
                 return _EMPTY
             raise
-        matched = self.match_terms(field, "regex", pattern=regex)
-        docs = self._drop_deleted(self._union_docs_for_rows(matched))
+        docs = self._drop_deleted(self._cached_union(
+            ("regex", field, regex),
+            lambda: self.match_terms(field, "regex", pattern=regex)))
         return docs, np.full(len(docs), boost, np.float32)
 
     def _eval_range(self, field: str, lower, upper, incl_lo: bool,
@@ -917,9 +941,10 @@ class IndexReader:
         if fcfg.type in (FieldType.STRING, FieldType.TEXT, FieldType.FACET,
                          FieldType.IP_ADDR):
             # term-range: one searchsorted window per shard dictionary
-            matched = self.match_terms(field, "range", lo=lower, hi=upper,
-                                       incl_lo=incl_lo, incl_hi=incl_hi)
-            docs = self._union_docs_for_rows(matched)
+            docs = self._cached_union(
+                ("trange", field, lower, upper, incl_lo, incl_hi),
+                lambda: self.match_terms(field, "range", lo=lower, hi=upper,
+                                         incl_lo=incl_lo, incl_hi=incl_hi))
             return docs, np.full(len(docs), boost, np.float32)
         is_date = fcfg.type is FieldType.DATE
         if is_date:
