@@ -205,14 +205,19 @@ def _flatten_struct_terms(col: pa.Array, expand_dots: bool = True
                 terms.to_numpy(zero_copy_only=False), object))
             return
         if pa.types.is_boolean(t):
-            vals = np.asarray(arr.to_numpy(zero_copy_only=False))[mask]
+            # filter FIRST: to_numpy on a null-carrying array promotes
+            # the dtype (int64 -> float64, bool -> object) and would
+            # change the term strings ('3' -> '3.0')
+            vals = np.asarray(arr.filter(pa.array(mask)).to_numpy(
+                zero_copy_only=False))
             out_rows.append(rm)
             out_terms.append(np.where(vals.astype(bool),
                                       pref + "true",
                                       pref + "false").astype(object))
             return
         if pa.types.is_integer(t) or pa.types.is_floating(t):
-            vals = np.asarray(arr.to_numpy(zero_copy_only=False))[mask]
+            vals = np.asarray(arr.filter(pa.array(mask)).to_numpy(
+                zero_copy_only=False))
             # numpy str() matches json.dumps for ints and floats
             out_rows.append(rm)
             out_terms.append(

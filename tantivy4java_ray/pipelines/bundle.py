@@ -21,7 +21,6 @@ just works, locally or with the bundle itself on object storage.
 from __future__ import annotations
 
 import base64
-import functools
 import io
 import json
 import re
@@ -62,31 +61,46 @@ def bundle_index(index_dir: str, out_path: str, *,
     import os
     offsets: dict[str, list[int]] = {}
     hotcache: dict[str, str] = {}
+    parent = os.path.dirname(out_path)
+    if parent:
+        st.smakedirs(parent)
     tmp = out_path + f".tmp-{os.getpid()}"
     chunk = 8 << 20
-    with st.sopen(tmp, "wb") as out:
-        pos = 0
-        for rel in files:
-            src = st.sjoin(index_dir, rel)
-            length = st.ssize(src)
-            offsets[rel] = [pos, length]
-            with st.sopen(src, "rb") as f:
-                if rel in HOT_ALWAYS or length <= hotcache_max:
-                    data = f.read()
-                    out.write(data)
-                    hotcache[rel] = base64.b64encode(data).decode()
-                else:
-                    while True:
-                        data = f.read(chunk)
-                        if not data:
-                            break
+    try:
+        with st.sopen(tmp, "wb") as out:
+            pos = 0
+            for rel in files:
+                src = st.sjoin(index_dir, rel)
+                # offsets use bytes ACTUALLY written, not a stat that
+                # could be stale on remote filesystems
+                written = 0
+                with st.sopen(src, "rb") as f:
+                    if rel in HOT_ALWAYS or st.ssize(src) <= hotcache_max:
+                        data = f.read()
                         out.write(data)
-            pos += length
-        footer = {"version": 1, "files": offsets, "hotcache": hotcache,
-                  "num_files": len(files)}
-        fbytes = json.dumps(footer).encode()
-        out.write(fbytes)
-        out.write(struct.pack("<QI", len(fbytes), MAGIC))
+                        written = len(data)
+                        hotcache[rel] = base64.b64encode(data).decode()
+                    else:
+                        while True:
+                            data = f.read(chunk)
+                            if not data:
+                                break
+                            out.write(data)
+                            written += len(data)
+                offsets[rel] = [pos, written]
+                pos += written
+            footer = {"version": 1, "files": offsets, "hotcache": hotcache,
+                      "num_files": len(files)}
+            fbytes = json.dumps(footer).encode()
+            out.write(fbytes)
+            out.write(struct.pack("<QI", len(fbytes), MAGIC))
+    except BaseException:
+        try:
+            fs, p = st.fs_for(tmp)
+            (os.unlink(p) if fs is None else fs.rm(p))
+        except OSError:
+            pass
+        raise
     st.sreplace(tmp, out_path)
     return footer
 
@@ -136,11 +150,18 @@ def _qualify(bundle: str) -> str:
     return bundle
 
 
-@functools.lru_cache(maxsize=512)
+#: positive probe results only — a failed probe must NOT be cached, the
+#: bundle may be created later in the same process
+_PROBE_CACHE: dict[str, tuple[str, str]] = {}
+
+
 def _probe_split(path: str) -> tuple[str, str]:
     """No '*.split' component: find the longest prefix that is an
     existing FILE (the bundle may be named anything from the CLI)."""
     import os
+    hit = _PROBE_CACHE.get(path)
+    if hit is not None:
+        return hit
     parts = path.split("/")
     for i in range(len(parts), 0, -1):
         cand = _qualify("/".join(parts[:i]))
@@ -148,7 +169,10 @@ def _probe_split(path: str) -> tuple[str, str]:
             fs, p = st.fs_for(cand)
             isfile = (os.path.isfile(p) if fs is None else fs.isfile(p))
             if isfile and st.ssize(cand) > 0:
-                return cand, "/".join(parts[i:])
+                out = (cand, "/".join(parts[i:]))
+                if len(_PROBE_CACHE) < 4096:
+                    _PROBE_CACHE[path] = out
+                return out
         except (FileNotFoundError, OSError, ValueError):
             continue
     return _qualify(path), ""

@@ -489,10 +489,12 @@ class IndexReader:
             return hit
         docs = self._union_docs_for_rows(matched_fn())
         self._union_cache[key] = docs
-        self._union_cache_bytes += docs.nbytes
+        # +256: per-entry overhead so empty results (nbytes 0) still
+        # count toward the bound and a stream of distinct misses evicts
+        self._union_cache_bytes += docs.nbytes + 256
         while self._union_cache_bytes > self.union_cache_max:
             _k, d = self._union_cache.popitem(last=False)
-            self._union_cache_bytes -= d.nbytes
+            self._union_cache_bytes -= d.nbytes + 256
         return docs
 
     def _union_docs_for_rows(self, matched: list[tuple[int, np.ndarray,
@@ -848,10 +850,18 @@ class IndexReader:
                       for b in (lo, hi))
         if numeric:
             if "json_numeric_terms" not in self.features:
-                raise ValueError(
-                    "numeric json_range requires typed JSON numeric "
-                    "terms; this index predates the feature "
-                    "(config.index_features) — rebuild it")
+                # unflagged index (built before the capability stamp):
+                # the \x02 terms may still exist — only raise when the
+                # path has string terms but NO numeric ones, i.e. the
+                # index really predates typed numeric subpaths and a
+                # silent empty result would be wrong
+                has_num = bool(self.match_terms(
+                    field, "prefix", prefix=f"{path}\x02"))
+                if not has_num and bool(self.match_terms(
+                        field, "prefix", prefix=f"{path}\x01")):
+                    raise ValueError(
+                        "numeric json_range requires typed JSON numeric "
+                        "terms; this index predates them — rebuild it")
             pref = f"{path}\x02"
             lo_t = (pref + encode_f64_sortable(float(lo))
                     if lo is not None else pref)

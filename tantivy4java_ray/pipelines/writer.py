@@ -35,15 +35,28 @@ def recover_interrupted_commit(index_dir: str) -> bool:
     the renames leaves no directory at ``index_dir``. Called on writer
     open (and usable standalone); returns True if it repaired anything.
     """
+    import glob as _glob
     marker = f"{index_dir}.swap.json"
-    if not os.path.exists(marker):
-        return False
-    try:
-        with open(marker) as f:
-            info = json.load(f)
-    except (json.JSONDecodeError, OSError):
-        os.unlink(marker)
-        return False
+    info = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                info = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            info = None
+    if info is None:
+        # marker absent or unreadable: last-resort salvage only when the
+        # index dir itself is gone (renames persisted, marker didn't)
+        if os.path.exists(index_dir):
+            if os.path.exists(marker):
+                os.unlink(marker)
+            return False
+        merged = sorted(_glob.glob(f"{index_dir}.merged-*"))
+        olds = sorted(_glob.glob(f"{index_dir}.old-*"))
+        info = {"merged": merged[-1] if merged else "",
+                "old": olds[-1] if olds else ""}
+        if not (info["merged"] or info["old"]):
+            return False
     repaired = False
     if not os.path.exists(index_dir):
         if os.path.exists(info.get("merged", "")):
@@ -54,7 +67,8 @@ def recover_interrupted_commit(index_dir: str) -> bool:
             # crashed before the merged dir was complete: restore
             os.rename(info["old"], index_dir)
             repaired = True
-    os.unlink(marker)
+    if os.path.exists(marker):
+        os.unlink(marker)
     for leftover in (info.get("old"), info.get("merged")):
         if leftover and os.path.exists(leftover):
             shutil.rmtree(leftover, ignore_errors=True)
@@ -80,7 +94,15 @@ class IndexWriter:
         self._rows: list[dict] = []
         self._staged: list[str] = []
         self._delete_queries: list = []
+        # resume the flush counter past any staged files from earlier
+        # writer sessions: committed indexes reference staging/staged-N
+        # as their doc store, so a reopened writer must never reuse N
         self._flush_i = 0
+        if os.path.isdir(self.staging):
+            nums = [int(f[7:12]) for f in os.listdir(self.staging)
+                    if f.startswith("staged-") and f.endswith(".parquet")
+                    and f[7:12].isdigit()]
+            self._flush_i = max(nums) + 1 if nums else 0
 
     # -- ingest -------------------------------------------------------------
     def add_document(self, doc: dict[str, Any]) -> None:
@@ -156,12 +178,24 @@ class IndexWriter:
 
     def _swap_generation(self, merged_dir: str, tag: str) -> None:
         """Two renames guarded by a recovery marker; a crash between
-        them is repaired by ``recover_interrupted_commit``."""
+        them is repaired by ``recover_interrupted_commit``. The marker
+        is fsynced (file + parent dir) BEFORE the first rename so power
+        loss cannot persist the renames without the marker."""
         old = f"{self.index_dir}.old-{tag}"
         marker = f"{self.index_dir}.swap.json"
-        with open(marker, "w") as f:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"old": old, "merged": merged_dir,
                        "index_dir": self.index_dir}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)
+        dfd = os.open(os.path.dirname(os.path.abspath(marker)) or ".",
+                      os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         os.rename(self.index_dir, old)
         os.rename(merged_dir, self.index_dir)
         os.unlink(marker)
@@ -203,15 +237,16 @@ class IndexWriter:
                 res = merge_indexes([self.index_dir, delta_dir], merged_dir)
                 self._swap_generation(merged_dir, tag)
                 shutil.rmtree(delta_dir, ignore_errors=True)
+            # committed staged files STAY in place: the index's
+            # partitions reference them as the doc store (parquet-
+            # companion contract); clear the list as soon as the adds
+            # phase lands so a failure in the delete phase below cannot
+            # re-merge (duplicate) or rollback-unlink committed files
+            self._staged = []
         if dels and exists:
             deld_dir = f"{self.index_dir}.merged-d{tag}"
             res = merge_indexes([self.index_dir], deld_dir,
                                 delete_queries=dels)
             self._swap_generation(deld_dir, f"d{tag}")
-        # committed staged files STAY in place: the index's partitions
-        # reference them as the doc store (parquet-companion contract);
-        # only the uncommitted list resets (flush counter keeps rising so
-        # later flushes never collide with committed files)
-        self._staged = []
         self._delete_queries = []
         return res

@@ -114,17 +114,21 @@ def test_struct_flatten_parity():
     from tantivy4java_ray.pipelines.build import (_flatten_json_terms,
                                                   _flatten_struct_terms)
     objs = [
-        {"color": "red", "size": 10.0, "tags": ["a", "b"],
+        {"color": "red", "size": 10.0, "count": 3, "tags": ["a", "b"],
          "nested": {"deep": "x", "score": 1.5}},
-        {"color": "blue", "size": 20.0, "tags": [], "nested": None},
+        {"color": "blue", "size": 20.0, "count": None, "tags": [],
+         "nested": None},
         None,
-        {"color": None, "size": 30.5, "tags": ["c"],
+        {"color": None, "size": 30.5, "count": 5, "tags": ["c"],
          "nested": {"deep": "y", "score": 2.0}},
-        {"color": "red", "size": 0.0, "tags": ["a", "a"],
+        {"color": "red", "size": 0.0, "count": -7, "tags": ["a", "a"],
          "nested": {"deep": "", "score": -3.25}},
     ]
+    # 'count' is int64 WITH nulls: to_numpy would promote to float64 and
+    # emit 'count\x013.0' instead of 'count\x013' (regression: review)
     struct_col = pa.array(objs, pa.struct([
         ("color", pa.string()), ("size", pa.float64()),
+        ("count", pa.int64()),
         ("tags", pa.list_(pa.string())),
         ("nested", pa.struct([("deep", pa.string()),
                               ("score", pa.float64())]))]))

@@ -979,6 +979,41 @@ def test_index_writer_deletes(ray_session, tmp_path):
     assert docs.tolist() == [0, 2]
 
 
+def test_index_writer_reopen_preserves_doc_store(ray_session, tmp_path):
+    """A reopened writer must not reuse staged-file numbers: the
+    committed index references them as its doc store (regression)."""
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.pipelines.writer import IndexWriter
+    from tantivy4java_ray.schema import IndexSchema
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_integer_field("doc_id", fast=True)
+    idx = str(tmp_path / "idx")
+    w1 = IndexWriter(idx, s, num_shards=2)
+    w1.add_document({"doc_id": 0, "text": "original alpha"})
+    w1.commit()
+    # new writer session (process restart)
+    w2 = IndexWriter(idx, s, num_shards=2)
+    assert w2._flush_i == 1  # past staged-00000
+    w2.add_document({"doc_id": 1, "text": "later bravo"})
+    w2.commit()
+    r = IndexReader(idx)
+    tbl = r.retrieve_docs([0, 1], columns=["text"])
+    assert tbl.column("text").to_pylist() == ["original alpha",
+                                              "later bravo"]
+    # failed delete phase must not poison the staged list
+    w2.add_document({"doc_id": 2, "text": "charlie"})
+    w2.delete_documents("nosuchfield", "x")
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        w2.commit()
+    assert w2._staged == []          # adds landed, not re-mergeable
+    assert IndexReader(idx).num_docs == 3
+    w2.rollback()                    # clears the poisoned delete only
+    tbl = IndexReader(idx).retrieve_docs([2], columns=["text"])
+    assert tbl.column("text").to_pylist() == ["charlie"]
+
+
 def test_index_writer_crash_between_renames(ray_session, tmp_path):
     """Simulated crash in the commit generation swap: the recovery
     marker rolls the swap forward on the next writer open."""
