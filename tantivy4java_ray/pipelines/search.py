@@ -805,28 +805,53 @@ class IndexReader:
             cand = np.intersect1d(cand, docs, assume_unique=True)
         if not len(cand):
             return _EMPTY
-        # per-doc position check (python over candidates; candidates are
-        # post-intersection, usually small)
         pos_lookup = []
         for docs, tfs, pos in per_term:
             off = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
             idx = np.searchsorted(docs, cand)
             pos_lookup.append((off, idx, pos))
-        match_docs: list[int] = []
-        match_tfs: list[int] = []
-        for ci in range(len(cand)):
-            plists = []
-            for off, idx, pos in pos_lookup:
-                r = idx[ci]
-                plists.append(pos[off[r]:off[r + 1]].astype(np.int64))
-            cnt = _count_phrase_matches(plists, offsets, slop)
-            if cnt > 0:
-                match_docs.append(int(cand[ci]))
-                match_tfs.append(cnt)
-        if not match_docs:
-            return _EMPTY
-        docs = np.asarray(match_docs, np.int64)
-        tfs = np.asarray(match_tfs, np.uint32)
+        if slop == 0:
+            # vectorized across ALL candidate docs: a slop-0 match at
+            # base b needs (b + offsets[i]) in pos_i for every i, so
+            # intersecting composite keys doc*2^32 + (p - offset + bias)
+            # across terms yields exactly the (doc, base) match pairs
+            bias = np.int64(max(offsets))
+            shift = np.int64(1) << 32
+            keys: np.ndarray | None = None
+            for (off, idx, pos), o in zip(pos_lookup, offsets):
+                starts = off[idx]
+                lens = (off[idx + 1] - starts).astype(np.int64)
+                total = int(lens.sum())
+                gbase = np.repeat(np.cumsum(lens) - lens, lens)
+                gidx = np.repeat(starts, lens) + (np.arange(total) - gbase)
+                docrep = np.repeat(cand.astype(np.int64), lens)
+                k = (docrep * shift
+                     + (pos[gidx].astype(np.int64) - np.int64(o) + bias))
+                keys = k if keys is None else np.intersect1d(
+                    keys, k, assume_unique=True)
+                if not len(keys):
+                    return _EMPTY
+            docs, tfs = np.unique(keys >> np.int64(32),
+                                  return_counts=True)
+            tfs = tfs.astype(np.uint32)
+        else:
+            # per-doc exact-span check (python over candidates, which
+            # are post-intersection; slop>0 is the rare path)
+            match_docs: list[int] = []
+            match_tfs: list[int] = []
+            for ci in range(len(cand)):
+                plists = []
+                for off, idx, pos in pos_lookup:
+                    r = idx[ci]
+                    plists.append(pos[off[r]:off[r + 1]].astype(np.int64))
+                cnt = _count_phrase_matches(plists, offsets, slop)
+                if cnt > 0:
+                    match_docs.append(int(cand[ci]))
+                    match_tfs.append(cnt)
+            if not match_docs:
+                return _EMPTY
+            docs = np.asarray(match_docs, np.int64)
+            tfs = np.asarray(match_tfs, np.uint32)
         # phrase scores like a term whose idf is the sum of element idfs
         # (Bm25Weight::for_terms semantics)
         idf_sum = sum(self.idf(self.doc_freq(field, w)) for w in words)
