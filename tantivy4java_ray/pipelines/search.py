@@ -913,26 +913,33 @@ class IndexReader:
         on surviving candidates; ``prefix=True`` additionally admits a
         prefix window (no DP needed for it)."""
         import pyarrow.compute as pc
-        matched = []
-        if prefix:
-            matched += self.match_terms(field, "prefix", prefix=value)
-        for sid in range(self.num_shards):
-            fs = self._field_slice(sid, field)
-            if fs is None:
-                continue
-            lens = np.asarray(pc.utf8_length(fs["uterms_pa"])
-                              .to_numpy(zero_copy_only=False), np.int64)
-            cand = np.flatnonzero(np.abs(lens - len(value)) <= distance)
-            if not len(cand):
-                continue
-            keep = np.fromiter(
-                (_edit_distance(value, t, distance, transposition)
-                 <= distance for t in fs["uterms"][cand]), bool, len(cand))
-            uidx = cand[keep]
-            if len(uidx):
-                matched.append((sid, self._matched_rows(sid, fs, uidx),
-                                uidx))
-        docs = self._drop_deleted(self._union_docs_for_rows(matched))
+
+        def match():
+            matched = []
+            if prefix:
+                matched += self.match_terms(field, "prefix", prefix=value)
+            for sid in range(self.num_shards):
+                fs = self._field_slice(sid, field)
+                if fs is None:
+                    continue
+                lens = np.asarray(pc.utf8_length(fs["uterms_pa"])
+                                  .to_numpy(zero_copy_only=False), np.int64)
+                cand = np.flatnonzero(np.abs(lens - len(value)) <= distance)
+                if not len(cand):
+                    continue
+                keep = np.fromiter(
+                    (_edit_distance(value, t, distance, transposition)
+                     <= distance for t in fs["uterms"][cand]), bool,
+                    len(cand))
+                uidx = cand[keep]
+                if len(uidx):
+                    matched.append((sid, self._matched_rows(sid, fs, uidx),
+                                    uidx))
+            return matched
+
+        docs = self._drop_deleted(self._cached_union(
+            ("fuzzy", field, value, distance, transposition, prefix),
+            match))
         return docs, np.full(len(docs), boost, np.float32)
 
     def _eval_automaton(self, kind: str, field: str, pattern: str,
