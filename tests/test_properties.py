@@ -154,3 +154,46 @@ def test_avro_roundtrip_fuzz(rows, codec):
     recs = [{"s": s, "n": n, "o": o, "a": a} for s, n, o, a in rows]
     _schema, got = read_avro_file(write_avro_file(schema, recs, codec=codec))
     assert got == recs
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_phrase_slop0_vectorized_equals_exact(data):
+    """The composite-key slop-0 phrase counter must equal the per-doc
+    exact counter on random position lists (regression guard for the
+    vectorized path in _eval_phrase)."""
+    from tantivy4java_ray.pipelines.search import _count_phrase_matches
+    n_terms = data.draw(st.integers(2, 4))
+    offsets = sorted(data.draw(st.lists(
+        st.integers(0, 6), min_size=n_terms, max_size=n_terms,
+        unique=True)))
+    n_docs = data.draw(st.integers(1, 8))
+    # per doc, per term: sorted unique positions
+    per_doc = []
+    for _ in range(n_docs):
+        plists = [np.array(sorted(data.draw(st.sets(
+            st.integers(0, 25), min_size=1, max_size=8))), np.int64)
+            for _ in range(n_terms)]
+        per_doc.append(plists)
+    # exact per-doc counts
+    want = {d: _count_phrase_matches(per_doc[d], offsets, 0)
+            for d in range(n_docs)}
+    want = {d: c for d, c in want.items() if c > 0}
+    # vectorized composite-key intersection (mirrors _eval_phrase)
+    bias = np.int64(max(offsets))
+    shift = np.int64(1) << 32
+    keys = None
+    for ti, o in enumerate(offsets):
+        ks = []
+        for d in range(n_docs):
+            p = per_doc[d][ti]
+            ks.append(np.int64(d) * shift + (p - np.int64(o) + bias))
+        k = np.concatenate(ks)
+        keys = k if keys is None else np.intersect1d(
+            keys, k, assume_unique=True)
+    if keys is None or not len(keys):
+        got = {}
+    else:
+        ud, cnt = np.unique(keys >> np.int64(32), return_counts=True)
+        got = dict(zip(ud.tolist(), cnt.tolist()))
+    assert got == want
