@@ -141,6 +141,28 @@ class IndexWriter:
         self._flush_i += 1
         self._rows = []
 
+    def commit_opstamp(self) -> int:
+        """Monotonically increasing commit stamp (``IndexWriter.
+        getCommitOpstamp``, ``core/IndexWriter.java:164``); -1 before the
+        first commit. Persisted beside the staged doc store, so it
+        survives writer reopen AND the merge generation swap (the
+        swapped-in index's own txlog restarts from version 0)."""
+        p = os.path.join(self.staging, ".opstamp")
+        try:
+            with open(p) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _bump_opstamp(self) -> int:
+        os.makedirs(self.staging, exist_ok=True)
+        v = self.commit_opstamp() + 1
+        tmp = os.path.join(self.staging, ".opstamp.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.staging, ".opstamp"))
+        return v
+
     # -- deletes ------------------------------------------------------------
     def delete_documents(self, field: str, value) -> None:
         """Stage a delete-by-term, applied at the next ``commit()``
@@ -249,4 +271,5 @@ class IndexWriter:
                                 delete_queries=dels)
             self._swap_generation(deld_dir, f"d{tag}")
         self._delete_queries = []
+        self._bump_opstamp()
         return res

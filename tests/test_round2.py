@@ -992,9 +992,11 @@ def test_index_writer_reopen_preserves_doc_store(ray_session, tmp_path):
     w1 = IndexWriter(idx, s, num_shards=2)
     w1.add_document({"doc_id": 0, "text": "original alpha"})
     w1.commit()
+    assert w1.commit_opstamp() == 0
     # new writer session (process restart)
     w2 = IndexWriter(idx, s, num_shards=2)
     assert w2._flush_i == 1  # past staged-00000
+    assert w2.commit_opstamp() == 0  # survives reopen
     w2.add_document({"doc_id": 1, "text": "later bravo"})
     w2.commit()
     r = IndexReader(idx)
