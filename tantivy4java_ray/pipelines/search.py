@@ -811,29 +811,10 @@ class IndexReader:
             idx = np.searchsorted(docs, cand)
             pos_lookup.append((off, idx, pos))
         if slop == 0:
-            # vectorized across ALL candidate docs: a slop-0 match at
-            # base b needs (b + offsets[i]) in pos_i for every i, so
-            # intersecting composite keys doc*2^32 + (p - offset + bias)
-            # across terms yields exactly the (doc, base) match pairs
-            bias = np.int64(max(offsets))
-            shift = np.int64(1) << 32
-            keys: np.ndarray | None = None
-            for (off, idx, pos), o in zip(pos_lookup, offsets):
-                starts = off[idx]
-                lens = (off[idx + 1] - starts).astype(np.int64)
-                total = int(lens.sum())
-                gbase = np.repeat(np.cumsum(lens) - lens, lens)
-                gidx = np.repeat(starts, lens) + (np.arange(total) - gbase)
-                docrep = np.repeat(cand.astype(np.int64), lens)
-                k = (docrep * shift
-                     + (pos[gidx].astype(np.int64) - np.int64(o) + bias))
-                keys = k if keys is None else np.intersect1d(
-                    keys, k, assume_unique=True)
-                if not len(keys):
-                    return _EMPTY
-            docs, tfs = np.unique(keys >> np.int64(32),
-                                  return_counts=True)
-            tfs = tfs.astype(np.uint32)
+            ci, tfs = _phrase_slop0_counts(len(cand), pos_lookup, offsets)
+            if not len(ci):
+                return _EMPTY
+            docs = cand[ci].astype(np.int64)
         else:
             # per-doc exact-span check (python over candidates, which
             # are post-intersection; slop>0 is the rare path)
@@ -1335,6 +1316,39 @@ def _top_k(docs: np.ndarray, scores: np.ndarray, k: int
         docs, scores = docs[keep], scores[keep]
     order = np.lexsort((docs, -scores))[:k]
     return [(float(scores[i]), int(docs[i])) for i in order]
+
+
+def _phrase_slop0_counts(n_cand: int,
+                         pos_lookup: list[tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]],
+                         offsets: list[int]
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized slop-0 phrase counting across ALL candidate docs.
+
+    A match at base b needs (b + offsets[i]) in pos_i for every term i;
+    intersecting composite keys ``cand_index * 2^32 + (p - offset +
+    bias)`` across terms yields exactly the (candidate, base) match
+    pairs. Keys use the CANDIDATE INDEX (always < 2^32), never the
+    global doc id — int64 doc ids >= 2^31 would overflow the pack.
+    Returns (candidate_indices, per-candidate match counts)."""
+    bias = np.int64(max(offsets))
+    shift = np.int64(1) << 32
+    keys: np.ndarray | None = None
+    for (off, idx, pos), o in zip(pos_lookup, offsets):
+        starts = off[idx]
+        lens = (off[idx + 1] - starts).astype(np.int64)
+        total = int(lens.sum())
+        gbase = np.repeat(np.cumsum(lens) - lens, lens)
+        gidx = np.repeat(starts, lens) + (np.arange(total) - gbase)
+        cirep = np.repeat(np.arange(n_cand, dtype=np.int64), lens)
+        k = (cirep * shift
+             + (pos[gidx].astype(np.int64) - np.int64(o) + bias))
+        keys = k if keys is None else np.intersect1d(
+            keys, k, assume_unique=True)
+        if not len(keys):
+            return np.empty(0, np.int64), np.empty(0, np.uint32)
+    ci, cnt = np.unique(keys >> np.int64(32), return_counts=True)
+    return ci, cnt.astype(np.uint32)
 
 
 def _count_phrase_matches(plists: list[np.ndarray], offsets: list[int],

@@ -155,12 +155,10 @@ class IndexWriter:
             return -1
 
     def _bump_opstamp(self) -> int:
-        os.makedirs(self.staging, exist_ok=True)
+        from tantivy4java_ray.state.manifest import atomic_write_bytes
         v = self.commit_opstamp() + 1
-        tmp = os.path.join(self.staging, ".opstamp.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.staging, ".opstamp"))
+        atomic_write_bytes(os.path.join(self.staging, ".opstamp"),
+                           str(v).encode())
         return v
 
     # -- deletes ------------------------------------------------------------
@@ -239,6 +237,9 @@ class IndexWriter:
         self._flush()
         dels = list(self._delete_queries)
         if not self._staged and not dels:
+            # reference semantics: commit() always advances the opstamp,
+            # even with nothing pending (getCommitOpstamp contract)
+            self._bump_opstamp()
             return None
         tag = uuid.uuid4().hex[:8]
         delta_dir = f"{self.index_dir}.delta-{tag}"

@@ -179,21 +179,21 @@ def test_phrase_slop0_vectorized_equals_exact(data):
     want = {d: _count_phrase_matches(per_doc[d], offsets, 0)
             for d in range(n_docs)}
     want = {d: c for d, c in want.items() if c > 0}
-    # vectorized composite-key intersection (mirrors _eval_phrase)
-    bias = np.int64(max(offsets))
-    shift = np.int64(1) << 32
-    keys = None
-    for ti, o in enumerate(offsets):
-        ks = []
-        for d in range(n_docs):
-            p = per_doc[d][ti]
-            ks.append(np.int64(d) * shift + (p - np.int64(o) + bias))
-        k = np.concatenate(ks)
-        keys = k if keys is None else np.intersect1d(
-            keys, k, assume_unique=True)
-    if keys is None or not len(keys):
-        got = {}
-    else:
-        ud, cnt = np.unique(keys >> np.int64(32), return_counts=True)
-        got = dict(zip(ud.tolist(), cnt.tolist()))
+    # drive the PRODUCTION helper with the same packed (off, idx, pos)
+    # layout _eval_phrase builds (cumsum-packed positions per term)
+    from tantivy4java_ray.pipelines.search import _phrase_slop0_counts
+    pos_lookup = []
+    for ti in range(n_terms):
+        plists = [per_doc[d][ti] for d in range(n_docs)]
+        lens = np.array([len(p) for p in plists], np.int64)
+        off = np.concatenate(([0], np.cumsum(lens)))
+        idx = np.arange(n_docs, dtype=np.int64)
+        pos = (np.concatenate(plists) if plists
+               else np.empty(0, np.int64))
+        pos_lookup.append((off, idx, pos))
+    ci, cnt = _phrase_slop0_counts(n_docs, pos_lookup, offsets)
+    got = dict(zip(ci.tolist(), cnt.tolist()))
     assert got == want
+    # mapping back through huge global doc ids must not overflow
+    cand = (np.arange(n_docs, dtype=np.int64) + (np.int64(1) << 40))
+    assert (cand[ci] >= (1 << 40)).all()
