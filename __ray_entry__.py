@@ -153,6 +153,26 @@ def q_ft_bm25_topk(sf_dir: str):
                          "score": scores[order]})
 
 
+def q_sharded_bm25_topk(sf_dir: str):
+    """The DISTRIBUTED leaf/root path end-to-end: doc-range-pinned leaf
+    actors, per-leaf top-k, root merge — oracled against the same BM25
+    SQL as the single-reader path (proves merge exactness)."""
+    from tantivy4java_ray.pipelines.search import ShardedSearchPool
+    _doc_index(sf_dir, exact=True)
+    pool = ShardedSearchPool(_index_dir(sf_dir, True), num_actors=3,
+                             limit=10)
+    try:
+        # over-fetch, round, re-rank: the oracle ranks by the ROUNDED
+        # score (same protocol as ft_bm25_topk)
+        hits = pool.search_many(["merge OR join"], limit=50)[0]
+    finally:
+        pool.shutdown()
+    docs = np.array([d for _s, d in hits], np.int64)
+    scores = np.round(np.array([s for s, _d in hits], np.float64), 4)
+    order = np.lexsort((docs, -scores))[:10]
+    return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
+
+
 def q_ft_order_by(sf_dir: str):
     """search(order_by_field=...) — hits ranked by a fast field, not
     BM25 (Searcher.java count/orderByField/offset/order surface)."""
@@ -627,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dismax": q_ft_dismax,
         "ft_term_set": q_ft_term_set,
         "ft_order_by": q_ft_order_by,
+        "sharded_bm25_topk": q_sharded_bm25_topk,
         "more_like_this": q_more_like_this,
         "agg_terms_lang": q_agg_terms_lang,
         "agg_stats_events": q_agg_stats_events,
@@ -656,7 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     tok_match = lambda t: (  # noqa: E731
         f"regexp_matches(lower(text), '{_B}{t}{_E}')")
-    return {
+    out = {
         "ft_term":
             f"SELECT doc_id FROM documents WHERE {tok_match('merge')}",
         "ft_term_counts": " UNION ALL ".join(
@@ -834,5 +855,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10""",
         # intentionally no oracle (non-SQL-expressible / approximate):
         # dedup_minhash, dedup_simhash_pairs, ann_ivf, language_id,
-        # quality, agg_cardinality_users
+        # quality, agg_cardinality_users, more_like_this
     }
+    out["sharded_bm25_topk"] = out["ft_bm25_topk"]  # identical contract
+    return out
