@@ -291,6 +291,22 @@ def q_json_range_numeric(sf_dir: str):
     return pd.DataFrame({"event_id": np.asarray(docs, np.int64)})
 
 
+def q_sharded_agg_terms(sf_dir: str):
+    """Distributed leaf/root AGGREGATION: each doc-range leaf computes
+    intermediate terms-agg state over its range, the root merges the
+    associative partials and finalizes once — SQL-oracled."""
+    from tantivy4java_ray.pipelines.search import ShardedSearchPool
+    _doc_index(sf_dir)
+    pool = ShardedSearchPool(_index_dir(sf_dir, False), num_actors=3)
+    try:
+        out = pool.aggregate(None, {"langs": {"terms": {"field": "lang",
+                                                        "size": 10}}})
+    finally:
+        pool.shutdown()
+    return pd.DataFrame([{"lang": b["key"], "doc_count": b["doc_count"]}
+                         for b in out["langs"]["buckets"]])
+
+
 def q_agg_terms_lang(sf_dir: str):
     import ray.data
     from tantivy4java_ray.aggs import aggregate_dataset
@@ -650,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sharded_bm25_topk": q_sharded_bm25_topk,
         "more_like_this": q_more_like_this,
         "agg_terms_lang": q_agg_terms_lang,
+        "sharded_agg_terms": q_sharded_agg_terms,
         "agg_stats_events": q_agg_stats_events,
         "agg_histogram_events": q_agg_histogram_events,
         "agg_date_histogram_events": q_agg_date_histogram_events,
@@ -858,4 +875,5 @@ def oracle_sql() -> dict[str, str]:
         # quality, agg_cardinality_users, more_like_this
     }
     out["sharded_bm25_topk"] = out["ft_bm25_topk"]  # identical contract
+    out["sharded_agg_terms"] = out["agg_terms_lang"]
     return out
