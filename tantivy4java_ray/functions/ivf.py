@@ -96,20 +96,25 @@ class IVFIndex:
         if not files:
             return pd.DataFrame({"query_id": [], "rank": [], id_col: [],
                                  "score": []})
-        sub = ray.data.read_parquet(files, columns=[id_col, emb_col])
+        sub = ray.data.read_parquet(files, columns=[id_col, emb_col],
+                                    include_paths=True)
         qref = ray.put(q)
         probe_ref = ray.put(probe)
-        cent_ref = ray.put(self.centroids)
 
         def block(t: pa.Table) -> pa.Table:
             qm = ray.get(qref)
             pm = ray.get(probe_ref)
-            cents = ray.get(cent_ref)
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
             mat = _normalize(_emb_matrix(t, emb_col))
-            # per-query cluster filter: recover assignment from the
-            # centroids (the hive partition value is not in the columns)
-            assign = np.argmax(mat @ cents.T, axis=1)
+            # per-query cluster filter: the STORED assignment comes from
+            # the hive partition dir in the file path (exact — no
+            # recomputed-argmax drift, no per-batch matmul vs centroids)
+            paths = np.asarray(t.column("path").to_numpy(
+                zero_copy_only=False), object)
+            upaths, inv = np.unique(paths, return_inverse=True)
+            ucl = np.array([int(p.split("__cluster=")[1].split("/")[0])
+                            for p in upaths], np.int64)
+            assign = ucl[inv]
             sims = qm @ mat.T
             out_q, out_id, out_s = [], [], []
             for qi in range(sims.shape[0]):
