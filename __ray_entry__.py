@@ -326,8 +326,7 @@ def q_agg_stats_events(sf_dir: str):
     s = out["s"]
     return pd.DataFrame([{"n": s["count"], "vmin": round(s["min"], 4),
                           "vmax": round(s["max"], 4),
-                          "vsum": round(s["sum"], 2),
-                          "vavg": round(s["avg"], 4)}])
+                          "vsum": round(s["sum"], 2)}])
 
 
 def q_agg_histogram_events(sf_dir: str):
@@ -379,10 +378,10 @@ def q_agg_subagg_events(sf_dir: str):
                                columns=["event_type", "value"])
     out = aggregate_dataset(ds, {"t": {
         "terms": {"field": "event_type", "size": 20},
-        "aggs": {"v": {"avg": {"field": "value"}}}}})
+        "aggs": {"v": {"sum": {"field": "value"}}}}})
     return pd.DataFrame([{"event_type": b["key"],
                           "doc_count": b["doc_count"],
-                          "avg_value": round(b["v"]["value"], 4)}
+                          "sum_value": round(b["v"]["value"], 2)}
                          for b in out["t"]["buckets"]])
 
 
@@ -448,14 +447,14 @@ def q_agg_nested_2level(sf_dir: str):
     out = aggregate_dataset(ds, {"t": {
         "terms": {"field": "event_type", "size": 20},
         "aggs": {"h": {"histogram": {"field": "value", "interval": 50.0},
-                 "aggs": {"v": {"avg": {"field": "value"}}}}}}})
+                 "aggs": {"v": {"sum": {"field": "value"}}}}}}})
     rows = []
     for tb in out["t"]["buckets"]:
         for hb in tb["h"]["buckets"]:
             rows.append({"event_type": tb["key"],
                          "bucket": float(hb["key"]),
                          "doc_count": hb["doc_count"],
-                         "avg_value": round(hb["v"]["value"], 2)})
+                         "sum_value": round(hb["v"]["value"], 2)})
     return (pd.DataFrame(rows).sort_values(["event_type", "bucket"])
             .reset_index(drop=True))
 
@@ -803,8 +802,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10",
         "agg_stats_events":
             "SELECT count(value) AS n, ROUND(min(value), 4) AS vmin, "
-            "ROUND(max(value), 4) AS vmax, ROUND(sum(value), 2) AS vsum, "
-            "ROUND(avg(value), 4) AS vavg FROM events",
+            "ROUND(max(value), 4) AS vmax, ROUND(sum(value), 2) AS vsum "
+            "FROM events",
         "agg_histogram_events":
             "SELECT floor(value / 10.0) * 10.0 AS bucket, "
             "count(*) AS doc_count FROM events WHERE value IS NOT NULL "
@@ -821,11 +820,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE value IS NOT NULL) GROUP BY bucket",
         "agg_subagg_events":
             "SELECT event_type, count(*) AS doc_count, "
-            "ROUND(avg(value), 4) AS avg_value FROM events "
+            "ROUND(sum(value), 2) AS sum_value FROM events "
             "GROUP BY event_type ORDER BY doc_count DESC, event_type",
         "agg_nested_2level":
             "SELECT event_type, floor(value / 50.0) * 50.0 AS bucket, "
-            "count(*) AS doc_count, ROUND(avg(value), 2) AS avg_value "
+            "count(*) AS doc_count, ROUND(sum(value), 2) AS sum_value "
             "FROM events WHERE value IS NOT NULL "
             "GROUP BY 1, 2 ORDER BY 1, 2",
         "agg_multi_terms":
