@@ -467,9 +467,19 @@ def q_lineitem_revenue(sf_dir: str):
     from tantivy4java_ray.aggs import aggregate_dataset
 
     def add_rev(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return t.append_column("revenue", rev)
+        # exact integer 1e-4 units: price and discount terminate at 2
+        # decimals, so price_cents * (100 - disc_cents) is an exact
+        # int64 and the sum is order-independent (a float revenue sum
+        # differs from DuckDB's by summation order, making any decimal
+        # rounding cut unstable at half-boundaries)
+        pc100 = pc.round(pc.multiply(t.column("l_extendedprice"),
+                                     pa.scalar(100.0)))
+        dc100 = pc.round(pc.multiply(t.column("l_discount"),
+                                     pa.scalar(100.0)))
+        rev = pc.multiply(pc.cast(pc100, pa.int64()),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      pc.cast(dc100, pa.int64())))
+        return t.append_column("revenue_e4", rev)
 
     ds = (ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -477,10 +487,10 @@ def q_lineitem_revenue(sf_dir: str):
         .map_batches(add_rev, batch_format="pyarrow"))
     out = aggregate_dataset(ds, {"t": {
         "terms": {"field": "l_returnflag", "size": 10},
-        "aggs": {"rev": {"sum": {"field": "revenue"}},
-                 "n": {"value_count": {"field": "revenue"}}}}})
+        "aggs": {"rev": {"sum": {"field": "revenue_e4"}},
+                 "n": {"value_count": {"field": "revenue_e4"}}}}})
     return pd.DataFrame([{"l_returnflag": b["key"],
-                          "revenue": round(b["rev"]["value"], 2),
+                          "revenue_e4": int(round(b["rev"]["value"])),
                           "n": b["n"]["value"]}
                          for b in out["t"]["buckets"]])
 
@@ -836,7 +846,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY facet",
         "lineitem_revenue":
             "SELECT l_returnflag, "
-            "ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)))"
+            "::BIGINT AS revenue_e4, "
             "count(*) AS n FROM lineitem GROUP BY l_returnflag",
         "events_topk_value":
             "SELECT event_id FROM events WHERE event_type = 'click' "
