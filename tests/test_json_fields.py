@@ -141,6 +141,23 @@ def test_struct_flatten_parity():
     pairs2 = sorted(zip(r2.tolist(), t2.tolist()))
     assert pairs1 == pairs2
 
+    # list<struct> children (array-of-objects JSON)
+    objs2 = [
+        {"items": [{"sku": "a1", "qty": 2}, {"sku": "b2", "qty": 5}]},
+        {"items": []},
+        {"items": [{"sku": "c3", "qty": None}]},
+        None,
+    ]
+    sc2 = pa.array(objs2, pa.struct([
+        ("items", pa.list_(pa.struct([("sku", pa.string()),
+                                      ("qty", pa.int64())])))]))
+    s2 = pa.array([json.dumps(o) if o is not None else None
+                   for o in objs2], pa.string())
+    ra, ta = _flatten_struct_terms(sc2)
+    rb, tb = _flatten_json_terms(s2)
+    assert sorted(zip(ra.tolist(), ta.tolist())) == \
+        sorted(zip(rb.tolist(), tb.tolist()))
+
 
 def test_struct_json_index_end_to_end(ray_session, tmp_path):
     """An index built from a parquet STRUCT column answers the same
