@@ -192,3 +192,21 @@ def test_create_from_documents(ray_session):
     srch = ix.searcher()
     assert srch.search("body:mice", 5).hits[0][1] == 1
     assert srch.doc(0, fields=["ref"])["ref"] == 100
+
+
+def test_driver_contract_shape():
+    """Every queries() entry is callable; every oracle key has a query;
+    the intentionally-unoracled set is exactly the documented one."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+    q = m.queries()
+    o = m.oracle_sql()
+    assert all(callable(f) for f in q.values())
+    assert set(o) <= set(q), set(o) - set(q)
+    no_oracle = set(q) - set(o)
+    assert no_oracle == {"dedup_minhash", "dedup_simhash_pairs",
+                         "ann_ivf", "language_id", "quality",
+                         "agg_cardinality_users", "more_like_this"}, \
+        no_oracle
+    assert callable(m.entry)
