@@ -629,6 +629,42 @@ def test_split_bundle_roundtrip(ray_session, tmp_path):
     assert not _st.sexists(split_url(str(bad)) + "/manifest.json")
 
 
+def test_merge_splits_by_url(ray_session, tmp_path):
+    """QuickwitSplit.mergeSplits(urls, out) shape: merge two single-file
+    .split bundles (opened via t4jrsplit://) into a fresh index."""
+    import pyarrow.parquet as pq
+
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.bundle import bundle_index, split_url
+    from tantivy4java_ray.pipelines.merge import merge_indexes
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.schema import IndexSchema
+    from tantivy4java_ray.sources.webpages import (generate_webpages,
+                                                   write_webpages)
+    d = str(tmp_path)
+    write_webpages(f"{d}/a", 300, n_files=1, rows_per_row_group=150)
+    os.makedirs(f"{d}/b")
+    pq.write_table(generate_webpages(300, start_doc_id=300),
+                   f"{d}/b/w.parquet", row_group_size=150)
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    s.add_string_field("lang", fast=True)
+    for part in ("a", "b"):
+        build_index(f"{d}/{part}", f"{d}/i{part}", s,
+                    html_fallback=("text", "html"), num_shards=2,
+                    target_docs_per_partition=150)
+        bundle_index(f"{d}/i{part}", f"{d}/{part}.split")
+    res = merge_indexes([split_url(f"{d}/a.split"),
+                         split_url(f"{d}/b.split")], f"{d}/merged")
+    assert res.num_docs == 600
+    r = IndexReader(f"{d}/merged")
+    # equals a merge of the unbundled directories
+    r_dir = IndexReader(merge_indexes(
+        [f"{d}/ia", f"{d}/ib"], f"{d}/merged_dir").index_dir)
+    for q in ["needleterm", "w0001 OR w0042", "lang:de"]:
+        assert r.search(q, 15).hits == r_dir.search(q, 15).hits, q
+
+
 # ---------------------------------------------------------------------------
 # Avro reader + Iceberg live-file listing
 # ---------------------------------------------------------------------------
