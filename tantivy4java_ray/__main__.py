@@ -134,7 +134,8 @@ def _dispatch(args) -> int:
     elif args.cmd == "merge":
         _init_ray()
         from tantivy4java_ray.pipelines.merge import merge_indexes
-        res = merge_indexes(args.inputs, args.out)
+        res = merge_indexes([_maybe_split(p) for p in args.inputs],
+                            args.out)
         print(json.dumps({"num_docs": res.num_docs,
                           "elapsed_s": round(res.elapsed_s, 2)}))
     elif args.cmd == "validate":
