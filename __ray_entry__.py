@@ -162,9 +162,11 @@ def q_sharded_bm25_topk(sf_dir: str):
     pool = ShardedSearchPool(_index_dir(sf_dir, True), num_actors=3,
                              limit=10)
     try:
-        # over-fetch, round, re-rank: the oracle ranks by the ROUNDED
-        # score (same protocol as ft_bm25_topk)
-        hits = pool.search_many(["merge OR join"], limit=50)[0]
+        # fetch the COMPLETE match set, round, re-rank: the oracle ranks
+        # every matching doc by the ROUNDED score (same protocol as
+        # ft_bm25_topk) — a truncated fetch could drop a doc that rounds
+        # into the top-10 tie group
+        hits = pool.search_many(["merge OR join"], limit=1_000_000)[0]
     finally:
         pool.shutdown()
     docs = np.array([d for _s, d in hits], np.int64)
@@ -438,8 +440,9 @@ def q_facet_counts(sf_dir: str):
 
 
 def q_agg_nested_2level(sf_dir: str):
-    """terms(event_type) -> histogram(value, 50) -> avg(value): two
-    levels of sub-aggregation under a bucket agg, flattened."""
+    """terms(event_type) -> histogram(value, 50) -> sum(value): two
+    levels of sub-aggregation under a bucket agg, flattened (sum, not
+    avg, so the 2dp rounding cut is boundary-free — see oracle notes)."""
     import ray.data
     from tantivy4java_ray.aggs import aggregate_dataset
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -471,7 +474,10 @@ def q_lineitem_revenue(sf_dir: str):
         # decimals, so price_cents * (100 - disc_cents) is an exact
         # int64 and the sum is order-independent (a float revenue sum
         # differs from DuckDB's by summation order, making any decimal
-        # rounding cut unstable at half-boundaries)
+        # rounding cut unstable at half-boundaries). Bound: the agg
+        # engine accumulates in float64, exact for integer totals up to
+        # 2^53 — ~SF8 for this table; beyond that the engine would need
+        # an integer accumulator to match DuckDB's HUGEINT sum
         pc100 = pc.round(pc.multiply(t.column("l_extendedprice"),
                                      pa.scalar(100.0)))
         dc100 = pc.round(pc.multiply(t.column("l_discount"),

@@ -96,8 +96,10 @@ class IVFIndex:
         if not files:
             return pd.DataFrame({"query_id": [], "rank": [], id_col: [],
                                  "score": []})
-        sub = ray.data.read_parquet(files, columns=[id_col, emb_col],
-                                    include_paths=True)
+        # the STORED assignment rides along as the hive partition column
+        # (exact — no recomputed-argmax drift, no per-batch matmul)
+        sub = ray.data.read_parquet(files,
+                                    columns=[id_col, emb_col, "__cluster"])
         qref = ray.put(q)
         probe_ref = ray.put(probe)
 
@@ -106,15 +108,8 @@ class IVFIndex:
             pm = ray.get(probe_ref)
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
             mat = _normalize(_emb_matrix(t, emb_col))
-            # per-query cluster filter: the STORED assignment comes from
-            # the hive partition dir in the file path (exact — no
-            # recomputed-argmax drift, no per-batch matmul vs centroids)
-            paths = np.asarray(t.column("path").to_numpy(
-                zero_copy_only=False), object)
-            upaths, inv = np.unique(paths, return_inverse=True)
-            ucl = np.array([int(p.split("__cluster=")[1].split("/")[0])
-                            for p in upaths], np.int64)
-            assign = ucl[inv]
+            assign = np.asarray(t.column("__cluster").to_numpy(
+                zero_copy_only=False), np.int64)
             sims = qm @ mat.T
             out_q, out_id, out_s = [], [], []
             for qi in range(sims.shape[0]):

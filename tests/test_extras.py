@@ -198,7 +198,9 @@ def test_driver_contract_shape():
     """Every queries() entry is callable; every oracle key has a query;
     the intentionally-unoracled set is exactly the documented one."""
     import sys
-    sys.path.insert(0, "/root/repo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     import __ray_entry__ as m
     q = m.queries()
     o = m.oracle_sql()
