@@ -362,6 +362,18 @@ def q_agg_range_events(sf_dir: str):
                          for b in out["r"]["buckets"]])
 
 
+def q_agg_percentiles_value(sf_dir: str):
+    """HDR-sketch percentiles over events.value (approximate -> rows-only
+    check; accuracy vs exact nearest-rank is pinned in tests)."""
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    out = aggregate_dataset(ds, {"p": {"percentiles": {"field": "value"}}})
+    return pd.DataFrame([{"percent": k, "value": round(v, 4)}
+                         for k, v in out["p"]["values"].items()])
+
+
 def q_agg_cardinality_users(sf_dir: str):
     """HLL approximate distinct — no SQL oracle (approximate by design);
     accuracy asserted in tests/test_aggs.py."""
@@ -687,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_date_histogram_events": q_agg_date_histogram_events,
         "agg_range_events": q_agg_range_events,
         "agg_cardinality_users": q_agg_cardinality_users,
+        "agg_percentiles_value": q_agg_percentiles_value,
         "agg_subagg_events": q_agg_subagg_events,
         "agg_nested_2level": q_agg_nested_2level,
         "agg_multi_terms": q_agg_multi_terms,

@@ -11,7 +11,8 @@ driver merge with no shuffle.
 
 Supported: terms (size + optional shard_size partial truncation),
 multi_terms, histogram, date_histogram, range,
-min/max/sum/avg/count/value_count/stats, cardinality (HyperLogLog), and
+min/max/sum/avg/count/value_count/stats, cardinality (HyperLogLog),
+percentiles (HDR-style log-bucket sketch, ~1% relative error), and
 ARBITRARILY NESTED sub-aggregations under any bucket agg — partial
 compute, merge, and finalize all recurse
 (``GroupBySubAggregationTest.java``, ``TermsAggregation.java:93-105``
@@ -99,6 +100,69 @@ def _col_numpy(table: pa.Table, name: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# percentiles — HDR-style log-bucket sketch (mergeable, bounded memory;
+# the ES percentiles agg's HDR mode, ~1% relative error at _PCT_K=128)
+# ---------------------------------------------------------------------------
+
+_PCT_K = 128  # sub-buckets per decade; rel. error ~ 10^(1/(2K))-1 ≈ 0.9%
+_PCT_DEFAULTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def _pct_partial(vals: np.ndarray) -> dict:
+    v = pd.to_numeric(pd.Series(vals), errors="coerce").to_numpy(np.float64)
+    v = v[~np.isnan(v)]
+    state = {"zeros": int((v == 0).sum()),
+             "min": float(v.min()) if len(v) else math.inf,
+             "max": float(v.max()) if len(v) else -math.inf,
+             "count": int(len(v)), "pos": {}, "neg": {}}
+    for sign, key in ((1.0, "pos"), (-1.0, "neg")):
+        part = v[v * sign > 0] * sign
+        if not len(part):
+            continue
+        idx = np.floor(np.log10(part) * _PCT_K).astype(np.int64)
+        u, c = np.unique(idx, return_counts=True)
+        state[key] = dict(zip(u.tolist(), c.tolist()))
+    return state
+
+
+def _pct_merge(a: dict, b: dict) -> dict:
+    out = {"zeros": a["zeros"] + b["zeros"],
+           "min": min(a["min"], b["min"]), "max": max(a["max"], b["max"]),
+           "count": a["count"] + b["count"],
+           "pos": dict(a["pos"]), "neg": dict(a["neg"])}
+    for key in ("pos", "neg"):
+        for i, c in b[key].items():
+            out[key][i] = out[key].get(i, 0) + c
+    return out
+
+
+def _pct_finalize(state: dict | None, percents) -> dict:
+    if not state or not state["count"]:
+        return {"values": {f"{p:g}": None for p in percents}}
+    # ascending value order: negatives (idx desc), zeros, positives
+    reps: list[float] = []
+    counts: list[int] = []
+    for i in sorted(state["neg"], reverse=True):
+        reps.append(-(10.0 ** ((i + 0.5) / _PCT_K)))
+        counts.append(state["neg"][i])
+    if state["zeros"]:
+        reps.append(0.0)
+        counts.append(state["zeros"])
+    for i in sorted(state["pos"]):
+        reps.append(10.0 ** ((i + 0.5) / _PCT_K))
+        counts.append(state["pos"][i])
+    cum = np.cumsum(counts)
+    n = state["count"]
+    out = {}
+    for p in percents:
+        rank = max(1, math.ceil(p / 100.0 * n))
+        j = int(np.searchsorted(cum, rank))
+        val = reps[min(j, len(reps) - 1)]
+        out[f"{p:g}"] = float(min(max(val, state["min"]), state["max"]))
+    return {"values": out}
+
+
+# ---------------------------------------------------------------------------
 # partial state per agg kind
 # ---------------------------------------------------------------------------
 
@@ -108,7 +172,7 @@ _METRICS = ("min", "max", "sum", "avg", "count", "value_count", "stats")
 def _spec_kind(spec: dict) -> tuple[str, dict, dict]:
     sub = spec.get("aggs") or spec.get("aggregations") or {}
     for k in ("terms", "multi_terms", "histogram", "date_histogram", "range",
-              "cardinality", *_METRICS):
+              "cardinality", "percentiles", *_METRICS):
         if k in spec:
             return k, spec[k], sub
     raise ValueError(f"unrecognized aggregation spec {spec!r}")
@@ -148,6 +212,9 @@ def _partial_one(spec: dict, table: pa.Table) -> Any:
         regs = np.zeros(_HLL_M, np.uint8)
         _hll_update(regs, vals)
         return regs
+
+    if kind == "percentiles":
+        return _pct_partial(_col_numpy(table, body["field"]))
 
     # bucket aggs -> dict bucket_key -> {"doc_count": n, "sub": {...}}
     if kind == "terms":
@@ -241,6 +308,8 @@ def _merge_one(spec: dict, x: Any, y: Any) -> Any:
                 "count": x["count"] + y["count"]}
     if kind == "cardinality":
         return np.maximum(x, y)
+    if kind == "percentiles":
+        return _pct_merge(x, y)
     out = dict(x)
     for key, st in y.items():
         if key in out:
@@ -282,6 +351,8 @@ def _finalize_one(spec: dict, st: Any) -> dict:
                 "std_deviation": math.sqrt(max(var, 0.0)) if n else None}
     if kind == "cardinality":
         return {"value": round(_hll_estimate(st)) if st is not None else 0}
+    if kind == "percentiles":
+        return _pct_finalize(st, body.get("percents", _PCT_DEFAULTS))
 
     st = st or {}
     items = list(st.items())

@@ -201,3 +201,44 @@ def test_value_count_on_string_field():
     out = finalize(specs, merge_states(specs, {}, partial_agg(specs, t)))
     assert out["n"]["value"] == 3
     assert out["c"]["value"] == 3
+
+
+@pytest.mark.parametrize("split", [None, 33])
+def test_percentiles_accuracy(table, split):
+    """HDR log-bucket sketch: every reported percentile within ~2%
+    relative error of the exact numpy percentile; merge == single-shot."""
+    out = run({"p": {"percentiles": {"field": "price"}}}, table, split)
+    prices = np.array([i * 1.5 for i in range(100)])
+    for pct, got in out["p"]["values"].items():
+        # the sketch reports nearest-rank (inverted CDF) percentiles
+        want = float(np.percentile(prices, float(pct),
+                                   method="inverted_cdf"))
+        if want == 0.0:
+            assert abs(got) < 1e-9
+        else:
+            assert abs(got - want) / max(abs(want), 1.0) < 0.05, (pct, got,
+                                                                  want)
+    # negative + zero + positive values, custom percents
+    mix = pa.table({"v": pa.array([-100.0, -1.0, 0.0, 0.0, 1.0, 10.0,
+                                   100.0, 1000.0], pa.float64())})
+    out = run({"p": {"percentiles": {"field": "v",
+                                     "percents": [50.0, 100.0]}}}, mix,
+              split=3 if split else None)
+    assert out["p"]["values"]["100"] == 1000.0
+    assert abs(out["p"]["values"]["50"]) < 0.05
+    # empty input
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    out = run({"p": {"percentiles": {"field": "v"}}}, empty)
+    assert out["p"]["values"]["50"] is None
+
+
+def test_percentiles_as_sub_agg(table):
+    out = run({"cats": {"terms": {"field": "category", "size": 1},
+                        "aggs": {"p": {"percentiles": {
+                            "field": "price", "percents": [50.0]}}}}},
+              table, split=40)
+    b0 = out["cats"]["buckets"][0]
+    assert b0["key"] == "cat0"
+    # cat0 = first 50 rows -> median price ~ 36.75
+    got = b0["p"]["values"]["50"]
+    assert abs(got - 36.75) / 36.75 < 0.05
