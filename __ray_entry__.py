@@ -283,6 +283,63 @@ def _events_index(sf_dir: str):
         s, target_docs_per_partition=50_000, num_shards=4)
 
 
+def _ip_events_index(sf_dir: str):
+    """Deterministic synthetic IP column derived from event_id (the
+    testdata has no IP column; same-formula SQL is the oracle). Octet
+    a spans 1..12 so the range crosses the 9.x/10.x text-vs-numeric
+    boundary; every 37th row is IPv6 (must not leak into v4 ranges)."""
+    import ray.data
+
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.schema import IndexSchema
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/ip-{tag}"
+    src = f"{base}/src"
+
+    def add_ip(b):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        ids = b.column("event_id").to_numpy()
+        a = 1 + ids % 12
+        o2, o3, o4 = (ids * 7) % 256, (ids * 13) % 256, ids % 256
+        s = (pd.Series(a).astype(str) + "." + pd.Series(o2).astype(str)
+             + "." + pd.Series(o3).astype(str) + "."
+             + pd.Series(o4).astype(str))
+        v6 = ids % 37 == 0
+        s[v6] = [f"2001:db8::{x:x}" for x in ids[v6] % 65536]
+        return b.append_column("ip", pa.array(s, pa.string()))
+
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id"])
+         .map_batches(add_ip, batch_format="pyarrow")
+         .write_parquet(src))
+        open(f"{src}/_SUCCESS", "w").close()
+    s = IndexSchema()
+    s.add_integer_field("event_id", fast=True)
+    s.add_ip_addr_field("ip", fast=True)
+    build_index(sorted(
+        f"{src}/{f}" for f in os.listdir(src) if f.endswith(".parquet")),
+        f"{base}/idx", s, target_docs_per_partition=50_000, num_shards=4)
+    return IndexReader(f"{base}/idx")
+
+
+def q_ip_range(sf_dir: str):
+    """IP range compares as u128 via the order-preserving 32-hex terms:
+    [2.0.0.0, 10.0.0.0) must include every 9.x.x.x (text order on the
+    old ::ffff: terms wrongly excluded them) and exclude IPv6 rows."""
+    from tantivy4java_ray.query import Query
+    r = _ip_events_index(sf_dir)
+    docs, _ = r.evaluate(Query.range("ip", "2.0.0.0", "10.0.0.0",
+                                     include_upper=False))
+    vals, _valid = r.fast_column("event_id")
+    ids = np.asarray(vals[np.asarray(docs) - r.doc_lo], np.int64)
+    return pd.DataFrame({"event_id": np.sort(ids)})
+
+
 def q_json_range_numeric(sf_dir: str):
     """Numeric range over a JSON subpath: compares via the typed \\x02
     order-preserving f64 terms, NOT lexicographically (17 < 100)."""
@@ -686,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wildcard": q_ft_wildcard,
         "ft_range_nchars": q_ft_range_nchars,
         "json_range_numeric": q_json_range_numeric,
+        "ip_range": q_ip_range,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_dismax": q_ft_dismax,
         "ft_term_set": q_ft_term_set,
@@ -767,6 +825,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id FROM events WHERE "
             "CAST(json_extract(props, '$.k') AS DOUBLE) >= 7 "
             "AND CAST(json_extract(props, '$.k') AS DOUBLE) < 33",
+        # same octet formulas as _ip_events_index, compared as a u32 —
+        # [2.0.0.0, 10.0.0.0) numerically; IPv6 rows (event_id%37=0)
+        # are out of the v4-mapped range by construction
+        "ip_range":
+            "SELECT event_id FROM events WHERE event_id % 37 <> 0 AND "
+            "((1 + event_id % 12) * 16777216 "
+            " + ((event_id * 7) % 256) * 65536 "
+            " + ((event_id * 13) % 256) * 256 + (event_id % 256)) "
+            "BETWEEN 2 * 16777216 AND 10 * 16777216 - 1 "
+            "ORDER BY event_id",
         "ft_bm25_topk": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKS} AS ts FROM documents),

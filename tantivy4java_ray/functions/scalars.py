@@ -18,8 +18,11 @@ import pandas as pd
 
 
 def normalize_ip(value: str) -> str:
-    """Canonical form: IPv4 -> IPv4-mapped IPv6 (``::ffff:a.b.c.d``),
-    IPv6 compressed lowercase — the dictionary-term form for IP fields."""
+    """Canonical *display* form: IPv4 -> IPv4-mapped IPv6
+    (``::ffff:a.b.c.d``), IPv6 compressed lowercase. Used for the
+    stored/fast column, NOT for dictionary terms (text order on this
+    form is not numeric order: ``::ffff:9.0.0.1`` sorts after
+    ``::ffff:10.255.255.255``)."""
     addr = ipaddress.ip_address(value.strip())
     if isinstance(addr, ipaddress.IPv4Address):
         return f"::ffff:{addr}"
@@ -28,11 +31,26 @@ def normalize_ip(value: str) -> str:
     return addr.compressed
 
 
+def ip_term(value: str) -> str:
+    """Dictionary-term form: the address as a fixed-width 32-hex-digit
+    u128 (IPv4 mapped into ``::ffff:0:0/96`` first). Lexicographic order
+    on this form IS numeric u128 order, so term-range windows compare
+    IPs numerically — the reference's semantics (u128 fast-field ranges,
+    ``native/src/ip_expansion.rs``, ``split/SplitRangeQuery.java:12-78``).
+    Same trick as the order-preserving ``\\x02`` f64 JSON terms."""
+    addr = ipaddress.ip_address(value.strip())
+    if isinstance(addr, ipaddress.IPv4Address):
+        n = 0xFFFF_0000_0000 | int(addr)
+    else:
+        n = int(addr)
+    return format(n, "032x")
+
+
 def expand_ip_query_bounds(lower: str | None, upper: str | None
                            ) -> tuple[str | None, str | None]:
-    """Range bounds normalized the same way terms are."""
-    return (normalize_ip(lower) if lower else None,
-            normalize_ip(upper) if upper else None)
+    """Range bounds encoded the same way dictionary terms are."""
+    return (ip_term(lower) if lower else None,
+            ip_term(upper) if upper else None)
 
 
 def parse_date_us(value) -> int:

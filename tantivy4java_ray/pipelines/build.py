@@ -361,13 +361,21 @@ class PartitionIndexer:
                                FieldType.IP_ADDR):
                 if col is None:
                     continue
+                term_col = col
                 if fcfg.type is FieldType.IP_ADDR:
-                    # normalize to the canonical IPv6-mapped term form
-                    # (ip_expansion.rs semantics)
-                    from tantivy4java_ray.functions.scalars import normalize_ip
-                    vals = [None if v is None else normalize_ip(v)
-                            for v in col.cast(pa.string()).to_pylist()]
-                    col = pa.array(vals, pa.string())
+                    # dictionary terms: fixed-width 32-hex u128 so the
+                    # term-range window compares numerically
+                    # (ip_expansion.rs / SplitRangeQuery.java:12-78);
+                    # fast/stored column keeps the pretty canonical form
+                    from tantivy4java_ray.functions.scalars import (
+                        ip_term, normalize_ip)
+                    raw = col.cast(pa.string()).to_pylist()
+                    term_col = pa.array(
+                        [None if v is None else ip_term(v) for v in raw],
+                        pa.string())
+                    col = pa.array(
+                        [None if v is None else normalize_ip(v) for v in raw],
+                        pa.string())
                 if fcfg.indexed:
                     if fcfg.type is FieldType.FACET:
                         # index every ancestor path so prefix queries and
@@ -390,7 +398,7 @@ class PartitionIndexer:
                                 fcodes.astype(np.int64),
                                 np.asarray(funiq, object), None, n)
                     else:
-                        tok = tokenize_column(col, get_analyzer("raw"),
+                        tok = tokenize_column(term_col, get_analyzer("raw"),
                                               include_tokens=False)
                         n_postings += self._emit_terms(
                             acc, fcfg.name, spec, tok["row"], tok["codes"],
@@ -841,7 +849,8 @@ class IndexBuilder:
                        "html_fallback": self.html_fallback,
                        # capability stamps queries can gate on (readers
                        # of OLDER indexes fail loudly, not silently)
-                       "index_features": ["json_numeric_terms"]}}}])
+                       "index_features": ["json_numeric_terms",
+                                          "ip_u128_terms"]}}}])
 
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8

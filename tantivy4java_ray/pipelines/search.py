@@ -626,8 +626,7 @@ class IndexReader:
         if k == "term":
             field, term = p
             if self.schema.get_field(field).type is FieldType.IP_ADDR:
-                from tantivy4java_ray.functions.scalars import normalize_ip
-                term = normalize_ip(term)
+                term = self._ip_term(term)
             docs, tfs = self.postings(field, term)
             if not len(docs):
                 return _EMPTY
@@ -958,9 +957,25 @@ class IndexReader:
             lambda: self.match_terms(field, "regex", pattern=regex)))
         return docs, np.full(len(docs), boost, np.float32)
 
+    def _ip_term(self, value: str) -> str:
+        """User IP string -> fixed-width u128 hex dictionary term; gated
+        on the build capability stamp so pre-u128 indexes fail loudly
+        instead of returning text-ordered (wrong) matches."""
+        if "ip_u128_terms" not in self.features:
+            raise ValueError(
+                "IP queries require u128-encoded IP terms; this index "
+                "predates them — rebuild it")
+        from tantivy4java_ray.functions.scalars import ip_term
+        return ip_term(value)
+
     def _eval_range(self, field: str, lower, upper, incl_lo: bool,
                     incl_hi: bool, boost: float):
         fcfg = self.schema.get_field(field)
+        if fcfg.type is FieldType.IP_ADDR:
+            # numeric u128 compare via the order-preserving hex terms
+            # (ip_expansion.rs / SplitRangeQuery.java:12-78 semantics)
+            lower = self._ip_term(lower) if lower is not None else None
+            upper = self._ip_term(upper) if upper is not None else None
         if fcfg.type in (FieldType.STRING, FieldType.TEXT, FieldType.FACET,
                          FieldType.IP_ADDR):
             # term-range: one searchsorted window per shard dictionary

@@ -25,8 +25,14 @@ def test_normalize_ip():
     assert normalize_ip("192.168.0.1") == "::ffff:192.168.0.1"
     assert normalize_ip("::FFFF:10.0.0.1") == "::ffff:10.0.0.1"
     assert normalize_ip("2001:0DB8:0:0:0:0:0:1") == "2001:db8::1"
+    # query bounds use the fixed-width u128 hex term form
     lo, hi = expand_ip_query_bounds("10.0.0.1", None)
-    assert lo == "::ffff:10.0.0.1" and hi is None
+    assert lo == "00000000000000000000ffff0a000001" and hi is None
+    from tantivy4java_ray.functions.scalars import ip_term
+    # numeric order == lexicographic order on the term form
+    assert ip_term("9.0.0.1") < ip_term("10.255.255.255")
+    assert ip_term("::FFFF:10.0.0.1") == ip_term("10.0.0.1")
+    assert ip_term("2001:db8::1") > ip_term("255.255.255.255")
 
 
 def test_facet_paths():
@@ -108,10 +114,43 @@ def test_ip_term_and_range(facet_index):
     r = facet_index.reader()
     docs, _ = r.evaluate(Query.term("ip", "10.0.0.1"))
     assert list(docs) == [0, 4]
-    # range over normalized string terms
+    # u128-numeric range (bounds in any accepted textual form)
     docs, _ = r.evaluate(Query.range("ip", "::ffff:10.0.0.0",
                                      "::ffff:10.255.255.255"))
     assert list(docs) == [0, 1, 4]
+    docs, _ = r.evaluate(Query.range("ip", "10.0.0.0", "192.168.1.9"))
+    assert list(docs) == [0, 1, 2, 4]
+    # v6 addresses sort above every v4-mapped address, never leak into
+    # a v4-bounded range; an all-v6 range finds only the v6 doc
+    docs, _ = r.evaluate(Query.range("ip", "2001:db8::", "2001:db8::ffff"))
+    assert list(docs) == [3]
+
+
+def test_ip_range_numeric_not_text_order(ray_session):
+    # the round-2 defect: text order on ::ffff:9.0.0.1 sorts AFTER
+    # ::ffff:10.255.255.255, so [2.0.0.0, 10.0.0.0] wrongly excluded
+    # every 9.x address. u128 terms compare numerically.
+    from tantivy4java_ray.api import Index
+    base = "/tmp/t4jr_ip_u128"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    ips = ["2.0.0.5", "9.0.0.1", "9.255.255.255", "10.0.0.0",
+           "10.255.255.255", "1.2.3.4", "100.1.1.1"]
+    pq.write_table(pa.table({"ip": pa.array(ips)}),
+                   f"{base}/t.parquet")
+    s = IndexSchema()
+    s.add_ip_addr_field("ip", fast=True)
+    idx = Index.create_from_parquet(f"{base}/t.parquet", f"{base}/idx", s,
+                                    num_shards=1)
+    r = idx.reader()
+    docs, _ = r.evaluate(Query.range("ip", "2.0.0.0", "10.0.0.0"))
+    assert list(docs) == [0, 1, 2, 3]  # 9.x included, 10.0.0.0 inclusive
+    docs, _ = r.evaluate(Query.range("ip", "2.0.0.0", "10.0.0.0",
+                                     include_upper=False))
+    assert list(docs) == [0, 1, 2]
+    # stored/fast column keeps the pretty canonical display form
+    vals, valid = r.fast_column("ip")
+    assert valid.all() and vals[1] == "::ffff:9.0.0.1"
 
 
 def test_partition_pruning_stats(facet_index):
