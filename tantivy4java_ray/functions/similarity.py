@@ -31,46 +31,43 @@ def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
-class _BlockTopK:
-    """Stateless-math actor stage; the query matrix ref is resolved once
-    per actor in __init__ (broadcast via object store)."""
-
-    def __init__(self, query_ref, emb_col: str, id_col: str, k: int):
-        import ray
-        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) \
-            else query_ref
-        self.q = _normalize(np.asarray(q, np.float32))  # (nq, d)
-        self.emb_col, self.id_col, self.k = emb_col, id_col, k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
-        mat = _normalize(_emb_matrix(t, self.emb_col))
-        sims = self.q @ mat.T  # (nq, nrows)
-        k = min(self.k, sims.shape[1])
-        out_q, out_id, out_s = [], [], []
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        for qi in range(sims.shape[0]):
-            sel = idx[qi]
-            out_q.extend([qi] * k)
-            out_id.extend(ids[sel].tolist())
-            out_s.extend(sims[qi, sel].astype(np.float64).tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int32()),
-                         self.id_col: pa.array(out_id, pa.int64()),
-                         "score": pa.array(out_s, pa.float64())})
+def _block_topk(t: pa.Table, q: np.ndarray, emb_col: str, id_col: str,
+                k: int) -> pa.Table:
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _normalize(_emb_matrix(t, emb_col))
+    sims = q @ mat.T  # (nq, nrows)
+    k = min(k, sims.shape[1])
+    out_q, out_id, out_s = [], [], []
+    idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    for qi in range(sims.shape[0]):
+        sel = idx[qi]
+        out_q.extend([qi] * k)
+        out_id.extend(ids[sel].tolist())
+        out_s.extend(sims[qi, sel].astype(np.float64).tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                     id_col: pa.array(out_id, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
 
 
 def topk_cosine(ds, query_vecs: np.ndarray, *, emb_col: str = "embedding",
                 id_col: str = "vec_id", k: int = 10,
-                concurrency: int = 4) -> pd.DataFrame:
-    """-> DataFrame (query_id, rank, id, score), cosine desc, id-asc ties."""
+                concurrency: int | None = None) -> pd.DataFrame:
+    """-> DataFrame (query_id, rank, id, score), cosine desc, id-asc ties.
+
+    Task pool, not actors: the broadcast query matrix crosses the object
+    store ONCE (``ray.put``) and each task resolves the ref zero-copy
+    from shared memory — actor startup (~1 s/pool) would dominate small
+    scans, and at scale tasks read the ref just as cheaply. Only the
+    (nq, k)-sized partials return to the driver."""
     import ray
-    qref = ray.put(np.asarray(query_vecs, np.float32))
+    qref = ray.put(_normalize(np.asarray(query_vecs, np.float32)))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        return _block_topk(t, ray.get(qref), emb_col, id_col, k)
+
     partials = ds.map_batches(
-        _BlockTopK,
-        fn_constructor_kwargs=dict(query_ref=qref, emb_col=emb_col,
-                                   id_col=id_col, k=k),
-        batch_format="pyarrow", concurrency=(1, concurrency),
-        num_cpus=1).to_pandas()
+        block_topk, batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {})).to_pandas()
     out = []
     for qi, g in partials.groupby("query_id"):
         g = g.sort_values(["score", id_col], ascending=[False, True],
@@ -125,48 +122,38 @@ def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
     cents_ref = ray.put(cents)
     qref = ray.put(q)
 
-    class _IVFBlock(_BlockTopK):
-        def __init__(self, query_ref, emb_col, id_col, k, cents_ref,
-                     probed, probe_map):
-            super().__init__(query_ref, emb_col, id_col, k)
-            self.cents = ray.get(cents_ref)
-            self.probed = probed
-            self.probe_map = probe_map  # (nq, nprobe)
+    def ivf_block(t: pa.Table) -> pa.Table:
+        # task pool: q/cents resolved zero-copy from the object store;
+        # probe tables are tiny (nq × nprobe) and ride the closure
+        qm, cents = ray.get(qref), ray.get(cents_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_emb_matrix(t, emb_col))
+        assign = np.argmax(mat @ cents.T, axis=1)
+        keep = np.isin(assign, probed_set)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids, mat, assign = ids[keep], mat[keep], assign[keep]
+        sims = qm @ mat.T
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            qkeep = np.isin(assign, probe[qi])
+            if not qkeep.any():
+                continue
+            s = sims[qi][qkeep]
+            sel_ids = ids[qkeep]
+            kk = min(k, len(s))
+            sel = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(sel_ids[sel].tolist())
+            out_s.extend(s[sel].astype(np.float64).tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
-            mat = _normalize(_emb_matrix(t, self.emb_col))
-            assign = np.argmax(mat @ self.cents.T, axis=1)
-            keep = np.isin(assign, self.probed)
-            if not keep.any():
-                return pa.table({"query_id": pa.array([], pa.int32()),
-                                 self.id_col: pa.array([], pa.int64()),
-                                 "score": pa.array([], pa.float64())})
-            ids, mat, assign = ids[keep], mat[keep], assign[keep]
-            sims = self.q @ mat.T
-            out_q, out_id, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                qkeep = np.isin(assign, self.probe_map[qi])
-                if not qkeep.any():
-                    continue
-                s = sims[qi][qkeep]
-                sel_ids = ids[qkeep]
-                kk = min(self.k, len(s))
-                sel = np.argpartition(-s, kk - 1)[:kk]
-                out_q.extend([qi] * kk)
-                out_id.extend(sel_ids[sel].tolist())
-                out_s.extend(s[sel].astype(np.float64).tolist())
-            return pa.table({"query_id": pa.array(out_q, pa.int32()),
-                             self.id_col: pa.array(out_id, pa.int64()),
-                             "score": pa.array(out_s, pa.float64())})
-
-    partials = ds.map_batches(
-        _IVFBlock,
-        fn_constructor_kwargs=dict(query_ref=qref, emb_col=emb_col,
-                                   id_col=id_col, k=k, cents_ref=cents_ref,
-                                   probed=probed_set, probe_map=probe),
-        batch_format="pyarrow", concurrency=(1, concurrency),
-        num_cpus=1).to_pandas()
+    partials = ds.map_batches(ivf_block,
+                              batch_format="pyarrow").to_pandas()
     out = []
     for qi, g in partials.groupby("query_id"):
         g = g.sort_values(["score", id_col], ascending=[False, True],
