@@ -212,60 +212,176 @@ class MinHasher:
         return h
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        """ONE row per doc: ``(id, sig, bands)``. The 1 KB signature is
+        NOT repeated per band — the bucket shuffle later carries only
+        the 16-byte ``(band_hash, id)`` expansion (``_band_table``) and
+        full sigs are fetched afterwards for the tiny candidate set."""
         ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
         texts = t.column(self.col).to_pylist()
         valid, sigs = self._signatures(texts)
         vids = ids[valid]
         bh = self._band_hashes(sigs)
-        sig_bytes = [s.tobytes() for s in sigs]
-        nb = self.bands
         # keys reinterpreted as int64: Ray's sort/aggregate pickles
         # uint64 values above 2^63 into extension objects otherwise
         return pa.table({
-            "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
-            self.id_col: pa.array(np.repeat(vids, nb), pa.int64()),
-            "sig": pa.array([sig_bytes[i] for i in
-                             np.repeat(np.arange(len(vids)), nb)],
-                            pa.large_binary())})
+            self.id_col: pa.array(vids, pa.int64()),
+            "sig": pa.array([s.tobytes() for s in sigs],
+                            pa.large_binary()),
+            "bands": pa.array(list(bh.view(np.int64)),
+                              pa.list_(pa.int64()))})
+
+
+def _band_table(sig_ds, id_col: str):
+    """(id, sig, bands) -> (band_hash, id) — the ONLY columns that enter
+    the bucket shuffle: 16 bytes/row instead of sig-size × bands."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        bands = t.column("bands").combine_chunks()
+        nb_per_row = np.diff(bands.offsets.to_numpy())
+        ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False),
+                        nb_per_row)
+        return pa.table({
+            "band_hash": bands.flatten(),
+            id_col: pa.array(ids, pa.int64())})
+
+    return sig_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def _candidate_pairs(sig_ds, id_col: str, max_bucket: int) -> pd.DataFrame:
+    """LSH bucket candidates with ONE shuffle and no per-group Python.
+
+    The 16 B/row ``(band_hash, id)`` table is range-sort-shuffled once;
+    each sorted batch finds equal-key runs vectorized (``np.diff``) and
+    pairs interior runs of 2..max_bucket members directly. A batch's
+    first and last run may continue in the neighbouring batch, so those
+    rows (capped at max_bucket+1 ids — enough to detect an over-cap
+    bucket after merging) come back as edge fragments and are paired on
+    the driver. Replaces the round-2 two-shuffle design whose
+    count-pass shipped ~every distinct key to the driver (O(corpus)
+    driver traffic at scale)."""
+    band = _band_table(sig_ds, id_col)
+
+    def run_pairs(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column("band_hash").to_numpy(
+            zero_copy_only=False), np.int64)
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                         np.int64)
+        n = len(keys)
+        empty = {"kind": pa.array([], pa.int8()),
+                 "x": pa.array([], pa.int64()),
+                 "y": pa.array([], pa.int64())}
+        if n == 0:
+            return pa.table(empty)
+        cut = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [n]))
+        lens = ends - starts
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        # interior runs with >= 2 rows only (singletons never touched)
+        hot = np.flatnonzero(lens >= 2)
+        last = len(starts) - 1
+        for ri in hot:
+            if ri == 0 or ri == last:
+                continue
+            u = np.unique(ids[starts[ri]:ends[ri]])
+            if 2 <= len(u) <= max_bucket:
+                ia, ib = np.triu_indices(len(u), k=1)
+                out_a.append(u[ia])
+                out_b.append(u[ib])
+        pa_ = (np.concatenate(out_a) if out_a else np.empty(0, np.int64))
+        pb_ = (np.concatenate(out_b) if out_b else np.empty(0, np.int64))
+        # edge fragments: first + last run (they may span batches)
+        eidx = [0] if last == 0 else [0, last]
+        ek, ei = [], []
+        for ri in eidx:
+            cap = min(ends[ri], starts[ri] + max_bucket + 1)
+            ek.append(keys[starts[ri]:cap])
+            ei.append(ids[starts[ri]:cap])
+        ek_ = np.concatenate(ek)
+        ei_ = np.concatenate(ei)
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(pa_), np.int8),
+                 np.ones(len(ek_), np.int8)])),
+            "x": pa.array(np.concatenate([pa_, ek_]), pa.int64()),
+            "y": pa.array(np.concatenate([pb_, ei_]), pa.int64())})
+
+    res = (band.sort("band_hash")
+           .map_batches(run_pairs, batch_format="pyarrow",
+                        batch_size=None).to_pandas())
+    pair_rows = res[res["kind"] == 0]
+    cand = [pd.DataFrame({"a": pair_rows["x"].to_numpy(np.int64),
+                          "b": pair_rows["y"].to_numpy(np.int64)})]
+    edges = res[res["kind"] == 1]
+    for _k, g in edges.groupby("x"):
+        u = np.unique(g["y"].to_numpy(np.int64))
+        if 2 <= len(u) <= max_bucket:
+            ia, ib = np.triu_indices(len(u), k=1)
+            cand.append(pd.DataFrame({"a": u[ia], "b": u[ib]}))
+    out = pd.concat(cand, ignore_index=True)
+    return out.drop_duplicates(subset=["a", "b"])
+
+
+def _fetch_sigs(sig_ds, id_col: str, need_ids: np.ndarray,
+                payload: str) -> pd.DataFrame:
+    """Filtered scan of the materialized per-doc table: only candidate
+    rows (8-byte id compare per row) come back to the driver."""
+    import ray
+
+    need = np.sort(np.asarray(need_ids, np.int64))
+    ref = ray.put(need)
+
+    def pick(t: pa.Table) -> pa.Table:
+        nd = ray.get(ref)
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                         np.int64)
+        idx = np.searchsorted(nd, ids)
+        ok = idx < len(nd)
+        m = np.zeros(len(ids), bool)
+        m[ok] = nd[idx[ok]] == ids[ok]
+        return t.select([id_col, payload]).filter(pa.array(m))
+
+    return sig_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
 
 
 def minhash_lsh_pairs(ds, col: str, id_col: str, *, num_perm: int = 128,
                       bands: int = 32, shingle_size: int = 3,
                       threshold: float = 0.8, concurrency: int = 4,
-                      max_bucket: int = 200):
-    """-> Dataset of candidate pairs ``(a, b, est_jaccard)`` with
-    signature-estimated Jaccard >= threshold (a < b)."""
+                      max_bucket: int = 200) -> pd.DataFrame:
+    """-> DataFrame of candidate pairs ``(a, b, est_jaccard)`` with
+    signature-estimated Jaccard >= threshold (a < b).
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        sigs = g["sig"].to_numpy()
-        uniq_idx = np.unique(ids, return_index=True)[1]
-        if len(uniq_idx) < 2 or len(uniq_idx) > max_bucket:
-            # max_bucket caps degenerate buckets (all-identical spam) —
-            # logged in the result as a skipped bucket
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        out_a, out_b, out_j = [], [], []
-        mats = {i: np.frombuffer(sigs[i], np.uint64) for i in uniq_idx}
-        order = sorted(uniq_idx, key=lambda i: ids[i])
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                est = float((mats[i] == mats[j]).mean())
-                if est >= threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_j.append(est)
-        return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
-
+    Scale shape: the bucket shuffle moves only ``(band_hash, id)``
+    (16 B/row); full 1 KB signatures stay in the one-row-per-doc
+    materialized table and are fetched ONLY for candidate ids."""
     sig_ds = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
                                    bands=bands, shingle_size=shingle_size),
         batch_format="pyarrow", concurrency=concurrency,
         num_cpus=1).materialize()
-    return (_hot_buckets(sig_ds, "band_hash")
-            .groupby("band_hash")
-            .map_groups(bucket_pairs, batch_format="pandas"))
+    cand = _candidate_pairs(sig_ds, id_col, max_bucket)
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64),
+                          "est_jaccard": pd.Series([], dtype=np.float64)})
+    if not len(cand):
+        return empty
+    need = np.unique(np.concatenate([cand["a"].to_numpy(np.int64),
+                                     cand["b"].to_numpy(np.int64)]))
+    sub = _fetch_sigs(sig_ds, id_col, need, "sig")
+    mat = np.vstack([np.frombuffer(b, np.uint64)
+                     for b in sub["sig"]])
+    row = pd.Series(np.arange(len(sub)), index=sub[id_col].to_numpy())
+    ia = row[cand["a"].to_numpy()].to_numpy()
+    ib = row[cand["b"].to_numpy()].to_numpy()
+    est = (mat[ia] == mat[ib]).mean(axis=1)
+    keep = est >= threshold
+    out = pd.DataFrame({"a": cand["a"].to_numpy(np.int64)[keep],
+                        "b": cand["b"].to_numpy(np.int64)[keep],
+                        "est_jaccard": est[keep]})
+    return (out.sort_values(["a", "b"]).reset_index(drop=True)
+            if len(out) else empty)
 
 
 def _hot_buckets(sig_ds, key: str):
@@ -277,8 +393,14 @@ def _hot_buckets(sig_ds, key: str):
     filter. (``sig_ds`` must be materialized — it is consumed twice.)"""
     import ray
 
-    counts = sig_ds.select_columns([key]).groupby(key).count().to_pandas()
-    hot = counts.loc[counts["count()"] >= 2, key].to_numpy(np.int64)
+    import pyarrow.compute as pc
+
+    counts = (sig_ds.select_columns([key]).groupby(key).count()
+              .map_batches(lambda t: t.filter(
+                  pc.greater_equal(t.column("count()"), 2)),
+                  batch_format="pyarrow")
+              .to_pandas())  # only hot keys reach the driver
+    hot = counts[key].to_numpy(np.int64)
     hot.sort()
     hot_ref = ray.put(hot)
 
@@ -319,9 +441,7 @@ def minhash_dedup(ds, col: str, id_col: str, **kw):
     drops, materialized on the driver. At scale use
     ``minhash_dedup_dataset`` (nothing but the pairs ever leaves the
     cluster)."""
-    pairs = minhash_lsh_pairs(ds, col, id_col, **kw).to_pandas()
-    if len(pairs):
-        pairs = pairs.drop_duplicates(subset=["a", "b"])
+    pairs = minhash_lsh_pairs(ds, col, id_col, **kw)
     drop = connected_duplicates(pairs)
     ids = ds.select_columns([id_col]).to_pandas()[id_col]
     return sorted(set(ids) - drop), pairs
@@ -335,9 +455,7 @@ def minhash_dedup_dataset(ds, col: str, id_col: str, **kw):
     filtered inside ``map_batches`` — the full corpus never materializes."""
     import ray
 
-    pairs = minhash_lsh_pairs(ds, col, id_col, **kw).to_pandas()
-    if len(pairs):
-        pairs = pairs.drop_duplicates(subset=["a", "b"])
+    pairs = minhash_lsh_pairs(ds, col, id_col, **kw)
     drop = np.array(sorted(connected_duplicates(pairs)), np.int64)
     drop_ref = ray.put(drop)
 
@@ -452,6 +570,7 @@ def ngram_jaccard_pairs(ds, col: str, id_col: str, *, shingle_size: int = 3,
 
     class Hasher(MinHasher):
         def __call__(self, t: pa.Table) -> pa.Table:
+            # one row/doc; shingle sets never enter the bucket shuffle
             ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
             texts = t.column(self.col).to_pylist()
             valid, sigs = self._signatures(texts)
@@ -460,36 +579,11 @@ def ngram_jaccard_pairs(ds, col: str, id_col: str, *, shingle_size: int = 3,
             off, h = _batch_shingle_hashes(texts, self.shingle)
             sets_bytes = [np.unique(h[off[d]:off[d + 1]]).tobytes()
                           for d in np.flatnonzero(valid)]
-            nb = self.bands
             return pa.table({
-                "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
-                self.id_col: pa.array(np.repeat(vids, nb), pa.int64()),
-                "shingles": pa.array(
-                    [sets_bytes[i] for i in
-                     np.repeat(np.arange(len(vids)), nb)],
-                    pa.large_binary())})
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        sets_ = g["shingles"].to_numpy()
-        uniq = np.unique(ids, return_index=True)[1]
-        if len(uniq) < 2 or len(uniq) > max_bucket:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        order = sorted(uniq, key=lambda i: ids[i])
-        arrs = {i: np.frombuffer(sets_[i], np.uint64) for i in order}
-        out_a, out_b, out_j = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                inter = len(np.intersect1d(arrs[i], arrs[j],
-                                           assume_unique=True))
-                union = len(arrs[i]) + len(arrs[j]) - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_j.append(jac)
-        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+                self.id_col: pa.array(vids, pa.int64()),
+                "shingles": pa.array(sets_bytes, pa.large_binary()),
+                "bands": pa.array(list(bh.view(np.int64)),
+                                  pa.list_(pa.int64()))})
 
     sig_ds = ds.map_batches(
         Hasher,
@@ -497,8 +591,31 @@ def ngram_jaccard_pairs(ds, col: str, id_col: str, *, shingle_size: int = 3,
                                    bands=bands, shingle_size=shingle_size),
         batch_format="pyarrow", concurrency=concurrency,
         num_cpus=1).materialize()
-    return (_hot_buckets(sig_ds, "band_hash")
-            .groupby("band_hash").map_groups(pairs, batch_format="pandas"))
+    cand = _candidate_pairs(sig_ds, id_col, max_bucket)
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    if not len(cand):
+        return empty
+    need = np.unique(np.concatenate([cand["a"].to_numpy(np.int64),
+                                     cand["b"].to_numpy(np.int64)]))
+    sub = _fetch_sigs(sig_ds, id_col, need, "shingles")
+    arrs = {int(i): np.frombuffer(b, np.uint64)
+            for i, b in zip(sub[id_col], sub["shingles"])}
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(cand["a"], cand["b"]):
+        sa, sb = arrs[int(a)], arrs[int(b)]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac = inter / union if union else 0.0
+        if jac >= threshold:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(jac)
+    if not out_a:
+        return empty
+    return (pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+            .sort_values(["a", "b"]).reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------

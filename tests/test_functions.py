@@ -53,6 +53,28 @@ def test_minhash_finds_planted_duplicates(ray_session):
                                                 for i in range(5)}
 
 
+def test_minhash_shuffle_payload_is_thin(ray_session):
+    # the bucket shuffle must carry ONLY (band_hash, id) — 16 B/row —
+    # never the 1 KB signature repeated once per band (round-2 finding)
+    import ray.data
+    from tantivy4java_ray.functions.dedup import MinHasher, _band_table
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["alpha beta gamma delta epsilon"] * 2}))
+    sig_ds = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(col="text", id_col="doc_id",
+                                   num_perm=64, bands=16, shingle_size=3),
+        batch_format="pyarrow", concurrency=1, num_cpus=1)
+    band = _band_table(sig_ds, "doc_id")
+    assert set(band.schema().names) == {"band_hash", "doc_id"}
+    t = band.to_pandas()
+    assert len(t) == 2 * 16  # bands rows per doc, ids repeated
+    # identical texts -> identical band hashes per band slot
+    a = t[t.doc_id == 0]["band_hash"].to_numpy()
+    b = t[t.doc_id == 1]["band_hash"].to_numpy()
+    assert (np.sort(a) == np.sort(b)).all()
+
+
 def test_simhash_pairs(ray_session):
     import ray.data
     from tantivy4java_ray.functions.dedup import simhash_pairs, simhash64
@@ -75,9 +97,8 @@ def test_ngram_jaccard_exact_values(ray_session):
     b = "one two three four five six seven eight nine eleven"
     ds = ray.data.from_pandas(pd.DataFrame(
         {"doc_id": [0, 1], "text": [a, b]}))
-    pairs = (ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.3,
-                                 shingle_size=3)
-             .to_pandas().drop_duplicates(subset=["a", "b"]))
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.3,
+                                shingle_size=3)
     assert len(pairs) == 1
     # 8 shingles each, 7 shared -> J = 7/9
     assert pairs.iloc[0]["jaccard"] == pytest.approx(7 / 9)
