@@ -267,13 +267,56 @@ def _partial_one(spec: dict, table: pa.Table) -> Any:
     if len(grp) == 0:
         return out
     if sub_specs:
+        # segmented partials: factorize the bucket key ONCE, compute
+        # metric children with bincount/segmented kernels across ALL
+        # buckets — no per-bucket Arrow take (a high-cardinality terms
+        # agg would otherwise do thousands of small takes per batch)
         sub_tbl = table.filter(pa.array(np.asarray(sel, bool)))
-        gb = pd.Series(np.arange(len(grp)), index=None).groupby(grp.to_numpy())
-        for key, idx in gb.groups.items():
-            rows = np.asarray(idx, np.int64)
-            out[key] = {"doc_count": int(len(rows)),
-                        "sub": {n: _partial_one(s, sub_tbl.take(pa.array(rows)))
-                                for n, s in sub_specs.items()}}
+        codes, uniq = pd.factorize(grp.to_numpy(), sort=False)
+        nb = len(uniq)
+        doc_counts = np.bincount(codes, minlength=nb)
+        sub_states: dict[str, list] = {}
+        order = None
+        for n, s in sub_specs.items():
+            skind, sbody, ssub = _spec_kind(s)
+            if skind in _METRICS and not ssub:
+                vals = _col_numpy(sub_tbl, sbody["field"])
+                if skind in ("count", "value_count"):
+                    okm = pd.notna(pd.Series(vals)).to_numpy()
+                    cnt = np.bincount(codes[okm], minlength=nb)
+                    sub_states[n] = [
+                        {"min": math.inf, "max": -math.inf, "sum": 0.0,
+                         "sum_sq": 0.0, "count": int(cnt[i])}
+                        for i in range(nb)]
+                else:
+                    v = pd.to_numeric(pd.Series(vals), errors="coerce"
+                                      ).to_numpy(np.float64)
+                    okm = ~np.isnan(v)
+                    c, vv = codes[okm], v[okm]
+                    cnt = np.bincount(c, minlength=nb)
+                    sm = np.bincount(c, weights=vv, minlength=nb)
+                    s2 = np.bincount(c, weights=vv * vv, minlength=nb)
+                    mn = np.full(nb, math.inf)
+                    mx = np.full(nb, -math.inf)
+                    np.minimum.at(mn, c, vv)
+                    np.maximum.at(mx, c, vv)
+                    sub_states[n] = [
+                        {"min": float(mn[i]), "max": float(mx[i]),
+                         "sum": float(sm[i]), "sum_sq": float(s2[i]),
+                         "count": int(cnt[i])} for i in range(nb)]
+            else:
+                # generic child (nested buckets / sketches): sort codes
+                # once, one contiguous take per bucket
+                if order is None:
+                    order = np.argsort(codes, kind="stable")
+                    bnd = np.searchsorted(codes[order], np.arange(nb + 1))
+                sub_states[n] = [
+                    _partial_one(s, sub_tbl.take(
+                        pa.array(order[bnd[i]:bnd[i + 1]])))
+                    for i in range(nb)]
+        out = {uniq[i]: {"doc_count": int(doc_counts[i]),
+                         "sub": {n: sub_states[n][i] for n in sub_specs}}
+               for i in range(nb)}
     else:
         vc = grp.value_counts()
         for key, cnt in vc.items():
@@ -395,17 +438,38 @@ def _py_key(key: Any, kind: str, body: dict) -> Any:
 # execution surfaces
 # ---------------------------------------------------------------------------
 
-def aggregate_dataset(ds, specs: dict[str, dict]) -> dict:
+def aggregate_dataset(ds, specs: dict[str, dict], *,
+                      tree_threshold: int = 1024, fanin: int = 32) -> dict:
     """Run the DSL over any Ray Dataset: vectorized partials per block
-    (map_batches), associative merge on the driver — no shuffle."""
+    (map_batches), associative merge — no shuffle.
+
+    Up to ``tree_threshold`` block states merge serially on the driver;
+    above it (10^5 blocks × a wide terms dict would be a driver hot
+    spot) states tree-reduce in ``map_batches`` rounds of ``fanin``
+    until few enough remain."""
+    import math as _math
+
     def to_state(batch: pa.Table) -> pa.Table:
         st = partial_agg(specs, batch)
         return pa.table({"state": pa.array([pickle.dumps(st)],
                                            pa.large_binary())})
 
-    rows = ds.map_batches(to_state, batch_format="pyarrow").take_all()
+    def merge_block(t: pa.Table) -> pa.Table:
+        m: dict = {}
+        for blob in t.column("state").to_pylist():
+            m = merge_states(specs, m, pickle.loads(blob))
+        return pa.table({"state": pa.array([pickle.dumps(m)],
+                                           pa.large_binary())})
+
+    sd = ds.map_batches(to_state, batch_format="pyarrow").materialize()
+    n = sd.count()
+    while n > tree_threshold:
+        sd = (sd.repartition(_math.ceil(n / fanin))
+              .map_batches(merge_block, batch_format="pyarrow",
+                           batch_size=None).materialize())
+        n = sd.count()
     merged: dict = {}
-    for row in rows:
+    for row in sd.take_all():
         merged = merge_states(specs, merged, pickle.loads(row["state"]))
     return finalize(specs, merged)
 

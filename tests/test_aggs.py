@@ -242,3 +242,66 @@ def test_percentiles_as_sub_agg(table):
     # cat0 = first 50 rows -> median price ~ 36.75
     got = b0["p"]["values"]["50"]
     assert abs(got - 36.75) / 36.75 < 0.05
+
+
+def test_segmented_subagg_matches_bruteforce():
+    # high-cardinality terms + every metric child computed by the
+    # segmented bincount path must equal a numpy brute-force per bucket
+    # (incl. null values and an all-null bucket)
+    rng = np.random.default_rng(7)
+    n = 5000
+    keys = rng.integers(0, 800, n)
+    vals = rng.standard_normal(n)
+    vals[rng.random(n) < 0.1] = np.nan
+    vals[keys == 13] = np.nan  # one bucket with no valid values
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    out = finalize({"g": {"terms": {"field": "k", "size": 800},
+                          "aggs": {"s": {"stats": {"field": "v"}},
+                                   "a": {"avg": {"field": "v"}},
+                                   "c": {"value_count": {"field": "v"}}}}},
+                   partial_agg({"g": {"terms": {"field": "k", "size": 800},
+                                      "aggs": {"s": {"stats": {"field": "v"}},
+                                               "a": {"avg": {"field": "v"}},
+                                               "c": {"value_count":
+                                                     {"field": "v"}}}}}, t))
+    by_key = {b["key"]: b for b in out["g"]["buckets"]}
+    for k in (0, 13, 799):
+        m = keys == k
+        v = vals[m]
+        vv = v[~np.isnan(v)]
+        b = by_key[k]
+        assert b["doc_count"] == int(m.sum())
+        assert b["c"]["value"] == len(vv)
+        if len(vv):
+            assert abs(b["s"]["sum"] - vv.sum()) < 1e-9
+            assert b["s"]["min"] == vv.min() and b["s"]["max"] == vv.max()
+            assert abs(b["a"]["value"] - vv.mean()) < 1e-12
+        else:
+            assert b["a"]["value"] is None
+
+
+def test_aggregate_dataset_tree_reduce(ray_session):
+    # forcing a tiny threshold exercises >=2 tree rounds; result must
+    # equal the serial driver merge
+    import ray.data
+
+    from tantivy4java_ray.aggs import aggregate_dataset
+    rng = np.random.default_rng(11)
+    import pandas as pd
+    df = pd.DataFrame({"cat": rng.integers(0, 20, 4000),
+                       "v": rng.standard_normal(4000)})
+    ds = ray.data.from_pandas(df).repartition(40)
+    specs = {"g": {"terms": {"field": "cat", "size": 30},
+                   "aggs": {"s": {"sum": {"field": "v"}}}},
+             "m": {"avg": {"field": "v"}}}
+    direct = aggregate_dataset(ds, specs)
+    tree = aggregate_dataset(ds, specs, tree_threshold=4, fanin=4)
+    assert abs(tree["m"]["value"] - df["v"].mean()) < 1e-9
+    # summation order differs between tree and serial merges -> compare
+    # structure + counts exactly, float sums to 1e-9
+    db = {b["key"]: b for b in direct["g"]["buckets"]}
+    tb = {b["key"]: b for b in tree["g"]["buckets"]}
+    assert set(db) == set(tb)
+    for k, b in db.items():
+        assert tb[k]["doc_count"] == b["doc_count"]
+        assert abs(tb[k]["s"]["value"] - b["s"]["value"]) < 1e-9
