@@ -243,6 +243,24 @@ class IndexReader:
             cache[sid] = self._st.blob_open(path)
         return cache[sid]
 
+    def _prefetch_runs(self, runs, which: str = "postings") -> None:
+        """Remote blobs: warm the byte-range page cache for all of a
+        term's runs in one coalesced batch (request consolidation,
+        ``BATCH_OPTIMIZATION_DEVELOPERS_GUIDE.md:900-947``). No-op on
+        local memmaps."""
+        by_sid: dict[int, list[int]] = {}
+        for sid, r in runs:
+            by_sid.setdefault(sid, []).append(r)
+        okey = "offset" if which == "postings" else "pos_offset"
+        nkey = "nbytes" if which == "postings" else "pos_nbytes"
+        for sid, rs in by_sid.items():
+            mm = self._mm(sid, which)
+            if mm is None or not hasattr(mm, "prefetch"):
+                continue
+            d = self._dict(sid)
+            mm.prefetch([(int(d[okey][r]), int(d[okey][r]) + int(d[nkey][r]))
+                         for r in rs])
+
     def _run_bytes(self, sid: int, r: int, which: str = "postings"):
         """One posting/position run's exact byte range: a zero-copy
         memmap view locally, ONE ranged GET on object storage."""
@@ -281,6 +299,7 @@ class IndexReader:
         runs = self._term_runs(field, term)
         if not runs:
             return np.empty(0, np.int64), np.empty(0, np.uint32)
+        self._prefetch_runs(runs, "postings")
         doc_parts, tf_parts = [], []
         for sid, r in runs:
             d = self._dict(sid)
@@ -326,6 +345,8 @@ class IndexReader:
         if not runs:
             return (np.empty(0, np.int64), np.empty(0, np.uint32),
                     np.empty(0, np.uint32))
+        self._prefetch_runs(runs, "postings")
+        self._prefetch_runs(runs, "positions")
         doc_parts, tf_parts, pos_parts = [], [], []
         for sid, r in runs:
             d = self._dict(sid)

@@ -1,0 +1,123 @@
+"""Byte-range LRU + GET coalescing (round-3; the reference's L1 cache
+and request consolidation, ``SplitCacheManager.java:560-739``,
+``BATCH_OPTIMIZATION_DEVELOPERS_GUIDE.md:900-947``)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tantivy4java_ray.storage import RangedBlob
+
+
+class CountingFS:
+    """Minimal fsspec-like fs over one in-memory blob."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.calls: list[tuple[int, int]] = []
+
+    def size(self, path):
+        return len(self.data)
+
+    def cat_file(self, path, start=0, end=None):
+        self.calls.append((start, end))
+        return self.data[start:end]
+
+    def cat_ranges(self, paths, starts, ends):
+        out = []
+        for s, e in zip(starts, ends):
+            self.calls.append((s, e))
+            out.append(self.data[s:e])
+        return out
+
+
+def test_ranged_blob_page_cache_and_coalescing():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, 1_000_000, np.uint8).tobytes()
+    fs = CountingFS(data)
+    blob = RangedBlob(fs, "x", page_size=4096, cache_pages=64)
+
+    # two adjacent small runs in the same page -> ONE GET total
+    a = blob[100:200]
+    b = blob[300:500]
+    assert bytes(a) == data[100:200] and bytes(b) == data[300:500]
+    assert blob.gets == 1
+
+    # repeat reads -> zero additional GETs (warm path)
+    blob[100:200]
+    blob[300:500]
+    assert blob.gets == 1
+
+    # a run spanning page boundary: consecutive missing pages coalesce
+    c = blob[8000:17000]
+    assert bytes(c) == data[8000:17000]
+    assert blob.gets == 2  # one coalesced GET for pages 1..4
+
+    # scattered prefetch: 3 runs -> grouped into <= 3 GETs, then every
+    # covered read is free
+    g0 = blob.gets
+    blob.prefetch([(50_000, 50_100), (50_200, 50_300), (800_000, 800_050)])
+    assert blob.gets - g0 <= 2  # first two runs share a page group
+    blob[50_000:50_100]
+    blob[800_000:800_050]
+    assert blob.gets - g0 <= 2
+
+    # LRU eviction keeps the cache bounded
+    for i in range(0, 600_000, 4096):
+        blob[i:i + 10]
+    assert len(blob._pages) <= 64
+
+
+def test_ranged_blob_eof_clamp():
+    data = bytes(range(100)) * 10
+    fs = CountingFS(data)
+    blob = RangedBlob(fs, "x", page_size=256)
+    out = blob[900:5000]  # stop beyond EOF clamps
+    assert bytes(out) == data[900:]
+    assert len(blob) == 1000
+
+
+def test_memory_index_query_get_counts(ray_session, tmp_path):
+    """3-term bool + wildcard over a memory://-resident index: posting
+    reads are coalesced per term, and a REPEAT query issues ZERO new
+    byte-range GETs (postings LRU + page LRU)."""
+    import fsspec
+
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.query import Occur, Query
+    from tantivy4java_ray.schema import IndexSchema
+    from tantivy4java_ray.sources.webpages import write_webpages
+
+    write_webpages(str(tmp_path / "data"), 400, n_files=1,
+                   rows_per_row_group=200)
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    build_index(str(tmp_path / "data"), str(tmp_path / "idx"), s,
+                target_docs_per_partition=200, num_shards=2)
+    # copy the built index into the (process-local) memory filesystem
+    mem = fsspec.filesystem("memory")
+    for root, _dirs, files in os.walk(tmp_path / "idx"):
+        for f in files:
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, tmp_path / "idx")
+            with open(p, "rb") as fh:
+                mem.pipe_file(f"/t4jr_idx/{rel}", fh.read())
+
+    r = IndexReader("memory://t4jr_idx")
+    q = Query.boolean([
+        (Occur.SHOULD, Query.term("text", "alpha")),
+        (Occur.SHOULD, Query.term("text", "bravo")),
+        (Occur.SHOULD, Query.term("text", "charlie")),
+    ])
+    docs, _ = r.evaluate(q)
+    assert len(docs) > 0
+    wdocs = r.match_terms("text", "regex", pattern="need.*")
+    gets_after = sum(r._mm(sid).gets for sid in r._post_mm)
+    assert gets_after >= 1
+    # warm repeat: no new byte-range requests at all
+    docs2, _ = r.evaluate(q)
+    r.match_terms("text", "regex", pattern="need.*")
+    assert sum(r._mm(sid).gets for sid in r._post_mm) == gets_after
+    assert list(docs2) == list(docs) and len(wdocs) >= 0
