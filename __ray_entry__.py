@@ -283,6 +283,28 @@ def _events_index(sf_dir: str):
         s, target_docs_per_partition=50_000, num_shards=4)
 
 
+def q_ft_whitespace_term(sf_dir: str):
+    """Whitespace-analyzer surface with a SQL oracle: terms are
+    whitespace-split + lowercased (``text_analyzer.rs:230-235``), so a
+    term like 'merge' only matches where a whole whitespace-delimited
+    (lowercased) token equals it — punctuation stays attached, unlike
+    the default analyzer."""
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/idx-{tag}-ws"
+    s = IndexSchema()
+    s.add_text_field("text", tokenizer="whitespace", index_option="freq")
+    build_index(f"{sf_dir}/documents.parquet", idx, s,
+                target_docs_per_partition=20_000, num_shards=4)
+    r = IndexReader(idx)
+    docs, _ = r.evaluate(Query.term("text", "merge"))
+    return pd.DataFrame({"doc_id": np.asarray(docs, np.int64)})
+
+
 def _ip_events_index(sf_dir: str):
     """Deterministic synthetic IP column derived from event_id (the
     testdata has no IP column; same-formula SQL is the oracle). Octet
@@ -744,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_range_nchars": q_ft_range_nchars,
         "json_range_numeric": q_json_range_numeric,
         "ip_range": q_ip_range,
+        "ft_whitespace_term": q_ft_whitespace_term,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_dismax": q_ft_dismax,
         "ft_term_set": q_ft_term_set,
@@ -828,6 +851,11 @@ def oracle_sql() -> dict[str, str]:
         # same octet formulas as _ip_events_index, compared as a u32 —
         # [2.0.0.0, 10.0.0.0) numerically; IPv6 rows (event_id%37=0)
         # are out of the v4-mapped range by construction
+        # whitespace analyzer: split on whitespace, lowercase, keep
+        # punctuation attached to tokens
+        "ft_whitespace_term":
+            "SELECT doc_id FROM documents WHERE list_contains("
+            "regexp_split_to_array(lower(text), '\\s+'), 'merge')",
         "ip_range":
             "SELECT event_id FROM events WHERE event_id % 37 <> 0 AND "
             "((1 + event_id % 12) * 16777216 "

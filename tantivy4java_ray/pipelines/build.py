@@ -62,6 +62,11 @@ from tantivy4java_ray.state.manifest import TransactionLog, atomic_write_json
 
 RUN_SPAN = 1 << 32  # max doc span addressable by one posting run (u32)
 
+#: partial-format completion marker: versioned so a build resumed across
+#: code versions re-maps partitions instead of mixing delta/absolute
+#: partial encodings (v2 = delta-encoded docs/positions)
+_PARTIAL_MARKER = ".complete-v2"
+
 _PARTIAL_SCHEMA = pa.schema([
     ("shard", pa.int32()),
     ("field", pa.string()),
@@ -302,7 +307,7 @@ class PartitionIndexer:
         docdata_path, partial_dir = self._paths(pid)
         summary = pa.table({"pid": pa.array([pid], pa.int32())})
         if (self.checkpoint and st.sexists(docdata_path)
-                and st.sexists(st.sjoin(partial_dir, ".complete"))):
+                and st.sexists(st.sjoin(partial_dir, _PARTIAL_MARKER))):
             # resume: this partition is already built (atomic rename = done)
             return summary
 
@@ -496,7 +501,7 @@ class PartitionIndexer:
                 sorted_p.slice(s0, s1 - s0),
                 st.sjoin(partial_dir, f"shard-{sid:05d}.parquet"),
                 compression="zstd", compression_level=1)
-        st.write_bytes_atomic(b"", st.sjoin(partial_dir, ".complete"))
+        st.write_bytes_atomic(b"", st.sjoin(partial_dir, _PARTIAL_MARKER))
         self._atomic_parquet(dd, docdata_path)
         return summary
 
@@ -570,8 +575,21 @@ class PartitionIndexer:
                 [None, pa.py_buffer(offsets.tobytes()),
                  pa.py_buffer(data.tobytes())])
 
+        # delta-encode docs within each term and positions within each
+        # (term, doc) pair: partials dominate the build's storage traffic
+        # (round-3 accounting: positions 64% + docs 28% of partial bytes)
+        # and small deltas compress far better under zstd; the reduce
+        # side restores absolutes with segmented cumsums
+        docs_delta = pair_row.copy()
+        if len(docs_delta) > 1:
+            docs_delta[1:] = pair_row[1:] - pair_row[:-1]
+        docs_delta[tstarts] = pair_row[tstarts]
         if pos_sorted is not None:
-            pos_col = bin_col(pos_sorted, pair_pos_off[term_bounds])
+            pos_delta = pos_sorted.copy()
+            if len(pos_delta) > 1:
+                pos_delta[1:] = pos_sorted[1:] - pos_sorted[:-1]
+            pos_delta[pstarts] = pos_sorted[pstarts]
+            pos_col = bin_col(pos_delta, pair_pos_off[term_bounds])
         else:
             pos_col = bin_col(np.empty(0, np.uint32),
                               np.zeros(n_terms + 1, np.int64))
@@ -584,7 +602,7 @@ class PartitionIndexer:
                 np.full(n_terms, spec["doc_base"], np.int64)),
             "df": pa.array(tlens.astype(np.int64)),
             "ttf": pa.array(ttf_arr),
-            "docs": bin_col(pair_row, term_bounds),
+            "docs": bin_col(docs_delta, term_bounds),
             "tfs": bin_col(tf, term_bounds),
             "positions": pos_col}))
         return int(n_pairs)
@@ -653,9 +671,29 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
     posv_off = (pos_off // 4).astype(np.int64)
     from tantivy4java_ray.nputil import repeat_int
     docs_all = _u32(doc_data)[:pair_off[-1]].astype(np.int64)
+    # partials carry per-term doc DELTAS (map-side compression):
+    # segmented cumsum restores absolute local row ids per partial row
+    if len(docs_all):
+        cs = np.cumsum(docs_all)
+        seg_starts = pair_off[:-1]
+        adj = np.concatenate(([0], cs[seg_starts[1:] - 1]))
+        docs_all = cs - repeat_int(adj, dfs_arr)
     docs_all += repeat_int(bases_arr, dfs_arr)
     tfs_all = _u32(tf_data)
-    pos_all = _u32(pos_data)
+    npos = int(posv_off[-1])
+    pos_all = _u32(pos_data)[:npos].astype(np.int64)
+    # positions are within-pair deltas: restore with a pair-segmented
+    # cumsum (pair lengths = tfs of pairs belonging to rows with
+    # positions — non-position fields contribute no bytes)
+    if npos:
+        has_pos_row = np.diff(posv_off) > 0
+        pair_mask = np.repeat(has_pos_row, dfs_arr)
+        plens = tfs_all[:pair_off[-1]][pair_mask].astype(np.int64)
+        cps = np.cumsum(pos_all)
+        pstart = np.concatenate(([0], np.cumsum(plens)[:-1]))
+        adj = np.concatenate(([0], cps[pstart[1:] - 1]))
+        pos_all = (cps - repeat_int(adj, plens))
+    pos_all = pos_all.astype(np.uint32)
 
     # term-group boundaries over rows (object != is an elementwise C loop)
     n = group.num_rows

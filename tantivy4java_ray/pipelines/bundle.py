@@ -51,7 +51,11 @@ def bundle_index(index_dir: str, out_path: str, *,
             continue
         if top == "txlog" and not include_txlog:
             continue
-        if rel.split("/")[-1].startswith(".tmp"):
+        base = rel.split("/")[-1]
+        # both temp conventions: '.tmpXXX' prefixes and the atomic
+        # writers' 'name.tmp-<pid>' suffixes (storage.py) — leftovers
+        # from a crashed write must never be packed
+        if base.startswith(".tmp") or ".tmp-" in base:
             continue
         files.append(rel)
 
@@ -248,7 +252,11 @@ class SplitFileSystem(AbstractFileSystem):
 
     def size(self, path) -> int:
         bundle, inner = _parse(self._strip_protocol(path))
-        return self._footer(bundle)["files"][inner][1]
+        try:
+            return self._footer(bundle)["files"][inner][1]
+        except KeyError:
+            # fsspec consumers catch FileNotFoundError, not KeyError
+            raise FileNotFoundError(path) from None
 
     def cat_file(self, path, start=None, end=None, **kw) -> bytes:
         bundle, inner = _parse(self._strip_protocol(path))

@@ -872,8 +872,15 @@ class IndexReader:
         (order-preserving f64 encoding written at build) so the compare
         is numeric; string bounds range over the \\x01 string terms
         lexicographically (json_query.rs typed-subpath semantics)."""
-        numeric = any(isinstance(b, (int, float)) and not isinstance(b, bool)
-                      for b in (lo, hi))
+        def _is_num(b):
+            return isinstance(b, (int, float)) and not isinstance(b, bool)
+
+        numeric = any(_is_num(b) for b in (lo, hi))
+        if numeric and any(b is not None and not _is_num(b)
+                           for b in (lo, hi)):
+            raise TypeError(
+                f"json_range bounds must both be numeric or both strings, "
+                f"got ({lo!r}, {hi!r})")
         if numeric:
             if "json_numeric_terms" not in self.features:
                 # unflagged index (built before the capability stamp):
@@ -1322,7 +1329,7 @@ def encode_f64_sortable(v: float) -> str:
     standard trick so lexicographic order on the encoding equals numeric
     order (the reference types JSON numeric subpaths the same way,
     native/src/query/json_query.rs i64/f64 fast paths)."""
-    bits = np.float64(v).view(np.uint64)
+    bits = np.float64(v + 0.0).view(np.uint64)  # -0.0 -> 0.0: one term
     if bits & np.uint64(1 << 63):
         bits = ~bits
     else:
@@ -1332,7 +1339,8 @@ def encode_f64_sortable(v: float) -> str:
 
 def encode_f64_sortable_array(vals: np.ndarray) -> np.ndarray:
     """Vectorized ``encode_f64_sortable`` -> object array of hex strings."""
-    bits = np.ascontiguousarray(vals, np.float64).view(np.uint64)
+    v64 = np.ascontiguousarray(vals, np.float64) + 0.0  # -0.0 -> 0.0
+    bits = v64.view(np.uint64)
     neg = (bits & np.uint64(1 << 63)) != 0
     out = np.where(neg, ~bits, bits | np.uint64(1 << 63))
     return np.array([format(int(b), "016x") for b in out], dtype=object)
@@ -1377,8 +1385,15 @@ def _phrase_slop0_counts(n_cand: int,
         gbase = np.repeat(np.cumsum(lens) - lens, lens)
         gidx = np.repeat(starts, lens) + (np.arange(total) - gbase)
         cirep = np.repeat(np.arange(n_cand, dtype=np.int64), lens)
-        k = (cirep * shift
-             + (pos[gidx].astype(np.int64) - np.int64(o) + bias))
+        pk = pos[gidx].astype(np.int64) - np.int64(o) + bias
+        if len(pk) and int(pk.max()) >= int(shift):
+            # a position this close to 2^32 would carry into the
+            # candidate-index half of the packed key (ADVICE r2);
+            # positions are token indices, so this cannot happen for
+            # real documents — fail loudly rather than corrupt
+            raise OverflowError(
+                "phrase position exceeds 2^32 after bias; cannot pack")
+        k = cirep * shift + pk
         keys = k if keys is None else np.intersect1d(
             keys, k, assume_unique=True)
         if not len(keys):
@@ -1793,7 +1808,8 @@ def read_index_metadata(index_dir: str) -> dict:
 def list_index_files(index_dir: str) -> list[str]:
     from tantivy4java_ray import storage as st
     return sorted(f for f in st.swalk_files(index_dir)
-                  if not os.path.basename(f).startswith(".tmp"))
+                  if not os.path.basename(f).startswith(".tmp")
+                  and ".tmp-" not in os.path.basename(f))
 
 
 def validate_index(index_dir: str) -> list[str]:

@@ -51,10 +51,14 @@ def recover_interrupted_commit(index_dir: str) -> bool:
             if os.path.exists(marker):
                 os.unlink(marker)
             return False
-        merged = sorted(_glob.glob(f"{index_dir}.merged-*"))
-        olds = sorted(_glob.glob(f"{index_dir}.old-*"))
-        info = {"merged": merged[-1] if merged else "",
-                "old": olds[-1] if olds else ""}
+        # tags are random uuid hex: lexicographic max is NOT recency —
+        # pick the newest candidate by mtime (ADVICE r2)
+        def _newest(pat: str) -> str:
+            cands = _glob.glob(pat)
+            return max(cands, key=os.path.getmtime) if cands else ""
+
+        info = {"merged": _newest(f"{index_dir}.merged-*"),
+                "old": _newest(f"{index_dir}.old-*")}
         if not (info["merged"] or info["old"]):
             return False
     repaired = False

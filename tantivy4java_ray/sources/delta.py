@@ -8,9 +8,9 @@ implemented directly over the public Delta transaction-log format
 actions + optional ``*.checkpoint.parquet``) — no delta-rs dependency.
 
 ``build_index(delta_live_files(table), ...)`` indexes a Delta table.
-Iceberg is NOT implemented: its manifests are Avro and no Avro reader
-exists in this environment (``sources/iceberg.py`` raises with that
-explanation).
+Iceberg is implemented alongside: ``sources/iceberg.py`` lists live
+data files through the pure-Python Avro container reader in
+``sources/avro.py``.
 """
 
 from __future__ import annotations
