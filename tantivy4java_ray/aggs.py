@@ -162,17 +162,50 @@ def _pct_finalize(state: dict | None, percents) -> dict:
     return {"values": out}
 
 
+def _pct_rank_finalize(state: dict | None, values) -> dict:
+    """percentile_ranks: % of data <= each query value (same log-bucket
+    sketch as percentiles; exact at the min/max edges)."""
+    if not state or not state["count"]:
+        return {"values": {f"{v:g}": None for v in values}}
+    reps: list[float] = []
+    counts: list[int] = []
+    for i in sorted(state["neg"], reverse=True):
+        reps.append(-(10.0 ** ((i + 0.5) / _PCT_K)))
+        counts.append(state["neg"][i])
+    if state["zeros"]:
+        reps.append(0.0)
+        counts.append(state["zeros"])
+    for i in sorted(state["pos"]):
+        reps.append(10.0 ** ((i + 0.5) / _PCT_K))
+        counts.append(state["pos"][i])
+    cum = np.cumsum(counts)
+    n = state["count"]
+    out = {}
+    for v in values:
+        v = float(v)
+        if v < state["min"]:
+            pct = 0.0
+        elif v >= state["max"]:
+            pct = 100.0
+        else:
+            j = int(np.searchsorted(reps, v, side="right"))
+            pct = 100.0 * (float(cum[j - 1]) if j else 0.0) / n
+        out[f"{v:g}"] = pct
+    return {"values": out}
+
+
 # ---------------------------------------------------------------------------
 # partial state per agg kind
 # ---------------------------------------------------------------------------
 
-_METRICS = ("min", "max", "sum", "avg", "count", "value_count", "stats")
+_METRICS = ("min", "max", "sum", "avg", "count", "value_count", "stats",
+            "extended_stats")
 
 
 def _spec_kind(spec: dict) -> tuple[str, dict, dict]:
     sub = spec.get("aggs") or spec.get("aggregations") or {}
     for k in ("terms", "multi_terms", "histogram", "date_histogram", "range",
-              "cardinality", "percentiles", *_METRICS):
+              "cardinality", "percentiles", "percentile_ranks", *_METRICS):
         if k in spec:
             return k, spec[k], sub
     raise ValueError(f"unrecognized aggregation spec {spec!r}")
@@ -213,7 +246,7 @@ def _partial_one(spec: dict, table: pa.Table) -> Any:
         _hll_update(regs, vals)
         return regs
 
-    if kind == "percentiles":
+    if kind in ("percentiles", "percentile_ranks"):
         return _pct_partial(_col_numpy(table, body["field"]))
 
     # bucket aggs -> dict bucket_key -> {"doc_count": n, "sub": {...}}
@@ -351,7 +384,7 @@ def _merge_one(spec: dict, x: Any, y: Any) -> Any:
                 "count": x["count"] + y["count"]}
     if kind == "cardinality":
         return np.maximum(x, y)
-    if kind == "percentiles":
+    if kind in ("percentiles", "percentile_ranks"):
         return _pct_merge(x, y)
     out = dict(x)
     for key, st in y.items():
@@ -388,14 +421,26 @@ def _finalize_one(spec: dict, st: Any) -> dict:
         if kind in ("count", "value_count"):
             return {"value": n}
         var = (st["sum_sq"] / n - (st["sum"] / n) ** 2) if n else None
-        return {"count": n, "min": st["min"] if n else None,
-                "max": st["max"] if n else None, "sum": st["sum"],
-                "avg": st["sum"] / n if n else None,
-                "std_deviation": math.sqrt(max(var, 0.0)) if n else None}
+        out = {"count": n, "min": st["min"] if n else None,
+               "max": st["max"] if n else None, "sum": st["sum"],
+               "avg": st["sum"] / n if n else None,
+               "std_deviation": math.sqrt(max(var, 0.0)) if n else None}
+        if kind == "extended_stats":
+            sd = out["std_deviation"]
+            avg = out["avg"]
+            out.update({
+                "sum_of_squares": st["sum_sq"],
+                "variance": max(var, 0.0) if n else None,
+                "std_deviation_bounds": {
+                    "upper": avg + 2 * sd if n else None,
+                    "lower": avg - 2 * sd if n else None}})
+        return out
     if kind == "cardinality":
         return {"value": round(_hll_estimate(st)) if st is not None else 0}
     if kind == "percentiles":
         return _pct_finalize(st, body.get("percents", _PCT_DEFAULTS))
+    if kind == "percentile_ranks":
+        return _pct_rank_finalize(st, body.get("values", ()))
 
     st = st or {}
     items = list(st.items())

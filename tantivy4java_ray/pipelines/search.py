@@ -1183,8 +1183,49 @@ class IndexReader:
             out["clauses"] = [self.explain(sub, doc_id)]
         elif query.kind == "phrase":
             field, elems, slop = query.params
-            out.update({"field": field, "slop": slop,
-                        "terms": [w for _o, w in elems]})
+            words = [w for _o, w in elems]
+            dfs = {w: self.doc_freq(field, w) for w in words}
+            out.update({"field": field, "slop": slop, "terms": words,
+                        "dfs": dfs,
+                        "idf_sum": float(sum(self.idf(d)
+                                             for d in dfs.values())),
+                        "k1": self.k1, "b": self.b,
+                        "avgdl": self.avgdl.get(field)})
+        elif query.kind == "fuzzy":
+            field, term, dist, transpose, prefix = query.params
+            expanded: set = set()
+            for sid in range(self.num_shards):
+                fs = self._field_slice(sid, field)
+                if fs is None:
+                    continue
+                for t in fs["uterms"]:
+                    if ((prefix and t.startswith(term))
+                            or _edit_distance(term, t, dist, transpose)
+                            <= dist):
+                        expanded.add(t)
+            out.update({"field": field, "term": term, "distance": dist,
+                        "expanded_terms": sorted(expanded)})
+        elif query.kind in ("regex", "wildcard"):
+            field = query.params[0]
+            out.update({"field": field, "pattern": query.params[1],
+                        "const_score": True})
+        elif query.kind == "range":
+            field, lo, hi, ilo, ihi = query.params
+            out.update({"field": field, "lower": lo, "upper": hi,
+                        "include_lower": ilo, "include_upper": ihi,
+                        "const_score": True})
+        elif query.kind == "const":
+            sub, cscore = query.params
+            out["const_score"] = cscore
+            out["clauses"] = [self.explain(sub, doc_id)]
+        elif query.kind == "term_set":
+            field, terms = query.params
+            out.update({"field": field,
+                        "matched_terms": [
+                            t for t in terms
+                            if (lambda d: len(d[0]) and
+                                doc_id in d[0])(self.postings(field, t))],
+                        "const_score": True})
         return out
 
     # -- doc retrieval (hits -> source parquet rows; companion-mode join) ---

@@ -157,6 +157,38 @@ class Query:
             return x
         return {"kind": self.kind, "params": conv(self.params)}
 
+    @staticmethod
+    def from_dict(d: dict) -> "Query":
+        """Inverse of ``to_dict`` — ``Query.from_dict(q.to_dict()) == q``
+        for every query kind (pinned by tests). The stable wire form for
+        cross-version actors and external callers (the reference's split
+        protocol is documented JSON, ``SplitQuery.java:23``,
+        ``parse_query.rs:376-424``)."""
+        def conv(x: Any) -> Any:
+            if isinstance(x, dict) and "kind" in x and "params" in x:
+                return Query.from_dict(x)
+            if isinstance(x, list):
+                return tuple(conv(e) for e in x)
+            return x
+        kind = d["kind"]
+        params = conv(d["params"])
+        if kind == "bool":
+            params = tuple((Occur(int(o)), q) for o, q in params)
+        return Query(kind, params)
+
+    def to_json(self) -> str:
+        """Canonical JSON wire form (sorted keys, no whitespace). Range
+        bounds must be JSON-representable (numbers / strings / null);
+        use ISO strings for dates."""
+        import json
+        return json.dumps(self.to_dict(), separators=(",", ":"),
+                          sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Query":
+        import json
+        return Query.from_dict(json.loads(s))
+
 
 def _term_str(v: Any) -> str:
     if isinstance(v, bool):

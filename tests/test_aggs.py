@@ -305,3 +305,32 @@ def test_aggregate_dataset_tree_reduce(ray_session):
     for k, b in db.items():
         assert tb[k]["doc_count"] == b["doc_count"]
         assert abs(tb[k]["s"]["value"] - b["s"]["value"]) < 1e-9
+
+
+def test_extended_stats(table):
+    out = run({"e": {"extended_stats": {"field": "price"}}}, table, split=37)
+    prices = np.array([i * 1.5 for i in range(100)])
+    assert out["e"]["count"] == 100
+    assert abs(out["e"]["variance"] - prices.var()) < 1e-9
+    assert abs(out["e"]["sum_of_squares"] - (prices ** 2).sum()) < 1e-6
+    b = out["e"]["std_deviation_bounds"]
+    assert abs(b["upper"] - (prices.mean() + 2 * prices.std())) < 1e-9
+    assert abs(b["lower"] - (prices.mean() - 2 * prices.std())) < 1e-9
+
+
+@pytest.mark.parametrize("split", [None, 41])
+def test_percentile_ranks(table, split):
+    out = run({"r": {"percentile_ranks": {"field": "price",
+                                          "values": [0.0, 74.25, 1000.0,
+                                                     -5.0]}}},
+              table, split)
+    vals = out["r"]["values"]
+    assert vals["-5"] == 0.0
+    assert vals["1000"] == 100.0
+    # 74.25 = price of row 49 -> ~50% of rows <= it (sketch ~1%)
+    assert abs(vals["74.25"] - 50.0) < 3.0
+    # empty input
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    out = run({"r": {"percentile_ranks": {"field": "v",
+                                          "values": [1.0]}}}, empty)
+    assert out["r"]["values"]["1"] is None

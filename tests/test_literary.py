@@ -132,6 +132,23 @@ def test_explain(reader):
     assert ex["matched"] and ex["df"] == 1 and ex["score"] > 0
 
 
+def test_explain_non_term_nodes(reader):
+    # round-3: every scorer kind reports node-level detail
+    # (Query.java:459-465 — the reference explains every scorer)
+    ex = reader.explain(Query.phrase("body", ["more", "sea"]), 4)
+    assert ex["matched"] and ex["terms"] == ["more", "sea"]
+    assert ex["dfs"]["sea"] == 1 and ex["idf_sum"] > 0
+    ex = reader.explain(Query.fuzzy_term("body", "sae", 1), 4)
+    assert "sea" in ex["expanded_terms"]
+    ex = reader.explain(Query.wildcard("body", "se*"), 4)
+    assert ex["const_score"] and ex["pattern"] == "se*"
+    ex = reader.explain(Query.term_set("body", ["sea", "xyzzy"]), 4)
+    assert ex["matched_terms"] == ["sea"]
+    ex = reader.explain(
+        Query.const_score(Query.term("body", "sea"), 1.5), 4)
+    assert ex["score"] == 1.5 and ex["clauses"][0]["kind"] == "term"
+
+
 def test_more_like_this(reader):
     q = Query.more_like_this({"body": DOCS[0]["body"]}, min_doc_freq=1)
     hits = reader.search(q, 3).hits

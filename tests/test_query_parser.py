@@ -116,3 +116,42 @@ def test_empty_query(schema):
 def test_punctuation_only_term_dropped(schema):
     q = parse_query("!!! hello", schema, default_fields=["body"])
     assert q == Query.term("body", "hello")
+
+
+def test_query_json_roundtrip_every_kind():
+    # the stable JSON wire form (SplitQuery.toQueryAstJson analog):
+    # from_json(to_json(q)) == q for every query kind
+    from tantivy4java_ray.query import Occur, Query
+    qs = [
+        Query.term("f", "v"),
+        Query.term_set("f", ["a", "b"]),
+        Query.all(),
+        Query.match_none(),
+        Query.phrase("f", ["a", "b"], slop=1),
+        Query.phrase("f", [(0, "a"), (2, "b")]),
+        Query.fuzzy_term("f", "merge", 2, False, True),
+        Query.boolean([(Occur.MUST, Query.term("f", "a")),
+                       (Occur.SHOULD, Query.term("f", "b")),
+                       (Occur.MUST_NOT, Query.term("f", "c"))]),
+        Query.disjunction_max([Query.term("a", "x"), Query.term("b", "x")],
+                              tie_breaker=0.3),
+        Query.boost(Query.term("f", "v"), 2.0),
+        Query.const_score(Query.term("f", "v"), 1.5),
+        Query.range("n", 1, 10, include_upper=False),
+        Query.range("s", "a", None),
+        Query.regex("f", "ab.*", lenient=True),
+        Query.wildcard("f", "ab*c"),
+        Query.exists("f"),
+        Query.json_term("j", "a.b", 42),
+        Query.json_range("j", "k", 1.5, 9.5),
+        Query.json_range("j", "k", "a", "z"),
+        Query.json_exists("j", "a.b"),
+        Query.more_like_this({"f": "some text"}, max_query_terms=10),
+    ]
+    for q in qs:
+        s = q.to_json()
+        back = Query.from_json(s)
+        assert back == q, f"roundtrip failed for {q.kind}: {s}"
+        # nested structures keep working end-to-end
+        assert Query.from_json(Query.boost(q, 3.0).to_json()) \
+            == Query.boost(q, 3.0)
