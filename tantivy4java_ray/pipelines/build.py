@@ -672,28 +672,22 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
     from tantivy4java_ray.nputil import repeat_int
     docs_all = _u32(doc_data)[:pair_off[-1]].astype(np.int64)
     # partials carry per-term doc DELTAS (map-side compression):
-    # segmented cumsum restores absolute local row ids per partial row
+    # segmented cumsum restores absolute GLOBAL doc ids per partial row.
+    # Allocation-frugal on purpose: this host (like many overcommitted
+    # VMs) first-touches fresh anonymous pages at ~50 MB/s, so every
+    # avoidable 100 MB temporary costs seconds per reduce task — cumsum
+    # runs in place and doc_base folds into the single repeat
     if len(docs_all):
-        cs = np.cumsum(docs_all)
+        np.cumsum(docs_all, out=docs_all)
         seg_starts = pair_off[:-1]
-        adj = np.concatenate(([0], cs[seg_starts[1:] - 1]))
-        docs_all = cs - repeat_int(adj, dfs_arr)
-    docs_all += repeat_int(bases_arr, dfs_arr)
+        adj = np.zeros(len(dfs_arr), np.int64)
+        adj[1:] = docs_all[seg_starts[1:] - 1]
+        docs_all -= repeat_int(adj - bases_arr, dfs_arr)
     tfs_all = _u32(tf_data)
-    npos = int(posv_off[-1])
-    pos_all = _u32(pos_data)[:npos].astype(np.int64)
-    # positions are within-pair deltas: restore with a pair-segmented
-    # cumsum (pair lengths = tfs of pairs belonging to rows with
-    # positions — non-position fields contribute no bytes)
-    if npos:
-        has_pos_row = np.diff(posv_off) > 0
-        pair_mask = np.repeat(has_pos_row, dfs_arr)
-        plens = tfs_all[:pair_off[-1]][pair_mask].astype(np.int64)
-        cps = np.cumsum(pos_all)
-        pstart = np.concatenate(([0], np.cumsum(plens)[:-1]))
-        adj = np.concatenate(([0], cps[pstart[1:] - 1]))
-        pos_all = (cps - repeat_int(adj, plens))
-    pos_all = pos_all.astype(np.uint32)
+    # positions stay a zero-copy u32 DELTA view; each term's positions
+    # are restored inside the merge loop (small arrays the allocator
+    # recycles) rather than materializing whole-shard i64 temporaries
+    pos_all = _u32(pos_data)
 
     # term-group boundaries over rows (object != is an elementwise C loop)
     n = group.num_rows
@@ -715,7 +709,18 @@ def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
         docs = docs_all[pair_off[i]:pair_off[j]]
         tfs = tfs_all[pair_off[i]:pair_off[j]]
         has_pos = posv_off[j] > posv_off[i]
-        pos = pos_all[posv_off[i]:posv_off[j]] if has_pos else None
+        if has_pos:
+            # restore this term's absolute positions from within-pair
+            # deltas: pair-segmented cumsum over a term-sized slice
+            pos_d = pos_all[posv_off[i]:posv_off[j]]
+            tf_t = tfs.astype(np.int64)
+            cp = np.cumsum(pos_d, dtype=np.int64)
+            adj = np.zeros(len(tf_t), np.int64)
+            if len(tf_t) > 1:
+                adj[1:] = cp[np.cumsum(tf_t[:-1]) - 1]
+            pos = (cp - np.repeat(adj, tf_t)).astype(np.uint32)
+        else:
+            pos = None
         # split into u32-addressable runs (needed beyond 2^32 docs)
         run_start = 0
         tf_cum = 0
