@@ -205,6 +205,123 @@ def write_bytes_atomic(data: bytes, path: str) -> None:
     fs.mv(tmp, p)
 
 
+class DiskPageCache:
+    """Node-local L2 page cache shared by every ``RangedBlob`` in the
+    process (and, via the filesystem, by every worker process on the
+    node) — the reference's L2 disk tier under its L1 byte-range cache
+    (``split/SplitCacheManager.java:560-739``,
+    ``native/src/disk_cache/mod.rs``).
+
+    Pages evicted from (or simply fetched into) a blob's in-memory LRU
+    are persisted as one small file per page under
+    ``<root>/<key[:2]>/<key>/<pageno>``; a later miss in any blob's
+    memory cache — including a fresh actor after restart — is served
+    from disk with zero network requests. Index artifacts are immutable
+    (atomic generation swaps), so ``path|size|page_size`` is a sound
+    cache key. Writes are atomic (tmp + rename), making concurrent
+    actors on one node race-free; eviction is LRU by file mtime with a
+    byte budget, run opportunistically every ``_EVICT_EVERY`` writes.
+    """
+
+    _EVICT_EVERY = 64
+
+    def __init__(self, root: str | None = None,
+                 max_bytes: int | None = None):
+        import tempfile
+        self.root = (root or os.environ.get("T4JR_DISK_CACHE_DIR")
+                     or os.path.join(tempfile.gettempdir(), "t4jr_l2cache"))
+        self.max_bytes = (max_bytes if max_bytes is not None else
+                          int(os.environ.get("T4JR_DISK_CACHE_BYTES",
+                                             2 << 30)))
+        self._writes = 0
+
+    @staticmethod
+    def key_for(path: str, size: int, page_size: int) -> str:
+        import hashlib
+        return hashlib.sha1(
+            f"{path}|{size}|{page_size}".encode()).hexdigest()
+
+    def _dir(self, key: str) -> str:
+        return os.path.join(self.root, key[:2], key)
+
+    def get(self, key: str, page: int) -> bytes | None:
+        p = os.path.join(self._dir(key), str(page))
+        try:
+            with open(p, "rb") as f:
+                data = f.read()
+            os.utime(p)  # bump mtime = LRU touch
+            return data
+        except OSError:
+            return None
+
+    def put_pages(self, key: str, pages: dict[int, bytes]) -> None:
+        d = self._dir(key)
+        try:
+            os.makedirs(d, exist_ok=True)
+            for page, data in pages.items():
+                p = os.path.join(d, str(page))
+                if os.path.exists(p):
+                    continue
+                tmp = f"{p}.tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, p)
+                self._writes += 1
+        except OSError:
+            return  # cache is best-effort; never fail the read path
+        if self._writes >= self._EVICT_EVERY:
+            self._writes = 0
+            self.evict()
+
+    def evict(self) -> None:
+        entries: list[tuple[float, int, str]] = []
+        total = 0
+        for root, _dirs, files in os.walk(self.root):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                entries.append((st.st_mtime, st.st_size, p))
+                total += st.st_size
+        if total <= self.max_bytes:
+            return
+        entries.sort()  # oldest mtime first
+        target = int(self.max_bytes * 0.8)
+        for _mt, sz, p in entries:
+            if total <= target:
+                break
+            try:
+                os.unlink(p)
+                total -= sz
+            except OSError:
+                pass
+
+
+_SHARED_DISK_CACHE: DiskPageCache | None = None
+
+#: protocols whose bytes are already local (or wrap another blob that
+#: applies this rule itself) — an L2 disk copy would be pure waste
+_L2_SKIP_PROTOCOLS = {"file", "local", "memory", "t4jrsplit"}
+
+
+def _disk_cache_for(fs) -> DiskPageCache | None:
+    """Shared node-local L2 cache for genuinely remote filesystems;
+    None for local/memory/bundle-wrapper protocols or when disabled
+    via ``T4JR_DISK_CACHE=0``."""
+    if os.environ.get("T4JR_DISK_CACHE", "1") == "0":
+        return None
+    proto = getattr(fs, "protocol", None)
+    protos = {proto} if isinstance(proto, str) else set(proto or ())
+    if not protos or protos & _L2_SKIP_PROTOCOLS:
+        return None
+    global _SHARED_DISK_CACHE
+    if _SHARED_DISK_CACHE is None:
+        _SHARED_DISK_CACHE = DiskPageCache()
+    return _SHARED_DISK_CACHE
+
+
 class RangedBlob:
     """Byte-addressable view of a remote object with a page-granular LRU
     and GET coalescing — the reference's L1 byte-range cache + request
@@ -217,13 +334,20 @@ class RangedBlob:
     share a request). ``prefetch(ranges)`` batches the page fetches for
     many runs up front (``fs.cat_ranges`` when available). ``gets``
     counts issued requests for tests/telemetry. Repeat reads cost zero
-    GETs. Slices return uint8 ndarrays like ``np.memmap`` slices."""
+    GETs. Slices return uint8 ndarrays like ``np.memmap`` slices.
+
+    With a ``DiskPageCache`` attached, pages missing from memory are
+    looked up on local disk before the network, and network-fetched
+    pages are persisted there — so a restarted actor (fresh memory LRU)
+    re-warms from node-local disk at zero GETs (``disk_hits`` counts
+    those saves)."""
 
     __slots__ = ("fs", "path", "_size", "page", "_pages", "_max_pages",
-                 "gets")
+                 "gets", "_disk", "_dkey", "disk_hits")
 
     def __init__(self, fs, path: str, page_size: int = 128 * 1024,
-                 cache_pages: int = 512):
+                 cache_pages: int = 512,
+                 disk_cache: DiskPageCache | None = None):
         self.fs = fs
         self.path = path
         self._size = fs.size(path)
@@ -231,6 +355,10 @@ class RangedBlob:
         self._pages: "OrderedDict[int, bytes]" = OrderedDict()
         self._max_pages = cache_pages  # 512 × 128 KiB = 64 MiB cap
         self.gets = 0
+        self._disk = disk_cache
+        self._dkey = (DiskPageCache.key_for(path, self._size, page_size)
+                      if disk_cache is not None else "")
+        self.disk_hits = 0
 
     def __len__(self) -> int:
         return self._size
@@ -243,6 +371,20 @@ class RangedBlob:
         ranged request each; use cat_ranges for the batch if provided."""
         if not missing:
             return
+        if self._disk is not None:
+            still: list[int] = []
+            for p in missing:
+                data = self._disk.get(self._dkey, p)
+                if data is None:
+                    still.append(p)
+                else:
+                    self._pages[p] = data
+                    self.disk_hits += 1
+            missing = still
+            if not missing:
+                while len(self._pages) > self._max_pages:
+                    self._pages.popitem(last=False)
+                return
         groups: list[tuple[int, int]] = []
         lo = prev = missing[0]
         for p in missing[1:]:
@@ -262,9 +404,13 @@ class RangedBlob:
             blobs = [self.fs.cat_file(self.path, start=s, end=e)
                      for s, e in zip(starts, ends)]
             self.gets += len(groups)
+        fetched: dict[int, bytes] = {}
         for (g0, _g1), s, data in zip(groups, starts, blobs):
             for i in range(0, len(data), self.page):
-                self._pages[g0 + i // self.page] = data[i:i + self.page]
+                fetched[g0 + i // self.page] = data[i:i + self.page]
+        self._pages.update(fetched)
+        if self._disk is not None:
+            self._disk.put_pages(self._dkey, fetched)
         while len(self._pages) > self._max_pages:
             self._pages.popitem(last=False)
 
@@ -307,4 +453,4 @@ def blob_open(path: str):
         return np.memmap(p, np.uint8, "r")
     if not fs.exists(p) or fs.size(p) == 0:
         return None
-    return RangedBlob(fs, p)
+    return RangedBlob(fs, p, disk_cache=_disk_cache_for(fs))

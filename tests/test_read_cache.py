@@ -78,6 +78,81 @@ def test_ranged_blob_eof_clamp():
     assert len(blob) == 1000
 
 
+def test_disk_page_cache_rewarm_zero_gets(tmp_path):
+    """L2 disk tier: a FRESH RangedBlob (cold memory LRU, e.g. a
+    restarted actor) over the same object re-warms from node-local disk
+    with ZERO network GETs."""
+    from tantivy4java_ray.storage import DiskPageCache
+
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, 300_000, np.uint8).tobytes()
+    cache = DiskPageCache(root=str(tmp_path / "l2"), max_bytes=1 << 30)
+
+    fs1 = CountingFS(data)
+    b1 = RangedBlob(fs1, "s3://bkt/x", page_size=4096, disk_cache=cache)
+    assert bytes(b1[100:9000]) == data[100:9000]
+    assert bytes(b1[200_000:200_500]) == data[200_000:200_500]
+    assert b1.gets == 2 and b1.disk_hits == 0
+
+    fs2 = CountingFS(data)
+    b2 = RangedBlob(fs2, "s3://bkt/x", page_size=4096, disk_cache=cache)
+    assert bytes(b2[100:9000]) == data[100:9000]
+    assert bytes(b2[200_000:200_500]) == data[200_000:200_500]
+    assert b2.gets == 0 and b2.disk_hits > 0 and not fs2.calls
+
+    # a range only partially on disk fetches just the missing pages
+    b3 = RangedBlob(CountingFS(data), "s3://bkt/x", page_size=4096,
+                    disk_cache=cache)
+    out = b3[8000:20_000]  # pages 1,2 cached; 3,4 are not
+    assert bytes(out) == data[8000:20_000]
+    assert b3.gets == 1 and b3.disk_hits == 2
+
+    # a different object (different size -> different key) never
+    # collides
+    other = data[:150_000]
+    b4 = RangedBlob(CountingFS(other), "s3://bkt/x", page_size=4096,
+                    disk_cache=cache)
+    assert bytes(b4[100:9000]) == other[100:9000]
+    assert b4.disk_hits == 0
+
+
+def test_disk_page_cache_eviction_budget(tmp_path):
+    from tantivy4java_ray.storage import DiskPageCache
+
+    cache = DiskPageCache(root=str(tmp_path / "l2"), max_bytes=64 * 1024)
+    data = np.random.default_rng(2).integers(
+        0, 256, 512 * 1024, np.uint8).tobytes()
+    blob = RangedBlob(CountingFS(data), "s3://bkt/big", page_size=4096,
+                      disk_cache=cache)
+    for i in range(0, len(data), 4096):
+        blob[i:i + 16]
+    cache.evict()
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(cache.root) for f in fs)
+    assert total <= 64 * 1024
+
+
+def test_disk_cache_protocol_gating(tmp_path):
+    """file://, memory:// and t4jrsplit:// never get an L2 disk copy;
+    real object-store protocols do (and T4JR_DISK_CACHE=0 disables)."""
+    import fsspec
+
+    from tantivy4java_ray.storage import _disk_cache_for
+
+    assert _disk_cache_for(fsspec.filesystem("memory")) is None
+    assert _disk_cache_for(fsspec.filesystem("file")) is None
+
+    class FakeS3:
+        protocol = ("s3", "s3a")
+
+    assert _disk_cache_for(FakeS3()) is not None
+    os.environ["T4JR_DISK_CACHE"] = "0"
+    try:
+        assert _disk_cache_for(FakeS3()) is None
+    finally:
+        del os.environ["T4JR_DISK_CACHE"]
+
+
 def test_memory_index_query_get_counts(ray_session, tmp_path):
     """3-term bool + wildcard over a memory://-resident index: posting
     reads are coalesced per term, and a REPEAT query issues ZERO new
