@@ -70,7 +70,8 @@ def build_webpages(num_cpus: int, tag: str, n_docs: int = BENCH_DOCS,
                       concurrency=num_cpus)
     el = time.monotonic() - t0
     return {"index_dir": idx, "build_sec": el,
-            "docs_per_sec": res.num_docs / el, "num_docs": res.num_docs}
+            "docs_per_sec": res.num_docs / el, "num_docs": res.num_docs,
+            "phase_s": res.phase_s}
 
 
 def _scaling_out_base() -> str:
@@ -309,6 +310,7 @@ def main() -> None:
         print(json.dumps({"num_cpus": n, "build_sec": res["build_sec"],
                           "docs_per_sec": res["docs_per_sec"],
                           "num_docs": res["num_docs"],
+                          "phase_s": res["phase_s"],
                           "out_base": out_base}))
         return
 

@@ -64,8 +64,17 @@ RUN_SPAN = 1 << 32  # max doc span addressable by one posting run (u32)
 
 #: partial-format completion marker: versioned so a build resumed across
 #: code versions re-maps partitions instead of mixing delta/absolute
-#: partial encodings (v2 = delta-encoded docs/positions)
-_PARTIAL_MARKER = ".complete-v2"
+#: partial encodings (v2 = delta-encoded docs/positions; v3 = + map-side
+#: pre-encoded hot-term fragments in .enc.parquet files)
+_PARTIAL_MARKER = ".complete-v3"
+
+#: map-side fragment pre-encoding: a term whose df WITHIN one partition
+#: reaches this bound gets its posting fragment encoded to final
+#: block-128 format on the MAP side and byte-copied as an independent
+#: run by the reduce. Hot terms dominate posting BYTES (Zipf), so this
+#: moves the byte-heavy bitpacking into the embarrassingly-parallel map
+#: phase; the reduce re-encodes only rare-term tails. 0 disables.
+FRAG_MIN_DF = int(os.environ.get("T4JR_FRAG_DF", "256"))
 
 _PARTIAL_SCHEMA = pa.schema([
     ("shard", pa.int32()),
@@ -80,9 +89,66 @@ _PARTIAL_SCHEMA = pa.schema([
     ("positions", pa.large_binary()),
 ])
 
+#: pre-encoded hot-term fragments (one FINAL-format posting run per
+#: (term, partition)); the reduce appends the blob bytes verbatim
+_ENC_SCHEMA = pa.schema([
+    ("shard", pa.int32()),
+    ("field", pa.string()),
+    ("term", pa.string()),
+    ("run_base", pa.int64()),   # global doc id of the fragment's first doc
+    ("df", pa.int64()),
+    ("ttf", pa.int64()),
+    ("postings", pa.large_binary()),   # encode_postings(docs - first, tfs)
+    ("positions", pa.large_binary()),  # encode_positions(...) or b""
+])
+
 
 def field_may_contain_nul(schema: IndexSchema, field: str) -> bool:
     return schema.get_field(field).type is not FieldType.TEXT
+
+
+class _CountingWriter:
+    """Minimal ``.write``/``.tell`` shim over a streaming file handle —
+    the shard writer tracks offsets itself so remote (fsspec) streams
+    need not support ``tell``."""
+
+    __slots__ = ("f", "n")
+
+    def __init__(self, f):
+        self.f = f
+        self.n = 0
+
+    def write(self, b) -> None:
+        self.f.write(b)
+        self.n += len(b)
+
+    def tell(self) -> int:
+        return self.n
+
+
+def _write_sharded(table: pa.Table, partial_dir: str, name_fmt: str,
+                   **pq_kwargs: Any) -> None:
+    """Write one partial table split BY SHARD (the map output of the
+    storage-backed shuffle: each reduce task later reads exactly its
+    slice straight from storage, no object-store all-to-all)."""
+    from tantivy4java_ray import storage as st
+    shard_col = np.asarray(table.column("shard")
+                           .to_numpy(zero_copy_only=False), np.int32)
+    order = np.argsort(shard_col, kind="stable")
+    sorted_p = table.take(pa.array(order))
+    sc = shard_col[order]
+    bounds = np.flatnonzero(np.diff(sc)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(sc)]))
+    if not pq_kwargs:
+        pq_kwargs = {"compression": "zstd", "compression_level": 1}
+    for s0, s1 in zip(starts, ends):
+        if s1 <= s0:
+            continue
+        sid = int(sc[s0])
+        st.write_parquet_atomic(
+            sorted_p.slice(s0, s1 - s0),
+            st.sjoin(partial_dir, name_fmt.format(sid=sid)), **pq_kwargs)
 
 
 def term_shard(field: str, terms: np.ndarray, num_shards: int) -> np.ndarray:
@@ -269,7 +335,8 @@ class PartitionIndexer:
                  exact_fieldnorms: bool = False, checkpoint: bool = True,
                  hot_salts: int = 4, hot_df_frac: float = 0.05,
                  column_renames: dict[str, str] | None = None,
-                 phash_fields: tuple[str, ...] = ()):
+                 phash_fields: tuple[str, ...] = (),
+                 frag_min_df: int | None = None):
         self.schema = IndexSchema.from_dict(schema_dict)
         self.index_dir = index_dir
         self.num_shards = num_shards
@@ -283,6 +350,8 @@ class PartitionIndexer:
         self.renames = column_renames or {}
         self.inv_renames = {v: k for k, v in self.renames.items()}
         self.phash_fields = tuple(phash_fields)
+        self.frag_min_df = (FRAG_MIN_DF if frag_min_df is None
+                            else frag_min_df)
         self.analyzers = {f.name: get_analyzer(f.tokenizer)
                           for f in self.schema.fields
                           if f.type is FieldType.TEXT}
@@ -323,6 +392,7 @@ class PartitionIndexer:
         n = tbl.num_rows
 
         acc: list[pa.Table] = []   # one table per indexed field
+        enc_acc: list[pa.Table] = []  # pre-encoded hot-term fragments
         docdata_cols: dict[str, pa.Array] = {}
         total_tokens: dict[str, int] = {}
         n_postings = 0
@@ -359,8 +429,8 @@ class PartitionIndexer:
                 if fcfg.indexed:
                     with_pos = fcfg.index_option == "position"
                     n_postings += self._emit_terms(
-                        acc, fcfg.name, spec, tok["row"], tok["codes"],
-                        tok["vocab"],
+                        acc, enc_acc, fcfg.name, spec, tok["row"],
+                        tok["codes"], tok["vocab"],
                         tok["position"] if with_pos else None, n)
             elif fcfg.type in (FieldType.STRING, FieldType.FACET,
                                FieldType.IP_ADDR):
@@ -398,7 +468,7 @@ class PartitionIndexer:
                             fcodes, funiq = pd.factorize(
                                 np.asarray(fterms, object), sort=False)
                             n_postings += self._emit_terms(
-                                acc, fcfg.name, spec,
+                                acc, enc_acc, fcfg.name, spec,
                                 np.asarray(frows, np.int64),
                                 fcodes.astype(np.int64),
                                 np.asarray(funiq, object), None, n)
@@ -406,8 +476,8 @@ class PartitionIndexer:
                         tok = tokenize_column(term_col, get_analyzer("raw"),
                                               include_tokens=False)
                         n_postings += self._emit_terms(
-                            acc, fcfg.name, spec, tok["row"], tok["codes"],
-                            tok["vocab"], None, n)
+                            acc, enc_acc, fcfg.name, spec, tok["row"],
+                            tok["codes"], tok["vocab"], None, n)
                 if fcfg.fast:
                     docdata_cols[fcfg.name] = col.cast(pa.string())
             elif fcfg.type is FieldType.JSON:
@@ -423,7 +493,7 @@ class PartitionIndexer:
                 if len(rows):
                     jcodes, juniq = pd.factorize(terms, sort=False)
                     n_postings += self._emit_terms(
-                        acc, fcfg.name, spec, rows,
+                        acc, enc_acc, fcfg.name, spec, rows,
                         jcodes.astype(np.int64), np.asarray(juniq, object),
                         None, n)
             else:  # numeric / date / bool / bytes -> fast columns only
@@ -482,25 +552,16 @@ class PartitionIndexer:
         # — no object-store all-to-all of index-sized blobs (the classic
         # external shuffle; on a cluster the shared store scales with
         # nodes while a sort exchange saturates the network bisection)
-        shard_col = np.asarray(partial.column("shard")
-                               .to_numpy(zero_copy_only=False), np.int32)
-        order = np.argsort(shard_col, kind="stable")
-        sorted_p = partial.take(pa.array(order))
-        sc = shard_col[order]
-        bounds = np.flatnonzero(np.diff(sc)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(sc)]))
-        for s0, s1 in zip(starts, ends):
-            if s1 <= s0:
-                continue
-            sid = int(sc[s0])
-            # zstd-1 halves partial bytes vs snappy (position streams are
-            # raw u32 here) at ~no CPU cost — partials are written once,
-            # read once, and dominate the build's storage traffic
-            st.write_parquet_atomic(
-                sorted_p.slice(s0, s1 - s0),
-                st.sjoin(partial_dir, f"shard-{sid:05d}.parquet"),
-                compression="zstd", compression_level=1)
+        # zstd-1 halves partial bytes vs snappy (position streams are
+        # raw u32 here) at ~no CPU cost — partials are written once,
+        # read once, and dominate the build's storage traffic
+        _write_sharded(partial, partial_dir, "shard-{sid:05d}.parquet")
+        if enc_acc:
+            # pre-encoded fragments are bitpacked (zstd gains little);
+            # store uncompressed so both ends skip the codec pass
+            _write_sharded(pa.concat_tables(enc_acc), partial_dir,
+                           "shard-{sid:05d}.enc.parquet",
+                           compression="none")
         st.write_bytes_atomic(b"", st.sjoin(partial_dir, _PARTIAL_MARKER))
         self._atomic_parquet(dd, docdata_path)
         return summary
@@ -510,7 +571,7 @@ class PartitionIndexer:
         from tantivy4java_ray.storage import write_parquet_atomic
         write_parquet_atomic(table, path)
 
-    def _emit_terms(self, acc: list, field: str, spec: dict,
+    def _emit_terms(self, acc: list, enc_acc: list, field: str, spec: dict,
                     rows: np.ndarray, codes: np.ndarray, vocab: np.ndarray,
                     positions: np.ndarray | None, n_rows: int) -> int:
         """Aggregate dictionary-encoded (token, row) pairs into per-term
@@ -564,16 +625,7 @@ class PartitionIndexer:
         # per-term Python loop, no per-term bytes objects
         n_terms = len(tstarts)
         n_pairs = len(pstarts)
-        term_bounds = np.append(tstarts, n_pairs).astype(np.int64)
         ttf_arr = np.add.reduceat(tf.astype(np.int64), tstarts)
-
-        def bin_col(values_u32: np.ndarray, bounds: np.ndarray) -> pa.Array:
-            offsets = (bounds * 4).astype(np.int64)
-            data = np.ascontiguousarray(values_u32, np.uint32)
-            return pa.LargeBinaryArray.from_buffers(
-                pa.large_binary(), n_terms,
-                [None, pa.py_buffer(offsets.tobytes()),
-                 pa.py_buffer(data.tobytes())])
 
         # delta-encode docs within each term and positions within each
         # (term, doc) pair: partials dominate the build's storage traffic
@@ -589,7 +641,73 @@ class PartitionIndexer:
             if len(pos_delta) > 1:
                 pos_delta[1:] = pos_sorted[1:] - pos_sorted[:-1]
             pos_delta[pstarts] = pos_sorted[pstarts]
-            pos_col = bin_col(pos_delta, pair_pos_off[term_bounds])
+        else:
+            pos_delta = None
+
+        # map-side fragment pre-encoding: hot terms (df within this
+        # partition >= frag_min_df) are bitpacked to FINAL posting format
+        # here, where the work parallelizes across all partitions; the
+        # reduce appends each blob as an independent run (all query paths
+        # treat a term's runs as disjoint posting lists). Hot terms carry
+        # most posting bytes (Zipf), so the reduce's byte work collapses
+        # to memcpy + rare-term tails.
+        enc_mask = (tlens >= self.frag_min_df if self.frag_min_df
+                    else np.zeros(n_terms, bool))
+        if enc_mask.any():
+            e_idx = np.flatnonzero(enc_mask)
+            e_blobs: list[bytes] = []
+            e_pblobs: list[bytes] = []
+            e_first = np.empty(len(e_idx), np.int64)
+            for k, ti in enumerate(e_idx):
+                p0 = int(tstarts[ti])
+                p1 = p0 + int(tlens[ti])
+                dloc = pair_row[p0:p1]
+                e_first[k] = first = int(dloc[0])
+                e_blobs.append(encode_postings(
+                    dloc - np.uint32(first), tf[p0:p1]))
+                e_pblobs.append(
+                    encode_positions(
+                        pos_sorted[pair_pos_off[p0]:pair_pos_off[p1]])
+                    if pos_sorted is not None else b"")
+            enc_acc.append(pa.table({
+                "shard": pa.array(shards[e_idx], pa.int32()),
+                "field": pa.array([field] * len(e_idx), pa.string()),
+                "term": pa.array(term_per_group[e_idx], pa.string()),
+                "run_base": pa.array(e_first + spec["doc_base"]),
+                "df": pa.array(tlens[e_idx].astype(np.int64)),
+                "ttf": pa.array(ttf_arr[e_idx]),
+                "postings": pa.array(e_blobs, pa.large_binary()),
+                "positions": pa.array(e_pblobs, pa.large_binary())},
+                schema=_ENC_SCHEMA))
+            # drop fragment terms from the cold partial (delta streams
+            # reset at term starts, so whole-term filtering keeps the
+            # remaining encodings valid)
+            cold = ~enc_mask
+            pair_keep = np.repeat(cold, tlens)
+            docs_delta = docs_delta[pair_keep]
+            tf = tf[pair_keep]
+            if pos_delta is not None:
+                pos_delta = pos_delta[np.repeat(cold, ttf_arr)]
+            shards = shards[cold]
+            term_per_group = term_per_group[cold]
+            tlens = tlens[cold]
+            ttf_arr = ttf_arr[cold]
+            n_terms = len(tlens)
+
+        term_bounds = np.concatenate(
+            ([0], np.cumsum(tlens))).astype(np.int64)
+
+        def bin_col(values_u32: np.ndarray, bounds: np.ndarray) -> pa.Array:
+            offsets = (bounds * 4).astype(np.int64)
+            data = np.ascontiguousarray(values_u32, np.uint32)
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), n_terms,
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(data.tobytes())])
+
+        if pos_delta is not None:
+            pos_col = bin_col(pos_delta, np.concatenate(
+                ([0], np.cumsum(ttf_arr))).astype(np.int64))
         else:
             pos_col = bin_col(np.empty(0, np.uint32),
                               np.zeros(n_terms + 1, np.int64))
@@ -624,139 +742,188 @@ def _binary_column_view(col: pa.ChunkedArray
     return off, data
 
 
-def _write_shard(group: pa.Table, index_dir: str) -> pa.Table:
+def _write_shard(group: pa.Table, index_dir: str,
+                 enc: pa.Table | None = None) -> pa.Table:
     """Merge one shard's partial postings into final segment-shard files.
 
     Fully buffer-level: after the (field, term, doc_base) sort the rows
     of one term are CONTIGUOUS, so each term's merged docs/tfs/positions
     are single slices of the column data buffers — no per-row
     ``frombuffer``/concat (at web scale the merge loop touches each byte
-    once; the per-term Python work is the encode call only)."""
-    if group.num_rows == 0:
+    once; the per-term Python work is the encode call only).
+
+    ``enc`` rows are map-side pre-encoded hot-term fragments: their blob
+    bytes are appended VERBATIM as independent posting runs (no decode,
+    no re-encode — the byte-dominant part of the reduce becomes memcpy),
+    then the dictionary is key-sorted once at the end."""
+    n_enc = enc.num_rows if enc is not None else 0
+    if group.num_rows == 0 and n_enc == 0:
         return pa.table({"sid": pa.array([], pa.int32()),
                          "num_terms": pa.array([], pa.int64()),
                          "postings_bytes": pa.array([], pa.int64()),
                          "positions_bytes": pa.array([], pa.int64())})
     t0 = time.monotonic()
-    sid = int(group.column("shard")[0].as_py())
-    # chained stable argsorts == lexsort by (field, term, doc_base).
-    # NOT pandas sort_values: pandas compares object strings as C strings
-    # and truncates at NUL bytes (verified), silently mis-sorting any term
-    # containing \x00; numpy object argsort uses real Python comparison.
-    fields_o = np.asarray(group.column("field").to_numpy(
-        zero_copy_only=False), object)
-    terms_o = np.asarray(group.column("term").to_numpy(
-        zero_copy_only=False), object)
-    bases_o = group.column("doc_base").to_numpy(zero_copy_only=False)
-    order = np.argsort(bases_o, kind="stable")
-    order = order[np.argsort(terms_o[order], kind="stable")]
-    order = order[np.argsort(fields_o[order], kind="stable")]
-    group = group.take(pa.array(order))
-    fields_arr = fields_o[order]
-    terms_arr = terms_o[order]
-    bases_arr = bases_o[order].astype(np.int64)
-    dfs_arr = group.column("df").to_numpy(zero_copy_only=False)
-
-    # whole-column flat views (take materialized rows in sorted order,
-    # so consecutive rows' bytes are contiguous)
-    doc_off, doc_data = _binary_column_view(group.column("docs"))
-    _, tf_data = _binary_column_view(group.column("tfs"))
-    pos_off, pos_data = _binary_column_view(group.column("positions"))
-
-    def _u32(data: np.ndarray) -> np.ndarray:
-        return data[:(len(data) // 4) * 4].view(np.uint32)
-
-    # per-row pair/position offsets in VALUE units
-    pair_off = (doc_off // 4).astype(np.int64)
-    posv_off = (pos_off // 4).astype(np.int64)
-    from tantivy4java_ray.nputil import repeat_int
-    docs_all = _u32(doc_data)[:pair_off[-1]].astype(np.int64)
-    # partials carry per-term doc DELTAS (map-side compression):
-    # segmented cumsum restores absolute GLOBAL doc ids per partial row.
-    # Allocation-frugal on purpose: this host (like many overcommitted
-    # VMs) first-touches fresh anonymous pages at ~50 MB/s, so every
-    # avoidable 100 MB temporary costs seconds per reduce task — cumsum
-    # runs in place and doc_base folds into the single repeat
-    if len(docs_all):
-        np.cumsum(docs_all, out=docs_all)
-        seg_starts = pair_off[:-1]
-        adj = np.zeros(len(dfs_arr), np.int64)
-        adj[1:] = docs_all[seg_starts[1:] - 1]
-        docs_all -= repeat_int(adj - bases_arr, dfs_arr)
-    tfs_all = _u32(tf_data)
-    # positions stay a zero-copy u32 DELTA view; each term's positions
-    # are restored inside the merge loop (small arrays the allocator
-    # recycles) rather than materializing whole-shard i64 temporaries
-    pos_all = _u32(pos_data)
-
-    # term-group boundaries over rows (object != is an elementwise C loop)
-    n = group.num_rows
-    new_term = np.empty(n, bool)
-    new_term[0] = True
-    np.logical_or(terms_arr[1:] != terms_arr[:-1],
-                  fields_arr[1:] != fields_arr[:-1], out=new_term[1:])
-    tstarts = np.flatnonzero(new_term)
-    tends = np.append(tstarts[1:], n)
-
-    post_buf = io.BytesIO()
-    pos_buf = io.BytesIO()
+    sid = int((group if group.num_rows else enc).column("shard")[0].as_py())
     dict_rows: dict[str, list] = {k: [] for k in
                                   ("key", "field", "term", "run_base", "df",
                                    "ttf", "offset", "nbytes", "pos_offset",
                                    "pos_nbytes")}
-
-    for i, j in zip(tstarts, tends):
-        docs = docs_all[pair_off[i]:pair_off[j]]
-        tfs = tfs_all[pair_off[i]:pair_off[j]]
-        has_pos = posv_off[j] > posv_off[i]
-        if has_pos:
-            # restore this term's absolute positions from within-pair
-            # deltas: pair-segmented cumsum over a term-sized slice
-            pos_d = pos_all[posv_off[i]:posv_off[j]]
-            tf_t = tfs.astype(np.int64)
-            cp = np.cumsum(pos_d, dtype=np.int64)
-            adj = np.zeros(len(tf_t), np.int64)
-            if len(tf_t) > 1:
-                adj[1:] = cp[np.cumsum(tf_t[:-1]) - 1]
-            pos = (cp - np.repeat(adj, tf_t)).astype(np.uint32)
-        else:
-            pos = None
-        # split into u32-addressable runs (needed beyond 2^32 docs)
-        run_start = 0
-        tf_cum = 0
-        while run_start < len(docs):
-            run_base = int(docs[run_start])
-            run_end = int(np.searchsorted(docs, run_base + RUN_SPAN, side="left"))
-            sl = slice(run_start, run_end)
-            blob = encode_postings((docs[sl] - run_base).astype(np.uint32),
-                                   tfs[sl])
-            off = post_buf.tell()
-            post_buf.write(blob)
-            ttf_run = int(tfs[sl].sum())
-            if pos is not None:
-                pblob = encode_positions(pos[tf_cum:tf_cum + ttf_run])
-                poff = pos_buf.tell()
-                pos_buf.write(pblob)
-            else:
-                poff, pblob = -1, b""
-            tf_cum += ttf_run
-            dict_rows["key"].append(f"{fields_arr[i]}\x00{terms_arr[i]}")
-            dict_rows["field"].append(fields_arr[i])
-            dict_rows["term"].append(terms_arr[i])
-            dict_rows["run_base"].append(run_base)
-            dict_rows["df"].append(run_end - run_start)
-            dict_rows["ttf"].append(ttf_run)
-            dict_rows["offset"].append(off)
-            dict_rows["nbytes"].append(len(blob))
-            dict_rows["pos_offset"].append(poff)
-            dict_rows["pos_nbytes"].append(len(pblob))
-            run_start = run_end
-
+    # postings/positions stream STRAIGHT to their (atomic) output files:
+    # accumulating in BytesIO then getvalue() costs two extra full passes
+    # over index-sized bytes, which is most of what a reduce task does
     from tantivy4java_ray import storage as st
     shard_dir = st.sjoin(index_dir, "shards", f"shard-{sid:05d}")
-    for name, buf in (("postings.bin", post_buf), ("positions.bin", pos_buf)):
-        st.write_bytes_atomic(buf.getvalue(), st.sjoin(shard_dir, name))
+    with st.open_bytes_atomic(st.sjoin(shard_dir, "postings.bin")) as _pf, \
+         st.open_bytes_atomic(st.sjoin(shard_dir, "positions.bin")) as _xf:
+        post_buf = _CountingWriter(_pf)
+        pos_buf = _CountingWriter(_xf)
+
+        if group.num_rows:
+            # chained stable argsorts == lexsort by (field, term, doc_base).
+            # NOT pandas sort_values: pandas compares object strings as C strings
+            # and truncates at NUL bytes (verified), silently mis-sorting any term
+            # containing \x00; numpy object argsort uses real Python comparison.
+            fields_o = np.asarray(group.column("field").to_numpy(
+                zero_copy_only=False), object)
+            terms_o = np.asarray(group.column("term").to_numpy(
+                zero_copy_only=False), object)
+            bases_o = group.column("doc_base").to_numpy(zero_copy_only=False)
+            order = np.argsort(bases_o, kind="stable")
+            order = order[np.argsort(terms_o[order], kind="stable")]
+            order = order[np.argsort(fields_o[order], kind="stable")]
+            group = group.take(pa.array(order))
+            fields_arr = fields_o[order]
+            terms_arr = terms_o[order]
+            bases_arr = bases_o[order].astype(np.int64)
+            dfs_arr = group.column("df").to_numpy(zero_copy_only=False)
+
+            # whole-column flat views (take materialized rows in sorted order,
+            # so consecutive rows' bytes are contiguous)
+            doc_off, doc_data = _binary_column_view(group.column("docs"))
+            _, tf_data = _binary_column_view(group.column("tfs"))
+            pos_off, pos_data = _binary_column_view(group.column("positions"))
+
+            def _u32(data: np.ndarray) -> np.ndarray:
+                return data[:(len(data) // 4) * 4].view(np.uint32)
+
+            # per-row pair/position offsets in VALUE units
+            pair_off = (doc_off // 4).astype(np.int64)
+            posv_off = (pos_off // 4).astype(np.int64)
+            from tantivy4java_ray.nputil import repeat_int
+            docs_all = _u32(doc_data)[:pair_off[-1]].astype(np.int64)
+            # partials carry per-term doc DELTAS (map-side compression):
+            # segmented cumsum restores absolute GLOBAL doc ids per partial row.
+            # Allocation-frugal on purpose: this host (like many overcommitted
+            # VMs) first-touches fresh anonymous pages at ~50 MB/s, so every
+            # avoidable 100 MB temporary costs seconds per reduce task — cumsum
+            # runs in place and doc_base folds into the single repeat
+            if len(docs_all):
+                np.cumsum(docs_all, out=docs_all)
+                seg_starts = pair_off[:-1]
+                adj = np.zeros(len(dfs_arr), np.int64)
+                adj[1:] = docs_all[seg_starts[1:] - 1]
+                docs_all -= repeat_int(adj - bases_arr, dfs_arr)
+            tfs_all = _u32(tf_data)
+            # positions stay a zero-copy u32 DELTA view; each term's positions
+            # are restored inside the merge loop (small arrays the allocator
+            # recycles) rather than materializing whole-shard i64 temporaries
+            pos_all = _u32(pos_data)
+
+            # term-group boundaries over rows (object != is an elementwise C loop)
+            n = group.num_rows
+            new_term = np.empty(n, bool)
+            new_term[0] = True
+            np.logical_or(terms_arr[1:] != terms_arr[:-1],
+                          fields_arr[1:] != fields_arr[:-1], out=new_term[1:])
+            tstarts = np.flatnonzero(new_term)
+            tends = np.append(tstarts[1:], n)
+
+            for i, j in zip(tstarts, tends):
+                docs = docs_all[pair_off[i]:pair_off[j]]
+                tfs = tfs_all[pair_off[i]:pair_off[j]]
+                has_pos = posv_off[j] > posv_off[i]
+                if has_pos:
+                    # restore this term's absolute positions from within-pair
+                    # deltas: pair-segmented cumsum over a term-sized slice
+                    pos_d = pos_all[posv_off[i]:posv_off[j]]
+                    tf_t = tfs.astype(np.int64)
+                    cp = np.cumsum(pos_d, dtype=np.int64)
+                    adj = np.zeros(len(tf_t), np.int64)
+                    if len(tf_t) > 1:
+                        adj[1:] = cp[np.cumsum(tf_t[:-1]) - 1]
+                    pos = (cp - np.repeat(adj, tf_t)).astype(np.uint32)
+                else:
+                    pos = None
+                # split into u32-addressable runs (needed beyond 2^32 docs)
+                run_start = 0
+                tf_cum = 0
+                while run_start < len(docs):
+                    run_base = int(docs[run_start])
+                    run_end = int(np.searchsorted(docs, run_base + RUN_SPAN, side="left"))
+                    sl = slice(run_start, run_end)
+                    blob = encode_postings((docs[sl] - run_base).astype(np.uint32),
+                                           tfs[sl])
+                    off = post_buf.tell()
+                    post_buf.write(blob)
+                    ttf_run = int(tfs[sl].sum())
+                    if pos is not None:
+                        pblob = encode_positions(pos[tf_cum:tf_cum + ttf_run])
+                        poff = pos_buf.tell()
+                        pos_buf.write(pblob)
+                    else:
+                        poff, pblob = -1, b""
+                    tf_cum += ttf_run
+                    dict_rows["key"].append(f"{fields_arr[i]}\x00{terms_arr[i]}")
+                    dict_rows["field"].append(fields_arr[i])
+                    dict_rows["term"].append(terms_arr[i])
+                    dict_rows["run_base"].append(run_base)
+                    dict_rows["df"].append(run_end - run_start)
+                    dict_rows["ttf"].append(ttf_run)
+                    dict_rows["offset"].append(off)
+                    dict_rows["nbytes"].append(len(blob))
+                    dict_rows["pos_offset"].append(poff)
+                    dict_rows["pos_nbytes"].append(len(pblob))
+                    run_start = run_end
+
+        if n_enc:
+            # pre-encoded fragments: append each blob VERBATIM as its own
+            # posting run (one buffer write per fragment, zero decode)
+            e_fields = enc.column("field").to_pylist()
+            e_terms = enc.column("term").to_pylist()
+            e_base = enc.column("run_base").to_numpy(zero_copy_only=False)
+            e_df = enc.column("df").to_numpy(zero_copy_only=False)
+            e_ttf = enc.column("ttf").to_numpy(zero_copy_only=False)
+            eb_off, eb_data = _binary_column_view(enc.column("postings"))
+            ep_off, ep_data = _binary_column_view(enc.column("positions"))
+            for k in range(n_enc):
+                off = post_buf.tell()
+                post_buf.write(eb_data[eb_off[k]:eb_off[k + 1]])
+                pnb = int(ep_off[k + 1] - ep_off[k])
+                if pnb:
+                    poff = pos_buf.tell()
+                    pos_buf.write(ep_data[ep_off[k]:ep_off[k + 1]])
+                else:
+                    poff = -1
+                dict_rows["key"].append(f"{e_fields[k]}\x00{e_terms[k]}")
+                dict_rows["field"].append(e_fields[k])
+                dict_rows["term"].append(e_terms[k])
+                dict_rows["run_base"].append(int(e_base[k]))
+                dict_rows["df"].append(int(e_df[k]))
+                dict_rows["ttf"].append(int(e_ttf[k]))
+                dict_rows["offset"].append(off)
+                dict_rows["nbytes"].append(int(eb_off[k + 1] - eb_off[k]))
+                dict_rows["pos_offset"].append(poff)
+                dict_rows["pos_nbytes"].append(pnb)
+
     terms_tbl = pa.table(dict_rows)
+    if n_enc:
+        # readers binary-search the dictionary: restore global key order
+        # (UTF-8 bytewise == code-point order, matching the cold sort);
+        # (key, run_base) pairs are unique, so this is deterministic
+        import pyarrow.compute as pc
+        terms_tbl = terms_tbl.take(pc.sort_indices(
+            terms_tbl, sort_keys=[("key", "ascending"),
+                                  ("run_base", "ascending")]))
     meta = {"sid": sid, "num_terms": len(dict_rows["key"]),
             "write_s": round(time.monotonic() - t0, 4)}
     terms_tbl = terms_tbl.replace_schema_metadata({"shard_meta": json.dumps(meta)})
@@ -778,14 +945,23 @@ def _write_shard_from_partials(batch: pa.Table, index_dir: str,
     outs = []
     for sid in batch.column("sid").to_pylist():
         pieces = []
+        enc_pieces = []
         for pid in pids:
             p = st.sjoin(index_dir, "_partials", f"part-{pid:05d}",
                          f"shard-{int(sid):05d}.parquet")
             if st.sexists(p):
                 pieces.append(st.read_parquet_any(p))
+            ep = st.sjoin(index_dir, "_partials", f"part-{pid:05d}",
+                          f"shard-{int(sid):05d}.enc.parquet")
+            if st.sexists(ep):
+                # uncompressed on purpose: memory_map zero-copies the
+                # blob bytes straight out of the page cache
+                enc_pieces.append(st.read_parquet_any(ep, memory_map=True))
         group = (pa.concat_tables(pieces) if pieces else
                  _PARTIAL_SCHEMA.empty_table())
-        outs.append(_write_shard(group, index_dir))
+        enc = (pa.concat_tables(enc_pieces) if enc_pieces else
+               _ENC_SCHEMA.empty_table())
+        outs.append(_write_shard(group, index_dir, enc))
     return pa.concat_tables(outs)
 
 
@@ -801,6 +977,9 @@ class BuildResult:
     num_shards: int
     elapsed_s: float
     resumed_partitions: int = 0
+    #: wall time per build phase (plan/map/reduce/finalize) — the
+    #: scaling harness reads this to attribute efficiency loss
+    phase_s: dict | None = None
 
     @property
     def docs_per_sec(self) -> float:
@@ -828,7 +1007,8 @@ class IndexBuilder:
                  hot_df_frac: float = 0.05,
                  column_renames: dict[str, str] | None = None,
                  phash_fields: tuple[str, ...] = (),
-                 keep_partials: bool = False):
+                 keep_partials: bool = False,
+                 frag_min_df: int | None = None):
         self.paths = paths
         self.index_dir = index_dir
         self.schema = schema
@@ -845,6 +1025,7 @@ class IndexBuilder:
         self.hot_df_frac = hot_df_frac
         self.column_renames = column_renames
         self.phash_fields = tuple(phash_fields)
+        self.frag_min_df = frag_min_df
 
     def build(self) -> BuildResult:
         import ray
@@ -906,6 +1087,7 @@ class IndexBuilder:
         # below, releasing the actors before the shuffle needs CPUs
         conc = max(1, min(self.concurrency or npart, npart, cpus))
 
+        t_plan = time.monotonic()
         specs = [p.to_row() for p in plan.partitions]
         # one block per partition spec up front — repartition() is an
         # AllToAll operator and costs seconds even for 24 rows
@@ -922,9 +1104,11 @@ class IndexBuilder:
                 checkpoint=self.checkpoint, hot_salts=self.hot_salts,
                 hot_df_frac=self.hot_df_frac,
                 column_renames=self.column_renames,
-                phash_fields=self.phash_fields),
+                phash_fields=self.phash_fields,
+                frag_min_df=self.frag_min_df),
             batch_format="pyarrow", batch_size=None,
             concurrency=conc, num_cpus=1).materialize()
+        t_map = time.monotonic()
         # reduce side: one task per shard reads its own partial files —
         # no sort exchange, no index-sized data in the object store
         pids = [p.pid for p in plan.partitions]
@@ -936,6 +1120,7 @@ class IndexBuilder:
             lambda b: _write_shard_from_partials(b, idx_dir, pids),
             batch_format="pyarrow", batch_size=None,
             num_cpus=1).take_all()
+        t_reduce = time.monotonic()
 
         # finalize: per-partition lineage from docdata footers -> txlog
         actions: list[dict] = []
@@ -977,8 +1162,13 @@ class IndexBuilder:
         if not self.keep_partials:
             st.srmtree(st.sjoin(self.index_dir, "_partials"))
 
+        t_end = time.monotonic()
         return BuildResult(self.index_dir, num_docs, npart, nshards,
-                           time.monotonic() - t0, resumed)
+                           t_end - t0, resumed,
+                           phase_s={"plan": round(t_plan - t0, 3),
+                                    "map": round(t_map - t_plan, 3),
+                                    "reduce": round(t_reduce - t_map, 3),
+                                    "finalize": round(t_end - t_reduce, 3)})
 
 
 def build_index(paths: str | list[str], index_dir: str,

@@ -21,6 +21,7 @@ remote code end-to-end on local disk.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import posixpath
@@ -147,11 +148,15 @@ def write_json_atomic(path: str, obj: Any) -> None:
     fs.mv(tmp, p)
 
 
-def read_parquet_any(path: str, columns: list[str] | None = None
-                     ) -> pa.Table:
+def read_parquet_any(path: str, columns: list[str] | None = None,
+                     memory_map: bool = False) -> pa.Table:
+    """``memory_map=True`` (local paths only) zero-copies uncompressed
+    column data out of the page cache — the reduce's pre-encoded posting
+    fragments are written uncompressed precisely so this read costs no
+    memcpy."""
     fs, p = fs_for(path)
     if fs is None:
-        return pq.read_table(p, columns=columns)
+        return pq.read_table(p, columns=columns, memory_map=memory_map)
     with fs.open(p, "rb") as f:
         return pq.read_table(f, columns=columns)
 
@@ -185,6 +190,42 @@ def write_parquet_atomic(table: pa.Table, path: str, **pq_kwargs) -> None:
     tmp = p + f".tmp-{os.getpid()}"
     with fs.open(tmp, "wb") as f:
         pq.write_table(table, f, **pq_kwargs)
+    fs.mv(tmp, p)
+
+
+@contextlib.contextmanager
+def open_bytes_atomic(path: str):
+    """Streaming variant of ``write_bytes_atomic``: yields a writable
+    binary handle; the object lands at ``path`` atomically on clean exit
+    (tmp + rename) and the temp is discarded on error. Saves the two
+    extra full-data passes a BytesIO-accumulate-then-write costs."""
+    fs, p = fs_for(path)
+    tmp = p + f".tmp-{os.getpid()}"
+    if fs is None:
+        if os.path.dirname(p):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+        f = open(tmp, "wb")
+        try:
+            yield f
+        except BaseException:
+            f.close()
+            os.unlink(tmp)
+            raise
+        f.close()
+        os.replace(tmp, p)
+        return
+    fs.makedirs(posixpath.dirname(p), exist_ok=True)
+    f = fs.open(tmp, "wb")
+    try:
+        yield f
+    except BaseException:
+        f.close()
+        try:
+            fs.rm_file(tmp)
+        except Exception:
+            pass
+        raise
+    f.close()
     fs.mv(tmp, p)
 
 
