@@ -76,3 +76,30 @@ def test_fragment_build_matches_cold_build(frag_pair):
     hw = ra.search(term, 15, method="wand").hits
     hs = rb.search(term, 15).hits
     assert [(d, s) for s, d in hw] == [(d, s) for s, d in hs]
+
+
+def test_merge_of_fragment_indexes(ray_session, tmp_path):
+    """Index merge (the LSM step) over multi-run fragment indexes must
+    equal a single build over the union."""
+    import glob as _glob
+
+    from tantivy4java_ray.pipelines.merge import merge_indexes
+
+    write_webpages(str(tmp_path / "d"), 1000, n_files=2,
+                   rows_per_row_group=250)
+    fs = sorted(_glob.glob(str(tmp_path / "d" / "*.parquet")))
+    for i, f in enumerate(fs):
+        build_index(f, str(tmp_path / f"i{i}"), _schema(),
+                    target_docs_per_partition=250, num_shards=2,
+                    frag_min_df=4)
+    merge_indexes([str(tmp_path / "i0"), str(tmp_path / "i1")],
+                  str(tmp_path / "im"))
+    build_index(str(tmp_path / "d"), str(tmp_path / "iall"), _schema(),
+                target_docs_per_partition=250, num_shards=2,
+                frag_min_df=4)
+    rm = IndexReader(str(tmp_path / "im"))
+    ru = IndexReader(str(tmp_path / "iall"))
+    for q in ["needleterm", '"alpha bravo charlie"', "w0004"]:
+        hm = sorted(d for _, d in rm.search(q, 60).hits)
+        hu = sorted(d for _, d in ru.search(q, 60).hits)
+        assert hm == hu, q
