@@ -364,6 +364,7 @@ class PartitionIndexer:
         for spec in batch.to_pylist():
             yield self._index_partition(spec)
 
+
     # ------------------------------------------------------------------
     def _paths(self, pid: int) -> tuple[str, str]:
         from tantivy4java_ray import storage as st
@@ -724,6 +725,22 @@ class PartitionIndexer:
             "tfs": bin_col(tf, term_bounds),
             "positions": pos_col}))
         return int(n_pairs)
+
+
+#: per-worker-process indexer cache: Ray reuses worker processes across
+#: tasks, so analyzer/schema setup still happens once per worker (the
+#: actor-pool property) while the stage schedules as plain tasks
+_TASK_INDEXERS: dict[str, PartitionIndexer] = {}
+
+
+def _index_partition_task(batch: pa.Table, kwargs: dict
+                          ) -> Iterator[pa.Table]:
+    key = json.dumps(kwargs, sort_keys=True, default=str)
+    idxr = _TASK_INDEXERS.get(key)
+    if idxr is None:
+        _TASK_INDEXERS.clear()
+        idxr = _TASK_INDEXERS[key] = PartitionIndexer(**kwargs)
+    yield from idxr(batch)
 
 
 # ---------------------------------------------------------------------------
@@ -1095,17 +1112,23 @@ class IndexBuilder:
         # map side: index partitions; partial postings are written to
         # storage split BY SHARD (the external-shuffle map output). Only
         # tiny per-partition summaries flow through the object store.
+        indexer_kwargs = dict(
+            schema_dict=self.schema.to_dict(), index_dir=self.index_dir,
+            num_shards=nshards, html_fallback=self.html_fallback,
+            exact_fieldnorms=self.exact_fieldnorms,
+            checkpoint=self.checkpoint, hot_salts=self.hot_salts,
+            hot_df_frac=self.hot_df_frac,
+            column_renames=self.column_renames,
+            phash_fields=self.phash_fields,
+            frag_min_df=self.frag_min_df)
+        # a TASK pool, not an actor pool: Ray reuses worker processes, so
+        # the per-worker indexer cache gives the same setup-once-per-
+        # worker semantics, while the reduce stage below can start
+        # scheduling the moment CPUs free (an actor pool holds every CPU
+        # until its async teardown completes — a measured multi-second
+        # stall between the phases)
         ds.map_batches(
-            PartitionIndexer,
-            fn_constructor_kwargs=dict(
-                schema_dict=self.schema.to_dict(), index_dir=self.index_dir,
-                num_shards=nshards, html_fallback=self.html_fallback,
-                exact_fieldnorms=self.exact_fieldnorms,
-                checkpoint=self.checkpoint, hot_salts=self.hot_salts,
-                hot_df_frac=self.hot_df_frac,
-                column_renames=self.column_renames,
-                phash_fields=self.phash_fields,
-                frag_min_df=self.frag_min_df),
+            _index_partition_task, fn_kwargs={"kwargs": indexer_kwargs},
             batch_format="pyarrow", batch_size=None,
             concurrency=conc, num_cpus=1).materialize()
         t_map = time.monotonic()
