@@ -5,13 +5,20 @@ Dataflow::
 
     plan_partitions(parquet footers)                      # driver, metadata only
       -> ray.data.from_items(partition specs)
-      -> map_batches(PartitionIndexer, actor pool)        # tokenize + combine
-           emits per-(term, partition) PARTIAL postings   #   (the combiner)
+      -> map_batches(_index_partition_task, task pool     # tokenize + combine
+           with per-worker indexer cache)                 #   (the combiner)
+           emits per-(term, partition) PARTIAL postings:
+             hot terms (df >= FRAG_MIN_DF) pre-encoded to
+             FINAL block-128 format (.enc.parquet, raw)   #   map-side encode
+             rare terms delta-encoded + zstd-1            #   shuffle bytes
            writes docdata/part-{pid}.parquet              #   fieldnorms + fast fields
-      -> groupby("shard")                                 # the one shuffle
-      -> map_groups(shard writer)                         # sorted term dict +
-           writes shards/shard-{sid}/{terms.parquet,      #   block-128 packed
-                  postings.bin, positions.bin}            #   postings
+      -> external shuffle BY SHARD (map writes per-shard
+         partial files; reduce reads exactly its slice)   # the one exchange
+      -> one reduce task per shard                        # sorted term dict +
+           byte-copies hot fragments as posting RUNS,     #   zero re-encode
+           merges + encodes rare-term tails, streams to
+           shards/shard-{sid}/{terms.parquet,
+                  postings.bin, positions.bin}
     driver: txlog versions + checkpoint manifest          # lineage + resume
 
 Scale/skew notes (explicitly, per BASELINE.json north rule):
@@ -1097,11 +1104,10 @@ class IndexBuilder:
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         except Exception:
             cpus = 8
-        # leave CPU headroom for the repartition/sort operators: a fixed
-        # actor pool equal to all CPUs deadlocks the streaming executor
-        # the indexer pool may take every CPU: its input blocks exist up
-        # front (from_items) and the pipeline breaks at a materialize()
-        # below, releasing the actors before the shuffle needs CPUs
+        # the map stage may take every CPU: its input blocks exist up
+        # front (from_items), it runs as plain tasks (no pool teardown
+        # stall), and the pipeline breaks at a materialize() before the
+        # reduce stage needs CPUs
         conc = max(1, min(self.concurrency or npart, npart, cpus))
 
         t_plan = time.monotonic()
