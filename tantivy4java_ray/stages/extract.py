@@ -19,6 +19,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SCRIPT = re.compile(rb"(?is)<(script|style|noscript)\b.*?</\1\s*>")
 _COMMENT = re.compile(rb"(?s)<!--.*?-->")
@@ -54,11 +55,16 @@ def fill_text_from_html(text_col: pa.Array | pa.ChunkedArray,
         text_col = text_col.combine_chunks()
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
-    mask = np.asarray(text_col.is_null().to_numpy(zero_copy_only=False), bool)
+    null_mask = text_col.is_null()
+    mask = np.asarray(null_mask.to_numpy(zero_copy_only=False), bool)
     if not mask.any():
         return text_col
-    texts = text_col.to_pylist()
-    htmls = html_col.to_pylist()
-    for i in np.flatnonzero(mask):
-        texts[i] = extract_text(htmls[i])
-    return pa.array(texts, type=pa.string())
+    # Python objects only for the NULL rows (the extractor is per-row
+    # Python by necessity — frozen golden bytes); the scatter back into
+    # the column is one Arrow kernel, so non-null text never round-trips
+    # through pylist.
+    null_idx = np.flatnonzero(mask)
+    htmls = html_col.take(pa.array(null_idx, pa.int64())).to_pylist()
+    repl = pa.array([extract_text(h) for h in htmls], pa.string())
+    return pc.replace_with_mask(
+        text_col.cast(pa.string()), null_mask, repl)
