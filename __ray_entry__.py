@@ -224,6 +224,34 @@ def q_ft_term_set(sf_dir: str):
     return _docs_table(r, docs)
 
 
+def q_ft_boost(sf_dir: str):
+    """Boost (x2.0 on 'merge') inside a SHOULD union, exact-dl mode so
+    score = 2*bm25(merge) + bm25(join) is SQL-reproducible; top-10
+    (BoostQueryTest.java surface — boost scales the wrapped score)."""
+    from tantivy4java_ray.query import Occur, Query
+    r = _doc_index(sf_dir, exact=True)
+    q = Query.boolean([
+        (Occur.SHOULD, Query.boost(Query.term("text", "merge"), 2.0)),
+        (Occur.SHOULD, Query.term("text", "join"))])
+    docs, scores = r.evaluate(q)
+    scores = np.round(scores.astype(np.float64), 4)
+    order = np.lexsort((docs, -scores))[:10]
+    return pd.DataFrame({"doc_id": docs[order],
+                         "score": scores[order]})
+
+
+def q_ft_const_score(sf_dir: str):
+    """Const-score wrapper: every 'spark' match scores exactly 1.5
+    (ConstScoreQuery surface); returned with the pinned score column."""
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, scores = r.evaluate(
+        Query.const_score(Query.term("text", "spark"), 1.5))
+    order = np.argsort(docs)
+    return pd.DataFrame({"doc_id": docs[order],
+                         "score": scores.astype(np.float64)[order]})
+
+
 # ---------------------------------------------------------------------------
 # aggregations
 # ---------------------------------------------------------------------------
@@ -666,6 +694,28 @@ def q_ann_ivf(sf_dir: str):
     return res[["vec_id"]]
 
 
+def q_ann_ivf_exact(sf_dir: str):
+    """IVF with nprobe = n_clusters: every cluster probed, so the result
+    is EXACT and equals brute-force cosine top-k — the SQL-oracled proof
+    that the persisted index (stored assignments, partitioned files,
+    per-block partial top-k, root merge) loses nothing."""
+    import ray.data
+    from tantivy4java_ray.functions.ivf import IVFIndex, build_ivf_index
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/ivf-{tag}"
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = IVFIndex(path)
+    else:
+        idx = build_ivf_index(ds, path, n_clusters=16, sample_size=2000)
+    q = np.asarray(ds.take(1)[0]["embedding"], np.float32)
+    res = idx.search(q[None, :], k=10,
+                     nprobe=idx.meta["n_clusters"])[["vec_id", "score"]]
+    res = res.copy()
+    res["score"] = np.round(res["score"], 3)
+    return res
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding near-duplicate pairs (hyperplane-LSH bucketed cosine).
 
@@ -769,6 +819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_whitespace_term": q_ft_whitespace_term,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_dismax": q_ft_dismax,
+        "ft_boost": q_ft_boost,
+        "ft_const_score": q_ft_const_score,
         "ft_term_set": q_ft_term_set,
         "ft_order_by": q_ft_order_by,
         "sharded_bm25_topk": q_sharded_bm25_topk,
@@ -792,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_exact": q_ann_ivf_exact,
         "dedup_embedding": q_dedup_embedding,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
@@ -801,8 +854,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tantivy4java_ray.functions.textstats import (_LANG_PROFILES,
+                                                      _STOPWORDS)
     tok_match = lambda t: (  # noqa: E731
         f"regexp_matches(lower(text), '{_B}{t}{_E}')")
+    _in = lambda ws: ", ".join(f"'{w}'" for w in sorted(ws))  # noqa: E731
+    lang_ratio = {  # tokens in profile / max(n_tok, 1), per language
+        lg: (f"len(list_filter(ts, x -> x IN ({_in(ws)})))::DOUBLE"
+             f" / GREATEST(len(ts)::DOUBLE, 1.0)")
+        for lg, ws in _LANG_PROFILES.items()}
     out = {
         "ft_term":
             f"SELECT doc_id FROM documents WHERE {tok_match('merge')}",
@@ -887,6 +947,33 @@ def oracle_sql() -> dict[str, str]:
               4) AS score
             FROM tf, stats, dfs WHERE tf1 > 0 OR tf2 > 0
             ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_boost": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS ts FROM documents),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     avg(len(ts))::DOUBLE AS avgdl FROM toks),
+            tf AS (
+              SELECT doc_id, len(ts)::DOUBLE AS dl,
+                     len(list_filter(ts, x -> x = 'merge'))::DOUBLE AS tf1,
+                     len(list_filter(ts, x -> x = 'join'))::DOUBLE AS tf2
+              FROM toks),
+            dfs AS (
+              SELECT count(*) FILTER (tf1 > 0)::DOUBLE AS df1,
+                     count(*) FILTER (tf2 > 0)::DOUBLE AS df2 FROM tf)
+            SELECT doc_id, ROUND(
+              CASE WHEN tf1 > 0 THEN
+                2.0 * ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * 2.2 * tf1
+                / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END +
+              CASE WHEN tf2 > 0 THEN
+                ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * 2.2 * tf2
+                / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END,
+              4) AS score
+            FROM tf, stats, dfs WHERE tf1 > 0 OR tf2 > 0
+            ORDER BY score DESC, doc_id LIMIT 10""",
+        "ft_const_score": f"""
+            SELECT doc_id, 1.5 AS score FROM documents
+            WHERE {tok_match('spark')} ORDER BY doc_id""",
         "ft_dismax": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKS} AS ts FROM documents),
@@ -996,9 +1083,78 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
                      e.vec_id
             LIMIT 10""",
+        # IVF with every cluster probed is exact == brute-force top-k
+        "ann_ivf_exact": """
+            SELECT e.vec_id, ROUND(
+              list_cosine_similarity(e.embedding, q.embedding), 3) AS score
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                     e.vec_id
+            LIMIT 10""",
+        # the quality composite is deterministic f64 arithmetic over the
+        # token stream: integer-weighted sums are order-independent
+        # (exact in f64), divisions/composites follow the identical
+        # expression tree, and both sides quantize with half-away ROUND
+        "quality": f"""
+            WITH toks AS (
+              SELECT doc_id, length(text)::DOUBLE AS n_chars,
+                     {_TOKS} AS ts
+              FROM documents),
+            base AS (
+              SELECT doc_id, n_chars, len(ts)::DOUBLE AS n_tok,
+                     COALESCE(list_sum(list_transform(ts, x -> len(x))),
+                              0)::DOUBLE AS tok_chars,
+                     len(list_filter(ts,
+                         x -> x IN ({_in(_STOPWORDS)})))::DOUBLE AS stop_hits
+              FROM toks),
+            calc AS (
+              SELECT doc_id, n_chars, n_tok,
+                     tok_chars / GREATEST(n_chars, 1.0) AS alpha_ratio,
+                     tok_chars / GREATEST(n_tok, 1.0) AS mean_len,
+                     stop_hits / GREATEST(n_tok, 1.0) AS stop_ratio,
+                     LEAST(n_tok / 50.0, 1.0)
+                       * LEAST(2000.0 / GREATEST(n_tok, 1.0), 1.0)
+                       AS length_ok
+              FROM base)
+            SELECT doc_id, n_chars::BIGINT AS n_chars,
+                   n_tok::BIGINT AS n_tokens,
+                   ROUND(alpha_ratio, 6) AS alpha_ratio,
+                   ROUND(mean_len, 6) AS mean_token_len,
+                   ROUND(stop_ratio, 6) AS stopword_ratio,
+                   ROUND(0.4 * alpha_ratio
+                         + 0.3 * LEAST(mean_len / 6.0, 1.0)
+                         + 0.3 * length_ok, 6) AS quality
+            FROM calc ORDER BY doc_id""",
+        # argmax over the four stopword-profile ratios; ties resolve to
+        # the first language in sorted order (same as np.argmax over the
+        # sorted-lang score matrix); conf > 0.02 else 'und'
+        "language_id": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS ts FROM documents),
+            r AS (
+              SELECT doc_id,
+                     {lang_ratio['de']} AS r_de,
+                     {lang_ratio['en']} AS r_en,
+                     {lang_ratio['es']} AS r_es,
+                     {lang_ratio['fr']} AS r_fr
+              FROM toks),
+            m AS (
+              SELECT doc_id, r_de, r_en, r_es, r_fr,
+                     GREATEST(r_de, r_en, r_es, r_fr) AS conf
+              FROM r)
+            SELECT doc_id,
+                   CASE WHEN conf <= 0.02 THEN 'und'
+                        WHEN r_de = conf THEN 'de'
+                        WHEN r_en = conf THEN 'en'
+                        WHEN r_es = conf THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   ROUND(conf, 6) AS lang_conf
+            FROM m ORDER BY doc_id""",
         # intentionally no oracle (non-SQL-expressible / approximate):
-        # dedup_minhash, dedup_simhash_pairs, ann_ivf, language_id,
-        # quality, agg_cardinality_users, more_like_this
+        # dedup_minhash, dedup_simhash_pairs, ann_ivf (nprobe<nlist; the
+        # exact variant ann_ivf_exact IS oracled), agg_cardinality_users,
+        # agg_percentiles_value, more_like_this, sharded_* reuse below
     }
     out["sharded_bm25_topk"] = out["ft_bm25_topk"]  # identical contract
     out["sharded_agg_terms"] = out["agg_terms_lang"]

@@ -15,6 +15,15 @@ import pyarrow.compute as pc
 from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Quantize to 6 decimals with half-away-from-zero ties (SQL ROUND
+    semantics) so the ratio columns have a well-defined decimal contract
+    oracle-checkable against DuckDB; ``np.round`` rounds half-to-EVEN,
+    which diverges on exact halves (e.g. 1/128 -> 0.007812 vs 0.007813).
+    All inputs here are non-negative."""
+    return np.floor(np.asarray(x, np.float64) * 1e6 + 0.5) / 1e6
+
+
 def token_stats_batch(t: pa.Table, col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """(id, n_tokens, n_unique_tokens) via the vectorized default analyzer."""
@@ -85,10 +94,10 @@ def quality_batch(t: pa.Table, col: str = "text",
     return pa.table({id_col: t.column(id_col),
                      "n_chars": pa.array(n_chars.astype(np.int64)),
                      "n_tokens": pa.array(n_tok.astype(np.int64)),
-                     "alpha_ratio": pa.array(np.round(alpha_ratio, 6)),
-                     "mean_token_len": pa.array(np.round(mean_len, 6)),
-                     "stopword_ratio": pa.array(np.round(stop_ratio, 6)),
-                     "quality": pa.array(np.round(score, 6))})
+                     "alpha_ratio": pa.array(_round6(alpha_ratio)),
+                     "mean_token_len": pa.array(_round6(mean_len)),
+                     "stopword_ratio": pa.array(_round6(stop_ratio)),
+                     "quality": pa.array(_round6(score))})
 
 
 def quality_scores(ds, col: str = "text", id_col: str = "doc_id"):
@@ -140,7 +149,7 @@ class LanguageId:
                         np.array(self.langs, object)[best], "und")
         return pa.table({self.id_col: t.column(self.id_col),
                          "lang_pred": pa.array(pred.astype(object)),
-                         "lang_conf": pa.array(np.round(conf, 6))})
+                         "lang_conf": pa.array(_round6(conf))})
 
 
 def language_id(ds, col: str = "text", id_col: str = "doc_id",

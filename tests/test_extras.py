@@ -247,8 +247,7 @@ def test_driver_contract_shape():
     assert set(o) <= set(q), set(o) - set(q)
     no_oracle = set(q) - set(o)
     assert no_oracle == {"dedup_minhash", "dedup_simhash_pairs",
-                         "ann_ivf", "language_id", "quality",
-                         "agg_cardinality_users", "more_like_this",
-                         "agg_percentiles_value"}, \
+                         "ann_ivf", "agg_cardinality_users",
+                         "more_like_this", "agg_percentiles_value"}, \
         no_oracle
     assert callable(m.entry)

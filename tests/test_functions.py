@@ -179,6 +179,43 @@ def test_quality_scores(docs_ds):
     assert (out["alpha_ratio"] > 0.5).all()  # plain word soup
 
 
+def test_quality_langid_match_their_sql_oracles(sf_dir):
+    """The quality composite and language-ID heuristic are plain f64
+    arithmetic over the token stream — bit-identical to their DuckDB
+    oracle_sql() entries (half-away ROUND on both sides; integer-weighted
+    sums are exact in f64 so summation order is irrelevant)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+    from tantivy4java_ray.functions.textstats import LanguageId, quality_batch
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = m.oracle_sql()
+    for name, mine in (("quality", quality_batch(t)),
+                       ("language_id", LanguageId()(t))):
+        mine = mine.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        orc = (con.sql(sql[name]).df()
+               .sort_values("doc_id").reset_index(drop=True)[mine.columns])
+        for c in mine.columns:
+            a, b = mine[c].to_numpy(), orc[c].to_numpy()
+            if a.dtype.kind == "f":
+                assert np.array_equal(a, b), (name, c)
+            else:
+                assert (pd.Series(a).astype(str)
+                        == pd.Series(b).astype(str)).all(), (name, c)
+
+
+def test_round6_half_away():
+    """1/128 is an exact binary half at 6dp: np.round gives 0.007812
+    (half-even) but SQL ROUND gives 0.007813 — _round6 must match SQL."""
+    from tantivy4java_ray.functions.textstats import _round6
+    assert _round6(np.array([1.0 / 128]))[0] == 0.007813
+    assert duckdb.sql("SELECT ROUND(1.0/128, 6)::DOUBLE AS r").fetchone()[0] \
+        == 0.007813
+
+
 def test_fingerprints_match_duckdb(docs_ds, sf_dir):
     from tantivy4java_ray.functions.textstats import fingerprints
     mine = fingerprints(docs_ds).to_pandas().sort_values("doc_id")
