@@ -744,6 +744,31 @@ def q_dedup_embedding(sf_dir: str):
     return pairs[["a", "b"]].reset_index(drop=True)
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Composed curation flagship: quality + language-ID scoring with
+    in-batch filtering, exact dedup of the survivors, per-doc stats —
+    one streaming Dataset pipeline, one 60 B/row shuffle. Ten exact
+    clones (ids offset by N) are planted so the dedup stage provably
+    fires; the min-id rule keeps the originals."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from tantivy4java_ray.pipelines.curate import curate_documents
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n = ds.count()
+
+    def bump(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("doc_id")
+        return t.set_column(i, "doc_id", pc.add(t.column("doc_id"), n))
+
+    clones = ds.sort("doc_id").limit(10).map_batches(
+        bump, batch_format="pyarrow")
+    out = curate_documents(ds.union(clones), min_quality=0.8,
+                           langs=("en",)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_token_stats(sf_dir: str):
     import ray.data
     from tantivy4java_ray.functions.textstats import token_stats
@@ -846,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exact": q_ann_ivf_exact,
         "dedup_embedding": q_dedup_embedding,
+        "curation_pipeline": q_curation_pipeline,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "language_id": q_language_id,
@@ -1092,6 +1118,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
                      e.vec_id
             LIMIT 10""",
+        # the composed curation pipeline: same quality/lang-ID CTEs,
+        # filter, then min-id per exact-text duplicate group (10 planted
+        # clones with ids offset by N make the dedup stage observable)
+        "curation_pipeline": f"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + (SELECT count(*) FROM documents), text
+              FROM (SELECT doc_id, text FROM documents
+                    ORDER BY doc_id LIMIT 10)),
+            toks AS (
+              SELECT doc_id, text, length(text)::DOUBLE AS n_chars,
+                     {_TOKS} AS ts
+              FROM docs),
+            base AS (
+              SELECT doc_id, text, n_chars, len(ts)::DOUBLE AS n_tok,
+                     COALESCE(list_sum(list_transform(ts, x -> len(x))),
+                              0)::DOUBLE AS tok_chars,
+                     {lang_ratio['de']} AS r_de,
+                     {lang_ratio['en']} AS r_en,
+                     {lang_ratio['es']} AS r_es,
+                     {lang_ratio['fr']} AS r_fr
+              FROM toks),
+            scored AS (
+              SELECT doc_id, text, n_tok,
+                     ROUND(0.4 * (tok_chars / GREATEST(n_chars, 1.0))
+                           + 0.3 * LEAST(tok_chars / GREATEST(n_tok, 1.0)
+                                         / 6.0, 1.0)
+                           + 0.3 * (LEAST(n_tok / 50.0, 1.0)
+                             * LEAST(2000.0 / GREATEST(n_tok, 1.0), 1.0)),
+                           6) AS quality,
+                     CASE WHEN GREATEST(r_de, r_en, r_es, r_fr) <= 0.02
+                               THEN 'und'
+                          WHEN r_de = GREATEST(r_de, r_en, r_es, r_fr)
+                               THEN 'de'
+                          WHEN r_en = GREATEST(r_de, r_en, r_es, r_fr)
+                               THEN 'en'
+                          WHEN r_es = GREATEST(r_de, r_en, r_es, r_fr)
+                               THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM base),
+            filt AS (
+              SELECT * FROM scored
+              WHERE quality >= 0.8 AND lang_pred = 'en')
+            SELECT doc_id, lang_pred, quality, n_tok::BIGINT AS n_tokens
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY text ORDER BY doc_id) AS rn
+                  FROM filt)
+            WHERE rn = 1 ORDER BY doc_id""",
         # the quality composite is deterministic f64 arithmetic over the
         # token stream: integer-weighted sums are order-independent
         # (exact in f64), divisions/composites follow the identical

@@ -260,3 +260,38 @@ def test_minhash_dedup_dataset_scale_path(ray_session):
     out, pairs = minhash_dedup_dataset(ds, "text", "doc_id", threshold=0.9)
     kept = sorted(out.to_pandas()["doc_id"])
     assert kept == list(range(20))  # ids 20, 21 dropped
+
+
+def test_curation_pipeline_composed(ray_session, sf_dir):
+    """score -> filter -> exact-dedup composition equals the single
+    DuckDB query that reproduces all three stages (the curation_pipeline
+    oracle), including planted exact clones being deduped away."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    import __ray_entry__ as m
+    from tantivy4java_ray.pipelines.curate import curate_documents
+    mine = m.queries()["curation_pipeline"](sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    orc = con.sql(m.oracle_sql()["curation_pipeline"]).df()[mine.columns]
+    assert len(mine) == len(orc) > 0
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if a.dtype.kind in "if":
+            assert np.array_equal(a, b), c
+        else:
+            assert (pd.Series(a).astype(str)
+                    == pd.Series(b).astype(str)).all(), c
+    # the filters are ACTIVE (strict subset) and clones are gone
+    n = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(mine) < n
+    assert mine["doc_id"].max() < n  # planted ids (>= n) all deduped
+
+    # langs=None keeps every quality-passing doc (filter composability)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    all_langs = curate_documents(ds, min_quality=0.8,
+                                 langs=None).to_pandas()
+    assert len(all_langs) >= len(mine)
