@@ -164,6 +164,10 @@ class IndexReader:
         self._union_cache_bytes = 0
         self.union_cache_max = 32 << 20
         self._df_cache: dict[tuple[str, str], int] = {}
+        # [hits, misses] per cache tier (SplitCacheManager.getCacheStats
+        # analog, split/SplitCacheManager.java:983-1005)
+        self._cstats = {"postings": [0, 0], "positions": [0, 0],
+                        "union": [0, 0]}
         dpath = st.sjoin(index_dir, "deleted_docs.npy")
         self.deleted: np.ndarray | None = None
         if st.sexists(dpath):
@@ -294,8 +298,10 @@ class IndexReader:
         ck = (field, term)
         hit = self._post_cache.get(ck)
         if hit is not None:
+            self._cstats["postings"][0] += 1
             self._post_cache.move_to_end(ck)
             return hit
+        self._cstats["postings"][1] += 1
         runs = self._term_runs(field, term)
         if not runs:
             return np.empty(0, np.int64), np.empty(0, np.uint32)
@@ -339,8 +345,10 @@ class IndexReader:
         ck = (field, term)
         hit = self._pos_cache.get(ck)
         if hit is not None:
+            self._cstats["positions"][0] += 1
             self._pos_cache.move_to_end(ck)
             return hit
+        self._cstats["positions"][1] += 1
         runs = self._term_runs(field, term)
         if not runs:
             return (np.empty(0, np.int64), np.empty(0, np.uint32),
@@ -506,8 +514,10 @@ class IndexReader:
         returned array is shared — callers must not mutate it)."""
         hit = self._union_cache.get(key)
         if hit is not None:
+            self._cstats["union"][0] += 1
             self._union_cache.move_to_end(key)
             return hit
+        self._cstats["union"][1] += 1
         docs = self._union_docs_for_rows(matched_fn())
         self._union_cache[key] = docs
         # +256: per-entry overhead so empty results (nbytes 0) still
@@ -1289,6 +1299,32 @@ class IndexReader:
                 self.norms(f)
             except KeyError:
                 pass
+
+    def cache_stats(self) -> dict:
+        """Per-tier cache telemetry — the ``getCacheStats`` /
+        ``getComponentCacheStatus`` analog
+        (``split/SplitCacheManager.java:983-1005``). Decoded-postings /
+        positions / const-union LRUs report hit/miss/entries/bytes;
+        remote blobs report issued ranged GETs and node-local disk-cache
+        re-warms (zero for local memmap indexes)."""
+        out = {}
+        for name, cache, nbytes, cap in (
+                ("postings", self._post_cache, self._post_cache_bytes,
+                 self.postings_cache_max),
+                ("positions", self._pos_cache, self._pos_cache_bytes,
+                 self.postings_cache_max),
+                ("union", self._union_cache, self._union_cache_bytes,
+                 self.union_cache_max)):
+            h, m = self._cstats[name]
+            out[name] = {"hits": h, "misses": m, "entries": len(cache),
+                         "bytes": int(nbytes), "max_bytes": int(cap)}
+        out["df"] = {"entries": len(self._df_cache)}
+        gets = disk_hits = 0
+        for mm in list(self._post_mm.values()) + list(self._pos_mm.values()):
+            gets += getattr(mm, "gets", 0)
+            disk_hits += getattr(mm, "disk_hits", 0)
+        out["remote"] = {"ranged_gets": gets, "disk_cache_hits": disk_hits}
+        return out
 
     def facet_counts(self, field: str, prefix: str = "/",
                      query: Query | None = None) -> list[tuple[str, int]]:

@@ -196,3 +196,38 @@ def test_memory_index_query_get_counts(ray_session, tmp_path):
     r.match_terms("text", "regex", pattern="need.*")
     assert sum(r._mm(sid).gets for sid in r._post_mm) == gets_after
     assert list(docs2) == list(docs) and len(wdocs) >= 0
+
+
+def test_cache_stats_surface(ray_session, tmp_path):
+    """IndexReader.cache_stats(): hit/miss counters move with repeat
+    queries (getCacheStats analog, SplitCacheManager.java:983-1005)."""
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    from tantivy4java_ray.sources.webpages import write_webpages
+
+    write_webpages(str(tmp_path / "data"), 400, n_files=1,
+                   rows_per_row_group=200)
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    build_index(str(tmp_path / "data"), str(tmp_path / "idx"), s,
+                target_docs_per_partition=200, num_shards=2)
+    r = IndexReader(str(tmp_path / "idx"))
+    st0 = r.cache_stats()
+    assert st0["postings"] == {"hits": 0, "misses": 0, "entries": 0,
+                               "bytes": 0,
+                               "max_bytes": r.postings_cache_max}
+    r.evaluate(Query.term("text", "needleterm"))
+    st1 = r.cache_stats()
+    assert st1["postings"]["misses"] == 1
+    assert st1["postings"]["entries"] == 1
+    r.evaluate(Query.term("text", "needleterm"))
+    st2 = r.cache_stats()
+    assert st2["postings"]["hits"] >= 1
+    # automaton union: first query misses, repeat hits
+    r.evaluate(Query.wildcard("text", "need*"))
+    r.evaluate(Query.wildcard("text", "need*"))
+    st3 = r.cache_stats()
+    assert st3["union"]["misses"] >= 1 and st3["union"]["hits"] >= 1
+    assert st3["remote"] == {"ranged_gets": 0, "disk_cache_hits": 0}
