@@ -61,8 +61,7 @@ import pyarrow.parquet as pq
 
 from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
 from tantivy4java_ray.fieldnorm import fieldnorm_to_id
-from tantivy4java_ray.postings import (encode_positions, encode_postings,
-                                       encode_postings_segments)
+from tantivy4java_ray.postings import encode_positions, encode_postings
 from tantivy4java_ray.schema import FieldType, IndexSchema, infer_index_schema
 from tantivy4java_ray.sources.parquet_meta import BuildPlan, plan_partitions
 from tantivy4java_ray.stages.extract import fill_text_from_html
@@ -674,22 +673,16 @@ class PartitionIndexer:
                     else np.zeros(n_terms, bool))
         if enc_mask.any():
             e_idx = np.flatnonzero(enc_mask)
-            e_lens = tlens[e_idx]
-            # gather the hot terms' pair slices into one stream and
-            # encode them ALL in one vectorized pass (per-term numpy
-            # call overhead dominated the old loop at ~500 terms/part.)
-            shift = np.concatenate(([0], np.cumsum(e_lens)[:-1]))
-            within = (np.arange(int(e_lens.sum()), dtype=np.int64)
-                      - np.repeat(shift, e_lens))
-            gidx = np.repeat(tstarts[e_idx], e_lens) + within
-            first_per = pair_row[tstarts[e_idx]]
-            docs_flat = pair_row[gidx] - np.repeat(first_per, e_lens)
-            e_first = first_per.astype(np.int64)
-            e_blobs = encode_postings_segments(docs_flat, tf[gidx], shift)
+            e_blobs: list[bytes] = []
             e_pblobs: list[bytes] = []
-            for ti in e_idx:
+            e_first = np.empty(len(e_idx), np.int64)
+            for k, ti in enumerate(e_idx):
                 p0 = int(tstarts[ti])
                 p1 = p0 + int(tlens[ti])
+                dloc = pair_row[p0:p1]
+                e_first[k] = first = int(dloc[0])
+                e_blobs.append(encode_postings(
+                    dloc - np.uint32(first), tf[p0:p1]))
                 e_pblobs.append(
                     encode_positions(
                         pos_sorted[pair_pos_off[p0]:pair_pos_off[p1]])

@@ -164,102 +164,6 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
                      bits_doc.tobytes(), bits_tf.tobytes(), *chunks])
 
 
-def _pack_blocks_counts(mat: np.ndarray, widths: np.ndarray,
-                        counts: np.ndarray) -> list[bytes]:
-    """``_pack_blocks`` with a per-row valid count (rows from MANY terms
-    share the matrix, so each term's last block has its own count)."""
-    nb = len(mat)
-    out: list[bytes] = [b""] * nb
-    for w in np.unique(widths):
-        w = int(w)
-        if w == 0:
-            continue
-        sel = np.flatnonzero(widths == w)
-        vals = mat[sel].astype(np.uint64)
-        bits = ((vals[:, :, None] >> np.arange(w, dtype=np.uint64)) & 1
-                ).astype(np.uint8)
-        packed = np.packbits(bits.reshape(len(sel), BLOCK * w), axis=1,
-                             bitorder="little")
-        for j, bi in enumerate(sel):
-            out[bi] = packed[j, :(int(counts[bi]) * w + 7) // 8].tobytes()
-    return out
-
-
-def encode_postings_segments(docs: np.ndarray, tfs: np.ndarray,
-                             seg_starts: np.ndarray) -> list[bytes]:
-    """Encode MANY terms' posting lists in one vectorized pass.
-
-    ``docs``/``tfs`` concatenate the per-term streams (doc ids ascending
-    within each term); ``seg_starts`` (ascending, first element 0) marks
-    each term's first index. Byte-identical to calling
-    ``encode_postings`` per term (property-tested) but the delta
-    computation, block matrices, widths and bit-packing are computed
-    across ALL terms at once — the map-side fragment path encodes
-    hundreds of hot terms per partition, where per-term numpy call
-    overhead dominates the actual packing work."""
-    n = len(docs)
-    if n == 0:
-        return []
-    docs = np.ascontiguousarray(docs, np.uint32)
-    tfs = np.ascontiguousarray(tfs, np.uint32)
-    seg_starts = np.asarray(seg_starts, np.int64)
-    nseg = len(seg_starts)
-    seg_ends = np.append(seg_starts[1:], n)
-    df = seg_ends - seg_starts
-    nblocks = (df + BLOCK - 1) // BLOCK
-    blk0 = np.concatenate(([0], np.cumsum(nblocks)))
-    total_blocks = int(blk0[-1])
-
-    # global gap-1 deltas with per-term resets (delta[0] = docs[0])
-    deltas = np.empty(n, np.uint32)
-    deltas[0] = docs[0]
-    np.subtract(docs[1:], docs[:-1], out=deltas[1:])
-    deltas[1:] -= 1
-    deltas[seg_starts] = docs[seg_starts]
-
-    # scatter into the shared padded block matrix: a term's blocks are
-    # contiguous, so element (term i, within w) lands at blk0[i]*128 + w
-    within = np.arange(n, dtype=np.int64) - np.repeat(seg_starts, df)
-    dest = np.repeat(blk0[:-1] * BLOCK, df) + within
-    flat_d = np.zeros(total_blocks * BLOCK, np.uint32)
-    flat_d[dest] = deltas
-    flat_t = np.zeros(total_blocks * BLOCK, np.uint32)
-    flat_t[dest] = tfs - 1
-    dmat = flat_d.reshape(total_blocks, BLOCK)
-    tmat = flat_t.reshape(total_blocks, BLOCK)
-    tmax = tmat.max(axis=1)
-    bits_doc = _bit_widths(dmat.max(axis=1))
-    bits_tf = _bit_widths(tmax)
-    max_tf_all = (tmax + 1).astype(np.uint32)
-
-    term_of_block = np.repeat(np.arange(nseg), nblocks)
-    block_within = (np.arange(total_blocks, dtype=np.int64)
-                    - np.repeat(blk0[:-1], nblocks))
-    counts = np.minimum(BLOCK, df[term_of_block]
-                        - block_within * BLOCK).astype(np.int64)
-    last_idx = seg_starts[term_of_block] + np.minimum(
-        (block_within + 1) * BLOCK - 1, df[term_of_block] - 1)
-    last_doc_all = docs[last_idx]
-
-    dchunks = _pack_blocks_counts(dmat, bits_doc, counts)
-    tchunks = _pack_blocks_counts(tmat, bits_tf, counts)
-
-    df32 = df.astype(np.uint32)
-    nb32 = nblocks.astype(np.uint32)
-    out: list[bytes] = []
-    for i in range(nseg):
-        b0, b1 = int(blk0[i]), int(blk0[i + 1])
-        parts = [np.array([df32[i], nb32[i]], np.uint32).tobytes(),
-                 last_doc_all[b0:b1].tobytes(),
-                 max_tf_all[b0:b1].tobytes(),
-                 bits_doc[b0:b1].tobytes(), bits_tf[b0:b1].tobytes()]
-        for b in range(b0, b1):
-            parts.append(dchunks[b])
-            parts.append(tchunks[b])
-        out.append(b"".join(parts))
-    return out
-
-
 def read_skip(buf: bytes | memoryview, offset: int = 0) -> SkipInfo:
     mv = memoryview(buf)
     df, nblocks = np.frombuffer(mv, np.uint32, 2, offset)

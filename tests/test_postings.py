@@ -79,35 +79,3 @@ def test_offset_addressing():
 def test_empty_rejected():
     with pytest.raises(AssertionError):
         encode_postings(np.empty(0, np.uint32), np.empty(0, np.uint32))
-
-
-def test_encode_postings_segments_byte_identical():
-    """The batched multi-term encoder must produce exactly the bytes of
-    per-term encode_postings for every term — random segment shapes
-    including df<128, df==128, multi-block, and max-width deltas."""
-    import numpy as np
-
-    from tantivy4java_ray.postings import (encode_postings,
-                                           encode_postings_segments)
-    rng = np.random.default_rng(7)
-    for trial in range(10):
-        nseg = int(rng.integers(1, 40))
-        docs_l, tfs_l = [], []
-        for _ in range(nseg):
-            df = int(rng.choice([1, 2, 127, 128, 129, 300,
-                                 int(rng.integers(1, 2000))]))
-            gaps = rng.integers(1, int(rng.choice([2, 5, 100000])),
-                                df).astype(np.uint64)
-            d = (np.cumsum(gaps) - gaps[0]).astype(np.uint32)
-            docs_l.append(d)
-            tfs_l.append(rng.integers(1, 200, df).astype(np.uint32))
-        seg_starts = np.concatenate(
-            ([0], np.cumsum([len(d) for d in docs_l])[:-1]))
-        batched = encode_postings_segments(
-            np.concatenate(docs_l), np.concatenate(tfs_l), seg_starts)
-        assert len(batched) == nseg
-        for d, t, blob in zip(docs_l, tfs_l, batched):
-            assert blob == encode_postings(d, t)
-    assert encode_postings_segments(np.empty(0, np.uint32),
-                                    np.empty(0, np.uint32),
-                                    np.empty(0, np.int64)) == []
