@@ -438,6 +438,23 @@ def q_agg_stats_events(sf_dir: str):
                           "vsum": round(s["sum"], 2)}])
 
 
+def q_agg_extended_stats(sf_dir: str):
+    """extended_stats metric (round-3 addition beyond the reference's 12
+    agg classes): exact distributed sum/sum-of-squares; population
+    variance + std finalized once. Same rounding protocol as
+    agg_stats_events (sums at 2dp; derived moments at 4dp)."""
+    import ray.data
+    from tantivy4java_ray.aggs import aggregate_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    s = aggregate_dataset(
+        ds, {"s": {"extended_stats": {"field": "value"}}})["s"]
+    return pd.DataFrame([{
+        "n": s["count"], "vsum": round(s["sum"], 2),
+        "sos": round(s["sum_of_squares"], 2),
+        "variance": round(s["variance"], 4),
+        "std": round(s["std_deviation"], 4)}])
+
+
 def q_agg_histogram_events(sf_dir: str):
     import ray.data
     from tantivy4java_ray.aggs import aggregate_dataset
@@ -853,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_terms_lang": q_agg_terms_lang,
         "sharded_agg_terms": q_sharded_agg_terms,
         "agg_stats_events": q_agg_stats_events,
+        "agg_extended_stats": q_agg_extended_stats,
         "agg_histogram_events": q_agg_histogram_events,
         "agg_date_histogram_events": q_agg_date_histogram_events,
         "agg_range_events": q_agg_range_events,
@@ -1042,6 +1060,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(value) AS n, ROUND(min(value), 4) AS vmin, "
             "ROUND(max(value), 4) AS vmax, ROUND(sum(value), 2) AS vsum "
             "FROM events",
+        "agg_extended_stats":
+            "SELECT count(value) AS n, ROUND(sum(value), 2) AS vsum, "
+            "ROUND(sum(value * value), 2) AS sos, "
+            "ROUND(var_pop(value), 4) AS variance, "
+            "ROUND(stddev_pop(value), 4) AS std FROM events",
         "agg_histogram_events":
             "SELECT floor(value / 10.0) * 10.0 AS bucket, "
             "count(*) AS doc_count FROM events WHERE value IS NOT NULL "
