@@ -305,6 +305,43 @@ def _mem_control(workers: int, seconds: float = 4.0) -> float:
     return total * 128 / 1024 / seconds
 
 
+def _read_steal() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — hypervisor time
+    stolen from this VM. 0s when the file is unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _host_context(num_cpus: int) -> dict[str, float]:
+    """Quick host-capability probe reported alongside the suite numbers.
+
+    This sandbox is a shared, CPU-overcommitted VM: identical serial
+    indexing tasks have measured 0.6 s and 16.7 s of CPU time minutes
+    apart, and even a pure busy-loop at 24 workers delivers only ~0.7x
+    per-worker throughput (hypervisor steal). Cross-round comparisons of
+    wall-clock numbers are meaningless without knowing what the host
+    delivered AT MEASUREMENT TIME, so each bench JSON embeds a ~10 s
+    control: single-process and wide busy-loop rates (their ratio =
+    deliverable parallel-CPU efficiency), single-process memcpy GB/s,
+    and the steal fraction observed while the wide control ran."""
+    wide = max(2, min(num_cpus, 24))
+    c1 = _cpu_control(1, seconds=2.0)
+    s0, t0 = _read_steal()
+    cw = _cpu_control(wide, seconds=3.0)
+    s1, t1 = _read_steal()
+    m1 = _mem_control(1, seconds=2.0)
+    steal = (s1 - s0) / max(t1 - t0, 1)
+    return {"_host_cpu_eff_wide": round(cw / (c1 * wide), 3),
+            "_host_cpu_wide_workers": wide,
+            "_host_mem_gbps_1p": round(m1, 1),
+            "_host_steal_pct": round(100.0 * steal, 1)}
+
+
 def _init_ray(num_cpus: int) -> None:
     import ray
     if not ray.is_initialized():
@@ -396,10 +433,19 @@ def main() -> None:
                 min(eff / max(min(ctl_eff, mem_eff), 1e-9), 1.0), 3)}))
         return
 
+    # bracket the suite with host probes: this VM's deliverable CPU and
+    # memory bandwidth swing >100x in bursts (measured 0.03 vs 8.5 GB/s
+    # for the identical single-process memcpy minutes apart), so a
+    # single snapshot can sample a good or bad moment — two timestamps
+    # bound the window the suite actually ran in
+    host_pre = _host_context(num_cpus)
     _init_ray(num_cpus)
     t0 = time.monotonic()
     queries = suite(sf_dir, num_cpus)
     wall = round(time.monotonic() - t0, 3)
+    host_post = _host_context(num_cpus)
+    queries.update({k + "_pre": v for k, v in host_pre.items()})
+    queries.update({k + "_post": v for k, v in host_post.items()})
     import ray
     ray.shutdown()
     # value = one best pass through the suite (sum of the reported timed
