@@ -187,16 +187,22 @@ def q_ft_order_by(sf_dir: str):
 
 
 def q_more_like_this(sf_dir: str):
-    """More-like-this seeded from the first 'spark' doc (rows-only
-    check: term selection is tf-idf ranked, not SQL-expressible)."""
+    """More-like-this seeded from the first 'spark' doc, exact-dl mode.
+
+    Fully SQL-oracled: term selection is tf * log1p((N-df+.5)/(df+.5))
+    ranked (ties broken term-DESC, the tuple-sort order), top 10 terms
+    become a SHOULD of term queries scored with exact-dl BM25; scores
+    round to 4 dp before ranking so the f64-sum order is robust across
+    engines."""
     from tantivy4java_ray.query import Query
-    r = _doc_index(sf_dir)
+    r = _doc_index(sf_dir, exact=True)
     seed, _ = r.evaluate(Query.term("text", "spark"))
     text = r.retrieve_docs([int(seed[0])],
                            columns=["text"]).column("text")[0].as_py()
     docs, scores = r.evaluate(
         Query.more_like_this({"text": text}, max_query_terms=10))
-    order = np.lexsort((docs, -scores.astype(np.float64)))[:25]
+    scores = np.round(scores.astype(np.float64), 4)
+    order = np.lexsort((docs, -scores))[:25]
     return pd.DataFrame({"doc_id": docs[order]})
 
 
@@ -683,6 +689,27 @@ def q_dedup_simhash_pairs(sf_dir: str):
     return pairs.reset_index(drop=True)
 
 
+def q_dedup_ngram(sf_dir: str):
+    """Exact word-3-gram Jaccard pairs >= 0.8, LSH-bucketed.
+
+    SQL-oracled: the DuckDB oracle computes ALL-pairs exact Jaccard over
+    the identical shingle sets (whitespace tokens, k=3, short docs
+    collapse to one whole-doc shingle). The LSH candidate stage only
+    PRUNES — at this threshold the planted near-dups sit at J >= 0.9
+    where a 16-band/4-row scheme misses with P < 4e-8 — so the bucketed
+    engine must reproduce the exhaustive oracle exactly, pair for pair,
+    value for value."""
+    import ray.data
+    from tantivy4java_ray.functions.dedup import ngram_jaccard_pairs
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", shingle_size=3,
+                                threshold=0.8)
+    pairs = pairs.copy()
+    pairs["jaccard"] = np.round(pairs["jaccard"].astype(np.float64), 6)
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_ann_topk(sf_dir: str):
     import ray.data
     from tantivy4java_ray.functions.similarity import topk_cosine
@@ -885,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exact": q_ann_ivf_exact,
@@ -1018,6 +1046,50 @@ def oracle_sql() -> dict[str, str]:
         "ft_const_score": f"""
             SELECT doc_id, 1.5 AS score FROM documents
             WHERE {tok_match('spark')} ORDER BY doc_id""",
+        # more-like-this, end to end: pick the seed doc (first 'spark'
+        # match), rank its terms by tf * log1p-idf (ties term-DESC =
+        # the engine's tuple sort), keep 10, BM25-sum those SHOULD
+        # terms over the corpus (exact dl), top-25 by (round(score,4)
+        # DESC, doc_id)
+        "more_like_this": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS ts FROM documents),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     avg(len(ts))::DOUBLE AS avgdl FROM toks),
+            seed AS (
+              SELECT min(doc_id) AS sid FROM documents
+              WHERE {tok_match('spark')}),
+            seed_tf AS (
+              SELECT tok, count(*)::DOUBLE AS tf FROM (
+                SELECT unnest(ts) AS tok FROM toks JOIN seed
+                ON doc_id = sid)
+              GROUP BY tok),
+            dfs AS (
+              SELECT tok, count(*)::DOUBLE AS df FROM (
+                SELECT doc_id, unnest(list_distinct(ts)) AS tok FROM toks)
+              GROUP BY tok),
+            sel AS (
+              SELECT s.tok, d.df
+              FROM seed_tf s JOIN dfs d USING (tok), stats
+              ORDER BY s.tf * ln(1 + (n - d.df + 0.5) / (d.df + 0.5))
+                       DESC, s.tok DESC
+              LIMIT 10),
+            doc_tf AS (
+              SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf FROM (
+                SELECT doc_id, len(ts)::DOUBLE AS dl,
+                       unnest(ts) AS tok FROM toks)
+              WHERE tok IN (SELECT tok FROM sel)
+              GROUP BY 1, 2, 3),
+            scores AS (
+              SELECT d.doc_id, ROUND(sum(
+                ln(1 + (st.n - s.df + 0.5) / (s.df + 0.5)) * 2.2 * d.tf
+                / (d.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / st.avgdl))),
+                4) AS score
+              FROM doc_tf d JOIN sel s USING (tok), stats st
+              GROUP BY 1)
+            SELECT doc_id FROM scores
+            ORDER BY score DESC, doc_id LIMIT 25""",
         "ft_dismax": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKS} AS ts FROM documents),
@@ -1106,6 +1178,34 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value DESC, event_id LIMIT 20",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # exhaustive all-pairs word-3-gram Jaccard; the Ray side prunes
+        # via LSH buckets but must return the identical pair set/values
+        "dedup_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            sh AS (
+              SELECT id, CASE WHEN len(tk) < 3
+                         THEN list_distinct([array_to_string(tk, ' ')])
+                         ELSE list_distinct(
+                           [array_to_string(tk[i:i+2], ' ')
+                            for i in range(1, len(tk) - 1)])
+                         END AS shingles
+              FROM toks WHERE len(tk) > 0),
+            ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT id, len(shingles) AS n FROM sh),
+            inter AS (SELECT x.id AS a, y.id AS b, count(*) AS i
+                      FROM ex x JOIN ex y ON x.s = y.s AND x.id < y.id
+                      GROUP BY 1, 2)
+            SELECT i.a, i.b,
+                   ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6)
+                     AS jaccard
+            FROM inter i JOIN sizes sa ON sa.id = i.a
+                         JOIN sizes sb ON sb.id = i.b
+            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
+            ORDER BY 1, 2""",
         "token_stats": f"""
             SELECT doc_id,
                    len({_TOKS}) AS n_tokens,
@@ -1252,7 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         # intentionally no oracle (non-SQL-expressible / approximate):
         # dedup_minhash, dedup_simhash_pairs, ann_ivf (nprobe<nlist; the
         # exact variant ann_ivf_exact IS oracled), agg_cardinality_users,
-        # agg_percentiles_value, more_like_this, sharded_* reuse below
+        # agg_percentiles_value, sharded_* reuse below
     }
     out["sharded_bm25_topk"] = out["ft_bm25_topk"]  # identical contract
     out["sharded_agg_terms"] = out["agg_terms_lang"]

@@ -20,9 +20,15 @@ import sys
 
 
 def _init_ray() -> None:
+    import os
+
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
+        # under `ray job submit` RAY_ADDRESS points at the running
+        # cluster (or is unset, where "auto" attaches); standalone use
+        # falls back to a throwaway local instance
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        ray.init(address=addr, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False

@@ -12,6 +12,8 @@ Ray-Data-native:
 - simhash: 64-bit simhash -> 4x16-bit chunk buckets (Hamming<=3 guarantee)
            -> verify exact Hamming distance
 - ngram-Jaccard: exact Jaccard on shingle-hash sets within LSH buckets
+           (corpus pass emits only (id, band-hashes); candidate shingle
+           sets are recomputed from the source, never materialized)
 - embedding: random-hyperplane LSH buckets -> exact cosine within bucket
 
 Determinism: all hashing is ``pandas.util.hash_array`` (fixed-key siphash)
@@ -159,9 +161,15 @@ def _batch_shingle_hashes(texts: list, k: int
 
 
 class MinHasher:
-    """Actor-pool stage: permutation params built once per actor; the
-    whole batch is hashed and minhashed in numpy (perm chunks bound the
-    (shingles x perms) working set)."""
+    """Signature stage state: permutation params built once per worker
+    (via ``_cached_stage``); the whole batch is hashed and minhashed in
+    numpy (perm chunks bound the (shingles x perms) working set).
+
+    Run as plain TASKS, not a fixed actor pool: a pool sized == cluster
+    CPUs starves the upstream ReadParquet task of a CPU and wedges the
+    streaming executor (observed at ``num_cpus=4``); Ray reuses worker
+    processes, so a per-process cache gives the same setup-once
+    semantics while staying elastic."""
 
     def __init__(self, col: str, id_col: str, num_perm: int, bands: int,
                  shingle_size: int, seed: int = 42):
@@ -229,6 +237,28 @@ class MinHasher:
                             pa.large_binary()),
             "bands": pa.array(list(bh.view(np.int64)),
                               pa.list_(pa.int64()))})
+
+
+#: per-worker-process stage cache (setup-once-per-worker for task-based
+#: hasher stages; keyed by class + config so distinct configs coexist)
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(cls, kw: dict):
+    """-> a plain function for ``map_batches`` that lazily builds (and
+    caches per worker process) ``cls(**kw)`` and applies it. Cheap-state
+    stages (permutation params: microseconds) do NOT need a fixed actor
+    pool — and a fixed pool that spans every cluster CPU deadlocks the
+    upstream read (see ``MinHasher`` docstring)."""
+    key = (cls.__qualname__, tuple(sorted(kw.items())))
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = _STAGE_CACHE.get(key)
+        if h is None:
+            h = _STAGE_CACHE.setdefault(key, cls(**kw))
+        return h(t)
+
+    return fn
 
 
 def _band_table(sig_ds, id_col: str):
@@ -356,9 +386,9 @@ def minhash_lsh_pairs(ds, col: str, id_col: str, *, num_perm: int = 128,
     (16 B/row); full 1 KB signatures stay in the one-row-per-doc
     materialized table and are fetched ONLY for candidate ids."""
     sig_ds = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
-                                   bands=bands, shingle_size=shingle_size),
+        _cached_stage(MinHasher,
+                      dict(col=col, id_col=id_col, num_perm=num_perm,
+                           bands=bands, shingle_size=shingle_size)),
         batch_format="pyarrow", concurrency=concurrency,
         num_cpus=1).materialize()
     cand = _candidate_pairs(sig_ds, id_col, max_bucket)
@@ -561,34 +591,71 @@ def simhash_pairs(ds, col: str, id_col: str, *, hamming_k: int = 3,
 # n-gram Jaccard (exact, within minhash LSH buckets)
 # ---------------------------------------------------------------------------
 
+def _candidate_shingle_sets(ds, col: str, id_col: str,
+                            need_ids: np.ndarray, k: int) -> pd.DataFrame:
+    """Recompute shingle-hash sets for candidate ids only, straight from
+    the SOURCE dataset — the corpus's shingle sets are never
+    materialized anywhere (candidates are near-dup clusters, tiny by
+    construction, so the unique-per-doc loop runs on a handful of
+    rows)."""
+    import ray
+
+    need = np.sort(np.asarray(need_ids, np.int64))
+    ref = ray.put(need)
+
+    def pick(t: pa.Table) -> pa.Table:
+        nd = ray.get(ref)
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                         np.int64)
+        idx = np.searchsorted(nd, ids)
+        ok = idx < len(nd)
+        m = np.zeros(len(ids), bool)
+        m[ok] = nd[idx[ok]] == ids[ok]
+        if not m.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.large_binary())})
+        sel = t.filter(pa.array(m))
+        texts = sel.column(col).to_pylist()
+        off, h = _batch_shingle_hashes(texts, k)
+        sets_bytes = [np.unique(h[off[i]:off[i + 1]]).tobytes()
+                      for i in range(len(texts))]
+        return pa.table({
+            id_col: sel.column(id_col).cast(pa.int64()),
+            "shingles": pa.array(sets_bytes, pa.large_binary())})
+
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
+class _BandOnlyHasher(MinHasher):
+    """MinHasher variant emitting only ``(id, bands)`` — signatures are
+    discarded (the ngram-Jaccard verify recomputes exact shingle sets)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(self.col).to_pylist()
+        valid, sigs = self._signatures(texts)
+        bh = self._band_hashes(sigs)
+        return pa.table({
+            self.id_col: pa.array(ids[valid], pa.int64()),
+            "bands": pa.array(list(bh.view(np.int64)),
+                              pa.list_(pa.int64()))})
+
+
 def ngram_jaccard_pairs(ds, col: str, id_col: str, *, shingle_size: int = 3,
                         threshold: float = 0.8, num_perm: int = 64,
                         bands: int = 16, concurrency: int = 4,
                         max_bucket: int = 200):
     """Exact Jaccard over word-shingle hash sets, LSH-bucketed so only
-    plausible pairs are compared (never all-pairs)."""
+    plausible pairs are compared (never all-pairs).
 
-    class Hasher(MinHasher):
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # one row/doc; shingle sets never enter the bucket shuffle
-            ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
-            texts = t.column(self.col).to_pylist()
-            valid, sigs = self._signatures(texts)
-            vids = ids[valid]
-            bh = self._band_hashes(sigs)
-            off, h = _batch_shingle_hashes(texts, self.shingle)
-            sets_bytes = [np.unique(h[off[d]:off[d + 1]]).tobytes()
-                          for d in np.flatnonzero(valid)]
-            return pa.table({
-                self.id_col: pa.array(vids, pa.int64()),
-                "shingles": pa.array(sets_bytes, pa.large_binary()),
-                "bands": pa.array(list(bh.view(np.int64)),
-                                  pa.list_(pa.int64()))})
-
+    Scale shape: the corpus pass emits ONE ``(id, bands)`` row per doc
+    — neither signatures nor shingle sets materialize for the corpus;
+    the bucket shuffle carries 16 B/row; exact shingle sets are
+    recomputed from the source dataset for candidate ids only."""
     sig_ds = ds.map_batches(
-        Hasher,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
-                                   bands=bands, shingle_size=shingle_size),
+        _cached_stage(_BandOnlyHasher,
+                      dict(col=col, id_col=id_col, num_perm=num_perm,
+                           bands=bands, shingle_size=shingle_size)),
         batch_format="pyarrow", concurrency=concurrency,
         num_cpus=1).materialize()
     cand = _candidate_pairs(sig_ds, id_col, max_bucket)
@@ -599,7 +666,7 @@ def ngram_jaccard_pairs(ds, col: str, id_col: str, *, shingle_size: int = 3,
         return empty
     need = np.unique(np.concatenate([cand["a"].to_numpy(np.int64),
                                      cand["b"].to_numpy(np.int64)]))
-    sub = _fetch_sigs(sig_ds, id_col, need, "shingles")
+    sub = _candidate_shingle_sets(ds, col, id_col, need, shingle_size)
     arrs = {int(i): np.frombuffer(b, np.uint64)
             for i, b in zip(sub[id_col], sub["shingles"])}
     out_a, out_b, out_j = [], [], []

@@ -246,8 +246,9 @@ def test_driver_contract_shape():
     assert all(callable(f) for f in q.values())
     assert set(o) <= set(q), set(o) - set(q)
     no_oracle = set(q) - set(o)
+    # only inherently-approximate entries may lack an oracle
+    # (more_like_this and dedup_ngram_jaccard are fully oracled)
     assert no_oracle == {"dedup_minhash", "dedup_simhash_pairs",
                          "ann_ivf", "agg_cardinality_users",
-                         "more_like_this", "agg_percentiles_value"}, \
-        no_oracle
+                         "agg_percentiles_value"}, no_oracle
     assert callable(m.entry)

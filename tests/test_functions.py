@@ -295,3 +295,36 @@ def test_curation_pipeline_composed(ray_session, sf_dir):
     all_langs = curate_documents(ds, min_quality=0.8,
                                  langs=None).to_pandas()
     assert len(all_langs) >= len(mine)
+
+
+def test_ngram_jaccard_matches_exhaustive_sql_oracle(ray_session, sf_dir):
+    """The LSH-bucketed exact-Jaccard pipeline must reproduce an
+    EXHAUSTIVE all-pairs DuckDB oracle pair-for-pair: at threshold 0.8
+    the corpus's near-dups sit at J >= 0.9 where a 16-band/4-row LSH
+    misses with P < 4e-8, so candidate pruning may not lose anything."""
+    import __ray_entry__ as m
+    mine = m.queries()["dedup_ngram_jaccard"](sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.sql(m.oracle_sql()["dedup_ngram_jaccard"]).df()
+    assert len(mine) == len(orc) > 0
+    assert np.array_equal(mine["a"].to_numpy(np.int64),
+                          orc["a"].to_numpy(np.int64))
+    assert np.array_equal(mine["b"].to_numpy(np.int64),
+                          orc["b"].to_numpy(np.int64))
+    assert np.array_equal(mine["jaccard"].to_numpy(),
+                          orc["jaccard"].to_numpy())
+
+
+def test_more_like_this_matches_sql_oracle(ray_session, sf_dir):
+    """MLT end-to-end in SQL: seed pick, tf*log1p-idf term ranking with
+    term-DESC tie-break, top-10 SHOULD, exact-dl BM25 sum, top-25."""
+    import __ray_entry__ as m
+    mine = m.queries()["more_like_this"](sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.sql(m.oracle_sql()["more_like_this"]).df()
+    assert np.array_equal(mine["doc_id"].to_numpy(np.int64),
+                          orc["doc_id"].to_numpy(np.int64))
