@@ -1863,8 +1863,10 @@ def highlighted_docs_dataset(index_dir: str, query, *,
             return batch.append_column(
                 "snippet", pa.array(snips, pa.string()))
 
+    # autoscaling (1, N) pool: a FIXED pool sized == cluster CPUs would
+    # pin every CPU on actors and starve the upstream fetch tasks
     return ds.map_batches(Snippeter, batch_format="pyarrow",
-                          batch_size=4096, concurrency=concurrency,
+                          batch_size=4096, concurrency=(1, concurrency),
                           num_cpus=1)
 
 
