@@ -25,8 +25,8 @@ def _init_ray() -> None:
     import ray
     if not ray.is_initialized():
         # under `ray job submit` RAY_ADDRESS points at the running
-        # cluster (or is unset, where "auto" attaches); standalone use
-        # falls back to a throwaway local instance
+        # cluster; when it is unset (plain standalone invocation) a
+        # throwaway local instance is started instead
         addr = os.environ.get("RAY_ADDRESS", "local")
         ray.init(address=addr, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")

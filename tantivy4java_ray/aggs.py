@@ -164,19 +164,28 @@ def _pct_finalize(state: dict | None, percents) -> dict:
 
 def _pct_rank_finalize(state: dict | None, values) -> dict:
     """percentile_ranks: % of data <= each query value (same log-bucket
-    sketch as percentiles; exact at the min/max edges)."""
+    sketch as percentiles; exact at the min/max edges).
+
+    A bucket is counted when its LOWER bound <= v — i.e. v's own
+    containing bucket counts in full (its members are within the
+    sketch's relative error of v), matching HDR's at-or-below
+    semantics. Comparing against bucket midpoints instead would drop
+    the entire containing bucket for any v below its midpoint — a 0%
+    answer for the modal value of a concentrated distribution."""
     if not state or not state["count"]:
         return {"values": {f"{v:g}": None for v in values}}
-    reps: list[float] = []
+    lows: list[float] = []   # ascending bucket lower bounds
     counts: list[int] = []
     for i in sorted(state["neg"], reverse=True):
-        reps.append(-(10.0 ** ((i + 0.5) / _PCT_K)))
+        # neg bucket i holds values in [-10^((i+1)/K), -10^(i/K))
+        lows.append(-(10.0 ** ((i + 1) / _PCT_K)))
         counts.append(state["neg"][i])
     if state["zeros"]:
-        reps.append(0.0)
+        lows.append(0.0)
         counts.append(state["zeros"])
     for i in sorted(state["pos"]):
-        reps.append(10.0 ** ((i + 0.5) / _PCT_K))
+        # pos bucket i holds values in [10^(i/K), 10^((i+1)/K))
+        lows.append(10.0 ** (i / _PCT_K))
         counts.append(state["pos"][i])
     cum = np.cumsum(counts)
     n = state["count"]
@@ -188,7 +197,7 @@ def _pct_rank_finalize(state: dict | None, values) -> dict:
         elif v >= state["max"]:
             pct = 100.0
         else:
-            j = int(np.searchsorted(reps, v, side="right"))
+            j = int(np.searchsorted(lows, v, side="right"))
             pct = 100.0 * (float(cum[j - 1]) if j else 0.0) / n
         out[f"{v:g}"] = pct
     return {"values": out}
@@ -492,8 +501,6 @@ def aggregate_dataset(ds, specs: dict[str, dict], *,
     above it (10^5 blocks × a wide terms dict would be a driver hot
     spot) states tree-reduce in ``map_batches`` rounds of ``fanin``
     until few enough remain."""
-    import math as _math
-
     def to_state(batch: pa.Table) -> pa.Table:
         st = partial_agg(specs, batch)
         return pa.table({"state": pa.array([pickle.dumps(st)],
@@ -509,7 +516,7 @@ def aggregate_dataset(ds, specs: dict[str, dict], *,
     sd = ds.map_batches(to_state, batch_format="pyarrow").materialize()
     n = sd.count()
     while n > tree_threshold:
-        sd = (sd.repartition(_math.ceil(n / fanin))
+        sd = (sd.repartition(math.ceil(n / fanin))
               .map_batches(merge_block, batch_format="pyarrow",
                            batch_size=None).materialize())
         n = sd.count()

@@ -353,10 +353,12 @@ def _candidate_pairs(sig_ds, id_col: str, max_bucket: int) -> pd.DataFrame:
     return out.drop_duplicates(subset=["a", "b"])
 
 
-def _fetch_sigs(sig_ds, id_col: str, need_ids: np.ndarray,
-                payload: str) -> pd.DataFrame:
-    """Filtered scan of the materialized per-doc table: only candidate
-    rows (8-byte id compare per row) come back to the driver."""
+def _scan_candidate_rows(ds, id_col: str, need_ids: np.ndarray,
+                         transform) -> pd.DataFrame:
+    """Filtered scan: keep only rows whose id is in ``need_ids`` (sorted
+    broadcast + vectorized searchsorted membership — 8-byte compare per
+    row), then apply ``transform`` to each surviving sub-table. Only the
+    tiny candidate set ever reaches the driver."""
     import ray
 
     need = np.sort(np.asarray(need_ids, np.int64))
@@ -370,9 +372,17 @@ def _fetch_sigs(sig_ds, id_col: str, need_ids: np.ndarray,
         ok = idx < len(nd)
         m = np.zeros(len(ids), bool)
         m[ok] = nd[idx[ok]] == ids[ok]
-        return t.select([id_col, payload]).filter(pa.array(m))
+        return transform(t.filter(pa.array(m)))
 
-    return sig_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
+def _fetch_sigs(sig_ds, id_col: str, need_ids: np.ndarray,
+                payload: str) -> pd.DataFrame:
+    """Candidate rows' ``(id, payload)`` from the materialized per-doc
+    table."""
+    return _scan_candidate_rows(sig_ds, id_col, need_ids,
+                                lambda t: t.select([id_col, payload]))
 
 
 def minhash_lsh_pairs(ds, col: str, id_col: str, *, num_perm: int = 128,
@@ -598,23 +608,8 @@ def _candidate_shingle_sets(ds, col: str, id_col: str,
     materialized anywhere (candidates are near-dup clusters, tiny by
     construction, so the unique-per-doc loop runs on a handful of
     rows)."""
-    import ray
 
-    need = np.sort(np.asarray(need_ids, np.int64))
-    ref = ray.put(need)
-
-    def pick(t: pa.Table) -> pa.Table:
-        nd = ray.get(ref)
-        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
-                         np.int64)
-        idx = np.searchsorted(nd, ids)
-        ok = idx < len(nd)
-        m = np.zeros(len(ids), bool)
-        m[ok] = nd[idx[ok]] == ids[ok]
-        if not m.any():
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "shingles": pa.array([], pa.large_binary())})
-        sel = t.filter(pa.array(m))
+    def shingles(sel: pa.Table) -> pa.Table:
         texts = sel.column(col).to_pylist()
         off, h = _batch_shingle_hashes(texts, k)
         sets_bytes = [np.unique(h[off[i]:off[i + 1]]).tobytes()
@@ -623,7 +618,7 @@ def _candidate_shingle_sets(ds, col: str, id_col: str,
             id_col: sel.column(id_col).cast(pa.int64()),
             "shingles": pa.array(sets_bytes, pa.large_binary())})
 
-    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return _scan_candidate_rows(ds, id_col, need_ids, shingles)
 
 
 class _BandOnlyHasher(MinHasher):

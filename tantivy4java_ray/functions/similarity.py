@@ -103,7 +103,7 @@ def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
                     emb_col: str = "embedding", id_col: str = "vec_id",
                     k: int = 10, n_clusters: int = 16, nprobe: int = 4,
                     sample_size: int = 2000, seed: int = 42,
-                    concurrency: int = 4) -> pd.DataFrame:
+                    concurrency: int | None = None) -> pd.DataFrame:
     """IVF ANN: centroids from a driver sample, broadcast; each batch prunes
     to rows whose cluster is probed by at least one query."""
     import ray
@@ -152,8 +152,9 @@ def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
                          id_col: pa.array(out_id, pa.int64()),
                          "score": pa.array(out_s, pa.float64())})
 
-    partials = ds.map_batches(ivf_block,
-                              batch_format="pyarrow").to_pandas()
+    partials = ds.map_batches(
+        ivf_block, batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {})).to_pandas()
     out = []
     for qi, g in partials.groupby("query_id"):
         g = g.sort_values(["score", id_col], ascending=[False, True],

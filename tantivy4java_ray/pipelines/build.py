@@ -387,6 +387,13 @@ class PartitionIndexer:
                 and st.sexists(st.sjoin(partial_dir, _PARTIAL_MARKER))):
             # resume: this partition is already built (atomic rename = done)
             return summary
+        if st.sexists(partial_dir):
+            # (re)mapping: purge any prior attempt's partials first. A
+            # crashed or older-format attempt may have left atomic
+            # shard-*.parquet / .enc.parquet files (no marker, or a
+            # stale-version marker); mixing them with this attempt's
+            # output would double-append postings in the reduce.
+            st.srmtree(partial_dir)
 
         t0 = time.monotonic()
         pf = st.parquet_file_any(spec["path"])

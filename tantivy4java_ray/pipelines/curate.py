@@ -60,7 +60,10 @@ class _ScoreFilter:
         # stat columns, never the document body
         return pa.table({
             self.id_col: sub.column(self.id_col),
-            "lang_pred": pa.array(pred[idx].astype(object)),
+            # explicit type: an all-rejected batch would otherwise infer
+            # Arrow `null` and destabilize the stream's block schema
+            "lang_pred": pa.array(pred[idx].astype(object),
+                                  type=pa.string()),
             "quality": q.column("quality").take(idx),
             "n_tokens": q.column("n_tokens").take(idx),
             "__h": keys.column("__h"),

@@ -407,7 +407,25 @@ class RangedBlob:
     def _page_span(self, start: int, stop: int) -> range:
         return range(start // self.page, (stop - 1) // self.page + 1)
 
-    def _fetch_pages(self, missing: list[int]) -> None:
+    def _trim(self, keep: frozenset = frozenset()) -> None:
+        """Evict LRU pages down to capacity — but NEVER pages of the
+        in-flight span (``keep``): a single read larger than the whole
+        cache must still succeed, so the cache may transiently exceed
+        its cap by that one span (the caller needs those bytes resident
+        regardless)."""
+        excess = len(self._pages) - self._max_pages
+        if excess <= 0:
+            return
+        for k in list(self._pages):
+            if excess <= 0:
+                break
+            if k in keep:
+                continue
+            del self._pages[k]
+            excess -= 1
+
+    def _fetch_pages(self, missing: list[int],
+                     keep: frozenset = frozenset()) -> None:
         """Fetch missing pages, consecutive page runs coalesced into one
         ranged request each; use cat_ranges for the batch if provided."""
         if not missing:
@@ -423,8 +441,7 @@ class RangedBlob:
                     self.disk_hits += 1
             missing = still
             if not missing:
-                while len(self._pages) > self._max_pages:
-                    self._pages.popitem(last=False)
+                self._trim(keep)
                 return
         groups: list[tuple[int, int]] = []
         lo = prev = missing[0]
@@ -452,8 +469,7 @@ class RangedBlob:
         self._pages.update(fetched)
         if self._disk is not None:
             self._disk.put_pages(self._dkey, fetched)
-        while len(self._pages) > self._max_pages:
-            self._pages.popitem(last=False)
+        self._trim(keep)
 
     def prefetch(self, ranges: list[tuple[int, int]]) -> None:
         """Warm the page cache for many (start, stop) ranges in one
@@ -464,7 +480,8 @@ class RangedBlob:
             stop = min(stop, self._size)
             if stop > start:
                 need.update(self._page_span(start, stop))
-        self._fetch_pages(sorted(p for p in need if p not in self._pages))
+        self._fetch_pages(sorted(p for p in need if p not in self._pages),
+                          keep=frozenset(need))
 
     def __getitem__(self, sl: slice) -> np.ndarray:
         start = sl.start or 0
@@ -472,7 +489,8 @@ class RangedBlob:
         if stop <= start:
             return np.empty(0, np.uint8)
         span = self._page_span(start, stop)
-        self._fetch_pages([p for p in span if p not in self._pages])
+        self._fetch_pages([p for p in span if p not in self._pages],
+                          keep=frozenset(span))
         parts = []
         for p in span:
             data = self._pages[p]

@@ -334,3 +334,15 @@ def test_percentile_ranks(table, split):
     out = run({"r": {"percentile_ranks": {"field": "v",
                                           "values": [1.0]}}}, empty)
     assert out["r"]["values"]["1"] is None
+
+
+def test_percentile_ranks_concentrated():
+    """The query value's own containing bucket must count: for a modal
+    value the rank is ~99%, not 0% (regression: midpoint compare
+    dropped the whole containing bucket when v sat below its rep)."""
+    t = pa.table({"v": pa.array([5.0] * 100 + [9.0], pa.float64())})
+    out = run({"r": {"percentile_ranks": {"field": "v",
+                                          "values": [5.0, 4.9]}}}, t)
+    assert abs(out["r"]["values"]["5"] - 100 * 100 / 101) < 2.0
+    # 4.9 lies below 5.0's bucket lower bound -> nothing at or below it
+    assert out["r"]["values"]["4.9"] < 2.0

@@ -153,6 +153,40 @@ def test_partial_resume_produces_identical_index(setup):
         assert ra.search(q, 20).hits == rc.search(q, 20).hits, q
 
 
+def test_remap_purges_stale_partials(setup):
+    """A crashed attempt can leave marker-less (or older-format) partial
+    files behind; the re-map must PURGE them, not mix them with fresh
+    output (mixing double-appends postings: doubled df, wrong BM25)."""
+    src = f"{BASE}/idx_a"
+    crash = f"{BASE}/idx_crash_stale"
+    shutil.rmtree(crash, ignore_errors=True)
+    os.makedirs(f"{crash}/docdata")
+    os.makedirs(f"{crash}/_partials/part-00001")
+    # partition 0 finished cleanly; partition 1 "crashed" after writing
+    # one shard partial (copied from partition 0 = wrong content, which
+    # corrupts the index iff the re-map fails to purge it)
+    shutil.copy(f"{src}/docdata/part-00000.parquet", f"{crash}/docdata/")
+    shutil.copytree(f"{src}/_partials/part-00000",
+                    f"{crash}/_partials/part-00000")
+    # the stale leftover is a pre-encoded fragment file; the retry below
+    # runs with fragments disabled (simulating a config change between
+    # attempts), so nothing overwrites it — only the purge removes it
+    stale = glob.glob(f"{src}/_partials/part-00000/shard-*.enc.parquet")
+    assert stale, "fixture expects enc fragments in idx_a partials"
+    for f in stale:  # every shard, so every hot term doubles if mixed
+        shutil.copy(f, f"{crash}/_partials/part-00001/")
+    build_index(f"{BASE}/data_a", crash, schema(),
+                html_fallback=("text", "html"),
+                target_docs_per_partition=300, num_shards=4,
+                frag_min_df=10**9)
+    ra, rc = IndexReader(src), IndexReader(crash)
+    # stale-fragment mixing doubles hot-term stats — check df directly
+    for t in ("w0000", "w0042", "w0123", "w0456"):
+        assert rc.doc_freq("text", t) == ra.doc_freq("text", t), t
+    for q in QUERIES:
+        assert ra.search(q, 20).hits == rc.search(q, 20).hits, q
+
+
 def test_txlog_lineage(setup):
     from tantivy4java_ray.state.manifest import TransactionLog
     state = TransactionLog(f"{BASE}/idx_a").read_state()

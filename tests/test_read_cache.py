@@ -69,6 +69,20 @@ def test_ranged_blob_page_cache_and_coalescing():
     assert len(blob._pages) <= 64
 
 
+def test_ranged_blob_read_larger_than_cache():
+    """A single read spanning more pages than the cache capacity must
+    succeed (the in-flight span is pinned during eviction) and the
+    cache must drop back to its cap on the next operation."""
+    data = bytes(range(256)) * 64  # 16 KiB
+    fs = CountingFS(data)
+    blob = RangedBlob(fs, "x", page_size=1024, cache_pages=4)
+    out = blob[0:10240]  # 10 pages > 4-page cache
+    assert bytes(out) == data[:10240]
+    # next small read trims back under the cap (+ its own span)
+    blob[15_000:15_010]
+    assert len(blob._pages) <= 4
+
+
 def test_ranged_blob_eof_clamp():
     data = bytes(range(100)) * 10
     fs = CountingFS(data)
