@@ -148,8 +148,10 @@ def register_split_protocol() -> None:
 
 
 def _qualify(bundle: str) -> str:
-    if not bundle.startswith(("s3://", "gs://", "az://", "file://",
-                              "memory://", "http")):
+    """Restore the leading '/' the parse stripped from local paths; ANY
+    fsspec URL (s3/gs/az/abfs/hdfs/...) passes through untouched — a
+    protocol whitelist here would break bundles on every other store."""
+    if not st.is_url(bundle):
         bundle = "/" + bundle
     return bundle
 
@@ -195,6 +197,46 @@ def _parse(path: str) -> tuple[str, str]:
     return _probe_split(path)
 
 
+#: members at most this size are materialized whole on open; larger ones
+#: get a lazy ranged reader (the bundle blob's page cache / local memmap
+#: absorbs the per-read cost)
+_OPEN_EAGER_MAX = 8 << 20
+
+
+class _RangedReader(io.RawIOBase):
+    """Seekable read-only file over one bundled member, backed by ranged
+    reads into the bundle blob."""
+
+    def __init__(self, sfs: "SplitFileSystem", bundle: str, inner: str,
+                 size: int):
+        self._sfs, self._bundle, self._inner = sfs, bundle, inner
+        self._size, self._pos = size, 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        base = (0, self._pos, self._size)[whence]
+        self._pos = max(0, min(base + offset, self._size))
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def readinto(self, b) -> int:
+        n = min(len(b), self._size - self._pos)
+        if n <= 0:
+            return 0
+        data = self._sfs._read(self._bundle, self._inner, self._pos,
+                               self._pos + n)
+        b[:len(data)] = data
+        self._pos += len(data)
+        return len(data)
+
+
 from fsspec import AbstractFileSystem  # noqa: E402  (import after st)
 
 
@@ -230,10 +272,18 @@ class SplitFileSystem(AbstractFileSystem):
         if inner not in f["files"]:
             raise FileNotFoundError(f"{inner!r} not in bundle {bundle!r}")
         off, length = f["files"][inner]
-        s = 0 if start is None else min(start, length)
-        e = length if end is None else min(end, length)
-        if inner in f["hotcache"] and start is None and end is None:
-            return base64.b64decode(f["hotcache"][inner])
+        # fsspec cat_file contract: negative offsets are end-relative
+        # (start=-12 reads the trailer) — without this translation the
+        # arithmetic below silently returned the PREVIOUS bundled
+        # file's bytes
+        s = 0 if start is None else (start + length if start < 0
+                                     else min(start, length))
+        e = length if end is None else (end + length if end < 0
+                                        else min(end, length))
+        s, e = max(0, s), max(0, e)
+        if inner in f["hotcache"]:
+            data = base64.b64decode(f["hotcache"][inner])
+            return data if start is None and end is None else data[s:e]
         if e <= s:
             return b""
         return bytes(self._blob(bundle)[off + s:off + e])
@@ -266,8 +316,17 @@ class SplitFileSystem(AbstractFileSystem):
         if "w" in mode or "a" in mode:
             raise OSError("split bundles are immutable (read-only fs)")
         bundle, inner = _parse(self._strip_protocol(path))
-        data = self._read(bundle, inner)
-        return io.BytesIO(data)
+        f = self._footer(bundle)
+        if inner not in f["files"]:
+            raise FileNotFoundError(f"{inner!r} not in bundle {bundle!r}")
+        length = f["files"][inner][1]
+        if inner in f["hotcache"] or length <= _OPEN_EAGER_MAX:
+            return io.BytesIO(self._read(bundle, inner))
+        # large members (multi-GB doc-store parquet) stream by ranged
+        # reads — materializing them whole would OOM exactly the scale
+        # the streaming bundle WRITER exists for
+        return io.BufferedReader(
+            _RangedReader(self, bundle, inner, length))
 
     def info(self, path, **kw):
         bundle, inner = _parse(self._strip_protocol(path))
@@ -288,7 +347,17 @@ class SplitFileSystem(AbstractFileSystem):
                         for k in f["files"] if k.startswith(pref)})
         full = [f"{bundle}/{pref}{n}" for n in names]
         if detail:
-            return [{"name": n, "type": "file"} for n in full]
+            # correct types: fsspec walkers only descend into entries
+            # typed 'directory'
+            out = []
+            for n, name in zip(full, names):
+                key = f"{pref}{name}"
+                if key in f["files"]:
+                    out.append({"name": n, "type": "file",
+                                "size": f["files"][key][1]})
+                else:
+                    out.append({"name": n, "type": "directory", "size": 0})
+            return out
         return full
 
     def find(self, path, **kw):

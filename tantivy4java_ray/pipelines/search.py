@@ -1035,6 +1035,10 @@ class IndexReader:
             # query-time predicate pruning by per-partition min/max stats
             # (the reference prunes splits the same way, async_impl.rs:16-46)
             st = self.partition_stats(field, part)
+            if st is not None and st[0] is None:
+                # all-null partition (stats exist but carry no bounds):
+                # nothing here can match a range — skip it entirely
+                continue
             if st is not None:
                 lo_s, hi_s = ((_to_us(st[0]), _to_us(st[1])) if is_date
                               else (float(st[0]), float(st[1])))

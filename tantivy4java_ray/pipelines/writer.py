@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from typing import Any
@@ -25,7 +26,49 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from tantivy4java_ray.schema import IndexSchema
+from tantivy4java_ray.schema import FieldType, IndexSchema
+
+#: staged doc-store file name; the counter is parsed by full digit run
+#: (a fixed 5-char slice would truncate past flush 99999 and resume at a
+#: too-low counter, overwriting committed doc-store files)
+_STAGED_RE = re.compile(r"staged-(\d+)\.parquet")
+
+#: declared arrow type per field type — staged parquet columns must have
+#: a STABLE type across flushes (pa.array inference gives `null` for an
+#: all-None flush and commit()'s concat then fails on schema mismatch)
+_ARROW_TYPES = {
+    FieldType.TEXT: pa.string(), FieldType.STRING: pa.string(),
+    FieldType.FACET: pa.string(), FieldType.IP_ADDR: pa.string(),
+    FieldType.INTEGER: pa.int64(), FieldType.UNSIGNED: pa.uint64(),
+    FieldType.FLOAT: pa.float64(), FieldType.BOOLEAN: pa.bool_(),
+    FieldType.DATE: pa.timestamp("us"), FieldType.BYTES: pa.large_binary(),
+}
+
+
+def _typed_column(fcfg, vals: list) -> pa.Array:
+    """One staged column with the schema-declared arrow type."""
+    if fcfg.type is FieldType.JSON:
+        # dicts serialize to JSON strings (the build side parses either
+        # form); a struct-typed column would change shape per flush
+        return pa.array(
+            [v if v is None or isinstance(v, str) else json.dumps(v)
+             for v in vals], pa.string())
+    if fcfg.type is FieldType.TEXT:
+        lists = [isinstance(v, (list, tuple)) for v in vals
+                 if v is not None]
+        if lists and all(lists):
+            return pa.array(vals, pa.list_(pa.string()))
+        if any(lists):
+            raise TypeError(
+                f"field {fcfg.name!r}: mixed scalar and list values in "
+                f"one flush — multi-valued text must be lists everywhere")
+    if fcfg.type is FieldType.DATE:
+        from tantivy4java_ray.functions.scalars import parse_date_us
+        us = [None if v is None
+              else (v if isinstance(v, int) else parse_date_us(v))
+              for v in vals]
+        return pa.array(us, pa.timestamp("us"))
+    return pa.array(vals, _ARROW_TYPES[fcfg.type])
 
 
 def recover_interrupted_commit(index_dir: str) -> bool:
@@ -103,10 +146,32 @@ class IndexWriter:
         # as their doc store, so a reopened writer must never reuse N
         self._flush_i = 0
         if os.path.isdir(self.staging):
-            nums = [int(f[7:12]) for f in os.listdir(self.staging)
-                    if f.startswith("staged-") and f.endswith(".parquet")
-                    and f[7:12].isdigit()]
+            self._purge_orphan_staged()
+            nums = [int(m.group(1)) for f in os.listdir(self.staging)
+                    if (m := _STAGED_RE.fullmatch(f))]
             self._flush_i = max(nums) + 1 if nums else 0
+
+    def _purge_orphan_staged(self) -> int:
+        """Crash rollback on reopen: staged files that no committed
+        partition references were flushed by a session that died before
+        commit(). They would otherwise be invisible (not in
+        ``pending_docs``, skipped by commit, never unlinked) yet
+        indistinguishable from committed doc-store files — rollback
+        semantics say uncommitted data is discarded. Compared by
+        basename: committed partitions record their source path in the
+        txlog, and staged names are unique within this staging dir."""
+        referenced: set[str] = set()
+        if os.path.exists(os.path.join(self.index_dir, "manifest.json")):
+            from tantivy4java_ray.state.manifest import TransactionLog
+            state = TransactionLog(self.index_dir).read_state()
+            for p in state.get("partitions", {}).values():
+                referenced.add(os.path.basename(p.get("path", "")))
+        n = 0
+        for f in os.listdir(self.staging):
+            if _STAGED_RE.fullmatch(f) and f not in referenced:
+                os.unlink(os.path.join(self.staging, f))
+                n += 1
+        return n
 
     # -- ingest -------------------------------------------------------------
     def add_document(self, doc: dict[str, Any]) -> None:
@@ -134,10 +199,10 @@ class IndexWriter:
         if not self._rows:
             return
         os.makedirs(self.staging, exist_ok=True)
-        cols = [f.name for f in self.schema.fields]
         arrays = {}
-        for c in cols:
-            arrays[c] = pa.array([r.get(c) for r in self._rows])
+        for fcfg in self.schema.fields:
+            arrays[fcfg.name] = _typed_column(
+                fcfg, [r.get(fcfg.name) for r in self._rows])
         path = os.path.join(self.staging,
                             f"staged-{self._flush_i:05d}.parquet")
         pq.write_table(pa.table(arrays), path)

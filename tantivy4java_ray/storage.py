@@ -277,10 +277,14 @@ class DiskPageCache:
         self._writes = 0
 
     @staticmethod
-    def key_for(path: str, size: int, page_size: int) -> str:
+    def key_for(path: str, size: int, page_size: int,
+                protocol: str = "") -> str:
+        """Cache key. ``protocol`` matters: the stored path is already
+        scheme-stripped, so s3://x/y and gs://x/y of equal size would
+        otherwise share one key and serve each other's bytes."""
         import hashlib
         return hashlib.sha1(
-            f"{path}|{size}|{page_size}".encode()).hexdigest()
+            f"{protocol}|{path}|{size}|{page_size}".encode()).hexdigest()
 
     def _dir(self, key: str) -> str:
         return os.path.join(self.root, key[:2], key)
@@ -397,7 +401,11 @@ class RangedBlob:
         self._max_pages = cache_pages  # 512 × 128 KiB = 64 MiB cap
         self.gets = 0
         self._disk = disk_cache
-        self._dkey = (DiskPageCache.key_for(path, self._size, page_size)
+        proto = getattr(fs, "protocol", "")
+        if isinstance(proto, (tuple, list)):
+            proto = proto[0] if proto else ""
+        self._dkey = (DiskPageCache.key_for(path, self._size, page_size,
+                                            str(proto))
                       if disk_cache is not None else "")
         self.disk_hits = 0
 
@@ -455,8 +463,12 @@ class RangedBlob:
         starts = [g0 * self.page for g0, _ in groups]
         ends = [min((g1 + 1) * self.page, self._size) for _, g1 in groups]
         if len(groups) > 1 and hasattr(self.fs, "cat_ranges"):
+            # on_error="raise": the fsspec DEFAULT is "return", which
+            # puts Exception objects into the result list as if they
+            # were page bytes — a transient S3 error on one range must
+            # surface, not be cached as garbage
             blobs = self.fs.cat_ranges([self.path] * len(groups),
-                                       starts, ends)
+                                       starts, ends, on_error="raise")
             self.gets += len(groups)
         else:
             blobs = [self.fs.cat_file(self.path, start=s, end=e)
@@ -484,8 +496,16 @@ class RangedBlob:
                           keep=frozenset(need))
 
     def __getitem__(self, sl: slice) -> np.ndarray:
+        # negative bounds are end-relative, like the np.memmap slices
+        # blob_open returns for local paths — without the translation a
+        # blob[-12:] computed page -1 and issued a negative-offset GET
         start = sl.start or 0
-        stop = self._size if sl.stop is None else min(sl.stop, self._size)
+        if start < 0:
+            start = max(0, start + self._size)
+        stop = self._size if sl.stop is None else sl.stop
+        if stop < 0:
+            stop += self._size
+        stop = min(stop, self._size)
         if stop <= start:
             return np.empty(0, np.uint8)
         span = self._page_span(start, stop)

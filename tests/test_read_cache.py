@@ -24,7 +24,10 @@ class CountingFS:
         self.calls.append((start, end))
         return self.data[start:end]
 
-    def cat_ranges(self, paths, starts, ends):
+    def cat_ranges(self, paths, starts, ends, on_error="return"):
+        # the engine must pass on_error="raise": fsspec's default
+        # "return" hands back Exception OBJECTS as page bytes
+        assert on_error == "raise"
         out = []
         for s, e in zip(starts, ends):
             self.calls.append((s, e))
@@ -90,6 +93,17 @@ def test_ranged_blob_eof_clamp():
     out = blob[900:5000]  # stop beyond EOF clamps
     assert bytes(out) == data[900:]
     assert len(blob) == 1000
+
+
+def test_ranged_blob_negative_slices():
+    """np.memmap-style end-relative slicing (blob[-12:] previously
+    computed page -1 and issued a negative-offset GET)."""
+    data = bytes(range(256)) * 8
+    blob = RangedBlob(CountingFS(data), "x", page_size=256)
+    assert bytes(blob[-12:]) == data[-12:]
+    assert bytes(blob[-100:-4]) == data[-100:-4]
+    assert bytes(blob[:-2000]) == data[:-2000]
+    assert bytes(blob[-4:-8]) == b""
 
 
 def test_disk_page_cache_rewarm_zero_gets(tmp_path):

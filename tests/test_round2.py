@@ -2,6 +2,7 @@
 block top-k), exact phrase-slop matching, deleted-doc aggregation, delta
 checkpoint edge cases, vectorized fingerprint/simhash semantics."""
 
+import io
 import json
 import os
 import shutil
@@ -628,6 +629,43 @@ def test_split_bundle_roundtrip(ray_session, tmp_path):
         read_bundle_footer(str(bad))
     assert not _st.sexists(split_url(str(bad)) + "/manifest.json")
 
+    # 4. fsspec surface regressions (review findings)
+    import fsspec as _fsspec
+    fs = _fsspec.filesystem("t4jrsplit")
+    some_file = max((k for k in footer["files"]
+                     if k not in footer["hotcache"]),
+                    key=lambda k: footer["files"][k][1])
+    url_file = f"{split_url(bundle)}/{some_file}"
+    whole = fs.cat_file(url_file)
+    # negative offsets are end-relative (fsspec trailer-read idiom) —
+    # the old arithmetic returned the PREVIOUS bundled file's bytes
+    assert fs.cat_file(url_file, start=-12) == whole[-12:]
+    assert fs.cat_file(url_file, start=-12, end=-4) == whole[-12:-4]
+    # ls(detail) types directories as directories so walkers descend
+    entries = {e["name"].split("/")[-1]: e["type"]
+               for e in fs.ls(split_url(bundle), detail=True)}
+    assert entries["shards"] == "directory"
+    assert entries["manifest.json"] == "file"
+    assert any(fs.find(split_url(bundle) + "/shards"))
+    # any-protocol qualify: abfs:// style URLs pass through untouched
+    from tantivy4java_ray.pipelines.bundle import _qualify
+    assert _qualify("abfs://container/idx.split") == \
+        "abfs://container/idx.split"
+    assert _qualify("some/local/rel.split") == "/some/local/rel.split"
+    # lazy open for large members: ranged reader, not a full BytesIO
+    import tantivy4java_ray.pipelines.bundle as _bundle
+    old_max = _bundle._OPEN_EAGER_MAX
+    _bundle._OPEN_EAGER_MAX = 0
+    try:
+        with fs.open(url_file) as fh:
+            assert not isinstance(fh, io.BytesIO)
+            fh.seek(-8, 2)
+            assert fh.read() == whole[-8:]
+            fh.seek(0)
+            assert fh.read(16) == whole[:16]
+    finally:
+        _bundle._OPEN_EAGER_MAX = old_max
+
 
 def test_merge_splits_by_url(ray_session, tmp_path):
     """QuickwitSplit.mergeSplits(urls, out) shape: merge two single-file
@@ -1050,6 +1088,89 @@ def test_index_writer_reopen_preserves_doc_store(ray_session, tmp_path):
     w2.rollback()                    # clears the poisoned delete only
     tbl = IndexReader(idx).retrieve_docs([2], columns=["text"])
     assert tbl.column("text").to_pylist() == ["charlie"]
+
+
+def test_index_writer_typed_flushes(ray_session, tmp_path):
+    """Staged columns carry the DECLARED type even when a whole flush
+    leaves a field unset (inference would give a null-typed column and
+    commit()'s concat would fail on schema mismatch across flushes)."""
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.pipelines.writer import IndexWriter
+    from tantivy4java_ray.query import Query
+    from tantivy4java_ray.schema import IndexSchema
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_integer_field("doc_id", fast=True)
+    s.add_integer_field("views", fast=True)
+    s.add_json_field("props")
+    idx = str(tmp_path / "idx")
+    w = IndexWriter(idx, s, heap_docs=2, num_shards=2)
+    # flush 1: views/props never set -> all-None columns
+    w.add_document({"doc_id": 0, "text": "alpha"})
+    w.add_document({"doc_id": 1, "text": "bravo"})
+    # flush 2: typed values (+ a dict for the JSON field)
+    w.add_document({"doc_id": 2, "text": "charlie", "views": 7,
+                    "props": {"cat": "x"}})
+    w.add_document({"doc_id": 3, "text": "delta", "views": 9})
+    w.commit()
+    r = IndexReader(idx)
+    assert r.num_docs == 4
+    docs, _ = r.evaluate(Query.json_term("props", "cat", "x"))
+    assert docs.tolist() == [2]
+    docs, _ = r.evaluate(Query.range("views", 8, None))
+    assert docs.tolist() == [3]
+
+
+def test_index_writer_counter_parse_past_5_digits(ray_session, tmp_path):
+    """A committed staged-100000.parquet (6 digits) must advance the
+    resume counter past 100000 — a fixed 5-char slice parsed it as
+    10000 and went on to overwrite committed doc-store files."""
+    from tantivy4java_ray.pipelines.writer import IndexWriter
+    from tantivy4java_ray.schema import IndexSchema
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_integer_field("doc_id", fast=True)
+    idx = str(tmp_path / "idx")
+    w = IndexWriter(idx, s, num_shards=2)
+    w._flush_i = 100000  # simulate a long-lived session's 100001st flush
+    w.add_document({"doc_id": 0, "text": "alpha"})
+    w.commit()
+    w2 = IndexWriter(idx, s, num_shards=2)
+    assert w2._flush_i == 100001
+
+
+def test_index_writer_reopen_discards_uncommitted_staged(ray_session,
+                                                         tmp_path):
+    """Rollback-on-reopen: staged files a dead session flushed but never
+    committed are purged (they would otherwise be orphans — invisible to
+    pending_docs/commit yet indistinguishable from doc-store files);
+    committed staged files survive untouched."""
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.pipelines.writer import IndexWriter
+    from tantivy4java_ray.schema import IndexSchema
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_integer_field("doc_id", fast=True)
+    idx = str(tmp_path / "idx")
+    w1 = IndexWriter(idx, s, num_shards=2)
+    w1.add_document({"doc_id": 0, "text": "committed alpha"})
+    w1.commit()
+    # the session "crashes" with one flushed-but-uncommitted file
+    w1.add_document({"doc_id": 1, "text": "lost bravo"})
+    w1._flush()
+    staged = sorted(os.listdir(idx + ".staging"))
+    assert "staged-00001.parquet" in staged
+    w2 = IndexWriter(idx, s, num_shards=2)
+    staged = sorted(os.listdir(idx + ".staging"))
+    assert "staged-00001.parquet" not in staged     # orphan purged
+    assert "staged-00000.parquet" in staged         # doc store intact
+    assert IndexReader(idx).retrieve_docs(
+        [0], columns=["text"]).column("text").to_pylist() == \
+        ["committed alpha"]
+    w2.add_document({"doc_id": 1, "text": "new bravo"})
+    w2.commit()
+    assert IndexReader(idx).retrieve_docs(
+        [1], columns=["text"]).column("text").to_pylist() == ["new bravo"]
 
 
 def test_index_writer_crash_between_renames(ray_session, tmp_path):
