@@ -666,6 +666,8 @@ class IndexReader:
                                                          df, boost))
         if k == "term_set":
             field, terms = p
+            if self.schema.get_field(field).type is FieldType.IP_ADDR:
+                terms = [self._ip_term(t) for t in terms]
             # const-score union (termSet has no per-term scoring)
             docs = self._union_docs([self.postings(field, t)[0]
                                      for t in terms])
@@ -701,11 +703,17 @@ class IndexReader:
             return self._eval_json_range(*p, boost=boost)
         if k == "json_exists":
             field, path = p
-            matched = []
-            # values at the path (str \x01 + numeric \x02) and any subpath
-            for pref in (f"{path}\x01", f"{path}\x02", f"{path}."):
-                matched += self.match_terms(field, "prefix", prefix=pref)
-            docs = self._drop_deleted(self._union_docs_for_rows(matched))
+
+            def _match_exists():
+                matched = []
+                # values at the path (str \x01 + numeric \x02) + subpaths
+                for pref in (f"{path}\x01", f"{path}\x02", f"{path}."):
+                    matched += self.match_terms(field, "prefix",
+                                                prefix=pref)
+                return matched
+
+            docs = self._drop_deleted(self._cached_union(
+                ("jexists", field, path), _match_exists))
             return docs, np.full(len(docs), boost, np.float32)
         if k == "more_like_this":
             return self.evaluate(self._expand_mlt(*p), boost)
@@ -866,13 +874,25 @@ class IndexReader:
         # phrase scores like a term whose idf is the sum of element idfs
         # (Bm25Weight::for_terms semantics)
         idf_sum = sum(self.idf(self.doc_freq(field, w)) for w in words)
-        weight = np.float32(boost * idf_sum * (self.k1 + 1.0))
-        if fcfg.fieldnorms:
-            cache = self._norm_factor_cache(field)
-            denom = cache[self.norms(field)[docs - self.doc_lo]]
-        else:
+        if not fcfg.fieldnorms:
             # no norms stored: score with fieldnorm = 1 (term-path parity)
+            weight = np.float32(boost * idf_sum * (self.k1 + 1.0))
             denom = np.float32(self.k1 * (1.0 - self.b + self.b))
+            tff = tfs.astype(np.float32)
+            return docs, weight * tff / (tff + denom)
+        if self.exact_fieldnorms:
+            # full float64 exact-dl (oracle-parity mode) — the same
+            # branch _score_term_postings takes; quantized norms here
+            # would break the mode's SQL-reproducible score contract
+            w64 = boost * idf_sum * (self.k1 + 1.0)
+            avgdl = max(self.avgdl.get(field, 0.0), 1e-9)
+            dl = self.exact_dls(field)[docs - self.doc_lo]
+            denom = self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+            tf64 = tfs.astype(np.float64)
+            return docs, (w64 * tf64 / (tf64 + denom)).astype(np.float64)
+        weight = np.float32(boost * idf_sum * (self.k1 + 1.0))
+        cache = self._norm_factor_cache(field)
+        denom = cache[self.norms(field)[docs - self.doc_lo]]
         tff = tfs.astype(np.float32)
         return docs, weight * tff / (tff + denom)
 
@@ -910,19 +930,18 @@ class IndexReader:
                     if lo is not None else pref)
             hi_t = (pref + encode_f64_sortable(float(hi))
                     if hi is not None else _prefix_successor(pref))
-            matched = self.match_terms(
-                field, "range", lo=lo_t, hi=hi_t,
-                incl_lo=ilo if lo is not None else True,
-                incl_hi=ihi if hi is not None else False)
         else:
             pref = f"{path}\x01"
             lo_t = pref + lo if lo is not None else pref
             hi_t = pref + hi if hi is not None else _prefix_successor(pref)
-            matched = self.match_terms(
-                field, "range", lo=lo_t, hi=hi_t,
-                incl_lo=ilo if lo is not None else True,
-                incl_hi=ihi if hi is not None else False)
-        docs = self._drop_deleted(self._union_docs_for_rows(matched))
+        i_lo = ilo if lo is not None else True
+        i_hi = ihi if hi is not None else False
+        # same const-union LRU as term-range/fuzzy/automaton: a repeated
+        # JSON filter must not re-decode every matching posting run
+        docs = self._drop_deleted(self._cached_union(
+            ("jrange", field, lo_t, hi_t, i_lo, i_hi),
+            lambda: self.match_terms(field, "range", lo=lo_t, hi=hi_t,
+                                     incl_lo=i_lo, incl_hi=i_hi)))
         return docs, np.full(len(docs), boost, np.float32)
 
     def _eval_fuzzy(self, field: str, value: str, distance: int,
@@ -1145,7 +1164,7 @@ class IndexReader:
         # WAND scores the quantized-f32 path; exact-fieldnorm (f64
         # oracle-parity) indexes must keep the scan for score identity
         if method == "wand" and not self.exact_fieldnorms \
-                and _wand_eligible(query):
+                and _wand_eligible(query, self.schema):
             hits = self._wand_search(query, limit + offset)
         else:
             docs, scores = self.evaluate(query)
@@ -1174,6 +1193,10 @@ class IndexReader:
                "kind": query.kind}
         if query.kind == "term":
             field, term = query.params
+            if self.schema.get_field(field).type is FieldType.IP_ADDR:
+                # same dictionary-term encoding evaluate() uses; the raw
+                # IP string would report df=0/tf=0 beside matched=True
+                term = self._ip_term(term)
             df = self.doc_freq(field, term)
             d, tfs = self.postings(field, term)
             j = np.searchsorted(d, doc_id)
@@ -1299,10 +1322,13 @@ class IndexReader:
             self._mm(sid, "positions")
         for f in (fields or [fc.name for fc in self.schema.text_fields
                              if fc.fieldnorms]):
-            try:
+            # skip fields without a norm column by CONFIG, not by
+            # catching: the missing-column failure is pyarrow's
+            # ArrowInvalid (not KeyError), and a caller-listed field
+            # without norms should be a no-op, not an actor crash
+            fcfg = self.schema.get_field(f)
+            if fcfg.type is FieldType.TEXT and fcfg.fieldnorms:
                 self.norms(f)
-            except KeyError:
-                pass
 
     def cache_stats(self) -> dict:
         """Per-tier cache telemetry — the ``getCacheStats`` /
@@ -1348,10 +1374,17 @@ class IndexReader:
         qdocs = None
         if query is not None:
             qdocs = self.evaluate(query)[0]
+        # dictionary df is a GLOBAL stat: on a doc-range-pinned leaf it
+        # would count docs the leaf does not own (root merges would then
+        # multiply every facet by the leaf count) — pinned readers count
+        # via their range-decoded postings instead
+        range_pinned = (self.doc_lo, self.doc_hi) != (0, self.num_docs)
         out = []
         for child in children:
-            if qdocs is None:
+            if qdocs is None and not range_pinned:
                 out.append((child, self.doc_freq(field, child)))
+            elif qdocs is None:
+                out.append((child, int(len(self.postings(field, child)[0]))))
             else:
                 docs, _ = self.postings(field, child)
                 out.append((child, int(len(np.intersect1d(
@@ -1551,14 +1584,25 @@ def _to_us(v) -> int:
     return int(np.datetime64(v, "us").astype(np.int64))
 
 
-def _wand_eligible(q: Query) -> bool:
-    """WAND applies to pure SHOULD-unions of term queries."""
+def _wand_eligible(q: Query, schema) -> bool:
+    """WAND applies to pure SHOULD-unions of term queries over fields
+    that HAVE fieldnorms (TEXT built with fieldnorms=True): the cursor
+    scores through the norm-id cache, and norm__<field> columns only
+    exist for such fields — anything else must take the scan path."""
+    def _norm_field(field: str) -> bool:
+        try:
+            fcfg = schema.get_field(field)
+        except KeyError:
+            return False
+        return fcfg.type is FieldType.TEXT and fcfg.fieldnorms
+
     if q.kind == "term":
-        return True
+        return _norm_field(q.params[0])
     if q.kind == "boost":
-        return _wand_eligible(q.params[0])
+        return _wand_eligible(q.params[0], schema)
     if q.kind == "bool":
         return all(o == Occur.SHOULD and sub.kind == "term"
+                   and _norm_field(sub.params[0])
                    for o, sub in q.params)
     return False
 
@@ -1779,7 +1823,11 @@ class QueryExecutor:
                 out_rank.append(rank)
                 out_doc.append(doc)
                 out_score.append(score)
-        return pa.table({"query_id": pa.array(out_qid),
+        # query_id keeps the INPUT column's type: inference on an empty
+        # list (a batch where nothing matched) would give Arrow `null`
+        # and blocks would disagree on schema
+        return pa.table({"query_id": pa.array(
+                             out_qid, batch.column("query_id").type),
                          "rank": pa.array(out_rank, pa.int32()),
                          "doc_id": pa.array(out_doc, pa.int64()),
                          "score": pa.array(out_score, pa.float32())})

@@ -278,14 +278,19 @@ def parse_query(text: str, schema: "Any", default_fields: list[str] | None = Non
         fcfg = schema.get_field(fname)
         if fcfg.type is not FieldType.TEXT:
             return Query.term(fname, raw)
-        tokens = get_analyzer(fcfg.tokenizer).tokenize(raw)
+        tokens, positions = get_analyzer(
+            fcfg.tokenizer).tokenize_with_positions(raw)
         if not tokens:
             return None
         if len(tokens) == 1:
             # quoted single-token phrase -> plain term (index.rs:552-600)
             return Query.term(fname, tokens[0])
         if as_phrase:
-            return Query.phrase(fname, tokens, slop or 0)
+            # analyzer positions, not enumerate(): RemoveLongFilter
+            # gaps must survive into the phrase offsets the same way
+            # they were indexed (tantivy keeps gaps in query analysis)
+            return Query.phrase(fname, list(zip(positions, tokens)),
+                                slop or 0)
         return Query.boolean([(Occur.SHOULD, Query.term(fname, t))
                               for t in tokens])
 

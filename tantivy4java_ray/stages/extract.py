@@ -32,10 +32,15 @@ _SPACES = re.compile(r"[ \t\r\f\v]+")
 _NL = re.compile(r"\n{2,}")
 
 
-def extract_text(html_bytes: bytes | None) -> str:
-    """One document; deterministic, frozen by goldens."""
+def extract_text(html_bytes: bytes | str | None) -> str:
+    """One document; deterministic, frozen by goldens. Accepts str too
+    (source parquet commonly stores html as utf8, not binary) — encoded
+    to the same bytes the binary path sees, so the golden output is
+    identical either way."""
     if html_bytes is None:
         return ""
+    if isinstance(html_bytes, str):
+        html_bytes = html_bytes.encode("utf-8", errors="surrogatepass")
     b = _SCRIPT.sub(b" ", html_bytes)
     b = _COMMENT.sub(b" ", b)
     b = _BLOCK.sub(b"\n", b)
