@@ -328,6 +328,23 @@ def _flatten_struct_terms(col: pa.Array, expand_dots: bool = True
     return rows[order], terms[order]
 
 
+def _config_fp(schema_dict: dict, num_shards: int, exact_fieldnorms: bool,
+               html_fallback, column_renames, phash_fields) -> str:
+    """Build-config fingerprint stamped into each partition's
+    build_meta: a checkpoint skip is only valid when the existing
+    output was produced by the SAME schema/shards/config (a plan or
+    config change reassigns content; a stale skip would mix
+    incompatible partials/doc-id spaces into one index)."""
+    import hashlib
+    return hashlib.sha1(json.dumps(
+        {"schema": schema_dict, "num_shards": num_shards,
+         "exact_fieldnorms": exact_fieldnorms,
+         "html_fallback": list(html_fallback) if html_fallback else None,
+         "renames": column_renames or {},
+         "phash_fields": sorted(phash_fields)},
+        sort_keys=True).encode()).hexdigest()
+
+
 class PartitionIndexer:
     """Actor-pool stage: one call indexes one build partition.
 
@@ -347,6 +364,9 @@ class PartitionIndexer:
         self.schema = IndexSchema.from_dict(schema_dict)
         self.index_dir = index_dir
         self.num_shards = num_shards
+        self.config_fp = _config_fp(schema_dict, num_shards,
+                                    exact_fieldnorms, html_fallback,
+                                    column_renames, phash_fields)
         self.html_fallback = html_fallback
         self.exact_fieldnorms = exact_fieldnorms
         self.checkpoint = checkpoint
@@ -365,6 +385,10 @@ class PartitionIndexer:
         cols = {f.name for f in self.schema.fields}
         if html_fallback:
             cols.add(html_fallback[1])
+        # phash fields need not be schema fields — they still must be
+        # READ (the pruned column list would otherwise exclude them and
+        # tbl.column() would fail on every partition)
+        cols.update(self.phash_fields)
         self.columns = sorted(self.inv_renames.get(c, c) for c in cols)
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
@@ -385,8 +409,23 @@ class PartitionIndexer:
         summary = pa.table({"pid": pa.array([pid], pa.int32())})
         if (self.checkpoint and st.sexists(docdata_path)
                 and st.sexists(st.sjoin(partial_dir, _PARTIAL_MARKER))):
-            # resume: this partition is already built (atomic rename = done)
-            return summary
+            # resume ONLY when the existing output was built from the
+            # same source spec AND build config: a re-planned input
+            # (added file, different partition size) or changed
+            # schema/shards reassigns doc_bases and shard layouts, and
+            # skipping on pid alone would silently mix doc-id spaces
+            try:
+                old = json.loads(
+                    st.read_parquet_metadata_any(docdata_path)
+                    .metadata[b"build_meta"].decode())
+            except (KeyError, ValueError, OSError):
+                old = None
+            if (old is not None
+                    and old.get("path") == spec["path"]
+                    and old.get("row_groups") == spec["row_groups"]
+                    and old.get("doc_base") == spec["doc_base"]
+                    and old.get("config_fp") == self.config_fp):
+                return summary
         if st.sexists(partial_dir):
             # (re)mapping: purge any prior attempt's partials first. A
             # crashed or older-format attempt may have left atomic
@@ -554,6 +593,7 @@ class PartitionIndexer:
                 continue
         meta = {"pid": pid, "doc_base": spec["doc_base"], "num_docs": n,
                 "path": spec["path"], "row_groups": spec["row_groups"],
+                "config_fp": self.config_fp,
                 "total_tokens": total_tokens,
                 "col_stats": col_stats,
                 "metrics": {"build_s": round(time.monotonic() - t0, 4),
@@ -1081,14 +1121,40 @@ class IndexBuilder:
         mpath = st.sjoin(self.index_dir, "manifest.json")
         if st.sexists(mpath):
             state = st.read_json_any(mpath)
+            # same files AND same requested schema/shards — a re-run
+            # with a different schema or shard count must rebuild, not
+            # silently return the stale index (the partition-level
+            # config fingerprint then forces the actual re-map)
             if (state.get("committed")
                     and state["meta"]["plan"]["files"] == plan.files
-                    and state["meta"]["plan"]["num_docs"] == plan.num_docs):
+                    and state["meta"]["plan"]["num_docs"] == plan.num_docs
+                    and (self.schema is None
+                         or state["meta"].get("schema")
+                         == self.schema.to_dict())
+                    and (self.num_shards is None
+                         or state["meta"]["plan"].get("num_shards")
+                         == self.num_shards)):
                 m = state["meta"]["plan"]
                 return BuildResult(self.index_dir, m["num_docs"],
                                    m["num_partitions"], m["num_shards"],
                                    time.monotonic() - t0,
                                    resumed_partitions=m["num_partitions"])
+            if state.get("committed"):
+                # committed under a DIFFERENT plan/schema: rebuild from
+                # scratch. The txlog and docdata must go first — a fresh
+                # plan with fewer partitions would otherwise leave stale
+                # pids in the replayed state and stale files in the dir
+                # (which e.g. bundling would pack)
+                for sub in ("txlog", "docdata", "_partials"):
+                    p = st.sjoin(self.index_dir, sub)
+                    if st.sexists(p):
+                        st.srmtree(p)
+                fs, mp = st.fs_for(mpath)
+                if fs is None:
+                    import os as _os
+                    _os.unlink(mp)
+                else:
+                    fs.rm(mp)
         if self.schema is None:
             self.schema = infer_index_schema(
                 st.parquet_file_any(plan.files[0]).schema_arrow,
@@ -1097,10 +1163,31 @@ class IndexBuilder:
         nshards = self.num_shards or max(
             1, min(64, (plan.num_docs + 49_999) // 50_000))
         npart = len(plan.partitions)
-        resumed = sum(
-            1 for p in plan.partitions
-            if st.sexists(st.sjoin(
-                self.index_dir, "docdata", f"part-{p.pid:05d}.parquet")))
+        # a partition counts as resumed only under the SAME predicate
+        # the map stage skips on (spec + config fingerprint) — bare
+        # docdata existence would count stale files a re-plan remaps
+        fp = _config_fp(self.schema.to_dict(), nshards,
+                        self.exact_fieldnorms, self.html_fallback,
+                        self.column_renames, self.phash_fields)
+
+        def _is_resumable(p) -> bool:
+            dd = st.sjoin(self.index_dir, "docdata",
+                          f"part-{p.pid:05d}.parquet")
+            mk = st.sjoin(self.index_dir, "_partials",
+                          f"part-{p.pid:05d}", _PARTIAL_MARKER)
+            if not (st.sexists(dd) and st.sexists(mk)):
+                return False
+            try:
+                old = json.loads(st.read_parquet_metadata_any(dd)
+                                 .metadata[b"build_meta"].decode())
+            except (KeyError, ValueError, OSError):
+                return False
+            return (old.get("path") == p.path
+                    and old.get("row_groups") == list(p.row_groups)
+                    and old.get("doc_base") == p.doc_base
+                    and old.get("config_fp") == fp)
+
+        resumed = sum(1 for p in plan.partitions if _is_resumable(p))
 
         txlog = TransactionLog(self.index_dir)
         txlog.append([{"set_meta": {

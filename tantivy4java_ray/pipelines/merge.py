@@ -123,16 +123,44 @@ class _ShardMerger:
                          "num_terms": pa.array([len(dict_df)], pa.int64())})
 
     def _apply_deletes(self, dict_df, post_blob: bytes, pos_blob: bytes):
-        """Decode -> filter deleted global docs -> re-encode each run."""
+        """Filter deleted global docs out of each run.
+
+        Runs whose doc RANGE contains no tombstone (the vast majority —
+        a delete usually touches a handful of docs in a 100M-doc index)
+        are byte-copied verbatim: the range check reads only the run's
+        skip header, never decoding. Only intersecting runs pay the
+        decode -> filter -> re-encode."""
         deleted_global = np.sort(np.concatenate(
             [dels.astype(np.int64) + off
              for dels, off in zip(self.deleted, self.doc_offsets)
              if len(dels)]))
+        cols = {k: dict_df[k].to_numpy() for k in dict_df.columns}
         new_post, new_pos = bytearray(), bytearray()
-        rows = {k: [] for k in dict_df.columns}
-        for _, row in dict_df.iterrows():
-            docs, tfs = pcodec.decode_postings(post_blob, int(row["offset"]))
-            gdocs = docs.astype(np.int64) + int(row["run_base"])
+        rows: dict[str, list] = {k: [] for k in dict_df.columns}
+
+        def emit(i: int, **over) -> None:
+            for k in dict_df.columns:
+                rows[k].append(over.get(k, cols[k][i]))
+
+        for i in range(len(dict_df)):
+            offset = int(cols["offset"][i])
+            base = int(cols["run_base"][i])
+            skip = pcodec.read_skip(post_blob, offset)
+            hi = base + int(skip.last_doc[-1]) + 1
+            if (np.searchsorted(deleted_global, base)
+                    == np.searchsorted(deleted_global, hi)):
+                over = {"offset": len(new_post)}
+                nb = int(cols["nbytes"][i])
+                new_post.extend(post_blob[offset:offset + nb])
+                if int(cols["pos_offset"][i]) >= 0:
+                    p0 = int(cols["pos_offset"][i])
+                    pnb = int(cols["pos_nbytes"][i])
+                    over["pos_offset"] = len(new_pos)
+                    new_pos.extend(pos_blob[p0:p0 + pnb])
+                emit(i, **over)
+                continue
+            docs, tfs = pcodec.decode_postings(post_blob, offset)
+            gdocs = docs.astype(np.int64) + base
             idx = np.searchsorted(deleted_global, gdocs)
             idx_ok = idx < len(deleted_global)
             dead = np.zeros(len(gdocs), bool)
@@ -141,25 +169,23 @@ class _ShardMerger:
                 continue
             keep = ~dead
             pos_bytes = b""
-            if int(row["pos_offset"]) >= 0:
-                pos = pcodec.decode_positions(pos_blob, int(row["pos_offset"]))
+            if int(cols["pos_offset"][i]) >= 0:
+                pos = pcodec.decode_positions(pos_blob,
+                                              int(cols["pos_offset"][i]))
                 off = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
                 keep_pos = np.concatenate(
-                    [pos[off[i]:off[i + 1]] for i in np.flatnonzero(keep)]
+                    [pos[off[j]:off[j + 1]] for j in np.flatnonzero(keep)]
                 ) if keep.any() else np.empty(0, np.uint32)
                 pos_bytes = pcodec.encode_positions(keep_pos)
             blob = pcodec.encode_postings(docs[keep], tfs[keep])
-            for k in dict_df.columns:
-                rows[k].append(row[k])
-            rows["df"][-1] = int(keep.sum())
-            rows["ttf"][-1] = int(tfs[keep].sum())
-            rows["offset"][-1] = len(new_post)
-            rows["nbytes"][-1] = len(blob)
+            over = {"df": int(keep.sum()), "ttf": int(tfs[keep].sum()),
+                    "offset": len(new_post), "nbytes": len(blob)}
             new_post.extend(blob)
             if pos_bytes:
-                rows["pos_offset"][-1] = len(new_pos)
-                rows["pos_nbytes"][-1] = len(pos_bytes)
+                over["pos_offset"] = len(new_pos)
+                over["pos_nbytes"] = len(pos_bytes)
                 new_pos.extend(pos_bytes)
+            emit(i, **over)
         import pandas as pd
         return pd.DataFrame(rows), bytes(new_post), bytes(new_pos)
 
@@ -181,6 +207,16 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     schemas = {json.dumps(m["schema"], sort_keys=True) for m in metas}
     if len(schemas) != 1:
         raise ValueError("inputs disagree on schema")
+    # capability stamps must agree too: stamping metas[0]'s features on
+    # a merge that includes an input WITHOUT them (e.g. pre-u128 IP
+    # terms) would make readers trust queries that silently miss every
+    # doc from the older input
+    feats = {tuple(sorted((m.get("config") or {})
+                          .get("index_features", []))) for m in metas}
+    if len(feats) != 1:
+        raise ValueError(
+            f"inputs disagree on index_features: {sorted(feats)} — "
+            f"rebuild the older input before merging")
 
     doc_offsets: list[int] = []
     base = 0

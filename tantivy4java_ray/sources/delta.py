@@ -119,7 +119,20 @@ def read_delta_snapshot(table_path: str,
                     metadata = action["metaData"]
     if metadata.get("schemaString"):
         schema = json.loads(metadata["schemaString"])
-    files = sorted(os.path.join(table_path, f) for f in live)
+    # Delta spec: add/remove paths are URL-ENCODED relative paths, or
+    # absolute URIs (shallow clones / external files). Tombstone keys in
+    # `live` stay encoded — adds and removes for the same file use the
+    # same encoded form — but the returned paths must be decoded and
+    # absolute URIs must pass through, not be table-joined.
+    from urllib.parse import unquote
+
+    def _resolve(f: str) -> str:
+        d = unquote(f)
+        if "://" in d or d.startswith("/"):
+            return d
+        return os.path.join(table_path, d)
+
+    files = sorted(_resolve(f) for f in live)
     return DeltaSnapshot(last_v, files, schema, metadata)
 
 

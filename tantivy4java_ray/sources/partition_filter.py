@@ -5,10 +5,16 @@ Mirrors the reference's ``filter/PartitionFilter.java:53-140``
 compiled to a ``pyarrow.dataset`` expression usable by
 ``ray.data.read_parquet(filter=...)`` / ``pyarrow.dataset`` scanners so
 only matching row groups leave storage.
+
+Each filter also carries a JSON-serializable AST
+(``to_json``/``from_json`` round-trip), matching the reference's
+cross-process filter shipping (the expression object itself does not
+serialize portably).
 """
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 import pyarrow.compute as pc
@@ -16,52 +22,58 @@ import pyarrow.dataset as pads
 
 
 class PartitionFilter:
-    def __init__(self, expr):
+    def __init__(self, expr, ast: list):
         self._expr = expr
+        self._ast = ast
 
     # -- leaf factories ------------------------------------------------------
     @staticmethod
     def eq(col: str, value: Any) -> "PartitionFilter":
-        return PartitionFilter(pc.field(col) == value)
+        return PartitionFilter(pc.field(col) == value, ["eq", col, value])
 
     @staticmethod
     def not_eq(col: str, value: Any) -> "PartitionFilter":
-        return PartitionFilter(pc.field(col) != value)
+        return PartitionFilter(pc.field(col) != value,
+                               ["not_eq", col, value])
 
     @staticmethod
     def is_in(col: str, values: list) -> "PartitionFilter":
-        return PartitionFilter(pc.field(col).isin(values))
+        return PartitionFilter(pc.field(col).isin(values),
+                               ["is_in", col, list(values)])
 
     @staticmethod
     def gt(col: str, value: Any) -> "PartitionFilter":
-        return PartitionFilter(pc.field(col) > value)
+        return PartitionFilter(pc.field(col) > value, ["gt", col, value])
 
     @staticmethod
     def gte(col: str, value: Any) -> "PartitionFilter":
-        return PartitionFilter(pc.field(col) >= value)
+        return PartitionFilter(pc.field(col) >= value, ["gte", col, value])
 
     @staticmethod
     def lt(col: str, value: Any) -> "PartitionFilter":
-        return PartitionFilter(pc.field(col) < value)
+        return PartitionFilter(pc.field(col) < value, ["lt", col, value])
 
     @staticmethod
     def lte(col: str, value: Any) -> "PartitionFilter":
-        return PartitionFilter(pc.field(col) <= value)
+        return PartitionFilter(pc.field(col) <= value, ["lte", col, value])
 
     @staticmethod
     def is_null(col: str) -> "PartitionFilter":
-        return PartitionFilter(pc.field(col).is_null())
+        return PartitionFilter(pc.field(col).is_null(), ["is_null", col])
 
     @staticmethod
     def is_not_null(col: str) -> "PartitionFilter":
-        return PartitionFilter(~pc.field(col).is_null())
+        return PartitionFilter(~pc.field(col).is_null(),
+                               ["is_not_null", col])
 
     # -- composition ---------------------------------------------------------
     def and_(self, other: "PartitionFilter") -> "PartitionFilter":
-        return PartitionFilter(self._expr & other._expr)
+        return PartitionFilter(self._expr & other._expr,
+                               ["and", self._ast, other._ast])
 
     def or_(self, other: "PartitionFilter") -> "PartitionFilter":
-        return PartitionFilter(self._expr | other._expr)
+        return PartitionFilter(self._expr | other._expr,
+                               ["or", self._ast, other._ast])
 
     def __and__(self, other):
         return self.and_(other)
@@ -74,8 +86,21 @@ class PartitionFilter:
         return self._expr
 
     def to_json(self) -> str:
-        """Serialized form (the reference ships the filter as JSON)."""
-        return str(self._expr)
+        """JSON AST, round-trippable via ``from_json`` (the reference
+        ships the filter as JSON across processes)."""
+        return json.dumps(self._ast)
+
+    @staticmethod
+    def from_json(text: str) -> "PartitionFilter":
+        def build(node: list) -> "PartitionFilter":
+            op, *args = node
+            if op in ("and", "or"):
+                left, right = build(args[0]), build(args[1])
+                return left.and_(right) if op == "and" else \
+                    left.or_(right)
+            return getattr(PartitionFilter, op)(*args)
+
+        return build(json.loads(text))
 
     def scan(self, paths, columns: list[str] | None = None):
         """Filtered pyarrow table (row-group pruning via the expression)."""

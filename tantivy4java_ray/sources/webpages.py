@@ -56,13 +56,14 @@ def generate_webpages(n_rows: int, seed: int = 42,
     offsets3 = np.concatenate(([0], np.cumsum(lengths3)))
 
     toks_arr = pa.array(flat, pa.string())
-    lists = pa.ListArray.from_arrays(pa.array(offsets3, pa.int32()
-                                              if offsets3[-1] < 2**31
-                                              else pa.int64()).cast(
-                                         pa.int32())
-                                     if offsets3[-1] < 2**31 else
-                                     pa.array(offsets3, pa.int64()),
-                                     toks_arr)
+    if offsets3[-1] < 2**31:
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets3, pa.int32()), toks_arr)
+    else:
+        # >= 2^31 total token bytes need 64-bit offsets, which means a
+        # LargeListArray (ListArray.from_arrays requires int32 offsets)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets3, pa.int64()), toks_arr)
     text_all = pc.binary_join(lists, " ")
 
     urls = pa.array([f"https://site{d % 1000}.example/page/{d}"

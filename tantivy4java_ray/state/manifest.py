@@ -55,6 +55,34 @@ def atomic_write_json(path: str, obj: Any) -> None:
     atomic_write_bytes(path, json.dumps(obj, sort_keys=True).encode())
 
 
+def exclusive_write_json(path: str, obj: Any) -> bool:
+    """Put-if-absent: True on success, False when ``path`` already
+    exists. A Delta-style log version must be claimed exclusively —
+    write-then-replace is idempotent for identical content but lets a
+    concurrent writer at the same version silently clobber a different
+    transaction. Local paths get real O_EXCL; URL stores (no atomic
+    create-if-absent on S3-style APIs) fall back to a pre-existence
+    check, which narrows but cannot close the race — same caveat as
+    Delta on S3 without a coordinator."""
+    data = json.dumps(obj, sort_keys=True).encode()
+    if "://" in path:
+        from tantivy4java_ray import storage as st
+        if st.sexists(path):
+            return False
+        st.write_bytes_atomic(data, path)
+        return True
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    return True
+
+
 class TransactionLog:
     def __init__(self, index_dir: str):
         # the directory is created lazily on first WRITE: constructing a
@@ -66,9 +94,15 @@ class TransactionLog:
     # -- write --------------------------------------------------------------
     def append(self, actions: list[dict]) -> int:
         self._st.smakedirs(self.dir)
+        # claim the next version with put-if-absent and retry on
+        # collision: two writers computing the same latest_version()+1
+        # must never clobber each other's transaction (last-writer-wins
+        # silently drops actions)
         v = self.latest_version() + 1
-        atomic_write_json(self._st.sjoin(self.dir, f"v{v:08d}.json"),
-                          {"version": v, "ts": time.time(), "actions": actions})
+        while not exclusive_write_json(
+                self._st.sjoin(self.dir, f"v{v:08d}.json"),
+                {"version": v, "ts": time.time(), "actions": actions}):
+            v += 1
         return v
 
     def create_checkpoint(self) -> int:
@@ -88,10 +122,14 @@ class TransactionLog:
               if (m := _V_RE.match(f))]
         return max(vs, default=-1)
 
-    def versions(self) -> list[dict]:
+    def versions(self, min_version: int = -1) -> list[dict]:
+        """Version records with version > ``min_version``. The filter
+        uses the FILENAME, so checkpointed history is skipped without
+        reading it (one GET per pre-checkpoint version otherwise)."""
         out = []
         for f in sorted(self._ls()):
-            if _V_RE.match(f):
+            m = _V_RE.match(f)
+            if m and int(m.group(1)) > min_version:
                 out.append(self._st.read_json_any(
                     self._st.sjoin(self.dir, f)))
         return out
@@ -113,9 +151,7 @@ class TransactionLog:
     def _replay(self) -> tuple[dict, int]:
         state, from_v = self._latest_checkpoint()
         last = from_v
-        for ver in self.versions():
-            if ver["version"] <= from_v:
-                continue
+        for ver in self.versions(min_version=from_v):
             last = ver["version"]
             for a in ver["actions"]:
                 kind, payload = next(iter(a.items()))
@@ -139,4 +175,4 @@ class TransactionLog:
 
     def changes_since(self, version: int) -> list[dict]:
         """Catch-up read (``TransactionLogReader.java:141`` semantics)."""
-        return [v for v in self.versions() if v["version"] > version]
+        return self.versions(min_version=version)

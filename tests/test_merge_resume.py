@@ -187,6 +187,101 @@ def test_remap_purges_stale_partials(setup):
         assert ra.search(q, 20).hits == rc.search(q, 20).hits, q
 
 
+def test_replan_rebuilds_instead_of_stale_skip(setup, ray_session):
+    """Resuming an INTERRUPTED build with a CHANGED plan (different
+    partition size => new doc_bases/row_groups per pid) must re-map —
+    pid-only checkpoint skips would mix doc-id spaces from two
+    incompatible plans into one index."""
+    idx = f"{BASE}/idx_replan"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(f"{BASE}/data_a", idx, schema(),
+                html_fallback=("text", "html"),
+                target_docs_per_partition=300, num_shards=4,
+                keep_partials=True)
+    # simulate a crash BEFORE commit: docdata + marked partials remain,
+    # but no manifest/txlog — then resume with half-size partitions
+    shutil.rmtree(f"{idx}/txlog")
+    os.unlink(f"{idx}/manifest.json")
+    res = build_index(f"{BASE}/data_a", idx, schema(),
+                      html_fallback=("text", "html"),
+                      target_docs_per_partition=150, num_shards=4)
+    assert res.resumed_partitions == 0       # every spec mismatched
+    assert res.num_partitions == 3           # one per 200-row row group
+    ra, rb = IndexReader(f"{BASE}/idx_a"), IndexReader(idx)
+    for q in QUERIES:
+        assert ra.search(q, 20).hits == rb.search(q, 20).hits, q
+    from tantivy4java_ray.state.manifest import TransactionLog
+    assert len(TransactionLog(idx).read_state()["partitions"]) == 3
+
+
+def test_schema_change_rebuilds_not_stale_fastpath(setup, ray_session):
+    """A committed same-files build re-requested with a DIFFERENT schema
+    must rebuild (the fast path silently returned the stale index)."""
+    idx = f"{BASE}/idx_reschema"
+    shutil.rmtree(idx, ignore_errors=True)
+    s1 = schema()
+    build_index(f"{BASE}/data_a", idx, s1, html_fallback=("text", "html"),
+                target_docs_per_partition=300, num_shards=4)
+    r = IndexReader(idx)
+    assert "url" not in {f.name for f in r.schema.fields}
+    s2 = schema()
+    s2.add_string_field("url")
+    res = build_index(f"{BASE}/data_a", idx, s2,
+                      html_fallback=("text", "html"),
+                      target_docs_per_partition=300, num_shards=4)
+    assert res.resumed_partitions == 0
+    r2 = IndexReader(idx)
+    from tantivy4java_ray.query import Query
+    docs, _ = r2.evaluate(Query.term("url",
+                                     "https://site0.example/page/0"))
+    assert docs.tolist() == [0]
+    # identical re-request stays the instant fast path
+    res3 = build_index(f"{BASE}/data_a", idx, s2,
+                       html_fallback=("text", "html"),
+                       target_docs_per_partition=300, num_shards=4)
+    assert res3.resumed_partitions == res3.num_partitions
+
+
+def test_txlog_append_is_put_if_absent(tmp_path):
+    """Two writers claiming the same next version must not clobber each
+    other: the loser re-claims the next free version."""
+    from tantivy4java_ray.state.manifest import TransactionLog
+    log = TransactionLog(str(tmp_path / "idx"))
+    v0 = log.append([{"set_meta": {"a": 1}}])
+    # simulate a concurrent writer that already claimed v1
+    import json as _json
+    with open(f"{log.dir}/v{v0 + 1:08d}.json", "w") as f:
+        _json.dump({"version": v0 + 1, "actions":
+                    [{"set_meta": {"other": True}}]}, f)
+    v2 = log.append([{"set_meta": {"b": 2}}])
+    assert v2 == v0 + 2                      # collision skipped, not lost
+    st = log.read_state()
+    assert st["meta"] == {"a": 1, "other": True, "b": 2}
+
+
+def test_txlog_checkpoint_skips_old_version_reads(tmp_path, monkeypatch):
+    """read_state must not open version files at or below the latest
+    checkpoint (remote logs: one GET per historical version)."""
+    from tantivy4java_ray.state import manifest as m
+    log = m.TransactionLog(str(tmp_path / "idx"))
+    for i in range(5):
+        log.append([{"set_meta": {f"k{i}": i}}])
+    log.create_checkpoint()
+    log.append([{"set_meta": {"tail": 9}}])
+    reads = []
+    orig = m.TransactionLog._ls
+
+    import tantivy4java_ray.storage as st
+    real_read = st.read_json_any
+    monkeypatch.setattr(st, "read_json_any",
+                        lambda p: (reads.append(p), real_read(p))[1])
+    state = log.read_state()
+    assert state["meta"]["tail"] == 9 and state["meta"]["k0"] == 0
+    version_reads = [p for p in reads if "/v0" in p]
+    assert len(version_reads) == 1           # only the post-checkpoint one
+    assert orig is m.TransactionLog._ls      # (keep linter quiet)
+
+
 def test_txlog_lineage(setup):
     from tantivy4java_ray.state.manifest import TransactionLog
     state = TransactionLog(f"{BASE}/idx_a").read_state()

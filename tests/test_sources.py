@@ -130,6 +130,70 @@ def test_phash_hidden_column(renamed_index):
     assert valid.all() and len(np.unique(vals)) == 2 and (vals != 0).all()
 
 
+def test_phash_field_outside_schema(ray_session, tmp_path):
+    """A phash field that is NOT a schema field must still be read
+    (review finding: the pruned column list dropped it and every
+    partition task crashed on tbl.column)."""
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    pq.write_table(pa.table({
+        "body": pa.array(["hello world", "goodbye world", "hello world"]),
+        "author": pa.array(["ann", "bob", "ann"])}),
+        str(tmp_path / "d.parquet"))
+    s = IndexSchema()
+    s.add_text_field("body")          # 'author' intentionally absent
+    build_index(str(tmp_path / "d.parquet"), str(tmp_path / "idx"), s,
+                num_shards=1, phash_fields=("author",))
+    vals, valid = IndexReader(str(tmp_path / "idx")).fast_column(
+        "_phash_author")
+    assert valid.all() and len(np.unique(vals)) == 2
+    assert vals[0] == vals[2] != vals[1]
+
+
+def test_partition_filter_json_roundtrip(sf_dir):
+    """to_json emits a real JSON AST and from_json reconstructs an
+    equivalent filter (review finding: it returned a repr string)."""
+    import json as _json
+
+    from tantivy4java_ray.sources.partition_filter import PartitionFilter
+    f = ((PartitionFilter.eq("event_type", "click")
+          & PartitionFilter.gte("value", 10.0))
+         | PartitionFilter.is_null("value"))
+    ast = _json.loads(f.to_json())          # genuinely JSON
+    assert ast[0] == "or"
+    f2 = PartitionFilter.from_json(f.to_json())
+    a = f.scan(f"{sf_dir}/events.parquet", columns=["event_id"])
+    b = f2.scan(f"{sf_dir}/events.parquet", columns=["event_id"])
+    assert a.num_rows == b.num_rows > 0
+    assert a.column("event_id").to_pylist() == \
+        b.column("event_id").to_pylist()
+
+
+def test_delta_encoded_and_absolute_paths(tmp_path):
+    """Delta add paths are URL-encoded; absolute URIs pass through
+    (review finding: '%3A' reached the filesystem verbatim and absolute
+    URIs were table-joined)."""
+    import json as _json
+
+    from tantivy4java_ray.sources.delta import delta_live_files
+    d = tmp_path / "enc_delta"
+    part = d / "ts=2024-01-01 00:00"
+    part.mkdir(parents=True)
+    (d / "_delta_log").mkdir()
+    pq.write_table(pa.table({"x": pa.array([1])}),
+                   str(part / "part-0.parquet"))
+    enc = "ts=2024-01-01%2000%3A00/part-0.parquet"
+    with open(d / "_delta_log" / f"{0:020d}.json", "w") as f:
+        f.write(_json.dumps({"add": {"path": enc, "size": 1}}) + "\n")
+        f.write(_json.dumps({"add": {
+            "path": "s3://bucket/extern/part-9.parquet", "size": 1}})
+            + "\n")
+    files = delta_live_files(str(d))
+    assert str(part / "part-0.parquet") in files
+    assert "s3://bucket/extern/part-9.parquet" in files
+    assert not any("%" in f for f in files)
+
+
 def test_prewarm(renamed_index):
     renamed_index.prewarm()
     assert 0 in renamed_index._dicts
