@@ -574,12 +574,19 @@ def simhash_pairs(ds, col: str, id_col: str, *, hamming_k: int = 3,
                          id_col: pa.array(rows_id, pa.int64()),
                          "sim": pa.array(rows_sim, pa.int64())})
 
+    # typed empty frame: an over-cap/singleton bucket must emit the SAME
+    # block schema as pair-producing buckets (untyped [] infers float64
+    # ids -> Arrow schema mismatch across blocks, or silent id->f64)
+    _EMPTY_PAIRS = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
         uniq = np.unique(ids, return_index=True)[1]
         if len(uniq) < 2 or len(uniq) > max_bucket:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            return _EMPTY_PAIRS
         order = sorted(uniq, key=lambda i: ids[i])
         out_a, out_b, out_h = [], [], []
         for x in range(len(order)):
@@ -708,10 +715,15 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
             id_col: t.column(id_col),
             "vec": pa.array([v.tobytes() for v in emb], pa.large_binary())})
 
+    # typed empty frame (same block-schema requirement as simhash_pairs)
+    empty_pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                "b": pd.Series([], dtype=np.int64),
+                                "cosine": pd.Series([], dtype=np.float64)})
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            return empty_pairs
         order = np.argsort(ids, kind="stable")
         mat = np.stack([np.frombuffer(v, np.float32)
                         for v in g["vec"].to_numpy()[order]])

@@ -38,14 +38,22 @@ def _block_topk(t: pa.Table, q: np.ndarray, emb_col: str, id_col: str,
     sims = q @ mat.T  # (nq, nrows)
     k = min(k, sims.shape[1])
     out_q, out_id, out_s = [], [], []
-    idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
     for qi in range(sims.shape[0]):
-        sel = idx[qi]
+        s = sims[qi]
+        # tie-exact top-k: argpartition alone keeps an ARBITRARY row at
+        # tied kth-boundary scores, violating the id-asc tie contract
+        # for duplicate vectors (same fix as IVFIndex.search)
+        cand = np.argpartition(-s, k - 1)[:k] if k < len(s) else \
+            np.arange(len(s))
+        thresh = s[cand].min()
+        cand = np.flatnonzero(s >= thresh)
+        sel = cand[np.lexsort((ids[cand], -s[cand]))][:k]
         out_q.extend([qi] * k)
         out_id.extend(ids[sel].tolist())
-        out_s.extend(sims[qi, sel].astype(np.float64).tolist())
+        out_s.extend(s[sel].astype(np.float64).tolist())
+    # id column keeps the caller's type (string urls, uuids, ...)
     return pa.table({"query_id": pa.array(out_q, pa.int32()),
-                     id_col: pa.array(out_id, pa.int64()),
+                     id_col: pa.array(out_id, t.column(id_col).type),
                      "score": pa.array(out_s, pa.float64())})
 
 
@@ -132,7 +140,7 @@ def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
         keep = np.isin(assign, probed_set)
         if not keep.any():
             return pa.table({"query_id": pa.array([], pa.int32()),
-                             id_col: pa.array([], pa.int64()),
+                             id_col: pa.array([], t.column(id_col).type),
                              "score": pa.array([], pa.float64())})
         ids, mat, assign = ids[keep], mat[keep], assign[keep]
         sims = qm @ mat.T
@@ -144,12 +152,18 @@ def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
             s = sims[qi][qkeep]
             sel_ids = ids[qkeep]
             kk = min(k, len(s))
-            sel = np.argpartition(-s, kk - 1)[:kk]
+            # tie-exact top-k (see _block_topk): keep ALL rows at the
+            # kth score, then id-asc order breaks the tie
+            cand = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else \
+                np.arange(len(s))
+            thresh = s[cand].min()
+            cand = np.flatnonzero(s >= thresh)
+            sel = cand[np.lexsort((sel_ids[cand], -s[cand]))][:kk]
             out_q.extend([qi] * kk)
             out_id.extend(sel_ids[sel].tolist())
             out_s.extend(s[sel].astype(np.float64).tolist())
         return pa.table({"query_id": pa.array(out_q, pa.int32()),
-                         id_col: pa.array(out_id, pa.int64()),
+                         id_col: pa.array(out_id, t.column(id_col).type),
                          "score": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(

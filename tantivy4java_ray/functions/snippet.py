@@ -78,10 +78,17 @@ class SnippetGenerator:
             if n > best_n:
                 best_i, best_n = i, n
         start = matches[best_i][0]
-        # expand left to a word boundary, bound the fragment
+        m_end = matches[best_i][1]
+        # expand left to a word boundary, bound the fragment; the walk
+        # stops where the backoff started — an unbounded walk through a
+        # long unbroken run could push the matched term past frag_end,
+        # yielding a snippet without the hit
         frag_start = max(0, start - 20)
         while frag_start > 0 and not text[frag_start - 1].isspace():
             frag_start -= 1
+            if m_end - frag_start > self.max_chars:
+                frag_start = max(0, start - 20)
+                break
         frag_end = min(len(text), frag_start + self.max_chars)
         frag = text[frag_start:frag_end]
         out = []

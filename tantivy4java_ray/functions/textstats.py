@@ -59,13 +59,18 @@ _STOPWORDS = ("the a an and or of to in is was it for on as with that this "
 
 
 def quality_batch(t: pa.Table, col: str = "text",
-                  id_col: str = "doc_id") -> pa.Table:
+                  id_col: str = "doc_id", tok: dict | None = None
+                  ) -> pa.Table:
+    """``tok``: optionally a precomputed ``tokenize_column`` result for
+    the same column — composed stages (curate) tokenize ONCE and share
+    it; tokenization dominates this stage's CPU."""
     text = t.column(col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
     n_chars = np.nan_to_num(np.asarray(n_chars, np.float64))
-    tok = tokenize_column(text, get_analyzer("default"))
+    if tok is None:
+        tok = tokenize_column(text, get_analyzer("default"))
     n = t.num_rows
     n_tok = tok["row_token_counts"].astype(np.float64)
     # alpha ratio: fraction of chars that are token chars
@@ -129,11 +134,12 @@ class LanguageId:
         self.langs = sorted(_LANG_PROFILES)
         self.profiles = [_LANG_PROFILES[lg] for lg in self.langs]
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        tok = tokenize_column(
-            t.column(self.col).combine_chunks()
-            if isinstance(t.column(self.col), pa.ChunkedArray)
-            else t.column(self.col), get_analyzer("default"))
+    def __call__(self, t: pa.Table, tok: dict | None = None) -> pa.Table:
+        if tok is None:
+            tok = tokenize_column(
+                t.column(self.col).combine_chunks()
+                if isinstance(t.column(self.col), pa.ChunkedArray)
+                else t.column(self.col), get_analyzer("default"))
         n = t.num_rows
         scores = np.zeros((n, len(self.langs)), np.float64)
         if len(tok["row"]):
@@ -147,8 +153,10 @@ class LanguageId:
         conf = ratios[np.arange(n), best]
         pred = np.where(conf > 0.02,
                         np.array(self.langs, object)[best], "und")
+        # explicit string type: an empty batch would infer Arrow null
         return pa.table({self.id_col: t.column(self.id_col),
-                         "lang_pred": pa.array(pred.astype(object)),
+                         "lang_pred": pa.array(pred.astype(object),
+                                               type=pa.string()),
                          "lang_conf": pa.array(_round6(conf))})
 
 
@@ -202,6 +210,9 @@ def fingerprint_batch(t: pa.Table, col: str = "text",
         clean, "\x00", "\N{REPLACEMENT CHARACTER}").to_numpy(
         zero_copy_only=False), object)
     fp = pd.util.hash_array(vals).astype(np.uint64)
+    fp[fp == 0] = 1  # keep 0 exclusively for null/empty (2^-64 per doc,
+    #                  reachable at corpus scale; string_fingerprint does
+    #                  the same remap)
     empty = np.asarray(pc.equal(clean, "").to_numpy(zero_copy_only=False),
                        bool)
     fp[empty] = 0

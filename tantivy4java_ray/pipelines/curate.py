@@ -45,8 +45,15 @@ class _ScoreFilter:
         self.langid = LanguageId(col=col, id_col=id_col)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        q = quality_batch(t, self.col, self.id_col)
-        lg = self.langid(t)
+        from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
+        text = t.column(self.col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # tokenize ONCE and share: quality + language-ID both consume
+        # the same tokenization, the dominant CPU of this stage
+        tok = tokenize_column(text, get_analyzer("default"))
+        q = quality_batch(t, self.col, self.id_col, tok=tok)
+        lg = self.langid(t, tok=tok)
         keep = np.asarray(q.column("quality").to_numpy()
                           >= self.min_quality)
         pred = np.asarray(lg.column("lang_pred").to_numpy(

@@ -82,6 +82,16 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     comp = int.from_bytes(payload[30:34], "little")
     if comp not in (0, 3) or bpp not in (24, 32):
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if comp == 3:
+        # BI_BITFIELDS: only the standard BGRA masks decode with the
+        # fixed BGR(A)->RGB swizzle below; anything else must fail
+        # loudly, not silently swap channels
+        masks = [int.from_bytes(payload[54 + 4 * i:58 + 4 * i], "little")
+                 for i in range(3)]
+        if masks != [0x00FF0000, 0x0000FF00, 0x000000FF]:
+            raise ValueError(
+                f"unsupported BMP channel masks {[hex(m) for m in masks]}"
+                f" (only standard BGRA bitfields decode)")
     flip = h > 0
     h = abs(h)
     nchan = bpp // 8
@@ -301,7 +311,10 @@ class VideoFrameSample:
             n_bytes[i] = len(p)
             if self.fake:
                 for f in range(self.n_frames):
-                    out[i, f] = _fake_pixels(p + bytes([f]), self.h, self.w)
+                    # frame byte FIRST: _fake_pixels seeds from the
+                    # leading 8 bytes, so a suffix would be ignored for
+                    # any payload >= 8 B and every frame would be equal
+                    out[i, f] = _fake_pixels(bytes([f]) + p, self.h, self.w)
             else:
                 out[i] = self._decode_real(p)
         per = self.n_frames * self.h * self.w * 3

@@ -317,6 +317,36 @@ def test_ngram_jaccard_matches_exhaustive_sql_oracle(ray_session, sf_dir):
                           orc["jaccard"].to_numpy())
 
 
+def test_topk_cosine_tie_contract_and_string_ids(ray_session):
+    """Tied kth-boundary scores must break id-ASC inside each block
+    (argpartition alone keeps an arbitrary row), and the id column must
+    keep the caller's type (string urls)."""
+    import ray.data
+
+    from tantivy4java_ray.functions.similarity import topk_cosine
+    v = [1.0, 0.0]
+    rows = [{"vec_id": i, "embedding": v} for i in range(8)]  # all tied
+    ds = ray.data.from_items(rows).repartition(2)
+    out = topk_cosine(ds, np.array([v]), k=3)
+    assert out["vec_id"].tolist() == [0, 1, 2]
+    srows = [{"url": f"u{i:02d}", "embedding": v} for i in range(6)]
+    out2 = topk_cosine(ray.data.from_items(srows), np.array([v]),
+                       id_col="url", k=2)
+    assert out2["url"].tolist() == ["u00", "u01"]
+
+
+def test_snippet_long_unbroken_prefix():
+    """The left word-boundary walk must not push the matched term out of
+    the fragment (regression: 1000-char unbroken run before the hit
+    returned a snippet without the term)."""
+    from tantivy4java_ray.functions.snippet import SnippetGenerator
+    from tantivy4java_ray.query import Query
+    gen = SnippetGenerator(Query.term("text", "foo"), "text", "default",
+                           150)
+    snip = gen.snippet_from_text("x" * 1000 + " foo bar")
+    assert "<b>foo</b>" in snip
+
+
 def test_more_like_this_matches_sql_oracle(ray_session, sf_dir):
     """MLT end-to-end in SQL: seed pick, tf*log1p-idf term ranking with
     term-DESC tie-break, top-10 SHOULD, exact-dl BM25 sum, top-25."""
