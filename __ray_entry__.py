@@ -515,6 +515,34 @@ def q_agg_cardinality_users(sf_dir: str):
     return pd.DataFrame([{"approx_users": out["c"]["value"]}])
 
 
+def q_agg_quantiles_exact(sf_dir: str):
+    """EXACT distributed quantiles via iterative bucket refinement
+    (functions/quantiles.py): zero shuffle, 3-4 streaming bincount
+    passes; bit-identical to DuckDB quantile_cont (same order
+    statistics, same lerp). The exact companion to the HDR-sketch
+    `agg_percentiles_value` surface."""
+    import ray.data
+    from tantivy4java_ray.functions.quantiles import exact_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    pcts = [1.0, 25.0, 50.0, 75.0, 99.0]
+    out = exact_quantiles(ds, "value", pcts)
+    return pd.DataFrame([{"percent": p, "value": round(out[p], 6)}
+                         for p in pcts])
+
+
+def q_agg_cardinality_exact(sf_dir: str):
+    """EXACT COUNT(DISTINCT user_id): map-side-distinct 16-byte dual
+    siphash keys -> groupby(h1) -> per-group distinct-h2 counts ->
+    distributed sum (the driver receives one scalar). The exact
+    companion to the HLL `agg_cardinality_users` surface."""
+    import ray.data
+    from tantivy4java_ray.functions.quantiles import exact_cardinality
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return pd.DataFrame([{"n_users": exact_cardinality(ds, "user_id")}])
+
+
 def q_agg_subagg_events(sf_dir: str):
     import ray.data
     from tantivy4java_ray.aggs import aggregate_dataset
@@ -902,7 +930,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_date_histogram_events": q_agg_date_histogram_events,
         "agg_range_events": q_agg_range_events,
         "agg_cardinality_users": q_agg_cardinality_users,
+        "agg_cardinality_exact": q_agg_cardinality_exact,
         "agg_percentiles_value": q_agg_percentiles_value,
+        "agg_quantiles_exact": q_agg_quantiles_exact,
         "agg_subagg_events": q_agg_subagg_events,
         "agg_nested_2level": q_agg_nested_2level,
         "agg_multi_terms": q_agg_multi_terms,
@@ -1163,6 +1193,14 @@ def oracle_sql() -> dict[str, str]:
         "agg_multi_terms":
             "SELECT lang, source, count(*) AS doc_count FROM documents "
             "GROUP BY lang, source ORDER BY lang, source",
+        "agg_cardinality_exact":
+            "SELECT count(DISTINCT user_id) AS n_users FROM events",
+        "agg_quantiles_exact":
+            "SELECT percent, ROUND(v, 6) AS value FROM ("
+            "SELECT unnest([1.0, 25.0, 50.0, 75.0, 99.0]) AS percent, "
+            "unnest(quantile_cont(value, "
+            "[0.01, 0.25, 0.50, 0.75, 0.99])) AS v FROM events) "
+            "ORDER BY percent",
         "facet_counts":
             "SELECT '/en/' || source AS facet, count(*) AS doc_count "
             "FROM documents WHERE lang = 'en' GROUP BY source "

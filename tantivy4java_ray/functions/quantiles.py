@@ -1,0 +1,321 @@
+"""Exact distributed quantiles and exact distinct counts.
+
+Two operators that turn the engine's *approximate* analytics surfaces
+(HDR-sketch percentiles, HLL cardinality — ``aggs.py``) into exact,
+SQL-oracled answers with 100 TB-shaped plans:
+
+- ``exact_quantiles``: iterative bucket refinement ("distributed
+  selection"). NO shuffle and NO sort — each round is one streaming
+  ``map_batches`` pass over the (column-pruned) input that bincounts the
+  active intervals; the driver narrows each target order statistic to
+  the bucket containing its rank and repeats. With 4096 buckets a round
+  resolves 12 bits of the value's position, so 3-4 passes reach a tail
+  small enough to collect and select exactly. Compare: a global
+  ``ds.sort`` is an all-to-all exchange of the whole column; this moves
+  only ``O(buckets * targets)`` ints per pass to the driver.
+- ``exact_cardinality``: dual-siphash keys (16 B/row, map-side deduped)
+  -> ``groupby(h1)`` shuffle -> per-group distinct-``h2`` counts ->
+  distributed ``sum``. The only all-to-all moves 16-byte keys, never
+  values; per-group output stays in the cluster (the driver sees one
+  scalar). Same 2^-128 collision contract as ``dedup.exact_dedup``.
+
+The reference has neither operator (its percentiles/cardinality are
+sketch-based intermediate aggs merged across splits,
+``native/src/searcher/aggregation/deserialize.rs:7-10``); these are the
+exact companions a curation pipeline needs when the answer feeds a
+cut-off decision rather than a dashboard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+#: second independent siphash key (16 bytes), distinct from dedup's
+_CARD_KEY2 = "t4jr-card-key-02"
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles — iterative bucket refinement (no shuffle, no sort)
+# ---------------------------------------------------------------------------
+
+def _minmax_count(ds, col: str) -> tuple[int, float, float]:
+    """One streaming pass: (n_valid, min, max) of finite values."""
+    def part(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column(col).to_numpy(zero_copy_only=False),
+                       np.float64)
+        x = x[np.isfinite(x)]
+        if not len(x):
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([np.inf]),
+                             "hi": pa.array([-np.inf])})
+        return pa.table({"n": pa.array([len(x)], pa.int64()),
+                         "lo": pa.array([float(x.min())]),
+                         "hi": pa.array([float(x.max())])})
+
+    rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+    n = int(sum(r["n"] for r in rows))
+    lo = min((r["lo"] for r in rows), default=np.inf)
+    hi = max((r["hi"] for r in rows), default=-np.inf)
+    return n, float(lo), float(hi)
+
+
+def _bucket_edges(lo: float, hi: float, closed: bool,
+                  nbuckets: int) -> np.ndarray:
+    """Driver-computed bucket edges for interval [lo, hi) (or [lo, hi]
+    when ``closed``). Duplicate linspace edges (ulp-narrow intervals at
+    large magnitudes) are collapsed so every bucket has positive width —
+    guaranteeing each refinement round strictly shrinks the interval —
+    and a closed interval gets a synthetic zero-width point bucket
+    [hi, hi] at the end so boundary values resolve in one more round
+    instead of re-selecting the parent forever."""
+    edges = np.unique(np.linspace(lo, hi, nbuckets + 1))
+    if closed:
+        edges = np.append(edges, hi)
+    return edges
+
+
+def _assign_buckets(x: np.ndarray, edges: np.ndarray,
+                    closed: bool) -> np.ndarray | None:
+    """Bucket index for each value of ``x`` that falls in the interval,
+    or None if none do. Buckets are [e_j, e_{j+1}) right-open; with
+    ``closed``, values == hi clip into the final point bucket."""
+    lo, hi = edges[0], edges[-1]
+    m = x[(x >= lo) & ((x <= hi) if closed else (x < hi))]
+    if not len(m):
+        return None
+    return np.clip(np.searchsorted(edges, m, side="right") - 1,
+                   0, len(edges) - 2)
+
+
+class _IntervalBincount:
+    """Per-batch bincount of values into each active interval's buckets.
+
+    Emits one row per non-empty (interval, bucket) — a few thousand ints
+    per batch regardless of batch size. Edges are computed ONCE on the
+    driver (`_bucket_edges`) and broadcast via the closure, so the
+    worker's bucket boundaries can never drift from the driver's
+    child-interval bookkeeping."""
+
+    def __init__(self, col: str, edges: list[np.ndarray],
+                 closed: list[bool]):
+        self.col = col
+        self.edges = edges
+        self.closed = closed
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column(self.col).to_numpy(zero_copy_only=False),
+                       np.float64)
+        x = x[np.isfinite(x)]
+        iv, bk, ct = [], [], []
+        for i, e in enumerate(self.edges):
+            j = _assign_buckets(x, e, self.closed[i])
+            if j is None:
+                continue
+            c = np.bincount(j, minlength=len(e) - 1)
+            nz = np.flatnonzero(c)
+            iv.append(np.full(len(nz), i, np.int32))
+            bk.append(nz.astype(np.int32))
+            ct.append(c[nz].astype(np.int64))
+        if not iv:
+            return pa.table({"iv": pa.array([], pa.int32()),
+                             "bk": pa.array([], pa.int32()),
+                             "ct": pa.array([], pa.int64())})
+        return pa.table({"iv": pa.array(np.concatenate(iv)),
+                         "bk": pa.array(np.concatenate(bk)),
+                         "ct": pa.array(np.concatenate(ct))})
+
+
+class _IntervalCollect:
+    """Tail pass: pull the (small, <= tail_threshold per interval) raw
+    values inside each final interval so the driver can select exactly."""
+
+    def __init__(self, col: str,
+                 intervals: list[tuple[float, float, bool]]):
+        self.col = col
+        self.intervals = intervals
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column(self.col).to_numpy(zero_copy_only=False),
+                       np.float64)
+        x = x[np.isfinite(x)]
+        iv, vals = [], []
+        for i, (lo, hi, closed) in enumerate(self.intervals):
+            m = x[(x >= lo) & ((x <= hi) if closed else (x < hi))]
+            if len(m):
+                iv.append(np.full(len(m), i, np.int32))
+                vals.append(m)
+        if not iv:
+            return pa.table({"iv": pa.array([], pa.int32()),
+                             "v": pa.array([], pa.float64())})
+        return pa.table({"iv": pa.array(np.concatenate(iv)),
+                         "v": pa.array(np.concatenate(vals))})
+
+
+def exact_order_statistics(ds, col: str, ks: list[int], *,
+                           nbuckets: int = 4096,
+                           tail_threshold: int = 65536,
+                           max_rounds: int = 40,
+                           _stats: tuple[int, float, float] | None = None
+                           ) -> dict[int, float]:
+    """Exact k-th order statistics (0-indexed ranks over the sorted
+    finite values of ``col``) via iterative bucket refinement.
+
+    Scale: ``1 + rounds + 1`` streaming passes over one column, zero
+    shuffle; driver state is O(nbuckets * len(ks)) per round. All ranks
+    share every pass. See module docstring for the 100 TB argument.
+    """
+    n, lo, hi = _stats if _stats is not None else _minmax_count(ds, col)
+    if n == 0:
+        raise ValueError(f"exact_order_statistics: no finite values in "
+                         f"{col!r}")
+    bad = [k for k in ks if not 0 <= k < n]
+    if bad:
+        raise ValueError(f"ranks {bad} out of range for n={n}")
+    out: dict[int, float] = {}
+    # state: (lo, hi, closed_hi, rank_offset, count_inside, ks_inside);
+    # intervals are [lo, hi) unless closed_hi (the global-max owner)
+    Interval = tuple[float, float, bool, int, int, list[int]]
+    active: list[Interval] = [(lo, hi, True, 0, n, sorted(set(ks)))]
+    for _ in range(max_rounds):
+        collect: list[Interval] = []
+        refine: list[Interval] = []
+        for ivl in active:
+            ilo, ihi, closed, _off, cnt, iks = ivl
+            if (ihi == ilo) or (not closed
+                                and np.nextafter(ilo, np.inf) >= ihi):
+                # interval holds exactly one representable value: done
+                for k in iks:
+                    out[k] = ilo
+            elif cnt <= tail_threshold:
+                collect.append(ivl)
+            else:
+                refine.append(ivl)
+        if collect:
+            coll = _IntervalCollect(
+                col, [(a, b, c) for a, b, c, *_ in collect])
+            df = ds.map_batches(coll, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+            iv_all = df["iv"].to_numpy()
+            v_all = df["v"].to_numpy()
+            for i, (_a, _b, _c, off, cnt, iks) in enumerate(collect):
+                vals = np.sort(v_all[iv_all == i])
+                if len(vals) != cnt:  # pragma: no cover - internal check
+                    raise AssertionError(
+                        f"interval count drift: {len(vals)} != {cnt}")
+                for k in iks:
+                    out[k] = float(vals[k - off])
+        if not refine:
+            break
+        # one shared bincount pass over every interval still refining
+        edges = [_bucket_edges(a, b, c, nbuckets)
+                 for a, b, c, *_ in refine]
+        closed_flags = [c for _a, _b, c, *_ in refine]
+        binc = _IntervalBincount(col, edges, closed_flags)
+        df = ds.map_batches(binc, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+        max_nb = max(len(e) - 1 for e in edges)
+        counts = np.zeros((len(refine), max_nb), np.int64)
+        np.add.at(counts, (df["iv"].to_numpy(), df["bk"].to_numpy()),
+                  df["ct"].to_numpy())
+        nxt: dict[tuple[float, float, bool, int, int], list[int]] = {}
+        for i, (_ilo, _ihi, _closed, off, cnt, iks) in enumerate(refine):
+            e = edges[i]
+            c = counts[i][:len(e) - 1]
+            if int(c.sum()) != cnt:  # pragma: no cover - internal check
+                raise AssertionError(
+                    f"interval count drift: {int(c.sum())} != {cnt}")
+            cum = np.cumsum(c)
+            for k in iks:
+                j = int(np.searchsorted(cum, k - off, side="right"))
+                noff = off + (int(cum[j - 1]) if j else 0)
+                # a child is closed only if it is the zero-width point
+                # bucket [hi, hi] of a closed parent
+                key = (float(e[j]), float(e[j + 1]), e[j] == e[j + 1],
+                       noff, int(c[j]))
+                nxt.setdefault(key, []).append(k)
+        active = [(a, b, c, o, ct, sorted(ks_))
+                  for (a, b, c, o, ct), ks_ in nxt.items()]
+        if not active:
+            break
+    else:  # pragma: no cover - max_rounds is generous
+        raise RuntimeError("exact_order_statistics did not converge")
+    return out
+
+
+def exact_quantiles(ds, col: str, percents: list[float], *,
+                    nbuckets: int = 4096,
+                    tail_threshold: int = 65536) -> dict[float, float]:
+    """Exact continuous quantiles (numpy/DuckDB ``quantile_cont``
+    convention: linear interpolation at ``h = (n-1) * p``), computed
+    distributed with zero shuffle. ``percents`` are in [0, 100]."""
+    stats = _minmax_count(ds, col)
+    n = stats[0]
+    if n == 0:
+        raise ValueError(f"exact_quantiles: no finite values in {col!r}")
+    ks: set[int] = set()
+    plan: dict[float, tuple[int, int, float]] = {}
+    for p in percents:
+        if not 0.0 <= p <= 100.0:
+            raise ValueError(f"percent {p} outside [0, 100]")
+        h = (n - 1) * (p / 100.0)
+        kf, kc = int(np.floor(h)), int(np.ceil(h))
+        ks.update((kf, kc))
+        plan[p] = (kf, kc, h - kf)
+    os_ = exact_order_statistics(ds, col, sorted(ks), nbuckets=nbuckets,
+                                 tail_threshold=tail_threshold,
+                                 _stats=stats)
+    # lo*(1-f) + hi*f, NOT lo + (hi-lo)*f: matches DuckDB/std::lerp
+    # bit-for-bit so the SQL oracle can compare at full precision
+    return {p: os_[kf] * (1.0 - frac) + os_[kc] * frac
+            for p, (kf, kc, frac) in plan.items()}
+
+
+# ---------------------------------------------------------------------------
+# exact cardinality — 16-byte-key shuffle, scalar to the driver
+# ---------------------------------------------------------------------------
+
+def _distinct_keys(t: pa.Table, col: str) -> pa.Table:
+    """Map side: per-batch-distinct ``(__h, __h2)`` dual-siphash pairs.
+
+    Strings hash like ``dedup.exact_dedup_keys`` (NUL -> U+FFFD so
+    pandas' C-string siphash sees the whole value); numerics hash their
+    raw 8-byte representation. Nulls are excluded (SQL COUNT(DISTINCT)
+    semantics)."""
+    import pyarrow.compute as pc
+    c = t.column(col)
+    arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    arr = arr.filter(pc.is_valid(arr))
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        arr = pc.replace_substring(arr, "\x00",
+                                   "\N{REPLACEMENT CHARACTER}")
+        vals = np.asarray(arr.to_numpy(zero_copy_only=False), object)
+    else:
+        vals = np.asarray(arr.to_numpy(zero_copy_only=False))
+    h1 = pd.util.hash_array(vals).view(np.int64)
+    h2 = pd.util.hash_array(vals, hash_key=_CARD_KEY2).view(np.int64)
+    order = np.lexsort((h2, h1))
+    h1s, h2s = h1[order], h2[order]
+    first = np.ones(len(h1s), bool)
+    first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+    return pa.table({"__h": pa.array(h1s[first], pa.int64()),
+                     "__h2": pa.array(h2s[first], pa.int64())})
+
+
+def exact_cardinality(ds, col: str) -> int:
+    """Exact COUNT(DISTINCT col), nulls excluded.
+
+    Plan: map-side distinct 16 B key pairs -> ``groupby(__h)`` (the only
+    shuffle; values never move) -> per-group ``nunique(__h2)`` -> a
+    distributed ``sum`` whose single scalar is all the driver receives.
+    """
+    def group_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g["__h2"].nunique())]})
+
+    counted = (ds.map_batches(lambda t: _distinct_keys(t, col),
+                              batch_format="pyarrow")
+                 .groupby("__h")
+                 .map_groups(group_count, batch_format="pandas"))
+    total = counted.sum("n")
+    return int(total)
