@@ -28,7 +28,8 @@ import pyarrow as pa
 
 from tantivy4java_ray import storage as st
 from tantivy4java_ray.functions.similarity import (_emb_matrix, _kmeans,
-                                                   _normalize)
+                                                   _normalize,
+                                                   _tie_exact_topk)
 
 
 def build_ivf_index(ds, out_dir: str, *, emb_col: str = "embedding",
@@ -118,16 +119,10 @@ class IVFIndex:
                     continue
                 s = sims[qi][keep]
                 sel_ids = ids[keep]
-                kk = min(k, len(s))
-                # deterministic at score ties: argpartition alone keeps an
-                # arbitrary tied row; re-rank the candidate slice by
-                # (score desc, id asc) so the kth boundary is stable
-                cand = np.argpartition(-s, kk - 1)[:kk] \
-                    if kk < len(s) else np.arange(len(s))
-                thresh = s[cand].min()
-                cand = np.flatnonzero(s >= thresh)
-                sel = cand[np.lexsort((sel_ids[cand], -s[cand]))][:kk]
-                out_q.extend([qi] * kk)
+                # tie-exact + NaN-excluding top-k (shared contract with
+                # brute-force topk_cosine)
+                sel = _tie_exact_topk(s, sel_ids, min(k, len(s)))
+                out_q.extend([qi] * len(sel))
                 out_id.extend(sel_ids[sel].tolist())
                 out_s.extend(s[sel].astype(np.float64).tolist())
             # id column keeps the caller's type (string urls, uuids, ...)

@@ -13,11 +13,14 @@ SQL-oracled answers with 100 TB-shaped plans:
   small enough to collect and select exactly. Compare: a global
   ``ds.sort`` is an all-to-all exchange of the whole column; this moves
   only ``O(buckets * targets)`` ints per pass to the driver.
-- ``exact_cardinality``: dual-siphash keys (16 B/row, map-side deduped)
+- ``exact_cardinality``: dual 64-bit keys (16 B/row, map-side deduped)
   -> ``groupby(h1)`` shuffle -> per-group distinct-``h2`` counts ->
   distributed ``sum``. The only all-to-all moves 16-byte keys, never
   values; per-group output stays in the cluster (the driver sees one
-  scalar). Same 2^-128 collision contract as ``dedup.exact_dedup``.
+  scalar). Numeric columns use two BIJECTIVE bit mixers (zero
+  collision probability — genuinely exact); strings use two
+  independently-keyed siphashes (``dedup.exact_dedup``'s 2^-128
+  contract).
 
 The reference has neither operator (its percentiles/cardinality are
 sketch-based intermediate aggs merged across splits,
@@ -276,13 +279,31 @@ def exact_quantiles(ds, col: str, percents: list[float], *,
 # exact cardinality — 16-byte-key shuffle, scalar to the driver
 # ---------------------------------------------------------------------------
 
-def _distinct_keys(t: pa.Table, col: str) -> pa.Table:
-    """Map side: per-batch-distinct ``(__h, __h2)`` dual-siphash pairs.
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 fmix64 (public finalizer): a BIJECTION on u64, so
+    distinct inputs can never collide. Vectorized numpy."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+    return x.view(np.int64)
 
-    Strings hash like ``dedup.exact_dedup_keys`` (NUL -> U+FFFD so
-    pandas' C-string siphash sees the whole value); numerics hash their
-    raw 8-byte representation. Nulls are excluded (SQL COUNT(DISTINCT)
-    semantics)."""
+
+def _distinct_keys(t: pa.Table, col: str) -> pa.Table:
+    """Map side: per-batch-distinct ``(__h, __h2)`` key pairs.
+
+    Strings use two independently-KEYED siphashes like
+    ``dedup.exact_dedup_keys`` (NUL -> U+FFFD so pandas' C-string
+    siphash sees the whole value): collision contract 2^-128 per pair.
+    Numerics are stronger — both keys are BIJECTIVE 64-bit mixers of
+    the raw value bits (pandas' keyless splitmix-style numeric path
+    ignores ``hash_key``, so a second keyed call would return h1
+    again; verified in tests), hence numeric counts are exact with NO
+    collision probability at all. -0.0 is canonicalized to 0.0 (SQL
+    equality). Nulls are excluded (COUNT(DISTINCT) semantics)."""
     import pyarrow.compute as pc
     c = t.column(col)
     arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
@@ -291,10 +312,26 @@ def _distinct_keys(t: pa.Table, col: str) -> pa.Table:
         arr = pc.replace_substring(arr, "\x00",
                                    "\N{REPLACEMENT CHARACTER}")
         vals = np.asarray(arr.to_numpy(zero_copy_only=False), object)
+        h1 = pd.util.hash_array(vals).view(np.int64)
+        h2 = pd.util.hash_array(vals, hash_key=_CARD_KEY2).view(np.int64)
     else:
-        vals = np.asarray(arr.to_numpy(zero_copy_only=False))
-    h1 = pd.util.hash_array(vals).view(np.int64)
-    h2 = pd.util.hash_array(vals, hash_key=_CARD_KEY2).view(np.int64)
+        vals = np.ascontiguousarray(
+            arr.to_numpy(zero_copy_only=False))
+        if vals.dtype.kind == "f":
+            vals = vals.astype(np.float64) + 0.0   # -0.0 -> 0.0
+            bits = vals.view(np.uint64)
+        elif vals.dtype.kind in "iub":
+            # 8-byte ints: reinterpret bits (uint64 must not go through
+            # astype(int64), which is value-converting); smaller widths
+            # widen losslessly first
+            bits = (vals.view(np.uint64) if vals.dtype.itemsize == 8
+                    else vals.astype(np.int64).view(np.uint64))
+        else:
+            raise TypeError(
+                f"exact_cardinality: unsupported dtype {vals.dtype} "
+                f"for column {col!r}")
+        h1 = pd.util.hash_array(bits.view(np.int64)).view(np.int64)
+        h2 = _mix64(bits)
     order = np.lexsort((h2, h1))
     h1s, h2s = h1[order], h2[order]
     first = np.ones(len(h1s), bool)
@@ -318,4 +355,6 @@ def exact_cardinality(ds, col: str) -> int:
                  .groupby("__h")
                  .map_groups(group_count, batch_format="pandas"))
     total = counted.sum("n")
-    return int(total)
+    # Dataset.sum returns None on an empty dataset (all-null column):
+    # SQL COUNT(DISTINCT) says 0
+    return int(total) if total is not None else 0

@@ -31,24 +31,34 @@ def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def _tie_exact_topk(s: np.ndarray, ids: np.ndarray,
+                    k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, id asc) with tie-exact
+    boundary handling: argpartition alone keeps an ARBITRARY row at
+    tied kth-boundary scores, violating the id-asc tie contract for
+    duplicate vectors. NaN scores (NaN embedding components) are
+    excluded — a row that compares as 'unknown' must never displace a
+    real neighbor; may return fewer than k indices."""
+    valid = np.flatnonzero(~np.isnan(s))
+    if len(valid) > k:
+        part = valid[np.argpartition(-s[valid], k - 1)[:k]]
+        thresh = s[part].min()
+        cand = valid[s[valid] >= thresh]
+    else:
+        cand = valid
+    return cand[np.lexsort((ids[cand], -s[cand]))][:k]
+
+
 def _block_topk(t: pa.Table, q: np.ndarray, emb_col: str, id_col: str,
                 k: int) -> pa.Table:
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
     mat = _normalize(_emb_matrix(t, emb_col))
     sims = q @ mat.T  # (nq, nrows)
-    k = min(k, sims.shape[1])
     out_q, out_id, out_s = [], [], []
     for qi in range(sims.shape[0]):
         s = sims[qi]
-        # tie-exact top-k: argpartition alone keeps an ARBITRARY row at
-        # tied kth-boundary scores, violating the id-asc tie contract
-        # for duplicate vectors (same fix as IVFIndex.search)
-        cand = np.argpartition(-s, k - 1)[:k] if k < len(s) else \
-            np.arange(len(s))
-        thresh = s[cand].min()
-        cand = np.flatnonzero(s >= thresh)
-        sel = cand[np.lexsort((ids[cand], -s[cand]))][:k]
-        out_q.extend([qi] * k)
+        sel = _tie_exact_topk(s, ids, min(k, len(s)))
+        out_q.extend([qi] * len(sel))
         out_id.extend(ids[sel].tolist())
         out_s.extend(s[sel].astype(np.float64).tolist())
     # id column keeps the caller's type (string urls, uuids, ...)
@@ -151,15 +161,9 @@ def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
                 continue
             s = sims[qi][qkeep]
             sel_ids = ids[qkeep]
-            kk = min(k, len(s))
-            # tie-exact top-k (see _block_topk): keep ALL rows at the
-            # kth score, then id-asc order breaks the tie
-            cand = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else \
-                np.arange(len(s))
-            thresh = s[cand].min()
-            cand = np.flatnonzero(s >= thresh)
-            sel = cand[np.lexsort((sel_ids[cand], -s[cand]))][:kk]
-            out_q.extend([qi] * kk)
+            # tie-exact + NaN-excluding top-k (see _tie_exact_topk)
+            sel = _tie_exact_topk(s, sel_ids, min(k, len(s)))
+            out_q.extend([qi] * len(sel))
             out_id.extend(sel_ids[sel].tolist())
             out_s.extend(s[sel].astype(np.float64).tolist())
         return pa.table({"query_id": pa.array(out_q, pa.int32()),

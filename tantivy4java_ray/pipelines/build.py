@@ -406,7 +406,8 @@ class PartitionIndexer:
         from tantivy4java_ray import storage as st
         pid = spec["pid"]
         docdata_path, partial_dir = self._paths(pid)
-        summary = pa.table({"pid": pa.array([pid], pa.int32())})
+        summary = pa.table({"pid": pa.array([pid], pa.int32()),
+                            "resumed": pa.array([False])})
         if (self.checkpoint and st.sexists(docdata_path)
                 and st.sexists(st.sjoin(partial_dir, _PARTIAL_MARKER))):
             # resume ONLY when the existing output was built from the
@@ -425,7 +426,8 @@ class PartitionIndexer:
                     and old.get("row_groups") == spec["row_groups"]
                     and old.get("doc_base") == spec["doc_base"]
                     and old.get("config_fp") == self.config_fp):
-                return summary
+                return pa.table({"pid": pa.array([pid], pa.int32()),
+                                 "resumed": pa.array([True])})
         if st.sexists(partial_dir):
             # (re)mapping: purge any prior attempt's partials first. A
             # crashed or older-format attempt may have left atomic
@@ -1141,20 +1143,19 @@ class IndexBuilder:
                                    resumed_partitions=m["num_partitions"])
             if state.get("committed"):
                 # committed under a DIFFERENT plan/schema: rebuild from
-                # scratch. The txlog and docdata must go first — a fresh
-                # plan with fewer partitions would otherwise leave stale
-                # pids in the replayed state and stale files in the dir
-                # (which e.g. bundling would pack)
-                for sub in ("txlog", "docdata", "_partials"):
+                # scratch. Everything the old index wrote must go — a
+                # fresh plan with fewer partitions/shards would
+                # otherwise leave stale pids in the replayed state,
+                # stale shard dirs in the dir (which bundling packs),
+                # and stale deleted_docs.npy whose tombstone doc ids
+                # would silently mask the NEW docs at query time
+                # (IndexReader loads it unconditionally)
+                for sub in ("txlog", "docdata", "_partials", "shards"):
                     p = st.sjoin(self.index_dir, sub)
                     if st.sexists(p):
                         st.srmtree(p)
-                fs, mp = st.fs_for(mpath)
-                if fs is None:
-                    import os as _os
-                    _os.unlink(mp)
-                else:
-                    fs.rm(mp)
+                st.sunlink(st.sjoin(self.index_dir, "deleted_docs.npy"))
+                st.sunlink(mpath)
         if self.schema is None:
             self.schema = infer_index_schema(
                 st.parquet_file_any(plan.files[0]).schema_arrow,
@@ -1163,32 +1164,6 @@ class IndexBuilder:
         nshards = self.num_shards or max(
             1, min(64, (plan.num_docs + 49_999) // 50_000))
         npart = len(plan.partitions)
-        # a partition counts as resumed only under the SAME predicate
-        # the map stage skips on (spec + config fingerprint) — bare
-        # docdata existence would count stale files a re-plan remaps
-        fp = _config_fp(self.schema.to_dict(), nshards,
-                        self.exact_fieldnorms, self.html_fallback,
-                        self.column_renames, self.phash_fields)
-
-        def _is_resumable(p) -> bool:
-            dd = st.sjoin(self.index_dir, "docdata",
-                          f"part-{p.pid:05d}.parquet")
-            mk = st.sjoin(self.index_dir, "_partials",
-                          f"part-{p.pid:05d}", _PARTIAL_MARKER)
-            if not (st.sexists(dd) and st.sexists(mk)):
-                return False
-            try:
-                old = json.loads(st.read_parquet_metadata_any(dd)
-                                 .metadata[b"build_meta"].decode())
-            except (KeyError, ValueError, OSError):
-                return False
-            return (old.get("path") == p.path
-                    and old.get("row_groups") == list(p.row_groups)
-                    and old.get("doc_base") == p.doc_base
-                    and old.get("config_fp") == fp)
-
-        resumed = sum(1 for p in plan.partitions if _is_resumable(p))
-
         txlog = TransactionLog(self.index_dir)
         txlog.append([{"set_meta": {
             "plan": {"files": plan.files, "num_docs": plan.num_docs,
@@ -1237,10 +1212,14 @@ class IndexBuilder:
         # scheduling the moment CPUs free (an actor pool holds every CPU
         # until its async teardown completes — a measured multi-second
         # stall between the phases)
-        ds.map_batches(
+        # the per-partition summaries also carry the resumed flag — the
+        # map task is the single authority on the skip decision (the
+        # driver previously re-read every footer serially to recount it)
+        summaries = ds.map_batches(
             _index_partition_task, fn_kwargs={"kwargs": indexer_kwargs},
             batch_format="pyarrow", batch_size=None,
-            concurrency=conc, num_cpus=1).materialize()
+            concurrency=conc, num_cpus=1).take_all()
+        resumed = sum(1 for r in summaries if r["resumed"])
         t_map = time.monotonic()
         # reduce side: one task per shard reads its own partial files —
         # no sort exchange, no index-sized data in the object store

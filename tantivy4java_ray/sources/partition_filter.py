@@ -90,6 +90,12 @@ class PartitionFilter:
         ships the filter as JSON across processes)."""
         return json.dumps(self._ast)
 
+    #: leaf factory names from_json may dispatch to — NEVER raw getattr
+    #: (a malformed/hostile AST could invoke arbitrary class attributes,
+    #: e.g. ["scan", path] would perform file I/O during deserialization)
+    _JSON_OPS = frozenset(("eq", "not_eq", "is_in", "gt", "gte", "lt",
+                           "lte", "is_null", "is_not_null"))
+
     @staticmethod
     def from_json(text: str) -> "PartitionFilter":
         def build(node: list) -> "PartitionFilter":
@@ -98,6 +104,8 @@ class PartitionFilter:
                 left, right = build(args[0]), build(args[1])
                 return left.and_(right) if op == "and" else \
                     left.or_(right)
+            if op not in PartitionFilter._JSON_OPS:
+                raise ValueError(f"unknown partition-filter op {op!r}")
             return getattr(PartitionFilter, op)(*args)
 
         return build(json.loads(text))

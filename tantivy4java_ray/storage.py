@@ -116,6 +116,21 @@ def srmtree(path: str) -> None:
             pass
 
 
+def sunlink(path: str) -> None:
+    """Delete one file (no-op when absent)."""
+    fs, p = fs_for(path)
+    if fs is None:
+        import contextlib
+        import os
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(p)
+    else:
+        try:
+            fs.rm(p)
+        except FileNotFoundError:
+            pass
+
+
 def swalk_files(path: str) -> list[str]:
     """All file paths below ``path``, relative, sorted."""
     fs, p = fs_for(path)
