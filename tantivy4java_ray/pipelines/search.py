@@ -490,13 +490,15 @@ class IndexReader:
                 window = fs["uterms_pa"].slice(i0, i1 - i0)
                 try:
                     import pyarrow.compute as pc
+                    # (?s): tantivy-fst regex has no line semantics, so
+                    # '.' must match newline in raw STRING terms
                     m = pc.match_substring_regex(
-                        window, f"^(?:{pattern})$")
+                        window, f"(?s)^(?:{pattern})$")
                     mask = np.asarray(m.to_numpy(zero_copy_only=False), bool)
                 except pa.ArrowInvalid:
                     # RE2 rejects the pattern (backrefs, lookaround):
                     # Python re over the (already windowed) slice
-                    cre = re.compile(pattern)
+                    cre = re.compile(pattern, re.DOTALL)
                     mask = np.fromiter(
                         (cre.fullmatch(t) is not None for t in ut[i0:i1]),
                         bool, i1 - i0)
@@ -765,19 +767,13 @@ class IndexReader:
             for _, q in musts[1:]:
                 d2, s2 = self.evaluate(q, boost)
                 # both sorted: probe with searchsorted (no re-sort)
-                idx = np.searchsorted(d2, docs)
-                ok = idx < len(d2)
-                hit = np.zeros(len(docs), bool)
-                hit[ok] = d2[idx[ok]] == docs[ok]
+                hit, idx = _probe_sorted(d2, docs)
                 docs = docs[hit]
                 scores = scores[hit] + s2[idx[hit]]
             # shoulds contribute score on docs already matching
             for _, q in shoulds:
                 d2, s2 = self.evaluate(q, boost)
-                idx = np.searchsorted(d2, docs)
-                idx_ok = idx < len(d2)
-                hit = np.zeros(len(docs), bool)
-                hit[idx_ok] = d2[idx[idx_ok]] == docs[idx_ok]
+                hit, idx = _probe_sorted(d2, docs)
                 scores = scores.copy()
                 scores[hit] += s2[idx[hit]]
         elif shoulds:
@@ -791,10 +787,7 @@ class IndexReader:
         for _, q in nots:
             d2, _s = self.evaluate(q, 1.0)
             if len(d2):
-                idx = np.searchsorted(d2, docs)
-                idx_ok = idx < len(d2)
-                excl = np.zeros(len(docs), bool)
-                excl[idx_ok] = d2[idx[idx_ok]] == docs[idx_ok]
+                excl, _ = _probe_sorted(d2, docs)
                 docs, scores = docs[~excl], scores[~excl]
         return docs, scores
 
@@ -805,7 +798,9 @@ class IndexReader:
             return _EMPTY
         span = self.doc_hi - self.doc_lo
         if span <= (1 << 23):
-            mx_d = np.zeros(span, self.score_dtype)
+            # max accumulator starts at -inf: a doc whose best clause
+            # score is NEGATIVE (negative boost) must keep it, not 0
+            mx_d = np.full(span, -np.inf, self.score_dtype)
             sm_d = np.zeros(span, self.score_dtype)
             seen = np.zeros(span, bool)
             for d, s in parts:
@@ -820,7 +815,7 @@ class IndexReader:
             alldocs = np.concatenate([pp[0] for pp in parts])
             allscores = np.concatenate([pp[1] for pp in parts])
             docs, inv = np.unique(alldocs, return_inverse=True)
-            mx = np.zeros(len(docs), self.score_dtype)
+            mx = np.full(len(docs), -np.inf, self.score_dtype)
             sm = np.zeros(len(docs), self.score_dtype)
             np.maximum.at(mx, inv, allscores)
             np.add.at(sm, inv, allscores)
@@ -905,6 +900,10 @@ class IndexReader:
         def _is_num(b):
             return isinstance(b, (int, float)) and not isinstance(b, bool)
 
+        if any(isinstance(b, bool) for b in (lo, hi)):
+            raise TypeError(
+                f"json_range does not support boolean bounds, "
+                f"got ({lo!r}, {hi!r}) — use json_term for booleans")
         numeric = any(_is_num(b) for b in (lo, hi))
         if numeric and any(b is not None and not _is_num(b)
                            for b in (lo, hi)):
@@ -947,27 +946,33 @@ class IndexReader:
     def _eval_fuzzy(self, field: str, value: str, distance: int,
                     transposition: bool, prefix: bool, boost: float):
         """Vectorized length prefilter over the dictionary, banded DP only
-        on surviving candidates; ``prefix=True`` additionally admits a
-        prefix window (no DP needed for it)."""
+        on surviving candidates. ``prefix=True`` admits any term with a
+        PREFIX within the edit budget (FuzzyTermQuery::new_prefix): the
+        DP returns min distance over the term's prefixes; exact-prefix
+        terms short-circuit before the DP."""
         import pyarrow.compute as pc
 
         def match():
             matched = []
-            if prefix:
-                matched += self.match_terms(field, "prefix", prefix=value)
             for sid in range(self.num_shards):
                 fs = self._field_slice(sid, field)
                 if fs is None:
                     continue
                 lens = np.asarray(pc.utf8_length(fs["uterms_pa"])
                                   .to_numpy(zero_copy_only=False), np.int64)
-                cand = np.flatnonzero(np.abs(lens - len(value)) <= distance)
+                if prefix:
+                    # terms may be arbitrarily longer than the pattern
+                    cand = np.flatnonzero(lens >= len(value) - distance)
+                else:
+                    cand = np.flatnonzero(
+                        np.abs(lens - len(value)) <= distance)
                 if not len(cand):
                     continue
                 keep = np.fromiter(
-                    (_edit_distance(value, t, distance, transposition)
-                     <= distance for t in fs["uterms"][cand]), bool,
-                    len(cand))
+                    ((prefix and t.startswith(value))
+                     or _edit_distance(value, t, distance, transposition,
+                                       prefix=prefix) <= distance
+                     for t in fs["uterms"][cand]), bool, len(cand))
                 uidx = cand[keep]
                 if len(uidx):
                     matched.append((sid, self._matched_rows(sid, fs, uidx),
@@ -998,9 +1003,11 @@ class IndexReader:
                     lambda: self.match_terms(field, "prefix",
                                              prefix=lit_prefix)))
                 return docs, np.full(len(docs), boost, np.float32)
+            # [\s\S] not '.': wildcard matches ANY char incl. newline in
+            # raw STRING terms (tantivy-fst has no line semantics)
             regex = "".join(
-                ".*" if c == "*" else "." if c == "?" else re.escape(c)
-                for c in pattern)
+                "[\\s\\S]*" if c == "*" else "[\\s\\S]" if c == "?"
+                else re.escape(c) for c in pattern)
         else:
             regex = pattern
         try:
@@ -1036,10 +1043,11 @@ class IndexReader:
         if fcfg.type in (FieldType.STRING, FieldType.TEXT, FieldType.FACET,
                          FieldType.IP_ADDR):
             # term-range: one searchsorted window per shard dictionary
-            docs = self._cached_union(
+            # (tombstone-filtered like every other postings-union path)
+            docs = self._drop_deleted(self._cached_union(
                 ("trange", field, lower, upper, incl_lo, incl_hi),
                 lambda: self.match_terms(field, "range", lo=lower, hi=upper,
-                                         incl_lo=incl_lo, incl_hi=incl_hi))
+                                         incl_lo=incl_lo, incl_hi=incl_hi)))
             return docs, np.full(len(docs), boost, np.float32)
         is_date = fcfg.type is FieldType.DATE
         if is_date:
@@ -1089,10 +1097,7 @@ class IndexReader:
         (postings were already rewritten by the merge)."""
         if self.deleted is None or not len(docs):
             return docs
-        idx = np.searchsorted(self.deleted, docs)
-        idx_ok = idx < len(self.deleted)
-        dead = np.zeros(len(docs), bool)
-        dead[idx_ok] = self.deleted[idx[idx_ok]] == docs[idx_ok]
+        dead, _ = _probe_sorted(self.deleted, docs)
         return docs[~dead]
 
     def _eval_exists(self, field: str, boost: float):
@@ -1147,15 +1152,25 @@ class IndexReader:
             local = docs - self.doc_lo
             ok = valid[local]
             docs = docs[ok]
-            raw = vals[local[ok]]
-            if np.issubdtype(np.asarray(raw).dtype, np.datetime64):
-                v = (np.asarray(raw, "datetime64[us]").astype(np.int64)
-                     .astype(np.float64))
+            raw = np.asarray(vals)[local[ok]]
+            # sort on the NATIVE dtype — casting i64/datetime to f64
+            # collides distinct values above 2^53 (snowflake ids, ns
+            # timestamps) and would order them by doc id instead
+            if np.issubdtype(raw.dtype, np.datetime64):
+                key = np.asarray(raw, "datetime64[us]").astype(np.int64)
+            elif np.issubdtype(raw.dtype, np.integer):
+                key = raw
             else:
-                v = np.asarray(raw, np.float64)
-            order = np.lexsort((docs, -v if descending else v))
+                key = np.asarray(raw, np.float64)
+            if descending:
+                # ~x is order-reversing and overflow-free for both
+                # signed and unsigned ints (unlike -x at int64.min)
+                skey = ~key if np.issubdtype(key.dtype, np.integer) else -key
+            else:
+                skey = key
+            order = np.lexsort((docs, skey))
             sel = order[offset:offset + limit]
-            return SearchResult([(float(v[i]), int(docs[i])) for i in sel])
+            return SearchResult([(float(key[i]), int(docs[i])) for i in sel])
         # method="auto" always takes the vectorized scan: in this
         # pure-Python runtime numpy full-decode scoring beats the
         # doc-at-a-time WAND loop at every tested scale (WAND is the
@@ -1188,8 +1203,11 @@ class IndexReader:
         own contribution at the doc, with BM25 inputs on term leaves)."""
         docs, scores = self.evaluate(query)
         i = np.searchsorted(docs, doc_id)
-        score = float(scores[i]) if i < len(docs) and docs[i] == doc_id else 0.0
-        out = {"doc_id": doc_id, "score": score, "matched": bool(score),
+        in_set = bool(i < len(docs) and docs[i] == doc_id)
+        score = float(scores[i]) if in_set else 0.0
+        # matched = membership in the result set, NOT bool(score):
+        # const(q, 0.0) / boost-0 queries match with score exactly 0.0
+        out = {"doc_id": doc_id, "score": score, "matched": in_set,
                "kind": query.kind}
         if query.kind == "term":
             field, term = query.params
@@ -1553,10 +1571,31 @@ def _count_phrase_matches(plists: list[np.ndarray], offsets: list[int],
     return cnt
 
 
-def _edit_distance(a: str, b: str, cap: int, transposition: bool) -> int:
-    """Banded Damerau-Levenshtein with early exit above ``cap``."""
+def _probe_sorted(haystack: np.ndarray,
+                  needles: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Membership of ``needles`` in SORTED ``haystack`` via one
+    searchsorted probe. Returns ``(hit_mask, insert_idx)`` — callers
+    gather parallel arrays with ``haystack_payload[idx[hit]]``."""
+    idx = np.searchsorted(haystack, needles)
+    ok = idx < len(haystack)
+    hit = np.zeros(len(needles), bool)
+    hit[ok] = haystack[idx[ok]] == needles[ok]
+    return hit, idx
+
+
+def _edit_distance(a: str, b: str, cap: int, transposition: bool,
+                   prefix: bool = False) -> int:
+    """Banded Damerau-Levenshtein with early exit above ``cap``.
+
+    ``prefix=True`` returns the minimum distance from ``a`` to any
+    PREFIX of ``b`` (tantivy ``FuzzyTermQuery::new_prefix`` semantics:
+    the automaton accepts a term when some prefix of it is within the
+    edit budget of the query string)."""
+    if prefix:
+        # prefixes longer than len(a)+cap exceed the cap by length alone
+        b = b[:len(a) + cap]
     la, lb = len(a), len(b)
-    if abs(la - lb) > cap:
+    if (la - lb if prefix else abs(la - lb)) > cap:
         return cap + 1
     prev2: list[int] | None = None
     prev = list(range(lb + 1))
@@ -1577,6 +1616,10 @@ def _edit_distance(a: str, b: str, cap: int, transposition: bool) -> int:
         if min(cur[max(0, lo - 1):hi + 1]) > cap:
             return cap + 1
         prev2, prev = prev, cur
+    if prefix:
+        # best over ALL prefixes of b = min of the final row, restricted
+        # to the valid band (cells below it hold stale zeros)
+        return min(prev[max(0, la - cap):min(lb, la + cap) + 1])
     return prev[lb]
 
 
@@ -1630,8 +1673,8 @@ class _TermCursor:
 
     __slots__ = ("reader", "field", "runs", "run_i", "skip", "mm", "base",
                  "block_i", "docs", "tfs", "pos", "weight", "norm_cache",
-                 "norms", "max_score", "exhausted", "offset", "ord",
-                 "doc_lo", "doc_hi")
+                 "norms", "min_norm", "max_score", "exhausted", "offset",
+                 "ord", "doc_lo", "doc_hi")
 
     @classmethod
     def open_runs(cls, reader: IndexReader, field: str, term: str,
@@ -1666,6 +1709,7 @@ class _TermCursor:
             self.weight = weight
             self.norm_cache = norm_cache
             self.norms = norms
+            self.min_norm = min_norm
             self.run_i = -1
             self.exhausted = False
             self._next_run()
@@ -1705,8 +1749,10 @@ class _TermCursor:
         return int(self.docs[self.pos])
 
     def block_max_score(self) -> float:
+        # min_norm precomputed in open_runs: this runs per pivot in the
+        # hottest WAND loop — no numpy .min() over the 256-entry cache
         mt = float(self.skip.max_tf[self.block_i])
-        return float(self.weight) * mt / (mt + float(self.norm_cache.min()))
+        return float(self.weight) * mt / (mt + self.min_norm)
 
     def score_current(self) -> np.float32:
         # float32 arithmetic in the exact op order of the vectorized path,
@@ -1746,6 +1792,8 @@ def block_max_wand(cursors: list[_TermCursor], k: int,
                    reader: IndexReader) -> list[tuple[float, int]]:
     """Top-k union with block-max WAND (skips blocks that cannot beat the
     current kth score). Returns (score, doc_id) score-desc, doc-asc ties."""
+    if k <= 0:
+        return []
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc)
     threshold = -np.inf
     cursors = [c for c in cursors if not c.exhausted]
