@@ -329,19 +329,23 @@ def _flatten_struct_terms(col: pa.Array, expand_dots: bool = True
 
 
 def _config_fp(schema_dict: dict, num_shards: int, exact_fieldnorms: bool,
-               html_fallback, column_renames, phash_fields) -> str:
+               html_fallback, column_renames, phash_fields,
+               hot_salts: int = 4) -> str:
     """Build-config fingerprint stamped into each partition's
     build_meta: a checkpoint skip is only valid when the existing
     output was produced by the SAME schema/shards/config (a plan or
     config change reassigns content; a stale skip would mix
-    incompatible partials/doc-id spaces into one index)."""
+    incompatible partials/doc-id spaces into one index). hot_salts is
+    placement-affecting: a partial built with MORE salts parks hot-term
+    runs under salt ids the new config's readers never probe."""
     import hashlib
     return hashlib.sha1(json.dumps(
         {"schema": schema_dict, "num_shards": num_shards,
          "exact_fieldnorms": exact_fieldnorms,
          "html_fallback": list(html_fallback) if html_fallback else None,
          "renames": column_renames or {},
-         "phash_fields": sorted(phash_fields)},
+         "phash_fields": sorted(phash_fields),
+         "hot_salts": hot_salts},
         sort_keys=True).encode()).hexdigest()
 
 
@@ -366,7 +370,8 @@ class PartitionIndexer:
         self.num_shards = num_shards
         self.config_fp = _config_fp(schema_dict, num_shards,
                                     exact_fieldnorms, html_fallback,
-                                    column_renames, phash_fields)
+                                    column_renames, phash_fields,
+                                    hot_salts)
         self.html_fallback = html_fallback
         self.exact_fieldnorms = exact_fieldnorms
         self.checkpoint = checkpoint
@@ -460,7 +465,17 @@ class PartitionIndexer:
                    if fcfg.name in avail else None)
             if fcfg.type is FieldType.TEXT:
                 if col is None:
-                    continue
+                    if (self.html_fallback
+                            and fcfg.name == self.html_fallback[0]
+                            and self.html_fallback[1] in avail):
+                        # text column wholly absent from this file but the
+                        # html source exists: synthesize an all-null text
+                        # column so the fallback extraction below fills
+                        # EVERY row (otherwise these docs are silently
+                        # unsearchable)
+                        col = pa.nulls(n, pa.string())
+                    else:
+                        continue
                 if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
                     # multi-valued text: values joined with a separator token
                     # boundary (positions run contiguously across values;
@@ -1044,6 +1059,14 @@ def _write_shard_from_partials(batch: pa.Table, index_dir: str,
                  _PARTIAL_SCHEMA.empty_table())
         enc = (pa.concat_tables(enc_pieces) if enc_pieces else
                _ENC_SCHEMA.empty_table())
+        if group.num_rows == 0 and enc.num_rows == 0:
+            # an empty shard writes nothing — purge any shard dir left
+            # by an interrupted PRIOR attempt (no committed manifest =
+            # the rebuild purge never ran; a stale terms.parquet here
+            # would serve the old doc-id space as live results)
+            sd = st.sjoin(index_dir, "shards", f"shard-{int(sid):05d}")
+            if st.sexists(sd):
+                st.srmtree(sd)
         outs.append(_write_shard(group, index_dir, enc))
     return pa.concat_tables(outs)
 
@@ -1127,7 +1150,19 @@ class IndexBuilder:
             # with a different schema or shard count must rebuild, not
             # silently return the stale index (the partition-level
             # config fingerprint then forces the actual re-map)
-            if (state.get("committed")
+            cfg = state["meta"].get("config") or {}
+            # feature-affecting config must match too: silently
+            # returning an index built without exact fieldnorms /
+            # phashes / the same salting would ignore the request
+            cfg_same = (
+                cfg.get("exact_fieldnorms", False) == self.exact_fieldnorms
+                and cfg.get("hot_salts", 4) == self.hot_salts
+                and (cfg.get("html_fallback") or None)
+                == (list(self.html_fallback) if self.html_fallback else None)
+                and tuple(cfg.get("phash_fields") or ()) == self.phash_fields
+                and (cfg.get("column_renames") or None)
+                == (self.column_renames or None))
+            if (state.get("committed") and cfg_same
                     and state["meta"]["plan"]["files"] == plan.files
                     and state["meta"]["plan"]["num_docs"] == plan.num_docs
                     and (self.schema is None
@@ -1174,6 +1209,8 @@ class IndexBuilder:
                        "bm25": self.bm25,
                        "hot_salts": self.hot_salts,
                        "html_fallback": self.html_fallback,
+                       "phash_fields": list(self.phash_fields),
+                       "column_renames": self.column_renames or None,
                        # capability stamps queries can gate on (readers
                        # of OLDER indexes fail loudly, not silently)
                        "index_features": ["json_numeric_terms",

@@ -42,7 +42,20 @@ class MergeResult:
     num_docs: int
     num_deleted: int
     elapsed_s: float
-    skipped_inputs: list[str]
+
+
+def _read_all(st, path: str) -> bytes:
+    with st.sopen(path, "rb") as f:
+        return f.read()
+
+
+def _stream_copy(st, src: str, dst_f, chunk: int = 8 << 20) -> None:
+    with st.sopen(src, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                return
+            dst_f.write(b)
 
 
 def _load_states(index_dirs: list[str]) -> list[dict]:
@@ -65,10 +78,10 @@ class _ShardMerger:
             yield self._merge_shard(sid)
 
     def _merge_shard(self, sid: int) -> pa.Table:
-        dicts, posts, poss = [], [], []
-        post_off, pos_off = [], []
-        cur_p, cur_q = 0, 0
         from tantivy4java_ray import storage as st
+        dicts = []
+        srcs: list[tuple[str, str | None]] = []  # per-input blob paths
+        cur_p, cur_q = 0, 0
         for i, d in enumerate(self.index_dirs):
             sd = st.sjoin(d, "shards", f"shard-{sid:05d}")
             tp = st.sjoin(sd, "terms.parquet")
@@ -76,46 +89,51 @@ class _ShardMerger:
                 continue
             t = st.read_parquet_any(tp).to_pandas()
             t["run_base"] += self.doc_offsets[i]
-            t["__src"] = i
             dicts.append(t)
-            post_off.append(cur_p)
-            pos_off.append(cur_q)
-            with st.sopen(st.sjoin(sd, "postings.bin"), "rb") as f:
-                pb = f.read()
-            qb = b""
+            ppath = st.sjoin(sd, "postings.bin")
             qpath = st.sjoin(sd, "positions.bin")
-            if st.sexists(qpath):
-                with st.sopen(qpath, "rb") as f:
-                    qb = f.read()
-            posts.append(pb)
-            poss.append(qb)
+            qlen = st.ssize(qpath) if st.sexists(qpath) else 0
+            srcs.append((ppath, qpath if qlen else None))
             t["offset"] += cur_p
             t.loc[t["pos_offset"] >= 0, "pos_offset"] += cur_q
-            cur_p += len(pb)
-            cur_q += len(qb)
+            cur_p += st.ssize(ppath)
+            cur_q += qlen
         if not dicts:
             return pa.table({"sid": pa.array([sid], pa.int32()),
                              "num_terms": pa.array([0], pa.int64())})
         import pandas as pd
         dict_df = pd.concat(dicts, ignore_index=True)
-        post_blob = b"".join(posts)
-        pos_blob = b"".join(poss)
+        shard_dir = st.sjoin(self.out_dir, "shards", f"shard-{sid:05d}")
 
         if self.deleted is not None and any(len(x) for x in self.deleted):
+            # delete path decodes/re-encodes intersecting runs, so it
+            # needs the joined blobs in memory
+            post_blob = b"".join(_read_all(st, p) for p, _ in srcs)
+            pos_blob = b"".join(_read_all(st, q) for _, q in srcs if q)
             dict_df, post_blob, pos_blob = self._apply_deletes(
                 dict_df, post_blob, pos_blob)
+            for name, blob in (("postings.bin", post_blob),
+                               ("positions.bin", pos_blob)):
+                st.write_bytes_atomic(blob, st.sjoin(shard_dir, name))
+        else:
+            # pure byte-copy merge STREAMS each input blob to the
+            # atomic output in chunks — peak memory is one chunk, not
+            # the multi-GB sum of every input shard's postings
+            with st.open_bytes_atomic(
+                    st.sjoin(shard_dir, "postings.bin")) as pf:
+                for p, _ in srcs:
+                    _stream_copy(st, p, pf)
+            with st.open_bytes_atomic(
+                    st.sjoin(shard_dir, "positions.bin")) as xf:
+                for _, q in srcs:
+                    if q:
+                        _stream_copy(st, q, xf)
 
         # stable numpy argsort on the object key column (pandas sort_values
         # truncates object strings at NUL — see build._write_shard); equal
         # keys keep concat order = index order = ascending run_base
         order = np.argsort(dict_df["key"].to_numpy(), kind="stable")
-        dict_df = dict_df.iloc[order]
-        dict_df = dict_df.drop(columns="__src").reset_index(drop=True)
-
-        shard_dir = st.sjoin(self.out_dir, "shards", f"shard-{sid:05d}")
-        for name, blob in (("postings.bin", post_blob),
-                           ("positions.bin", pos_blob)):
-            st.write_bytes_atomic(blob, st.sjoin(shard_dir, name))
+        dict_df = dict_df.iloc[order].reset_index(drop=True)
         out_t = pa.Table.from_pandas(dict_df, preserve_index=False)
         # terms.parquet lands last: completion marker
         st.write_parquet_atomic(out_t, st.sjoin(shard_dir, "terms.parquet"))
@@ -217,6 +235,19 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         raise ValueError(
             f"inputs disagree on index_features: {sorted(feats)} — "
             f"rebuild the older input before merging")
+    # placement/column-affecting config must agree too: the output
+    # stamps metas[0]'s config, so an input with MORE hot salts would
+    # have runs readers never probe, and a mixed exact_fieldnorms /
+    # phash_fields merge crashes every docdata read of the missing
+    # dl__/_phash_ columns
+    crit = {(int((m.get("config") or {}).get("hot_salts", 4)),
+             bool((m.get("config") or {}).get("exact_fieldnorms", False)),
+             tuple(sorted((m.get("config") or {}).get("phash_fields")
+                          or ()))) for m in metas}
+    if len(crit) != 1:
+        raise ValueError(
+            f"inputs disagree on hot_salts/exact_fieldnorms/phash_fields: "
+            f"{sorted(crit)} — rebuild with matching config before merging")
 
     doc_offsets: list[int] = []
     base = 0
@@ -337,4 +368,4 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     atomic_write_json(st.sjoin(out_dir, "manifest.json"),
                       txlog.read_state())
     return MergeResult(out_dir, num_docs, num_deleted,
-                       time.monotonic() - t0, [])
+                       time.monotonic() - t0)

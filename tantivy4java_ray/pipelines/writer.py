@@ -146,10 +146,34 @@ class IndexWriter:
         # as their doc store, so a reopened writer must never reuse N
         self._flush_i = 0
         if os.path.isdir(self.staging):
+            self._check_staging_owner()
             self._purge_orphan_staged()
             nums = [int(m.group(1)) for f in os.listdir(self.staging)
                     if (m := _STAGED_RE.fullmatch(f))]
             self._flush_i = max(nums) + 1 if nums else 0
+
+    def _check_staging_owner(self) -> None:
+        """A staging dir belongs to exactly one index: the orphan purge
+        below deletes staged files this index's txlog doesn't reference,
+        which — on a staging dir shared with ANOTHER index — would
+        silently destroy that index's committed doc store. Pin ownership
+        with a marker and fail loudly on a mismatch."""
+        marker = os.path.join(self.staging, ".owner")
+        me = os.path.abspath(self.index_dir)
+        try:
+            with open(marker) as f:
+                owner = f.read().strip()
+        except (FileNotFoundError, OSError):
+            owner = None
+        if owner is None:
+            from tantivy4java_ray.state.manifest import atomic_write_bytes
+            atomic_write_bytes(marker, me.encode())
+        elif owner != me:
+            raise ValueError(
+                f"staging dir {self.staging!r} belongs to index "
+                f"{owner!r}, not {me!r} — each index needs its own "
+                f"staging_dir (shared staging would let the orphan "
+                f"purge delete the other index's doc store)")
 
     def _purge_orphan_staged(self) -> int:
         """Crash rollback on reopen: staged files that no committed
@@ -199,6 +223,7 @@ class IndexWriter:
         if not self._rows:
             return
         os.makedirs(self.staging, exist_ok=True)
+        self._check_staging_owner()
         arrays = {}
         for fcfg in self.schema.fields:
             arrays[fcfg.name] = _typed_column(
@@ -321,14 +346,38 @@ class IndexWriter:
                                   self.schema, num_shards=self.num_shards)
                 exists = True
             else:
-                from tantivy4java_ray.pipelines.search import IndexReader
-                nsh = IndexReader(self.index_dir).num_shards
-                build_index(list(self._staged), delta_dir, self.schema,
-                            num_shards=nsh)
+                from tantivy4java_ray import storage as st
+                # the delta MUST be built with the base index's own
+                # config — num_shards alone is not enough: a default-
+                # config delta would lack dl__/_phash_ columns the
+                # merged config promises (crashing every scored query)
+                # and salt hot terms under ids the readers never probe
+                base_meta = st.read_json_any(
+                    st.sjoin(self.index_dir, "manifest.json"))["meta"]
+                base_cfg = base_meta.get("config") or {}
+                nsh = base_meta["plan"]["num_shards"]
                 merged_dir = f"{self.index_dir}.merged-{tag}"
-                res = merge_indexes([self.index_dir, delta_dir], merged_dir)
-                self._swap_generation(merged_dir, tag)
-                shutil.rmtree(delta_dir, ignore_errors=True)
+                try:
+                    build_index(
+                        list(self._staged), delta_dir, self.schema,
+                        num_shards=nsh,
+                        exact_fieldnorms=base_cfg.get(
+                            "exact_fieldnorms", False),
+                        hot_salts=base_cfg.get("hot_salts", 4),
+                        phash_fields=tuple(
+                            base_cfg.get("phash_fields") or ()),
+                        bm25_k1=(base_cfg.get("bm25") or {}).get("k1", 1.2),
+                        bm25_b=(base_cfg.get("bm25") or {}).get("b", 0.75))
+                    res = merge_indexes([self.index_dir, delta_dir],
+                                        merged_dir)
+                    self._swap_generation(merged_dir, tag)
+                finally:
+                    # a failure between build and swap must not leak
+                    # index-sized .delta-*/.merged-* dirs (no recovery
+                    # path cleans them without a swap marker)
+                    shutil.rmtree(delta_dir, ignore_errors=True)
+                    if os.path.exists(merged_dir):
+                        shutil.rmtree(merged_dir, ignore_errors=True)
             # committed staged files STAY in place: the index's
             # partitions reference them as the doc store (parquet-
             # companion contract); clear the list as soon as the adds
@@ -337,9 +386,13 @@ class IndexWriter:
             self._staged = []
         if dels and exists:
             deld_dir = f"{self.index_dir}.merged-d{tag}"
-            res = merge_indexes([self.index_dir], deld_dir,
-                                delete_queries=dels)
-            self._swap_generation(deld_dir, f"d{tag}")
+            try:
+                res = merge_indexes([self.index_dir], deld_dir,
+                                    delete_queries=dels)
+                self._swap_generation(deld_dir, f"d{tag}")
+            finally:
+                if os.path.exists(deld_dir):
+                    shutil.rmtree(deld_dir, ignore_errors=True)
         self._delete_queries = []
         self._bump_opstamp()
         return res
