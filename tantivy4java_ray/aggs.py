@@ -106,6 +106,16 @@ def _col_numpy(table: pa.Table, name: str) -> np.ndarray:
 
 _PCT_K = 128  # sub-buckets per decade; rel. error ~ 10^(1/(2K))-1 ≈ 0.9%
 _PCT_DEFAULTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+#: dedicated bucket index for +/-inf magnitudes — far beyond any finite
+#: float64 decade (log10(max)*K ≈ 39457), so it sorts after every real
+#: bucket; naive floor(log10(inf)*K).astype(int64) would wrap to
+#: INT64_MIN and sort as the SMALLEST bucket, shifting every quantile
+_PCT_INF_IDX = 1 << 40
+
+
+def _pct_rep(i: int) -> float:
+    """Bucket midpoint magnitude for index ``i`` (inf-bucket aware)."""
+    return math.inf if i >= _PCT_INF_IDX else 10.0 ** ((i + 0.5) / _PCT_K)
 
 
 def _pct_partial(vals: np.ndarray) -> dict:
@@ -119,7 +129,9 @@ def _pct_partial(vals: np.ndarray) -> dict:
         part = v[v * sign > 0] * sign
         if not len(part):
             continue
-        idx = np.floor(np.log10(part) * _PCT_K).astype(np.int64)
+        fin = np.where(np.isinf(part), 1.0, part)
+        idx = np.where(np.isinf(part), _PCT_INF_IDX,
+                       np.floor(np.log10(fin) * _PCT_K)).astype(np.int64)
         u, c = np.unique(idx, return_counts=True)
         state[key] = dict(zip(u.tolist(), c.tolist()))
     return state
@@ -143,13 +155,13 @@ def _pct_finalize(state: dict | None, percents) -> dict:
     reps: list[float] = []
     counts: list[int] = []
     for i in sorted(state["neg"], reverse=True):
-        reps.append(-(10.0 ** ((i + 0.5) / _PCT_K)))
+        reps.append(-_pct_rep(i))
         counts.append(state["neg"][i])
     if state["zeros"]:
         reps.append(0.0)
         counts.append(state["zeros"])
     for i in sorted(state["pos"]):
-        reps.append(10.0 ** ((i + 0.5) / _PCT_K))
+        reps.append(_pct_rep(i))
         counts.append(state["pos"][i])
     cum = np.cumsum(counts)
     n = state["count"]
@@ -178,14 +190,16 @@ def _pct_rank_finalize(state: dict | None, values) -> dict:
     counts: list[int] = []
     for i in sorted(state["neg"], reverse=True):
         # neg bucket i holds values in [-10^((i+1)/K), -10^(i/K))
-        lows.append(-(10.0 ** ((i + 1) / _PCT_K)))
+        lows.append(-math.inf if i >= _PCT_INF_IDX
+                    else -(10.0 ** ((i + 1) / _PCT_K)))
         counts.append(state["neg"][i])
     if state["zeros"]:
         lows.append(0.0)
         counts.append(state["zeros"])
     for i in sorted(state["pos"]):
         # pos bucket i holds values in [10^(i/K), 10^((i+1)/K))
-        lows.append(10.0 ** (i / _PCT_K))
+        lows.append(math.inf if i >= _PCT_INF_IDX
+                    else 10.0 ** (i / _PCT_K))
         counts.append(state["pos"][i])
     cum = np.cumsum(counts)
     n = state["count"]

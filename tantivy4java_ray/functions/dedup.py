@@ -83,13 +83,19 @@ def exact_dedup(ds, col: str, id_col: str):
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
-def _word_shingles(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        return np.array([" ".join(toks)], object) if toks else \
-            np.empty(0, object)
-    return np.array([" ".join(toks[i:i + k]) for i in
-                     range(len(toks) - k + 1)], object)
+#: byte-wise popcount lookup (numpy 1.x has no bitwise_count)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _isin_sorted(values: np.ndarray, sorted_ref: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``values`` in SORTED ``sorted_ref``
+    (one searchsorted probe) — the broadcast-filter idiom every dedup
+    scan uses; 8-byte compare per row, no Python loop."""
+    idx = np.searchsorted(sorted_ref, values)
+    ok = idx < len(sorted_ref)
+    m = np.zeros(len(values), bool)
+    m[ok] = sorted_ref[idx[ok]] == values[ok]
+    return m
 
 
 def _perm_params(num_perm: int, seed: int = 42):
@@ -97,16 +103,6 @@ def _perm_params(num_perm: int, seed: int = 42):
     a = rng.integers(1, int(_MERSENNE), num_perm, dtype=np.uint64)
     b = rng.integers(0, int(_MERSENNE), num_perm, dtype=np.uint64)
     return a, b
-
-
-def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray,
-                      b: np.ndarray) -> np.ndarray:
-    """(a*h + b) mod 2^61-1, min over shingles, per permutation."""
-    if len(shingle_hashes) == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, np.uint64)
-    h = shingle_hashes[:, None]
-    vals = (h * a[None, :] + b[None, :]) % _MERSENNE
-    return vals.min(axis=0)
 
 
 def _batch_shingle_hashes(texts: list, k: int
@@ -340,6 +336,12 @@ def _candidate_pairs(sig_ds, id_col: str, max_bucket: int) -> pd.DataFrame:
     res = (band.sort("band_hash")
            .map_batches(run_pairs, batch_format="pyarrow",
                         batch_size=None).to_pandas())
+    if "kind" not in res.columns:
+        # Ray never delivers zero-row blocks to run_pairs, so an empty
+        # band table (every doc dropped as invalid) yields a COLUMN-LESS
+        # frame here — return the typed empty pairs frame, not KeyError
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64)})
     pair_rows = res[res["kind"] == 0]
     cand = [pd.DataFrame({"a": pair_rows["x"].to_numpy(np.int64),
                           "b": pair_rows["y"].to_numpy(np.int64)})]
@@ -368,11 +370,7 @@ def _scan_candidate_rows(ds, id_col: str, need_ids: np.ndarray,
         nd = ray.get(ref)
         ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
                          np.int64)
-        idx = np.searchsorted(nd, ids)
-        ok = idx < len(nd)
-        m = np.zeros(len(ids), bool)
-        m[ok] = nd[idx[ok]] == ids[ok]
-        return transform(t.filter(pa.array(m)))
+        return transform(t.filter(pa.array(_isin_sorted(ids, nd))))
 
     return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
 
@@ -448,11 +446,7 @@ def _hot_buckets(sig_ds, key: str):
         h = ray.get(hot_ref)
         keys = np.asarray(t.column(key).to_numpy(zero_copy_only=False),
                           np.int64)
-        idx = np.searchsorted(h, keys)
-        ok = idx < len(h)
-        m = np.zeros(len(keys), bool)
-        m[ok] = h[idx[ok]] == keys[ok]
-        return t.filter(pa.array(m))
+        return t.filter(pa.array(_isin_sorted(keys, h)))
 
     return sig_ds.map_batches(filt, batch_format="pyarrow")
 
@@ -503,11 +497,7 @@ def minhash_dedup_dataset(ds, col: str, id_col: str, **kw):
         dl = ray.get(drop_ref)
         ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
                          np.int64)
-        idx = np.searchsorted(dl, ids)
-        ok = idx < len(dl)
-        dead = np.zeros(len(ids), bool)
-        dead[ok] = dl[idx[ok]] == ids[ok]
-        return t.filter(pa.array(~dead))
+        return t.filter(pa.array(~_isin_sorted(ids, dl)))
 
     return ds.map_batches(filt, batch_format="pyarrow"), pairs
 
@@ -587,17 +577,20 @@ def simhash_pairs(ds, col: str, id_col: str, *, hamming_k: int = 3,
         uniq = np.unique(ids, return_index=True)[1]
         if len(uniq) < 2 or len(uniq) > max_bucket:
             return _EMPTY_PAIRS
-        order = sorted(uniq, key=lambda i: ids[i])
-        out_a, out_b, out_h = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                d = int(bin(int(sims[i]) ^ int(sims[j])).count("1"))
-                if d <= hamming_k:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_h.append(d)
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+        srt = np.argsort(ids[uniq], kind="stable")
+        uid = ids[uniq][srt].astype(np.int64)
+        usim = sims[uniq][srt]
+        # all-pairs Hamming fully vectorized: XOR the u64 sims, popcount
+        # via a 256-entry byte table (a hot boilerplate bucket at the
+        # 500 cap is ~125k pairs — a Python double loop here dwarfed
+        # the vectorized hashing stage)
+        ia, ib = np.triu_indices(len(uid), k=1)
+        x = usim[ia] ^ usim[ib]
+        d = _POPCNT8[x.view(np.uint8).reshape(-1, 8)].sum(
+            axis=1).astype(np.int64)
+        keep = d <= hamming_k
+        return pd.DataFrame({"a": uid[ia[keep]], "b": uid[ib[keep]],
+                             "hamming": d[keep]})
 
     sim_ds = ds.map_batches(add_sim, batch_format="pyarrow").materialize()
     return (_hot_buckets(sim_ds, "chunk")

@@ -43,25 +43,32 @@ _CARD_KEY2 = "t4jr-card-key-02"
 # exact quantiles — iterative bucket refinement (no shuffle, no sort)
 # ---------------------------------------------------------------------------
 
-def _minmax_count(ds, col: str) -> tuple[int, float, float]:
-    """One streaming pass: (n_valid, min, max) of finite values."""
+def _minmax_count(ds, col: str) -> tuple[int, float, float, int, int]:
+    """One streaming pass: (n_finite, min, max, n_neginf, n_posinf).
+    NaN/null are excluded; +/-inf are counted separately so quantiles
+    can place them at the ends of the sorted order (they are real,
+    orderable doubles in SQL)."""
     def part(t: pa.Table) -> pa.Table:
         x = np.asarray(t.column(col).to_numpy(zero_copy_only=False),
                        np.float64)
+        ninf = int((x == -np.inf).sum())
+        pinf = int((x == np.inf).sum())
         x = x[np.isfinite(x)]
-        if not len(x):
-            return pa.table({"n": pa.array([0], pa.int64()),
-                             "lo": pa.array([np.inf]),
-                             "hi": pa.array([-np.inf])})
         return pa.table({"n": pa.array([len(x)], pa.int64()),
-                         "lo": pa.array([float(x.min())]),
-                         "hi": pa.array([float(x.max())])})
+                         "lo": pa.array([float(x.min()) if len(x)
+                                         else np.inf]),
+                         "hi": pa.array([float(x.max()) if len(x)
+                                         else -np.inf]),
+                         "ninf": pa.array([ninf], pa.int64()),
+                         "pinf": pa.array([pinf], pa.int64())})
 
     rows = ds.map_batches(part, batch_format="pyarrow").take_all()
     n = int(sum(r["n"] for r in rows))
     lo = min((r["lo"] for r in rows), default=np.inf)
     hi = max((r["hi"] for r in rows), default=-np.inf)
-    return n, float(lo), float(hi)
+    return (n, float(lo), float(hi),
+            int(sum(r["ninf"] for r in rows)),
+            int(sum(r["pinf"] for r in rows)))
 
 
 def _bucket_edges(lo: float, hi: float, closed: bool,
@@ -169,7 +176,8 @@ def exact_order_statistics(ds, col: str, ks: list[int], *,
     shuffle; driver state is O(nbuckets * len(ks)) per round. All ranks
     share every pass. See module docstring for the 100 TB argument.
     """
-    n, lo, hi = _stats if _stats is not None else _minmax_count(ds, col)
+    stats3 = _stats if _stats is not None else _minmax_count(ds, col)[:3]
+    n, lo, hi = stats3
     if n == 0:
         raise ValueError(f"exact_order_statistics: no finite values in "
                          f"{col!r}")
@@ -181,8 +189,11 @@ def exact_order_statistics(ds, col: str, ks: list[int], *,
     # intervals are [lo, hi) unless closed_hi (the global-max owner)
     Interval = tuple[float, float, bool, int, int, list[int]]
     active: list[Interval] = [(lo, hi, True, 0, n, sorted(set(ks)))]
+    # intervals small enough to collect accumulate across rounds and are
+    # pulled in ONE tail pass after refinement converges (collecting
+    # inside the loop costs an extra full scan per round)
+    pending: list[Interval] = []
     for _ in range(max_rounds):
-        collect: list[Interval] = []
         refine: list[Interval] = []
         for ivl in active:
             ilo, ihi, closed, _off, cnt, iks = ivl
@@ -192,23 +203,9 @@ def exact_order_statistics(ds, col: str, ks: list[int], *,
                 for k in iks:
                     out[k] = ilo
             elif cnt <= tail_threshold:
-                collect.append(ivl)
+                pending.append(ivl)
             else:
                 refine.append(ivl)
-        if collect:
-            coll = _IntervalCollect(
-                col, [(a, b, c) for a, b, c, *_ in collect])
-            df = ds.map_batches(coll, batch_format="pyarrow",
-                                zero_copy_batch=True).to_pandas()
-            iv_all = df["iv"].to_numpy()
-            v_all = df["v"].to_numpy()
-            for i, (_a, _b, _c, off, cnt, iks) in enumerate(collect):
-                vals = np.sort(v_all[iv_all == i])
-                if len(vals) != cnt:  # pragma: no cover - internal check
-                    raise AssertionError(
-                        f"interval count drift: {len(vals)} != {cnt}")
-                for k in iks:
-                    out[k] = float(vals[k - off])
         if not refine:
             break
         # one shared bincount pass over every interval still refining
@@ -244,6 +241,20 @@ def exact_order_statistics(ds, col: str, ks: list[int], *,
             break
     else:  # pragma: no cover - max_rounds is generous
         raise RuntimeError("exact_order_statistics did not converge")
+    if pending:
+        coll = _IntervalCollect(
+            col, [(a, b, c) for a, b, c, *_ in pending])
+        df = ds.map_batches(coll, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+        iv_all = df["iv"].to_numpy()
+        v_all = df["v"].to_numpy()
+        for i, (_a, _b, _c, off, cnt, iks) in enumerate(pending):
+            vals = np.sort(v_all[iv_all == i])
+            if len(vals) != cnt:  # pragma: no cover - internal check
+                raise AssertionError(
+                    f"interval count drift: {len(vals)} != {cnt}")
+            for k in iks:
+                out[k] = float(vals[k - off])
     return out
 
 
@@ -252,11 +263,16 @@ def exact_quantiles(ds, col: str, percents: list[float], *,
                     tail_threshold: int = 65536) -> dict[float, float]:
     """Exact continuous quantiles (numpy/DuckDB ``quantile_cont``
     convention: linear interpolation at ``h = (n-1) * p``), computed
-    distributed with zero shuffle. ``percents`` are in [0, 100]."""
-    stats = _minmax_count(ds, col)
-    n = stats[0]
+    distributed with zero shuffle. ``percents`` are in [0, 100].
+
+    +/-inf are real orderable doubles in SQL and participate: -inf
+    values occupy the lowest ranks, +inf the highest (matching DuckDB's
+    quantile_cont over a column containing infinities). NaN/null are
+    excluded."""
+    nf, lo, hi, nneg, npos = _minmax_count(ds, col)
+    n = nf + nneg + npos
     if n == 0:
-        raise ValueError(f"exact_quantiles: no finite values in {col!r}")
+        raise ValueError(f"exact_quantiles: no values in {col!r}")
     ks: set[int] = set()
     plan: dict[float, tuple[int, int, float]] = {}
     for p in percents:
@@ -266,12 +282,26 @@ def exact_quantiles(ds, col: str, percents: list[float], *,
         kf, kc = int(np.floor(h)), int(np.ceil(h))
         ks.update((kf, kc))
         plan[p] = (kf, kc, h - kf)
-    os_ = exact_order_statistics(ds, col, sorted(ks), nbuckets=nbuckets,
-                                 tail_threshold=tail_threshold,
-                                 _stats=stats)
+    # global rank k -> value: ranks below nneg are -inf, ranks past the
+    # finite block are +inf, the middle shifts into finite-rank space
+    finite_ks = sorted({k - nneg for k in ks if nneg <= k < nneg + nf})
+    os_ = (exact_order_statistics(ds, col, finite_ks, nbuckets=nbuckets,
+                                  tail_threshold=tail_threshold,
+                                  _stats=(nf, lo, hi))
+           if finite_ks else {})
+
+    def val(k: int) -> float:
+        if k < nneg:
+            return -np.inf
+        if k >= nneg + nf:
+            return np.inf
+        return os_[k - nneg]
+
     # lo*(1-f) + hi*f, NOT lo + (hi-lo)*f: matches DuckDB/std::lerp
-    # bit-for-bit so the SQL oracle can compare at full precision
-    return {p: os_[kf] * (1.0 - frac) + os_[kc] * frac
+    # bit-for-bit so the SQL oracle can compare at full precision.
+    # frac == 0 short-circuits (inf * 0.0 is NaN, not 0)
+    return {p: (val(kf) if frac == 0.0
+                else val(kf) * (1.0 - frac) + val(kc) * frac)
             for p, (kf, kc, frac) in plan.items()}
 
 
@@ -347,14 +377,36 @@ def exact_cardinality(ds, col: str) -> int:
     shuffle; values never move) -> per-group ``nunique(__h2)`` -> a
     distributed ``sum`` whose single scalar is all the driver receives.
     """
-    def group_count(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n": [int(g["__h2"].nunique())]})
+    def block_count(t: pa.Table) -> pa.Table:
+        # the sorted block's distinct (h1, h2) runs, vectorized — NO
+        # per-group Python (a groupby.map_groups here would invoke a
+        # Python UDF once per distinct value: O(count-distinct) calls)
+        h1 = np.asarray(t.column("__h").to_numpy(), np.int64)
+        h2 = np.asarray(t.column("__h2").to_numpy(), np.int64)
+        first = np.ones(len(h1), bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        return pa.table({
+            "n": pa.array([int(first.sum())], pa.int64()),
+            "f1": pa.array([int(h1[0])], pa.int64()),
+            "f2": pa.array([int(h2[0])], pa.int64()),
+            "l1": pa.array([int(h1[-1])], pa.int64()),
+            "l2": pa.array([int(h2[-1])], pa.int64())})
 
-    counted = (ds.map_batches(lambda t: _distinct_keys(t, col),
-                              batch_format="pyarrow")
-                 .groupby("__h")
-                 .map_groups(group_count, batch_format="pandas"))
-    total = counted.sum("n")
-    # Dataset.sum returns None on an empty dataset (all-null column):
-    # SQL COUNT(DISTINCT) says 0
-    return int(total) if total is not None else 0
+    rows = (ds.map_batches(lambda t: _distinct_keys(t, col),
+                           batch_format="pyarrow")
+              .sort(["__h", "__h2"])
+              .map_batches(block_count, batch_format="pyarrow",
+                           batch_size=None).take_all())
+    if not rows:
+        return 0   # all-null column: SQL COUNT(DISTINCT) says 0
+    total = sum(r["n"] for r in rows)
+    # a key spanning a block boundary was counted once per block it
+    # touches; boundary keys can only be a block's first or last run,
+    # so the correction needs just 2 keys per block (order-independent)
+    from collections import Counter
+    seen: Counter = Counter()
+    for r in rows:
+        for k in {(r["f1"], r["f2"]), (r["l1"], r["l2"])}:
+            seen[k] += 1
+    total -= sum(c - 1 for c in seen.values() if c > 1)
+    return int(total)
