@@ -72,15 +72,36 @@ def exclusive_write_json(path: str, obj: Any) -> bool:
         st.write_bytes_atomic(data, path)
         return True
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # write the FULL content to a private tmp first, then claim the
+    # version with an atomic hard link: a bare O_EXCL create would
+    # expose an empty/partial v*.json to concurrent readers and a crash
+    # mid-write would poison the log forever (torn file wins the claim)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
+                               prefix=".tmp-" + os.path.basename(path))
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        return False
-    with os.fdopen(fd, "wb") as f:
-        f.write(data)
-        f.flush()
-        os.fsync(f.fileno())
-    return True
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        except OSError:
+            # filesystem without hard links: fall back to O_EXCL + copy
+            try:
+                xfd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(xfd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            return True
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 class TransactionLog:
@@ -107,8 +128,13 @@ class TransactionLog:
 
     def create_checkpoint(self) -> int:
         """Materialize the replayed state at the latest version."""
-        self._st.smakedirs(self.dir)
         state, v = self._replay()
+        if v < 0:
+            # no versions yet: nothing to checkpoint ('checkpoint-
+            # -0000001.json' would be a malformed orphan _CP_RE never
+            # matches, and smakedirs would scaffold a read-only path)
+            return -1
+        self._st.smakedirs(self.dir)
         atomic_write_json(self._st.sjoin(self.dir, f"checkpoint-{v:08d}.json"),
                           {"version": v, "state": state})
         return v

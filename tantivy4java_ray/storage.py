@@ -76,14 +76,30 @@ def sopen(path: str, mode: str = "rb"):
     return fs.open(p, mode)
 
 
+
+def _tmp_name(p: str) -> str:
+    """Private temp name beside ``p``. Includes a uuid component: pids
+    COLLIDE across cluster nodes, so a pid-only suffix lets two workers
+    on different machines interleave writes into one remote tmp object
+    (then the loser's mv crashes or a corrupt object lands)."""
+    import uuid
+    return f"{p}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
 def sreplace(src: str, dst: str) -> None:
     """Atomic local rename; mv on a filesystem URL (single-object moves
-    are atomic-enough on object stores: the destination appears whole)."""
+    are atomic-enough on object stores: the destination appears whole).
+    Both paths must resolve to the SAME filesystem — a mixed-scheme call
+    would silently move the object within src's store at dst's stripped
+    path (wrong provider, no error)."""
     sfs, sp = fs_for(src)
+    dfs, dp = fs_for(dst)
+    if type(sfs) is not type(dfs):
+        raise ValueError(
+            f"sreplace requires same-filesystem paths, got {src!r} -> "
+            f"{dst!r}")
     if sfs is None:
-        os.replace(sp, dst)
+        os.replace(sp, dp)
     else:
-        _dfs, dp = fs_for(dst)
         sfs.mv(sp, dp)
 
 
@@ -119,16 +135,10 @@ def srmtree(path: str) -> None:
 def sunlink(path: str) -> None:
     """Delete one file (no-op when absent)."""
     fs, p = fs_for(path)
-    if fs is None:
-        import contextlib
-        import os
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(p)
-    else:
-        try:
-            fs.rm(p)
-        except FileNotFoundError:
-            pass
+    try:
+        os.unlink(p) if fs is None else fs.rm(p)
+    except FileNotFoundError:
+        pass
 
 
 def swalk_files(path: str) -> list[str]:
@@ -151,16 +161,11 @@ def read_json_any(path: str) -> Any:
 
 
 def write_json_atomic(path: str, obj: Any) -> None:
-    fs, p = fs_for(path)
-    data = json.dumps(obj, indent=1).encode()
-    if fs is None:
-        from tantivy4java_ray.state.manifest import atomic_write_json
-        atomic_write_json(p, obj)
-        return
-    tmp = p + f".tmp-{os.getpid()}"
-    with fs.open(tmp, "wb") as f:
-        f.write(data)
-    fs.mv(tmp, p)
+    """One canonical serialization (sort_keys, compact) for BOTH local
+    and URL paths, so the same logical write produces identical bytes
+    regardless of scheme (content hashes / byte comparisons of index
+    JSON must not depend on '/data/idx' vs 'file:///data/idx')."""
+    write_bytes_atomic(json.dumps(obj, sort_keys=True).encode(), path)
 
 
 def read_parquet_any(path: str, columns: list[str] | None = None,
@@ -197,12 +202,12 @@ def write_parquet_atomic(table: pa.Table, path: str, **pq_kwargs) -> None:
     if fs is None:
         if os.path.dirname(p):
             os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + f".tmp-{os.getpid()}"
+        tmp = _tmp_name(p)
         pq.write_table(table, tmp, **pq_kwargs)
         os.replace(tmp, p)
         return
     fs.makedirs(posixpath.dirname(p), exist_ok=True)
-    tmp = p + f".tmp-{os.getpid()}"
+    tmp = _tmp_name(p)
     with fs.open(tmp, "wb") as f:
         pq.write_table(table, f, **pq_kwargs)
     fs.mv(tmp, p)
@@ -215,7 +220,7 @@ def open_bytes_atomic(path: str):
     (tmp + rename) and the temp is discarded on error. Saves the two
     extra full-data passes a BytesIO-accumulate-then-write costs."""
     fs, p = fs_for(path)
-    tmp = p + f".tmp-{os.getpid()}"
+    tmp = _tmp_name(p)
     if fs is None:
         if os.path.dirname(p):
             os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -249,13 +254,13 @@ def write_bytes_atomic(data: bytes, path: str) -> None:
     if fs is None:
         if os.path.dirname(p):
             os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + f".tmp-{os.getpid()}"
+        tmp = _tmp_name(p)
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, p)
         return
     fs.makedirs(posixpath.dirname(p), exist_ok=True)
-    tmp = p + f".tmp-{os.getpid()}"
+    tmp = _tmp_name(p)
     with fs.open(tmp, "wb") as f:
         f.write(data)
     fs.mv(tmp, p)
@@ -322,7 +327,7 @@ class DiskPageCache:
                 p = os.path.join(d, str(page))
                 if os.path.exists(p):
                     continue
-                tmp = f"{p}.tmp-{os.getpid()}"
+                tmp = _tmp_name(p)
                 with open(tmp, "wb") as f:
                     f.write(data)
                 os.replace(tmp, p)
@@ -407,10 +412,13 @@ class RangedBlob:
 
     def __init__(self, fs, path: str, page_size: int = 128 * 1024,
                  cache_pages: int = 512,
-                 disk_cache: DiskPageCache | None = None):
+                 disk_cache: DiskPageCache | None = None,
+                 size: int | None = None):
         self.fs = fs
         self.path = path
-        self._size = fs.size(path)
+        # callers that already know the object size (blob_open) pass it
+        # in — fs.size is a remote HEAD round-trip
+        self._size = fs.size(path) if size is None else size
         self.page = page_size
         self._pages: "OrderedDict[int, bytes]" = OrderedDict()
         self._max_pages = cache_pages  # 512 × 128 KiB = 64 MiB cap
@@ -511,6 +519,11 @@ class RangedBlob:
                           keep=frozenset(need))
 
     def __getitem__(self, sl: slice) -> np.ndarray:
+        if sl.step not in (None, 1):
+            # np.memmap (the local twin) strides; silently returning
+            # contiguous bytes here would be wrong length AND values
+            raise ValueError("RangedBlob slices must be contiguous "
+                             f"(step={sl.step!r})")
         # negative bounds are end-relative, like the np.memmap slices
         # blob_open returns for local paths — without the translation a
         # blob[-12:] computed page -1 and issued a negative-offset GET
@@ -545,6 +558,12 @@ def blob_open(path: str):
         if not (os.path.exists(p) and os.path.getsize(p)):
             return None
         return np.memmap(p, np.uint8, "r")
-    if not fs.exists(p) or fs.size(p) == 0:
+    # ONE metadata round-trip, not three (exists + size + size again in
+    # RangedBlob.__init__): s3fs does not cache single-path info calls
+    try:
+        size = fs.size(p)
+    except FileNotFoundError:
         return None
-    return RangedBlob(fs, p, disk_cache=_disk_cache_for(fs))
+    if not size:
+        return None
+    return RangedBlob(fs, p, disk_cache=_disk_cache_for(fs), size=size)
