@@ -48,9 +48,11 @@ def ip_term(value: str) -> str:
 
 def expand_ip_query_bounds(lower: str | None, upper: str | None
                            ) -> tuple[str | None, str | None]:
-    """Range bounds encoded the same way dictionary terms are."""
-    return (ip_term(lower) if lower else None,
-            ip_term(upper) if upper else None)
+    """Range bounds encoded the same way dictionary terms are. ``is not
+    None``, not falsiness: an empty-string bound is an invalid address
+    (ip_term raises), NOT an unbounded range."""
+    return (ip_term(lower) if lower is not None else None,
+            ip_term(upper) if upper is not None else None)
 
 
 def parse_date_us(value) -> int:
@@ -66,14 +68,19 @@ def format_date_us(us: int) -> str:
 # -- facets (hierarchical paths "/a/b/c") -----------------------------------
 
 def facet_encode(*parts: str) -> str:
-    """('tools', 'saw') -> '/tools/saw' (segments may contain '/'
-    escaped as '\\/')."""
-    return "/" + "/".join(p.replace("/", "\\/") for p in parts)
+    """('tools', 'saw') -> '/tools/saw'. Escapes '\\' as well as '/':
+    escaping only the separator is not injective (a segment ending in
+    '\\' would encode identically to a merged segment)."""
+    return "/" + "/".join(
+        p.replace("\\", "\\\\").replace("/", "\\/") for p in parts)
 
 
 def facet_parts(path: str) -> list[str]:
+    if path.startswith("/"):
+        path = path[1:]   # exactly ONE leading separator, not lstrip:
+        # an empty first segment ('/\x2f a' forms) must survive
     out, cur, esc = [], [], False
-    for ch in path.lstrip("/"):
+    for ch in path:
         if esc:
             cur.append(ch)
             esc = False
@@ -84,8 +91,9 @@ def facet_parts(path: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
-    if cur:
-        out.append("".join(cur))
+    out.append("".join(cur))
+    if out == [""]:
+        return []   # facet_parts("/") == facet_parts("") == []
     return out
 
 
@@ -108,10 +116,18 @@ def truncate_utf8(s: str, max_bytes: int = 256) -> str:
 
 def string_fingerprint(values) -> np.ndarray:
     """u64 fingerprint per value; 0 reserved for null (the reference's
-    ``_phash`` convention)."""
+    ``_phash`` convention). NUL bytes are mapped to U+FFFD first:
+    pandas' C-string siphash stops at the first NUL, so 'a', 'a\\x00b'
+    and 'a\\x00c' would otherwise all collide."""
     arr = np.asarray(values, dtype=object)
     mask = pd.isna(arr)
-    out = pd.util.hash_array(arr.astype(object)).astype(np.uint64)
+    nul = np.fromiter(
+        (isinstance(v, str) and "\x00" in v for v in arr), bool, len(arr))
+    if nul.any():
+        arr = arr.copy()
+        for i in np.flatnonzero(nul):
+            arr[i] = arr[i].replace("\x00", "\N{REPLACEMENT CHARACTER}")
+    out = pd.util.hash_array(arr).astype(np.uint64)
     out[out == 0] = 1  # keep 0 exclusively for null
     out[mask] = 0
     return out

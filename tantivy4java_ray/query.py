@@ -224,7 +224,7 @@ class QueryParseError(ValueError):
     pass
 
 
-def _tokenize_query(s: str) -> list[tuple[str, Any]]:
+def _tokenize_query(s: str, lenient: bool = False) -> list[tuple[str, Any]]:
     toks: list[tuple[str, Any]] = []
     pos = 0
     while pos < len(s):
@@ -232,9 +232,14 @@ def _tokenize_query(s: str) -> list[tuple[str, Any]]:
         if not m or m.end() == pos:
             if s[pos:].strip() == "":
                 break
+            if lenient:
+                # skip the untokenizable character (e.g. an unclosed
+                # quote) — lenient mode must survive the LEXER too, not
+                # just unknown fields / missing parens
+                pos += 1
+                continue
             raise QueryParseError(f"cannot tokenize at {s[pos:]!r}")
         pos = m.end()
-        kind = m.lastgroup if m.lastgroup not in ("qbody", "qslop") else "quoted"
         if m.group("quoted"):
             toks.append(("quoted", (m.group("qbody"), int(m.group("qslop") or 0))))
         elif m.group("range"):
@@ -262,8 +267,10 @@ def parse_query(text: str, schema: "Any", default_fields: list[str] | None = Non
     if default_fields is None:
         default_fields = [f.name for f in schema.text_fields]
 
-    toks = _tokenize_query(text)
+    toks = _tokenize_query(text, lenient)
     ptr = [0]
+    # field scope for 'field:(...)' groups (a stack: groups may nest)
+    scope_stack: list[list[str]] = []
 
     def peek() -> tuple[str, Any] | None:
         return toks[ptr[0]] if ptr[0] < len(toks) else None
@@ -295,7 +302,8 @@ def parse_query(text: str, schema: "Any", default_fields: list[str] | None = Non
                               for t in tokens])
 
     def value_query(fname: str | None, kind: str, val: Any) -> Query | None:
-        fields = [fname] if fname else default_fields
+        fields = ([fname] if fname
+                  else scope_stack[-1] if scope_stack else default_fields)
         subs: list[Query] = []
         for f in fields:
             if f not in schema:
@@ -360,6 +368,21 @@ def parse_query(text: str, schema: "Any", default_fields: list[str] | None = Non
             fname, rest = val.split(":", 1)
             if rest == "" and peek() and peek()[0] in ("quoted", "range"):
                 kind, val = eat()
+            elif rest == "" and peek() and peek()[0] == "lparen":
+                # 'field:(a b)' scopes the whole group to the field —
+                # parsing the group unscoped would silently search every
+                # default field
+                eat()
+                scope_stack.append([fname])
+                try:
+                    q = parse_expr()
+                finally:
+                    scope_stack.pop()
+                if peek() and peek()[0] == "rparen":
+                    eat()
+                elif not lenient:
+                    raise QueryParseError("missing )")
+                return _maybe_boost(q), occur
             else:
                 kind, val = "term", rest
         q = value_query(fname, kind, val)
@@ -393,6 +416,9 @@ def parse_query(text: str, schema: "Any", default_fields: list[str] | None = Non
                 continue
             q, occur = parse_atom()
             if q is None:
+                # an AND whose bound clause analyzed to nothing must not
+                # leak MUST-promotion onto the next unrelated clause
+                pending_and = False
                 continue
             if pending_and:
                 # AND binds previous and current clause into MUST
@@ -420,4 +446,23 @@ def parse_query(text: str, schema: "Any", default_fields: list[str] | None = Non
             fixed.append((k, v))
     toks = fixed
 
-    return parse_expr()
+    q = parse_expr()
+    if ptr[0] < len(toks):
+        # parse_expr stops at a stray ')': consuming only a prefix would
+        # silently search a truncated query
+        if not lenient:
+            raise QueryParseError(
+                f"unexpected {toks[ptr[0]][1]!r} at token {ptr[0]}")
+        parts = [q]
+        while ptr[0] < len(toks):
+            if peek()[0] == "rparen":
+                eat()
+                continue
+            parts.append(parse_expr())
+        parts = [p for p in parts if p is not None and p.kind != "none"]
+        if not parts:
+            return Query.match_none()
+        if len(parts) == 1:
+            return parts[0]
+        return Query.boolean([(Occur.SHOULD, p) for p in parts])
+    return q
