@@ -68,7 +68,8 @@ def bundle_index(index_dir: str, out_path: str, *,
     parent = os.path.dirname(out_path)
     if parent:
         st.smakedirs(parent)
-    tmp = out_path + f".tmp-{os.getpid()}"
+    # pid+uuid tmp (storage._tmp_name): pids collide across cluster nodes
+    tmp = st._tmp_name(out_path)
     chunk = 8 << 20
     try:
         with st.sopen(tmp, "wb") as out:
@@ -106,7 +107,26 @@ def bundle_index(index_dir: str, out_path: str, *,
             pass
         raise
     st.sreplace(tmp, out_path)
+    # a SplitFileSystem instance in this process may hold the REPLACED
+    # bundle's footer/blob (fsspec instance cache lives forever): purge,
+    # or the rebuilt bundle would be sliced with the old footer offsets
+    _evict_split_caches(out_path)
     return footer
+
+
+def _evict_split_caches(bundle_path: str) -> None:
+    import os
+    ap = (bundle_path if st.is_url(bundle_path)
+          else os.path.abspath(bundle_path))
+    try:
+        import fsspec
+        fs = fsspec.filesystem("t4jrsplit")
+    except (ImportError, ValueError):
+        return
+    for cache in (getattr(fs, "_footers", None) or {},
+                  getattr(fs, "_blobs", None) or {}):
+        for key in [k for k in cache if k == ap or k == bundle_path]:
+            cache.pop(key, None)
 
 
 def read_bundle_footer(path: str) -> dict:
@@ -121,6 +141,11 @@ def read_bundle_footer(path: str) -> dict:
     if magic != MAGIC:
         raise ValueError(f"{path!r} is not a t4jr split bundle "
                          f"(bad magic {magic:#x})")
+    if flen > size - 12:
+        # a corrupt trailer must fail cleanly, not wrap the slice start
+        # negative and json-parse arbitrary bytes
+        raise ValueError(f"{path!r} is not a t4jr split bundle "
+                         f"(footer length {flen} exceeds file size {size})")
     footer = json.loads(bytes(blob[size - 12 - flen:size - 12]))
     return footer
 

@@ -39,10 +39,17 @@ class _Reader:
         return b
 
     def read_long(self) -> int:
-        """Zigzag-encoded variable-length integer."""
+        """Zigzag-encoded variable-length integer (bounds-checked: a
+        truncated buffer raises AvroError like every other read path,
+        and a malformed run of continuation bytes cannot spin past the
+        10-byte maximum of a 64-bit varint)."""
         shift = 0
         acc = 0
         while True:
+            if self.pos >= len(self.buf):
+                raise AvroError("unexpected EOF")
+            if shift > 63:
+                raise AvroError("varint too long")
             b = self.buf[self.pos]
             self.pos += 1
             acc |= (b & 0x7F) << shift

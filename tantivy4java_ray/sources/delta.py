@@ -18,7 +18,34 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from dataclasses import dataclass, field
+
+#: exactly '<20 digits>.json' — log-compaction files (N.M.compacted.json)
+#: and v2 JSON checkpoints (N.checkpoint.<uuid>.json) must NOT replay as
+#: commit files (their actions would apply at the wrong position)
+_COMMIT_RE = re.compile(r"^\d{20}\.json$")
+
+#: reader features this minimal reader actually implements; anything
+#: else must be REJECTED, not silently mis-read (deletion vectors would
+#: resurrect deleted rows, column mapping would mismatch every column)
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+_MAX_READER_VERSION = 1
+
+
+def _check_protocol(proto: dict) -> None:
+    """The Delta spec REQUIRES readers to fail on unsupported reader
+    versions/features — silently dropping e.g. deletion vectors would
+    index rows that were deleted."""
+    mrv = int(proto.get("minReaderVersion", 1))
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if mrv > _MAX_READER_VERSION and not (mrv == 3 and not unsupported):
+        raise ValueError(
+            f"Delta table requires minReaderVersion={mrv} "
+            f"(readerFeatures={sorted(feats)}); this reader supports "
+            f"version {_MAX_READER_VERSION} plus features "
+            f"{sorted(_SUPPORTED_READER_FEATURES)}")
 
 
 @dataclass
@@ -33,9 +60,8 @@ def _log_entries(table_path: str) -> list[tuple[int, str]]:
     logdir = os.path.join(table_path, "_delta_log")
     out = []
     for p in glob.glob(os.path.join(logdir, "*.json")):
-        name = os.path.basename(p).split(".")[0]
-        if name.isdigit():
-            out.append((int(name), p))
+        if _COMMIT_RE.fullmatch(os.path.basename(p)):
+            out.append((int(os.path.basename(p).split(".")[0]), p))
     return sorted(out)
 
 
@@ -87,15 +113,30 @@ def read_delta_snapshot(table_path: str,
         cp_v = max(usable) if usable else None
     if cp_v is not None:
         import pyarrow.parquet as pq
+        # multi-part names carry PPP (total parts): a missing part would
+        # silently drop every add it held from the snapshot
+        m = re.match(r"^\d+\.checkpoint\.\d+\.(\d+)\.parquet$",
+                     os.path.basename(cps[cp_v][0]))
+        if m and len(cps[cp_v]) != int(m.group(1)):
+            raise ValueError(
+                f"Delta checkpoint v{cp_v}: found {len(cps[cp_v])} of "
+                f"{int(m.group(1))} part files — refusing a partial "
+                f"snapshot")
         for part in cps[cp_v]:
-            t = pq.read_table(part)
-            names = set(t.column_names)
+            names = set(pq.ParquetFile(part).schema_arrow.names)
+            want = [c for c in ("add", "remove", "metaData", "protocol")
+                    if c in names]
+            # prune to the action columns: checkpoints are dominated by
+            # per-file stats we never use
+            t = pq.read_table(part, columns=want)
             for row in t.to_pylist():
+                if row.get("protocol"):
+                    _check_protocol(row["protocol"])
                 if row.get("add"):
                     live[row["add"]["path"]] = row["add"]
                 # compacted logs carry unexpired remove tombstones in the
                 # checkpoint — a later part/row may tombstone an earlier add
-                if "remove" in names and row.get("remove"):
+                if row.get("remove"):
                     live.pop(row["remove"]["path"], None)
                 if row.get("metaData"):
                     metadata = row["metaData"]
@@ -111,7 +152,9 @@ def read_delta_snapshot(table_path: str,
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "add" in action:
+                if "protocol" in action:
+                    _check_protocol(action["protocol"])
+                elif "add" in action:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)

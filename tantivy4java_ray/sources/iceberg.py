@@ -52,17 +52,26 @@ def iceberg_snapshots(table_path: str) -> list[dict]:
 
 def _localize(path: str, table_path: str) -> str:
     """Iceberg metadata stores absolute URIs from write time; remap the
-    table-location prefix onto the path we were given."""
+    table-location prefix onto the path the CALLER gave — it is the
+    authority. Preferring the old absolute path whenever it still exists
+    would read stale (possibly vacuumed/rewritten) files on a host where
+    the source directory survives; URL-form (s3://...) locations remap
+    the same way when the caller points at a local copy."""
     meta_loc = path
     for scheme in ("file://",):
         if meta_loc.startswith(scheme):
             meta_loc = meta_loc[len(scheme):]
-    if os.path.isabs(meta_loc) and not os.path.exists(meta_loc):
-        # remap <old-table-location>/suffix -> <table_path>/suffix
+    is_url = "://" in meta_loc
+    if is_url or os.path.isabs(meta_loc):
         for marker in ("/metadata/", "/data/"):
             if marker in meta_loc:
-                suffix = meta_loc[meta_loc.index(marker) + 1:]
-                return os.path.join(table_path, suffix)
+                cand = os.path.join(
+                    table_path, meta_loc[meta_loc.index(marker) + 1:])
+                # take the remapped copy when it exists; otherwise fall
+                # back to the original location (same-place reads)
+                if os.path.exists(cand):
+                    return cand
+                break
     return meta_loc
 
 
@@ -76,8 +85,16 @@ def iceberg_live_files(table_path: str,
     if not snaps:
         return []
     if snapshot_id is None:
-        snapshot_id = meta.get("current-snapshot-id", snaps[-1]["snapshot-id"])
-    snap = next(s for s in snaps if s["snapshot-id"] == snapshot_id)
+        cur = meta.get("current-snapshot-id")
+        # -1 is the spec's 'no current snapshot' sentinel (e.g. after a
+        # rollback); treat it like absent, not like a real id
+        snapshot_id = (cur if cur is not None and cur != -1
+                       else snaps[-1]["snapshot-id"])
+    snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
+    if snap is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} not found in {table_path} "
+            f"(have {[s['snapshot-id'] for s in snaps]})")
     mlist_path = _localize(snap["manifest-list"], table_path)
     _schema, manifests = read_avro_file(mlist_path)
     files: list[str] = []
