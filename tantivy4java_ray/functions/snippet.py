@@ -15,26 +15,34 @@ from tantivy4java_ray.analyzer import get_analyzer
 from tantivy4java_ray.query import Occur, Query
 
 
-def _collect_terms(q: Query) -> set[str]:
+def _collect_terms(q: Query, field: str) -> set[str]:
+    """Terms the query matches IN ``field`` — terms that matched other
+    fields must not highlight here (reference SnippetGenerator collects
+    per field)."""
     k = q.kind
     if k == "term":
-        return {q.params[1]}
+        return {q.params[1]} if q.params[0] == field else set()
     if k == "term_set":
-        return set(q.params[1])
+        return set(q.params[1]) if q.params[0] == field else set()
     if k == "phrase":
-        return {w for _, w in q.params[1]}
+        return ({w for _, w in q.params[1]}
+                if q.params[0] == field else set())
+    if k == "fuzzy":
+        # the base term is the best highlightable approximation (the
+        # full within-distance expansion isn't enumerable here)
+        return {q.params[1]} if q.params[0] == field else set()
     if k == "bool":
         out: set[str] = set()
         for occ, sub in q.params:
             if occ != Occur.MUST_NOT:
-                out |= _collect_terms(sub)
+                out |= _collect_terms(sub, field)
         return out
     if k in ("boost", "const"):
-        return _collect_terms(q.params[0])
+        return _collect_terms(q.params[0], field)
     if k == "dismax":
         out = set()
         for sub in q.params[0]:
-            out |= _collect_terms(sub)
+            out |= _collect_terms(sub, field)
         return out
     return set()
 
@@ -44,11 +52,23 @@ class SnippetGenerator:
 
     def __init__(self, query: Query, field: str = "text",
                  tokenizer: str = "default", max_chars: int = 150):
-        self.terms = _collect_terms(query)
+        self.terms = _collect_terms(query, field)
         self.analyzer = get_analyzer(tokenizer)
         self.max_chars = max_chars
         # token spans come from a regex matching the analyzer's token shape
         self._tok_re = re.compile(r"[^\W_]+", re.UNICODE)
+        # normalize surface tokens the same way the FIELD's analyzer
+        # normalized the indexed terms: a bare .lower() never matches
+        # stemmed dictionaries ('running' vs indexed 'runn') and wrongly
+        # lowercases raw/case-sensitive fields
+        from functools import lru_cache
+
+        @lru_cache(maxsize=4096)
+        def _norm(tok: str) -> str | None:
+            toks = self.analyzer.tokenize(tok)
+            return toks[0] if len(toks) == 1 else None
+
+        self._norm = _norm
 
     def set_max_num_chars(self, n: int) -> None:
         self.max_chars = n
@@ -59,9 +79,7 @@ class SnippetGenerator:
             return ""
         matches = []
         for m in self._tok_re.finditer(text):
-            tok = m.group(0).lower()
-            if len(tok.encode()) <= (self.analyzer.token_limit or 1 << 30) \
-                    and tok in self.terms:
+            if self._norm(m.group(0)) in self.terms:
                 matches.append((m.start(), m.end()))
         if not matches:
             return ""
@@ -83,11 +101,14 @@ class SnippetGenerator:
         # stops where the backoff started — an unbounded walk through a
         # long unbroken run could push the matched term past frag_end,
         # yielding a snippet without the hit
-        frag_start = max(0, start - 20)
+        # backoff is budgeted against max_chars so the primary match
+        # always fits inside [frag_start, frag_start + max_chars)
+        backoff = min(20, max(0, self.max_chars - (m_end - start)))
+        frag_start = max(0, start - backoff)
         while frag_start > 0 and not text[frag_start - 1].isspace():
             frag_start -= 1
             if m_end - frag_start > self.max_chars:
-                frag_start = max(0, start - 20)
+                frag_start = max(0, start - backoff)
                 break
         frag_end = min(len(text), frag_start + self.max_chars)
         frag = text[frag_start:frag_end]

@@ -179,10 +179,13 @@ _FP_OFFSET = np.uint64(14695981039346656037)
 def rolling_fingerprint(text: str | None) -> int:
     """Deterministic 64-bit rolling (FNV-1a) hash over utf-8 bytes.
 
-    Scalar reference implementation (kept for incremental / streaming
-    use); the batch path (``fingerprint_batch``) uses the vectorized
-    column-level siphash instead — a per-byte Python loop would cap the
-    stage at ~1 MB/s/core."""
+    A SEPARATE hash family from ``fingerprint_batch``'s fp64 (keyed
+    siphash) — the two are NOT interchangeable: never mix this with
+    fp64 columns in a dedup/join, the values will never agree. Kept
+    only as an incremental/streaming-friendly reference (FNV folds one
+    byte at a time); the batch path is vectorized siphash because a
+    per-byte Python loop caps at ~1 MB/s/core. Returns 0 for
+    null/empty input."""
     if not text:
         return 0
     h = _FP_OFFSET
@@ -196,7 +199,8 @@ def fingerprint_batch(t: pa.Table, col: str = "text",
     """(id, md5 hex, fp64) — md5 is the content-address (oracle-checked);
     fp64 is a fast 64-bit keyed siphash computed at column level
     (``pd.util.hash_array``: one C pass per string, >100 MB/s/core),
-    with 0 reserved for null/empty like ``string_fingerprint``."""
+    with 0 reserved for null/empty (note: ``scalars.string_fingerprint``
+    zeroes only NULL — empty strings hash there)."""
     text = t.column(col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()

@@ -37,11 +37,23 @@ def _desc_key(vals: np.ndarray) -> np.ndarray:
 
 def _block_topk(t: pa.Table, key: str, k: int, descending: bool,
                 tie_cols: tuple[str, ...]) -> pa.Table:
+    vals = np.asarray(t.column(key).to_numpy(zero_copy_only=False))
+    if vals.dtype.kind == "O":
+        # null string keys: np.unique/lexsort cannot compare None with
+        # str — exclude them (numeric-NaN keys already sort last/drop)
+        null = pd.isna(vals)
+        if null.any():
+            t = t.filter(pa.array(~null))
+            vals = vals[~null]
     if t.num_rows <= k:
         return t
-    vals = np.asarray(t.column(key).to_numpy(zero_copy_only=False))
-    ties = [np.asarray(t.column(c).to_numpy(zero_copy_only=False))
-            for c in tie_cols]
+    ties = []
+    for c in tie_cols:
+        tv = np.asarray(t.column(c).to_numpy(zero_copy_only=False))
+        if tv.dtype.kind == "O":
+            # factorize: None -> -1 (sorts first), comparable codes
+            tv, _ = pd.factorize(tv, sort=True)
+        ties.append(tv)
     sort_keys = tuple(reversed(ties)) + (
         (_desc_key(vals),) if descending else (vals,))
     order = np.lexsort(sort_keys)[:k]

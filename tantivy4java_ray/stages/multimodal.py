@@ -147,9 +147,11 @@ def decode_y4m_frames(payload: bytes, n_frames: int,
             cs = tok[1:]
     if not (w and h):
         raise ValueError("y4m header missing W/H")
-    if cs.startswith(b"420"):
+    # EXACT 8-bit colorspaces only: C420p10/C420p16 (2 bytes/sample)
+    # would half-size fsz, misalign the FRAME scan, and decode garbage
+    if cs in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
         fsz, full = w * h * 3 // 2, False
-    elif cs.startswith(b"444"):
+    elif cs == b"444":
         fsz, full = w * h * 3, True
     else:
         raise ValueError(f"unsupported y4m colorspace {cs!r}")
@@ -213,6 +215,12 @@ class ImageDecodeResize:
         self.fake = fake
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
+        if not payload:
+            # name the real problem; the codec NotImplementedError below
+            # would blame JPEG/PNG for a null/empty cell
+            raise ValueError(
+                f"null/empty {self.col!r} payload — filter null rows "
+                f"before the decode stage or use fake=True")
         if payload.startswith(b"P6"):
             return _resize_nearest(decode_ppm(payload), self.h, self.w)
         if payload.startswith(b"BM"):
@@ -234,8 +242,7 @@ class ImageDecodeResize:
         return pa.table({
             self.id_col: t.column(self.id_col),
             "pixels": pa.FixedSizeListArray.from_arrays(
-                pa.array(out.reshape(len(payloads), -1).ravel(),
-                         pa.uint8()), self.h * self.w * 3),
+                pa.array(out.ravel(), pa.uint8()), self.h * self.w * 3),
             "height": pa.array(np.full(len(payloads), self.h, np.int32)),
             "width": pa.array(np.full(len(payloads), self.w, np.int32)),
             "orig_bytes": pa.array(n_bytes)})
@@ -251,6 +258,10 @@ class AudioFrameSample:
         self.fake = fake
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
+        if not payload:
+            raise ValueError(
+                f"null/empty {self.col!r} payload — filter null rows "
+                f"before the decode stage or use fake=True")
         if payload.startswith(b"RIFF"):
             return decode_wav_energies(payload, self.n_frames)
         raise NotImplementedError(
@@ -293,6 +304,10 @@ class VideoFrameSample:
         self.fake = fake
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
+        if not payload:
+            raise ValueError(
+                f"null/empty {self.col!r} payload — filter null rows "
+                f"before the decode stage or use fake=True")
         if payload.startswith(b"YUV4MPEG2"):
             return decode_y4m_frames(payload, self.n_frames,
                                      (self.h, self.w))
@@ -321,7 +336,7 @@ class VideoFrameSample:
         return pa.table({
             self.id_col: t.column(self.id_col),
             "frames": pa.FixedSizeListArray.from_arrays(
-                pa.array(out.reshape(n, -1).ravel(), pa.uint8()), per),
+                pa.array(out.ravel(), pa.uint8()), per),
             "n_frames": pa.array(np.full(n, self.n_frames, np.int32)),
             "height": pa.array(np.full(n, self.h, np.int32)),
             "width": pa.array(np.full(n, self.w, np.int32)),
