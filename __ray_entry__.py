@@ -37,10 +37,15 @@ _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
 _FORMAT_VERSION = 3
 
 
-def _index_dir(sf_dir: str, exact: bool) -> str:
+def _cache_path(sf_dir: str, kind: str) -> str:
+    """One cache-keying rule for every per-sf cached artifact — a keying
+    change (salt, root, version) must apply to ALL of them at once."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    kind = "exact" if exact else "quant"
-    return f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/idx-{tag}-{kind}"
+    return f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/{kind}-{tag}"
+
+
+def _index_dir(sf_dir: str, exact: bool) -> str:
+    return _cache_path(sf_dir, "idx") + ("-exact" if exact else "-quant")
 
 
 def _doc_index(sf_dir: str, exact: bool = False):
@@ -60,7 +65,7 @@ def _doc_index(sf_dir: str, exact: bool = False):
     return IndexReader(idx)
 
 
-def _docs_table(reader, docs: np.ndarray) -> pd.DataFrame:
+def _docs_table(docs: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.asarray(docs, np.int64)})
 
 
@@ -72,7 +77,7 @@ def q_ft_term(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.term("text", "merge"))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_term_counts(sf_dir: str):
@@ -90,21 +95,21 @@ def q_ft_bool(sf_dir: str):
                        (Occur.MUST, Query.term("text", "join")),
                        (Occur.MUST_NOT, Query.term("text", "sort"))])
     docs, _ = r.evaluate(q)
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_phrase(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.phrase("text", ["batch", "batch"]))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_wildcard(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.wildcard("text", "jo*"))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_phrase_slop1(sf_dir: str):
@@ -113,7 +118,7 @@ def q_ft_phrase_slop1(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.phrase("text", ["merge", "join"], slop=1))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_fuzzy(sf_dir: str):
@@ -121,14 +126,14 @@ def q_ft_fuzzy(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.fuzzy_term("text", "merge", distance=1))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_exists(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.exists("lang"))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_range_nchars(sf_dir: str):
@@ -136,7 +141,7 @@ def q_ft_range_nchars(sf_dir: str):
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.range("n_chars", 100, 300,
                                      include_upper=False))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_bm25_topk(sf_dir: str):
@@ -227,7 +232,7 @@ def q_ft_term_set(sf_dir: str):
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.term_set(
         "text", ["spark", "sort", "zzznosuchterm"]))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_boost(sf_dir: str):
@@ -267,14 +272,14 @@ def q_ft_source_term(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.term("source", "src5"))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_ft_regex(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
     docs, _ = r.evaluate(Query.regex("text", "jo.n"))
-    return _docs_table(r, docs)
+    return _docs_table(docs)
 
 
 def q_search_highlight(sf_dir: str):
@@ -310,10 +315,9 @@ def _events_index(sf_dir: str):
     s = IndexSchema()
     s.add_integer_field("event_id", fast=True)
     s.add_json_field("props")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     return Index.create_from_parquet(
         f"{sf_dir}/events.parquet",
-        f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/idx-{tag}-events",
+        _cache_path(sf_dir, "idx") + "-events",
         s, target_docs_per_partition=50_000, num_shards=4)
 
 
@@ -328,8 +332,7 @@ def q_ft_whitespace_term(sf_dir: str):
     from tantivy4java_ray.query import Query
     from tantivy4java_ray.schema import IndexSchema
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/idx-{tag}-ws"
+    idx = _cache_path(sf_dir, "idx") + "-ws"
     s = IndexSchema()
     s.add_text_field("text", tokenizer="whitespace", index_option="freq")
     build_index(f"{sf_dir}/documents.parquet", idx, s,
@@ -350,8 +353,7 @@ def _ip_events_index(sf_dir: str):
     from tantivy4java_ray.pipelines.search import IndexReader
     from tantivy4java_ray.schema import IndexSchema
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/ip-{tag}"
+    base = _cache_path(sf_dir, "ip")
     src = f"{base}/src"
 
     def add_ip(b):
@@ -369,10 +371,18 @@ def _ip_events_index(sf_dir: str):
         return b.append_column("ip", pa.array(s, pa.string()))
 
     if not os.path.exists(f"{src}/_SUCCESS"):
+        # write to a tmp dir then rename: a crash mid-write would leave
+        # partial files that a rerun APPENDS to (Ray write_parquet
+        # defaults to append), permanently duplicating rows in the cache
+        import shutil
+        tmp = f"{src}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         (ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id"])
          .map_batches(add_ip, batch_format="pyarrow")
-         .write_parquet(src))
+         .write_parquet(tmp))
+        shutil.rmtree(src, ignore_errors=True)
+        os.replace(tmp, src)
         open(f"{src}/_SUCCESS", "w").close()
     s = IndexSchema()
     s.add_integer_field("event_id", fast=True)
@@ -582,8 +592,7 @@ def q_facet_counts(sf_dir: str):
     from tantivy4java_ray.pipelines.search import IndexReader
     from tantivy4java_ray.schema import IndexSchema
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/facet-{tag}"
+    base = _cache_path(sf_dir, "facet")
     src = f"{base}/docs.parquet"
     idx = f"{base}/idx"
     if not os.path.exists(src):
@@ -755,8 +764,7 @@ def q_ann_ivf(sf_dir: str):
     import ray.data
     from tantivy4java_ray.functions.ivf import IVFIndex, build_ivf_index
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/ivf-{tag}"
+    path = _cache_path(sf_dir, "ivf")
     if os.path.exists(os.path.join(path, "meta.json")):
         idx = IVFIndex(path)
     else:
@@ -774,8 +782,7 @@ def q_ann_ivf_exact(sf_dir: str):
     import ray.data
     from tantivy4java_ray.functions.ivf import IVFIndex, build_ivf_index
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = f"/tmp/t4jr_cache/v{_FORMAT_VERSION}/ivf-{tag}"
+    path = _cache_path(sf_dir, "ivf")
     if os.path.exists(os.path.join(path, "meta.json")):
         idx = IVFIndex(path)
     else:

@@ -364,10 +364,14 @@ def main() -> None:
         # warm-up: a small build prestarts worker processes with the
         # package imported, so the measured run reflects steady-state
         # cluster throughput rather than cold process spawn
-        build_webpages(n, f"warm{n}", n_docs=20000, out_base=out_base)
+        warm = build_webpages(n, f"warm{n}", n_docs=20000,
+                              out_base=out_base)
         res = build_webpages(n, f"scale{n}", n_docs=SCALING_DOCS,
                              out_base=out_base)
         if out_base.startswith("/dev/shm"):
+            # tmpfs is RAM shared with Ray's object store: leaked warm
+            # indexes would shrink it for every later run
+            shutil.rmtree(warm["index_dir"], ignore_errors=True)
             shutil.rmtree(res["index_dir"], ignore_errors=True)
         import ray
         ray.shutdown()
@@ -400,9 +404,16 @@ def main() -> None:
                      "--scaling-child", str(n)],
                     capture_output=True, text=True, timeout=3000,
                     cwd=os.path.dirname(os.path.abspath(__file__)))
-                line = [ln for ln in p.stdout.strip().splitlines()
-                        if ln.startswith("{")][-1]
-                r = json.loads(line)
+                lines = [ln for ln in p.stdout.strip().splitlines()
+                         if ln.startswith("{")]
+                if p.returncode != 0 or not lines:
+                    # surface the child's actual failure (OOM, Ray init,
+                    # traceback) instead of an opaque IndexError here
+                    sys.stderr.write(p.stderr[-4000:])
+                    raise RuntimeError(
+                        f"scaling child (cpus={n}) failed with "
+                        f"rc={p.returncode}; stderr above")
+                r = json.loads(lines[-1])
                 all_runs.append(r)
                 if n not in best or r["docs_per_sec"] > \
                         best[n]["docs_per_sec"]:

@@ -81,7 +81,9 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         return _dispatch(args)
-    except (FileNotFoundError, KeyError) as e:
+    except FileNotFoundError as e:
+        # NOT KeyError: an internal KeyError is a bug whose traceback a
+        # user needs, not a cryptic one-token {"error": "'hotcache'"}
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
     except Exception as e:  # QueryParseError etc. — friendly, no traceback

@@ -30,10 +30,19 @@ SchemaBuilder = IndexSchema  # builder-style add_* methods live on IndexSchema
 
 
 class Searcher:
-    """``core/Searcher.java`` analog over an open index."""
+    """``core/Searcher.java`` analog over an open index.
 
-    def __init__(self, reader: IndexReader):
-        self._r = reader
+    Resolves the reader through its ``Index`` on every call, so
+    ``index.reload()`` after a commit is observed by searchers already
+    handed out (a captured reader would silently keep serving the
+    pre-commit view forever)."""
+
+    def __init__(self, index: "Index"):
+        self._index = index
+
+    @property
+    def _r(self) -> IndexReader:
+        return self._index.reader()
 
     def search(self, query: Query | str, limit: int = 10,
                offset: int = 0, method: str = "auto") -> SearchResult:
@@ -88,12 +97,28 @@ class Index:
         import os
 
         import pyarrow.parquet as pq
+        import hashlib
+        import io
+
         if isinstance(docs, list):
             docs = pa.Table.from_pylist(docs)
         stage = os.path.join(index_dir, "_ingest")
         os.makedirs(stage, exist_ok=True)
-        path = os.path.join(stage, "docs-0000.parquet")
-        pq.write_table(docs, path)
+        # content-addressed staging name: build_index's committed fast
+        # path fingerprints file PATHS + row counts, so re-ingesting
+        # DIFFERENT docs with the same count at a fixed name would
+        # silently reuse the stale index while the retrieval source
+        # parquet underneath it was already overwritten (old postings
+        # positionally joined to new rows). Same docs -> same name ->
+        # the fast path still applies.
+        buf = io.BytesIO()
+        pq.write_table(docs, buf)
+        tag = hashlib.md5(buf.getvalue()).hexdigest()[:12]
+        path = os.path.join(stage, f"docs-{tag}.parquet")
+        if not os.path.exists(path):
+            with open(path + ".tmp", "wb") as f:
+                f.write(buf.getvalue())
+            os.replace(path + ".tmp", path)
         build_index(path, index_dir, schema, **build_kwargs)
         return cls(index_dir)
 
@@ -126,7 +151,7 @@ class Index:
         self._reader = None
 
     def searcher(self) -> Searcher:
-        return Searcher(self.reader())
+        return Searcher(self)
 
     @property
     def schema(self) -> IndexSchema:
