@@ -1,0 +1,109 @@
+"""Property tests for round-3 additions: prefix edit distance, lenient
+parser totality, query JSON wire roundtrip, facet encoding injectivity,
+IP term order preservation."""
+
+import ipaddress
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tantivy4java_ray.functions.scalars import (facet_encode, facet_parts,
+                                                ip_term)
+from tantivy4java_ray.pipelines.search import _edit_distance
+from tantivy4java_ray.query import Occur, Query, parse_query
+from tantivy4java_ray.schema import IndexSchema
+
+_SCHEMA = IndexSchema()
+_SCHEMA.add_text_field("text")
+_SCHEMA.add_integer_field("n", fast=True)
+
+
+def _brute_prefix_dist(a: str, b: str, transposition: bool) -> int:
+    big = max(len(a), len(b)) + 2
+    return min(_edit_distance(a, b[:j], big, transposition)
+               for j in range(len(b) + 1))
+
+
+@given(st.text(alphabet="abcd", max_size=10),
+       st.text(alphabet="abcd", max_size=14),
+       st.integers(0, 3), st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_prefix_edit_distance_matches_brute_force(a, b, cap, transp):
+    got = _edit_distance(a, b, cap, transp, prefix=True)
+    true = _brute_prefix_dist(a, b, transp)
+    if true <= cap:
+        assert got == true
+    else:
+        assert got > cap
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_lenient_parse_never_raises(text):
+    q = parse_query(text, _SCHEMA, lenient=True)
+    assert isinstance(q, Query)
+
+
+def _queries():
+    leaf = st.one_of(
+        st.builds(Query.term, st.just("text"), st.text(max_size=8)),
+        st.builds(Query.range, st.just("n"), st.integers(0, 100),
+                  st.integers(0, 100)),
+        st.builds(Query.fuzzy_term, st.just("text"),
+                  st.text(min_size=1, max_size=6), st.integers(0, 2)),
+        st.just(Query.all()),
+        st.builds(Query.exists, st.just("n")))
+    return st.recursive(
+        leaf,
+        lambda kids: st.one_of(
+            st.builds(lambda a, b: Query.boolean(
+                [(Occur.MUST, a), (Occur.SHOULD, b)]), kids, kids),
+            st.builds(lambda a: Query.boost(a, 2.0), kids),
+            st.builds(lambda a, b: Query.disjunction_max([a, b], 0.3),
+                      kids, kids)),
+        max_leaves=6)
+
+
+@given(_queries())
+@settings(max_examples=200, deadline=None)
+def test_query_json_wire_roundtrip(q):
+    assert Query.from_json(q.to_json()) == q
+
+
+@given(st.lists(st.text(alphabet=st.characters(
+    blacklist_categories=("Cs",)), max_size=8), min_size=1, max_size=4))
+@settings(max_examples=300, deadline=None)
+def test_facet_roundtrip(parts):
+    if parts == [""]:
+        # encode([""]) == "/" == the ROOT facet (zero segments) — a
+        # facet of one empty segment is not representable, matching
+        # tantivy's Facet::from_text("/") semantics
+        assert facet_parts(facet_encode(*parts)) == []
+        return
+    assert facet_parts(facet_encode(*parts)) == list(parts)
+
+
+@given(st.lists(st.integers(0, 2**32 - 1), min_size=2, max_size=50,
+                unique=True))
+@settings(max_examples=200, deadline=None)
+def test_ip_term_order_preserving_v4(ints):
+    ips = [str(ipaddress.IPv4Address(x)) for x in ints]
+    terms = [ip_term(ip) for ip in ips]
+    order_num = np.argsort(np.asarray(ints, np.uint64))
+    order_lex = np.argsort(np.asarray(terms, object))
+    assert list(order_num) == list(order_lex)
+
+
+@given(st.lists(st.integers(0, 2**128 - 1), min_size=2, max_size=30,
+                unique=True))
+@settings(max_examples=100, deadline=None)
+def test_ip_term_order_preserving_v6(ints):
+    # exclude the v4-mapped range, which canonicalizes through v4
+    ints = [x for x in ints if not (0xFFFF00000000 <= x < 0x1_0000_0000_0000)]
+    if len(ints) < 2:
+        return
+    ips = [str(ipaddress.IPv6Address(x)) for x in ints]
+    terms = [ip_term(ip) for ip in ips]
+    by_num = [t for _x, t in sorted(zip(ints, terms))]
+    assert by_num == sorted(terms)
