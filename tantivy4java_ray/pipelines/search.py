@@ -161,6 +161,7 @@ class IndexReader:
         # repeated filters cost one dictionary hit (Quickwit caches the
         # same shape per-split)
         self._union_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._shard_memo: dict[tuple[str, str], list[int]] = {}
         self._union_cache_bytes = 0
         self.union_cache_max = 32 << 20
         self._df_cache: dict[tuple[str, str], int] = {}
@@ -188,13 +189,26 @@ class IndexReader:
     def _candidate_shards(self, field: str, term: str) -> list[int]:
         """Base shard + every hot-salt shard (build.term_shard_salted):
         a hot term's runs may be spread across up to ``hot_salts`` shards.
-        \x1f separator: pandas siphash truncates at NUL."""
+        \x1f separator: pandas siphash truncates at NUL.
+
+        categorize=False: hash VALUES are identical either way (it is a
+        large-array optimization), but the factorize/Categorical setup
+        it runs dominates warm single-term query CPU (~70% profiled).
+        Memoized per (field, term) — repeat queries skip hashing."""
+        hit = self._shard_memo.get((field, term))
+        if hit is not None:
+            return hit
         keys = [f"{field}\x1f{term}"]
         keys += [f"{field}\x1f{term}\x1f#s{s}"
                  for s in range(self.hot_salts)]
-        hs = pd.util.hash_array(np.array(keys, dtype=object))
-        return list(dict.fromkeys(
+        hs = pd.util.hash_array(np.array(keys, dtype=object),
+                                categorize=False)
+        out = list(dict.fromkeys(
             int(h % np.uint64(self.num_shards)) for h in hs))
+        if len(self._shard_memo) >= 65536:
+            self._shard_memo.clear()   # tiny entries; flat reset is fine
+        self._shard_memo[(field, term)] = out
+        return out
 
     def _term_runs(self, field: str, term: str) -> list[tuple[int, int]]:
         """-> [(sid, dict_row)] for every run of the term, ascending
