@@ -196,7 +196,9 @@ def _map_arrow_type(t: pa.DataType) -> FieldType | None:
         return FieldType.STRING
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return FieldType.STRING
-    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+    if (pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t)):
+        # FixedSizeBinary(_) => Bytes in the reference table too
         return FieldType.BYTES
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         return FieldType.DATE

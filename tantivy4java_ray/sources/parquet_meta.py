@@ -58,7 +58,10 @@ def expand_paths(paths: str | list[str]) -> list[str]:
                 hits = fs.glob(fp.rstrip("/") + "/**/*.parquet")
             else:
                 hits = [fp]
-            out.extend(f"{proto}://{h}" for h in sorted(hits))
+            # http(s)-style filesystems do NOT strip the scheme, so a
+            # blind f"{proto}://{h}" would double-prefix those paths
+            out.extend(h if "://" in h else f"{proto}://{h}"
+                       for h in sorted(hits))
         elif os.path.isdir(p):
             out.extend(sorted(glob.glob(os.path.join(p, "**", "*.parquet"),
                                         recursive=True)))

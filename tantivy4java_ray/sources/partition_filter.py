@@ -14,11 +14,44 @@ serialize portably).
 
 from __future__ import annotations
 
+import base64
+import datetime as _dt
 import json
 from typing import Any
 
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
+
+
+def _json_default(v):
+    """Tagged encodings for the value types a partition filter commonly
+    carries but JSON cannot (timestamps on ``warc_ts``, binary keys,
+    numpy scalars) — otherwise ``to_json`` raises on exactly the
+    filters the fixture invites."""
+    import numpy as np
+    if isinstance(v, np.datetime64):
+        v = v.astype("datetime64[us]").item()
+    elif isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, _dt.datetime):
+        return {"$ts": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"$date": v.isoformat()}
+    if isinstance(v, (bytes, bytearray)):
+        return {"$b64": base64.b64encode(bytes(v)).decode()}
+    raise TypeError(f"partition-filter value {v!r} ({type(v).__name__}) "
+                    f"is not JSON-serializable")
+
+
+def _json_hook(d: dict):
+    if len(d) == 1:
+        if "$ts" in d:
+            return _dt.datetime.fromisoformat(d["$ts"])
+        if "$date" in d:
+            return _dt.date.fromisoformat(d["$date"])
+        if "$b64" in d:
+            return base64.b64decode(d["$b64"])
+    return d
 
 
 class PartitionFilter:
@@ -87,8 +120,10 @@ class PartitionFilter:
 
     def to_json(self) -> str:
         """JSON AST, round-trippable via ``from_json`` (the reference
-        ships the filter as JSON across processes)."""
-        return json.dumps(self._ast)
+        ships the filter as JSON across processes). Timestamps, dates,
+        bytes and numpy scalars are encoded with ``$ts``/``$date``/
+        ``$b64`` tags."""
+        return json.dumps(self._ast, default=_json_default)
 
     #: leaf factory names from_json may dispatch to — NEVER raw getattr
     #: (a malformed/hostile AST could invoke arbitrary class attributes,
@@ -108,7 +143,7 @@ class PartitionFilter:
                 raise ValueError(f"unknown partition-filter op {op!r}")
             return getattr(PartitionFilter, op)(*args)
 
-        return build(json.loads(text))
+        return build(json.loads(text, object_hook=_json_hook))
 
     def scan(self, paths, columns: list[str] | None = None):
         """Filtered pyarrow table (row-group pruning via the expression)."""

@@ -19,7 +19,23 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 VOCAB = 10_000
-_LANGS = ["en"] * 18 + ["de", "fr"]
+#: doc_id % 20 -> lang: en 85%, de/fr/"" 5% each (F1)
+_LANGS = ["en"] * 17 + ["de", "fr", ""]
+
+
+def _zipf_words(rng: np.random.Generator, total: int) -> np.ndarray:
+    """``total`` Zipf(1.1) samples REJECTION-limited to the vocabulary.
+    Clamping with np.minimum would funnel the entire out-of-range tail
+    (~37% of mass at s=1.1) onto the LAST word, making w9999 the
+    hottest term instead of the Zipf head w0000."""
+    parts: list[np.ndarray] = []
+    need = total
+    while need > 0:
+        draw = rng.zipf(1.1, int(need * 1.7) + 16)
+        draw = draw[draw <= VOCAB][:need]
+        parts.append(draw)
+        need -= len(draw)
+    return np.concatenate(parts) - 1
 
 
 def generate_webpages(n_rows: int, seed: int = 42,
@@ -33,7 +49,7 @@ def generate_webpages(n_rows: int, seed: int = 42,
     lengths = np.clip(rng.lognormal(np.log(200), 0.7, n_rows), 5, 2000
                       ).astype(np.int64)
     total = int(lengths.sum())
-    word_ids = np.minimum(rng.zipf(1.1, total), VOCAB) - 1
+    word_ids = _zipf_words(rng, total)
     words = np.array([f"w{i:04d}" for i in range(VOCAB)], dtype=object)
     flat = words[word_ids]
     offsets = np.concatenate(([0], np.cumsum(lengths)))
@@ -55,16 +71,31 @@ def generate_webpages(n_rows: int, seed: int = 42,
     lengths3[phrase_docs] += 3
     offsets3 = np.concatenate(([0], np.cumsum(lengths3)))
 
+    # plain string carries int32 BYTE offsets: past 2 GiB of token bytes
+    # (~1.6M docs in one call) pa.array silently returns a ChunkedArray
+    # and ListArray.from_arrays raises. Detect that and switch the WHOLE
+    # join pipeline to the large (64-bit-offset) kernels — binary_join
+    # has no mixed list<large_string>/string kernel.
     toks_arr = pa.array(flat, pa.string())
-    if offsets3[-1] < 2**31:
+    if (not isinstance(toks_arr, pa.ChunkedArray)
+            and offsets3[-1] < 2**31):
         lists = pa.ListArray.from_arrays(
             pa.array(offsets3, pa.int32()), toks_arr)
+        sep = " "
     else:
-        # >= 2^31 total token bytes need 64-bit offsets, which means a
-        # LargeListArray (ListArray.from_arrays requires int32 offsets)
+        toks_arr = pa.array(flat, pa.large_string())
+        if isinstance(toks_arr, pa.ChunkedArray):
+            toks_arr = toks_arr.combine_chunks()
         lists = pa.LargeListArray.from_arrays(
             pa.array(offsets3, pa.int64()), toks_arr)
-    text_all = pc.binary_join(lists, " ")
+        sep = pa.scalar(" ", pa.large_string())
+    text_all = pc.binary_join(lists, sep)
+    if pa.types.is_large_string(text_all.type):
+        try:
+            # keep the documented text:string schema whenever it fits
+            text_all = text_all.cast(pa.string())
+        except pa.ArrowInvalid:
+            pass  # > 2 GiB of text in one call: stay large_string
 
     urls = pa.array([f"https://site{d % 1000}.example/page/{d}"
                      for d in doc_ids], pa.string())
@@ -75,8 +106,7 @@ def generate_webpages(n_rows: int, seed: int = 42,
     null_mask = (doc_ids % 20 == 7)
     texts = pc.if_else(pa.array(~null_mask), text_all,
                        pa.scalar(None, pa.string()))
-    langs = pa.array(["" if d % 20 == 19 else _LANGS[d % 20]
-                      for d in doc_ids], pa.string())
+    langs = pa.array([_LANGS[d % 20] for d in doc_ids], pa.string())
 
     ts0 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
     warc_ts = pa.array(ts0 + doc_ids * 1_000_000, pa.timestamp("us"))

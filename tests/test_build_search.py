@@ -160,7 +160,8 @@ def test_range_over_date_fast_field(corpus):
 def test_string_field_term_and_exists(corpus):
     _, reader, _ = corpus
     docs, _ = reader.evaluate(Query.term("lang", "de"))
-    assert list(docs) == [d for d in range(N_DOCS) if d % 20 == 18]
+    # lang layout: en x17, de (17), fr (18), "" (19) per doc_id % 20
+    assert list(docs) == [d for d in range(N_DOCS) if d % 20 == 17]
     docs, _ = reader.evaluate(Query.term("url",
                                          "https://site1.example/page/1"))
     assert list(docs) == [1]
