@@ -45,6 +45,6 @@ def test_partition_filter_typed_json_roundtrip():
 
 
 def test_fixed_size_binary_maps_to_bytes():
-    sch = pa.schema([("id", pa.int64()), ("h", pa.fixed_size_binary(16))])
+    sch = pa.schema([("id", pa.int64()), ("h", pa.binary(16))])
     idx = infer_index_schema(sch)
     assert idx.get_field("h").type is FieldType.BYTES
