@@ -7,8 +7,11 @@ land in cluster-partitioned parquet, so a query reads only its probed
 clusters' files —
 
     build:  sample -> k-means (driver)        # centroids.npy + meta
-            map_batches(assign, broadcast)    # one pass over the data
+            map_batches(assign, broadcast)    # ONE assignment pass
             write_parquet(partition_cols=[__cluster])
+            (plus a count() and the sampling scan up front — three
+            dataset executions total; the assignment+write pass is the
+            only one that touches every embedding byte twice)
     query:  probe top-nprobe centroids        # driver, tiny
             read_parquet(<probed dirs only>)  # prunes at the READ
             brute-force cosine top-k inside   # partial top-k per block
@@ -20,7 +23,6 @@ sample is ordering-biased).
 from __future__ import annotations
 
 import io
-import json
 
 import numpy as np
 import pandas as pd
@@ -28,6 +30,7 @@ import pyarrow as pa
 
 from tantivy4java_ray import storage as st
 from tantivy4java_ray.functions.similarity import (_emb_matrix, _kmeans,
+                                                   _merge_partials,
                                                    _normalize,
                                                    _tie_exact_topk)
 
@@ -35,11 +38,13 @@ from tantivy4java_ray.functions.similarity import (_emb_matrix, _kmeans,
 def build_ivf_index(ds, out_dir: str, *, emb_col: str = "embedding",
                     id_col: str = "vec_id", n_clusters: int = 64,
                     sample_size: int = 10_000, seed: int = 42,
-                    concurrency: int = 4) -> "IVFIndex":
+                    concurrency: int | None = None) -> "IVFIndex":
     import ray
 
     total = ds.count()
-    frac = min(1.0, sample_size / max(total, 1))
+    if total == 0:
+        raise ValueError("build_ivf_index: dataset is empty")
+    frac = min(1.0, sample_size / total)
     sample_ds = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     sample = np.stack(sample_ds.limit(sample_size)
                       .to_pandas()[emb_col].to_numpy())
@@ -53,9 +58,17 @@ def build_ivf_index(ds, out_dir: str, *, emb_col: str = "embedding",
         return t.append_column("__cluster",
                                pa.array(a.astype(np.int32)))
 
-    (ds.map_batches(assign, batch_format="pyarrow")
-       .write_parquet(st.sjoin(out_dir, "data"),
-                      partition_cols=["__cluster"]))
+    # purge any prior build's cluster files first: Ray's write_parquet
+    # APPENDS uniquely-named files, so a rebuild (or a retry after a
+    # crash that died before meta.json landed — the exact state that
+    # triggers rebuilds) would mix stale vectors with new ones and
+    # search would return duplicates
+    data_dir = st.sjoin(out_dir, "data")
+    if st.sexists(data_dir):
+        st.srmtree(data_dir)
+    (ds.map_batches(assign, batch_format="pyarrow",
+                    **({"concurrency": concurrency} if concurrency else {}))
+       .write_parquet(data_dir, partition_cols=["__cluster"]))
     buf = io.BytesIO()
     np.save(buf, cents)
     st.write_bytes_atomic(buf.getvalue(), st.sjoin(out_dir, "centroids.npy"))
@@ -134,12 +147,4 @@ class IVFIndex:
         partials = sub.map_batches(block, batch_format="pyarrow",
                                    concurrency=concurrency,
                                    num_cpus=1).to_pandas()
-        out = []
-        for qi, g in partials.groupby("query_id"):
-            g = (g.sort_values(["score", id_col], ascending=[False, True],
-                               kind="stable").head(k).reset_index(drop=True))
-            g["rank"] = np.arange(len(g), dtype=np.int32)
-            out.append(g)
-        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-            {"query_id": [], id_col: [], "score": [], "rank": []})
-        return res[["query_id", "rank", id_col, "score"]]
+        return _merge_partials(partials, id_col, k)

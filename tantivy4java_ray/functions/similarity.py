@@ -23,11 +23,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
+    """(n, dim) float32 matrix from a list<float> column. Validated:
+    a blind flatten().reshape(n, -1) silently pairs ids with the WRONG
+    vectors on ragged/null rows whenever the flat length divides n."""
+    import pyarrow.compute as pc
     col = t.column(emb_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray Data's ArrowTensorType wraps a (fixed-size) list storage
+        col = col.storage
+    if col.null_count:
+        raise ValueError(
+            f"{emb_col!r} has {col.null_count} null embedding rows — "
+            f"filter them before similarity search")
     n = len(col)
+    if pa.types.is_fixed_size_list(col.type):
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32)
+        return flat.reshape(n, col.type.list_size)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if len(lens) and (lens != lens[0]).any():
+        bad = int(np.flatnonzero(lens != lens[0])[0])
+        raise ValueError(
+            f"{emb_col!r} is ragged: row {bad} has {int(lens[bad])} "
+            f"components, expected {int(lens[0])}")
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
     return flat.reshape(n, -1)
 
 
@@ -39,6 +59,8 @@ def _tie_exact_topk(s: np.ndarray, ids: np.ndarray,
     duplicate vectors. NaN scores (NaN embedding components) are
     excluded — a row that compares as 'unknown' must never displace a
     real neighbor; may return fewer than k indices."""
+    if k <= 0:
+        return np.empty(0, np.int64)
     valid = np.flatnonzero(~np.isnan(s))
     if len(valid) > k:
         part = valid[np.argpartition(-s[valid], k - 1)[:k]]
@@ -47,6 +69,26 @@ def _tie_exact_topk(s: np.ndarray, ids: np.ndarray,
     else:
         cand = valid
     return cand[np.lexsort((ids[cand], -s[cand]))][:k]
+
+
+def _merge_partials(partials: pd.DataFrame, id_col: str,
+                    k: int) -> pd.DataFrame:
+    """Driver merge shared by every similarity surface: per-query
+    (score desc, id asc) head-k with a dense rank column — ONE copy of
+    the contract (rank dtype, tie order, empty-frame shape)."""
+    if "query_id" not in partials.columns:
+        # all blocks empty: Ray hands back a column-less frame
+        return pd.DataFrame({"query_id": [], "rank": [], id_col: [],
+                             "score": []})
+    out = []
+    for _qi, g in partials.groupby("query_id"):
+        g = (g.sort_values(["score", id_col], ascending=[False, True],
+                           kind="stable").head(k).reset_index(drop=True))
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"query_id": [], id_col: [], "score": [], "rank": []})
+    return res[["query_id", "rank", id_col, "score"]]
 
 
 def _block_topk(t: pa.Table, q: np.ndarray, emb_col: str, id_col: str,
@@ -86,16 +128,7 @@ def topk_cosine(ds, query_vecs: np.ndarray, *, emb_col: str = "embedding",
     partials = ds.map_batches(
         block_topk, batch_format="pyarrow",
         **({"concurrency": concurrency} if concurrency else {})).to_pandas()
-    out = []
-    for qi, g in partials.groupby("query_id"):
-        g = g.sort_values(["score", id_col], ascending=[False, True],
-                          kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int32)
-        out.append(g)
-    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        {"query_id": [], id_col: [], "score": [], "rank": []})
-    return res[["query_id", "rank", id_col, "score"]]
+    return _merge_partials(partials, id_col, k)
 
 
 # ---------------------------------------------------------------------------
@@ -128,7 +161,9 @@ def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
 
     # random sample, not limit(): a head sample is ordering-biased
     total = ds.count()
-    frac = min(1.0, sample_size / max(total, 1))
+    if total == 0:
+        raise ValueError("ivf_topk_cosine: dataset is empty")
+    frac = min(1.0, sample_size / total)
     sample_ds = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     sample_rows = sample_ds.limit(sample_size).to_pandas()
     sample = np.stack(sample_rows[emb_col].to_numpy())
@@ -173,12 +208,4 @@ def ivf_topk_cosine(ds, query_vecs: np.ndarray, *,
     partials = ds.map_batches(
         ivf_block, batch_format="pyarrow",
         **({"concurrency": concurrency} if concurrency else {})).to_pandas()
-    out = []
-    for qi, g in partials.groupby("query_id"):
-        g = g.sort_values(["score", id_col], ascending=[False, True],
-                          kind="stable").head(k).reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int32)
-        out.append(g)
-    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        {"query_id": [], id_col: [], "score": [], "rank": []})
-    return res[["query_id", "rank", id_col, "score"]]
+    return _merge_partials(partials, id_col, k)

@@ -348,6 +348,9 @@ def parse_query(text: str, schema: "Any", default_fields: list[str] | None = Non
         occur = Occur.SHOULD
         t = peek()
         if t is None:
+            # a trailing '+'/'-'/NOT with nothing bound to it
+            if lenient:
+                return None, occur
             raise QueryParseError("unexpected end of query")
         if t[0] in ("plus", "minus", "not"):
             eat()

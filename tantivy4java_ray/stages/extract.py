@@ -60,6 +60,11 @@ def fill_text_from_html(text_col: pa.Array | pa.ChunkedArray,
         text_col = text_col.combine_chunks()
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
+    # normalize the TYPE up front: the no-null early return used to
+    # keep large_string while the fill path cast to string, so block
+    # schemas flapped with the null distribution of the data
+    if not pa.types.is_string(text_col.type):
+        text_col = text_col.cast(pa.string())
     null_mask = text_col.is_null()
     mask = np.asarray(null_mask.to_numpy(zero_copy_only=False), bool)
     if not mask.any():
