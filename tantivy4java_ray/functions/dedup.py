@@ -190,14 +190,21 @@ class MinHasher:
             seg_starts = np.concatenate(([0], np.cumsum(vc)[:-1]))
             sixty_one = np.uint64(61)
             chunk = 32  # perms at a time: bounds memory at |shingles|*32*8B
+            fold = np.empty((len(h), chunk), np.uint64)
             for c0 in range(0, self.num_perm, chunk):
                 c1 = min(c0 + chunk, self.num_perm)
-                vals = (h[:, None] * self.a[None, c0:c1]
-                        + self.b[None, c0:c1])
-                # exact x mod (2^61-1) via shift-fold — u64 division is
-                # the hot instruction otherwise
-                vals = (vals & _MERSENNE) + (vals >> sixty_one)
-                vals = np.where(vals >= _MERSENNE, vals - _MERSENNE, vals)
+                vals = h[:, None] * self.a[None, c0:c1]
+                vals += self.b[None, c0:c1]
+                # exact x mod (2^61-1) via shift-fold, all IN PLACE —
+                # each (shingles x chunk) temporary is ~100 MB at batch
+                # scale, and the extra allocations/passes dominated the
+                # u64 math itself (u64 division would be worse still)
+                f = fold[:, :c1 - c0]
+                np.right_shift(vals, sixty_one, out=f)
+                vals &= _MERSENNE
+                vals += f
+                np.subtract(vals, _MERSENNE, out=vals,
+                            where=vals >= _MERSENNE)
                 # per-doc minima: segments are contiguous -> reduceat
                 # (minimum.at is the slow unbuffered path)
                 sigs[:, c0:c1] = np.minimum.reduceat(vals, seg_starts,
