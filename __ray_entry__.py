@@ -129,6 +129,19 @@ def q_ft_fuzzy(sf_dir: str):
     return _docs_table(docs)
 
 
+def q_ft_fuzzy_prefix(sf_dir: str):
+    """FuzzyTermQuery::new_prefix contract: a token matches when some
+    PREFIX of it is within Damerau-Levenshtein 1 of 'custo' — admits
+    'customer' (prefix 'custo', d=0) although the WHOLE token is d=3;
+    whole-token fuzzy of 'custo' matches zero docs on this corpus, so
+    the oracle genuinely discriminates the prefix semantics."""
+    from tantivy4java_ray.query import Query
+    r = _doc_index(sf_dir)
+    docs, _ = r.evaluate(Query.fuzzy_term("text", "custo", distance=1,
+                                          prefix=True))
+    return _docs_table(docs)
+
+
 def q_ft_exists(sf_dir: str):
     from tantivy4java_ray.query import Query
     r = _doc_index(sf_dir)
@@ -915,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase": q_ft_phrase,
         "ft_phrase_slop1": q_ft_phrase_slop1,
         "ft_fuzzy": q_ft_fuzzy,
+        "ft_fuzzy_prefix": q_ft_fuzzy_prefix,
         "ft_exists": q_ft_exists,
         "ft_wildcard": q_ft_wildcard,
         "ft_range_nchars": q_ft_range_nchars,
@@ -1005,6 +1019,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM (
               SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
             WHERE damerau_levenshtein(tok, 'merge') <= 1""",
+        # prefix-fuzzy: min over PREFIXES of each token (lengths 0..6 —
+        # longer prefixes exceed the distance cap by length alone)
+        "ft_fuzzy_prefix": f"""
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+              generate_series(0, 6) AS g(n)
+            WHERE damerau_levenshtein(substr(tok, 1, CAST(n AS INT)),
+                                      'custo') <= 1""",
         "ft_exists":
             "SELECT doc_id FROM documents WHERE lang IS NOT NULL",
         "ft_wildcard":
