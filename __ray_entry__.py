@@ -1197,9 +1197,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(var_pop(value), 4) AS variance, "
             "ROUND(stddev_pop(value), 4) AS std FROM events",
         "agg_histogram_events":
-            "SELECT floor(value / 10.0) * 10.0 AS bucket, "
-            "count(*) AS doc_count FROM events WHERE value IS NOT NULL "
-            "GROUP BY 1 ORDER BY 1",
+            # interior gaps filled with empty buckets (ES/tantivy
+            # min_doc_count=0 histogram semantics)
+            "WITH sparse AS (SELECT floor(value / 10.0) * 10.0 AS bucket,"
+            " count(*) AS doc_count FROM events WHERE value IS NOT NULL"
+            " GROUP BY 1), dense AS (SELECT unnest(generate_series("
+            "CAST((SELECT min(bucket)/10 FROM sparse) AS BIGINT),"
+            " CAST((SELECT max(bucket)/10 FROM sparse) AS BIGINT)"
+            ")) * 10.0 AS bucket)"
+            " SELECT d.bucket, coalesce(s.doc_count, 0) AS doc_count"
+            " FROM dense d LEFT JOIN sparse s USING (bucket) ORDER BY 1",
         "agg_date_histogram_events":
             "SELECT strftime(date_trunc('day', ts), "
             "'%Y-%m-%dT%H:%M:%S.%f') AS day, count(*) AS doc_count "
@@ -1215,10 +1222,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(value), 2) AS sum_value FROM events "
             "GROUP BY event_type ORDER BY doc_count DESC, event_type",
         "agg_nested_2level":
-            "SELECT event_type, floor(value / 50.0) * 50.0 AS bucket, "
-            "count(*) AS doc_count, ROUND(sum(value), 2) AS sum_value "
-            "FROM events WHERE value IS NOT NULL "
-            "GROUP BY 1, 2 ORDER BY 1, 2",
+            # per-type interior gap fill (histogram under terms)
+            "WITH sparse AS (SELECT event_type,"
+            " floor(value / 50.0) * 50.0 AS bucket, count(*) AS doc_count,"
+            " ROUND(sum(value), 2) AS sum_value FROM events"
+            " WHERE value IS NOT NULL GROUP BY 1, 2),"
+            " bounds AS (SELECT event_type, CAST(min(bucket)/50 AS BIGINT)"
+            " lo, CAST(max(bucket)/50 AS BIGINT) hi FROM sparse GROUP BY 1),"
+            " dense AS (SELECT event_type,"
+            " unnest(generate_series(lo, hi)) * 50.0 AS bucket"
+            " FROM bounds)"
+            " SELECT d.event_type, d.bucket,"
+            " coalesce(s.doc_count, 0) AS doc_count,"
+            " coalesce(s.sum_value, 0.0) AS sum_value"
+            " FROM dense d LEFT JOIN sparse s"
+            " USING (event_type, bucket) ORDER BY 1, 2",
         "agg_multi_terms":
             "SELECT lang, source, count(*) AS doc_count FROM documents "
             "GROUP BY lang, source ORDER BY lang, source",

@@ -466,6 +466,35 @@ def _finalize_one(spec: dict, st: Any) -> dict:
         return _pct_rank_finalize(st, body.get("values", ()))
 
     st = st or {}
+    if kind == "range":
+        # ES/tantivy contract: EVERY requested range appears, empty
+        # ranges with doc_count 0 (buckets are not sparse)
+        for i in range(len(body.get("ranges", ()))):
+            st.setdefault(i, {"doc_count": 0, "sub": {}})
+    elif kind in ("histogram", "date_histogram") and st \
+            and int(body.get("min_doc_count", 0)) == 0:
+        # ES/tantivy fill INTERIOR gaps between the first and last
+        # occupied bucket when min_doc_count == 0. Keys regenerate from
+        # integer bucket ordinals (j*iv + offset — the same expression
+        # the partial used), never by float accumulation, so filled
+        # keys are bit-identical to computed ones
+        keys = sorted(st)
+        if kind == "histogram":
+            iv = float(body["interval"])
+            off = float(body.get("offset", 0.0))
+            lo_j = round((keys[0] - off) / iv)
+            hi_j = round((keys[-1] - off) / iv)
+            for j in range(lo_j + 1, hi_j):
+                st.setdefault(j * iv + off, {"doc_count": 0, "sub": {}})
+        else:
+            iv = parse_fixed_interval(body.get("fixed_interval")
+                                      or body.get("interval"))
+            for k in range(int(keys[0]) + iv, int(keys[-1]), iv):
+                st.setdefault(k, {"doc_count": 0, "sub": {}})
+    if kind in ("histogram", "date_histogram"):
+        mdc = int(body.get("min_doc_count", 0))
+        if mdc > 0:
+            st = {k: v for k, v in st.items() if v["doc_count"] >= mdc}
     items = list(st.items())
     if kind in ("terms", "multi_terms"):
         size = int(body.get("size", 10))
