@@ -63,7 +63,7 @@ from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
 from tantivy4java_ray.fieldnorm import fieldnorm_to_id
 from tantivy4java_ray.postings import encode_positions, encode_postings
 from tantivy4java_ray.schema import FieldType, IndexSchema, infer_index_schema
-from tantivy4java_ray.sources.parquet_meta import BuildPlan, plan_partitions
+from tantivy4java_ray.sources.parquet_meta import plan_partitions
 from tantivy4java_ray.stages.extract import fill_text_from_html
 from tantivy4java_ray.state.manifest import TransactionLog, atomic_write_json
 

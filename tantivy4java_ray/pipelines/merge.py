@@ -30,7 +30,6 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from tantivy4java_ray import postings as pcodec
 from tantivy4java_ray.state.manifest import TransactionLog, atomic_write_json

@@ -24,7 +24,7 @@ Semantics pinned by tests (tests/test_query_parser.py, tests/test_search.py):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from enum import IntEnum
 from typing import Any
 
