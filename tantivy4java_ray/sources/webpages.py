@@ -99,13 +99,20 @@ def generate_webpages(n_rows: int, seed: int = 42,
 
     urls = pa.array([f"https://site{d % 1000}.example/page/{d}"
                      for d in doc_ids], pa.string())
+    # match the html-join operand types to text_all: the element-wise
+    # join has no mixed string/large_string kernel, and past 2 GiB the
+    # html column itself needs 64-bit (large_binary) offsets
+    stype = text_all.type
+    btype = (pa.large_binary() if pa.types.is_large_string(stype)
+             else pa.binary())
     titles = pa.array([f"<html><head><title>T{d}</title></head><body><p>"
-                       for d in doc_ids], pa.string())
+                       for d in doc_ids], stype)
     html = pc.binary_join_element_wise(
-        titles, text_all, pa.scalar("</p></body></html>"), "")
+        titles, text_all, pa.scalar("</p></body></html>", stype),
+        pa.scalar("", stype))
     null_mask = (doc_ids % 20 == 7)
     texts = pc.if_else(pa.array(~null_mask), text_all,
-                       pa.scalar(None, pa.string()))
+                       pa.scalar(None, stype))
     langs = pa.array([_LANGS[d % 20] for d in doc_ids], pa.string())
 
     ts0 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
@@ -113,7 +120,7 @@ def generate_webpages(n_rows: int, seed: int = 42,
     return pa.table({
         "url": urls,
         "warc_ts": warc_ts,
-        "html": html.cast(pa.binary()),
+        "html": html.cast(btype),
         "text": texts,
         "lang": langs,
     })
