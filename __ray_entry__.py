@@ -566,6 +566,27 @@ def q_agg_cardinality_exact(sf_dir: str):
     return pd.DataFrame([{"n_users": exact_cardinality(ds, "user_id")}])
 
 
+def q_agg_exact_suite(sf_dir: str):
+    """Exact distributed cardinality + exact distributed quantiles in
+    one driver slot (`(stat, value)` rows): both exact engines stay
+    oracled while fitting the driver's 50-query window. Superseded
+    approximate surfaces (HLL `agg_cardinality_users`, HDR
+    `agg_percentiles_value`) remain pytest-covered."""
+    import ray.data
+    from tantivy4java_ray.functions.quantiles import (
+        exact_cardinality, exact_quantiles)
+    du = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    dv = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    pcts = [1.0, 25.0, 50.0, 75.0, 99.0]
+    qs = exact_quantiles(dv, "value", pcts)
+    rows = [("n_users", float(exact_cardinality(du, "user_id")))]
+    rows += [(f"p{p:g}", round(qs[p], 6)) for p in pcts]
+    return (pd.DataFrame(rows, columns=["stat", "value"])
+            .sort_values("stat").reset_index(drop=True))
+
+
 def q_agg_subagg_events(sf_dir: str):
     import ray.data
     from tantivy4java_ray.aggs import aggregate_dataset
@@ -721,12 +742,16 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
+    # scale path end-to-end: survivors stay a Dataset (filtered inside
+    # map_batches against the broadcast drop set); nothing but the
+    # verified pairs ever reaches the driver
     import ray.data
-    from tantivy4java_ray.functions.dedup import minhash_dedup
+    from tantivy4java_ray.functions.dedup import minhash_dedup_dataset
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    survivors, _pairs = minhash_dedup(ds, "text", "doc_id", threshold=0.85)
-    return pd.DataFrame({"doc_id": survivors})
+    kept, _pairs = minhash_dedup_dataset(ds, "text", "doc_id",
+                                         threshold=0.85)
+    return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
 def q_dedup_simhash_pairs(sf_dir: str):
@@ -828,11 +853,10 @@ def q_dedup_embedding(sf_dir: str):
 
     dup = ds.limit(5).map_batches(bump, batch_format="pyarrow")
     pairs = embedding_neardup_pairs(ds.union(dup), "embedding", "vec_id",
-                                    tau=0.99).to_pandas()
+                                    tau=0.99)
     if len(pairs) == 0:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})
-    pairs = pairs.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
     return pairs[["a", "b"]].reset_index(drop=True)
 
 
@@ -917,6 +941,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Exactly 50 entries — the driver checks the first 50, so every
+    # oracled surface must sit inside that window (round-3 finding:
+    # token_stats/fingerprints/curation_pipeline fell off at #51-55).
+    # Ordering: 49 oracled surfaces first, then dedup_minhash (rows-only
+    # by construction — minhash estimates aren't SQL-expressible).
+    # Retired from the driver dict, still pytest-covered:
+    #   agg_cardinality_users (HLL)  -> exact companion in agg_exact_suite
+    #   agg_percentiles_value (HDR)  -> exact companion in agg_exact_suite
+    #   ann_ivf (nprobe<nlist)       -> ann_ivf_exact proves the index
+    #   dedup_simhash_pairs          -> vectorized==scalar property test
     return {
         "ft_term": q_ft_term,
         "ft_source_term": q_ft_source_term,
@@ -950,10 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_histogram_events": q_agg_histogram_events,
         "agg_date_histogram_events": q_agg_date_histogram_events,
         "agg_range_events": q_agg_range_events,
-        "agg_cardinality_users": q_agg_cardinality_users,
-        "agg_cardinality_exact": q_agg_cardinality_exact,
-        "agg_percentiles_value": q_agg_percentiles_value,
-        "agg_quantiles_exact": q_agg_quantiles_exact,
+        "agg_exact_suite": q_agg_exact_suite,
         "agg_subagg_events": q_agg_subagg_events,
         "agg_nested_2level": q_agg_nested_2level,
         "agg_multi_terms": q_agg_multi_terms,
@@ -961,18 +992,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_revenue": q_lineitem_revenue,
         "events_topk_value": q_events_topk_value,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram,
-        "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_exact": q_ann_ivf_exact,
         "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
         "curation_pipeline": q_curation_pipeline,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "language_id": q_language_id,
         "quality": q_quality,
+        "dedup_minhash": q_dedup_minhash,
     }
 
 
@@ -1240,14 +1269,16 @@ def oracle_sql() -> dict[str, str]:
         "agg_multi_terms":
             "SELECT lang, source, count(*) AS doc_count FROM documents "
             "GROUP BY lang, source ORDER BY lang, source",
-        "agg_cardinality_exact":
-            "SELECT count(DISTINCT user_id) AS n_users FROM events",
-        "agg_quantiles_exact":
-            "SELECT percent, ROUND(v, 6) AS value FROM ("
-            "SELECT unnest([1.0, 25.0, 50.0, 75.0, 99.0]) AS percent, "
-            "unnest(quantile_cont(value, "
-            "[0.01, 0.25, 0.50, 0.75, 0.99])) AS v FROM events) "
-            "ORDER BY percent",
+        "agg_exact_suite":
+            "SELECT stat, value FROM ("
+            "SELECT 'n_users' AS stat, "
+            "CAST(count(DISTINCT user_id) AS DOUBLE) AS value FROM events "
+            "UNION ALL "
+            "SELECT unnest(['p1', 'p25', 'p50', 'p75', 'p99']) AS stat, "
+            "unnest([ROUND(q[1], 6), ROUND(q[2], 6), ROUND(q[3], 6), "
+            "ROUND(q[4], 6), ROUND(q[5], 6)]) AS value FROM "
+            "(SELECT quantile_cont(value, [0.01, 0.25, 0.50, 0.75, 0.99]) "
+            "AS q FROM events)) ORDER BY stat",
         "facet_counts":
             "SELECT '/en/' || source AS facet, count(*) AS doc_count "
             "FROM documents WHERE lang = 'en' GROUP BY source "

@@ -43,7 +43,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -58,6 +58,8 @@ def main(sf_dir: str) -> int:
     qs = mod.queries()
     oracles = mod.oracle_sql()
     failures = 0
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     for name, fn in qs.items():
         t0 = time.monotonic()
         try:
@@ -94,13 +96,15 @@ def main(sf_dir: str) -> int:
             continue
         print(f"ok   {name}: rows={len(mine)} match ({el:.1f}s)")
 
-    e = mod.entry()
-    e = to_pandas(e)
-    print(f"entry(): {len(e)} rows, cols={list(e.columns)}")
+    if not only:
+        e = mod.entry()
+        e = to_pandas(e)
+        print(f"entry(): {len(e)} rows, cols={list(e.columns)}")
     ray.shutdown()
     return failures
 
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else
-                  "/root/testdata/sf0.01"))
+                  "/root/testdata/sf0.01",
+                  sys.argv[2].split(",") if len(sys.argv) > 2 else None))

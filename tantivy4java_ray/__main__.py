@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("merge")
     m.add_argument("inputs", nargs="+")
     m.add_argument("-o", "--out", required=True)
+    m.add_argument("--skip-corrupt", action="store_true",
+                   help="drop unreadable/truncated inputs with a skip "
+                        "record instead of aborting the merge")
 
     bd = sub.add_parser("bundle", help="pack an index into one .split")
     bd.add_argument("index_dir")
@@ -143,9 +146,12 @@ def _dispatch(args) -> int:
         _init_ray()
         from tantivy4java_ray.pipelines.merge import merge_indexes
         res = merge_indexes([_maybe_split(p) for p in args.inputs],
-                            args.out)
+                            args.out, skip_corrupt=args.skip_corrupt)
         print(json.dumps({"num_docs": res.num_docs,
-                          "elapsed_s": round(res.elapsed_s, 2)}))
+                          "elapsed_s": round(res.elapsed_s, 2),
+                          "skipped": [{"index_dir": s.index_dir,
+                                       "reason": s.reason}
+                                      for s in (res.skipped or [])]}))
     elif args.cmd == "validate":
         from tantivy4java_ray.pipelines.search import validate_index
         problems = validate_index(_maybe_split(args.index_dir))

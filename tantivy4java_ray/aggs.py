@@ -32,6 +32,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# ES search.max_buckets default: hard cap on buckets a single (sub-)agg may
+# emit, enforced before gap fill so an outlier key errors instead of OOMing
+MAX_BUCKETS = 65536
+
 # ---------------------------------------------------------------------------
 # HyperLogLog (cardinality) — per-partition registers merged by max
 # ---------------------------------------------------------------------------
@@ -484,11 +488,25 @@ def _finalize_one(spec: dict, st: Any) -> dict:
             off = float(body.get("offset", 0.0))
             lo_j = round((keys[0] - off) / iv)
             hi_j = round((keys[-1] - off) / iv)
+            # ES caps total buckets (search.max_buckets = 65536) instead
+            # of materializing arbitrarily wide gap fills; a single
+            # outlier key must not OOM the driver
+            if hi_j - lo_j + 1 > MAX_BUCKETS:
+                raise ValueError(
+                    f"too many buckets: histogram span {hi_j - lo_j + 1} "
+                    f"exceeds the {MAX_BUCKETS} bucket cap (interval too "
+                    "fine for the data range, or outlier keys present)")
             for j in range(lo_j + 1, hi_j):
                 st.setdefault(j * iv + off, {"doc_count": 0, "sub": {}})
         else:
             iv = parse_fixed_interval(body.get("fixed_interval")
                                       or body.get("interval"))
+            span = (int(keys[-1]) - int(keys[0])) // iv + 1
+            if span > MAX_BUCKETS:
+                raise ValueError(
+                    f"too many buckets: date_histogram span {span} exceeds "
+                    f"the {MAX_BUCKETS} bucket cap (fixed_interval too fine "
+                    "for the time range, or sentinel timestamps present)")
             for k in range(int(keys[0]) + iv, int(keys[-1]), iv):
                 st.setdefault(k, {"doc_count": 0, "sub": {}})
     if kind in ("histogram", "date_histogram"):

@@ -44,14 +44,18 @@ def exact_dedup_keys(t: pa.Table, col: str, id_col: str) -> pa.Table:
     128-bit pair of two independently-keyed siphashes, so a false merge
     needs a simultaneous collision in both (P ~ 2^-128 per pair).
     pandas' siphash reads object strings as C strings (stops at NUL), so
-    NULs are first mapped to U+FFFD — only texts differing purely in
-    \\x00-vs-U+FFFD placement can collide, and that mapping is vectorized
-    Arrow, not Python."""
+    NULs are first escaped INJECTIVELY (U+FFFD -> U+FFFD'1', then
+    NUL -> U+FFFD'0'): no two distinct texts map to the same hashed
+    string, and the escaping is vectorized Arrow, not Python."""
     import pyarrow.compute as pc
+    vals_col = (t.column(col).combine_chunks()
+                if isinstance(t.column(col), pa.ChunkedArray)
+                else t.column(col))
     vals_col = pc.replace_substring(
-        t.column(col).combine_chunks()
-        if isinstance(t.column(col), pa.ChunkedArray) else t.column(col),
-        "\x00", "\N{REPLACEMENT CHARACTER}")
+        vals_col, "\N{REPLACEMENT CHARACTER}",
+        "\N{REPLACEMENT CHARACTER}1")
+    vals_col = pc.replace_substring(
+        vals_col, "\x00", "\N{REPLACEMENT CHARACTER}0")
     vals = np.asarray(vals_col.to_numpy(zero_copy_only=False), object)
     h1 = pd.util.hash_array(vals).view(np.int64)
     h2 = pd.util.hash_array(vals, hash_key=_DEDUP_KEY2).view(np.int64)
@@ -445,7 +449,10 @@ def _hot_buckets(sig_ds, key: str):
                   pc.greater_equal(t.column("count()"), 2)),
                   batch_format="pyarrow")
               .to_pandas())  # only hot keys reach the driver
-    hot = counts[key].to_numpy(np.int64)
+    # every bucket a singleton -> the filtered frame comes back
+    # COLUMN-LESS from to_pandas (no blocks survive) — no hot keys
+    hot = (counts[key].to_numpy(np.int64) if key in counts.columns
+           else np.empty(0, np.int64))
     hot.sort()
     hot_ref = ray.put(hot)
 
@@ -478,14 +485,17 @@ def connected_duplicates(pairs_df: pd.DataFrame) -> set[int]:
 
 
 def minhash_dedup(ds, col: str, id_col: str, **kw):
-    """Convenience wrapper for small/medium data: all ids minus union-find
-    drops, materialized on the driver. At scale use
-    ``minhash_dedup_dataset`` (nothing but the pairs ever leaves the
-    cluster)."""
-    pairs = minhash_lsh_pairs(ds, col, id_col, **kw)
-    drop = connected_duplicates(pairs)
-    ids = ds.select_columns([id_col]).to_pandas()[id_col]
-    return sorted(set(ids) - drop), pairs
+    """Convenience wrapper: sorted survivor-id list plus verified pairs.
+
+    Built ON the scale path (``minhash_dedup_dataset``): duplicates are
+    filtered inside ``map_batches`` against a broadcast drop set, and only
+    the SURVIVING id column is pulled to the driver — never the full
+    corpus ids plus a Python set difference. The returned list is still
+    O(survivors) driver memory by contract; at true scale call
+    ``minhash_dedup_dataset`` directly and keep consuming the Dataset."""
+    kept, pairs = minhash_dedup_dataset(ds, col, id_col, **kw)
+    ids = kept.select_columns([id_col]).to_pandas()[id_col]
+    return sorted(ids.tolist()), pairs
 
 
 def minhash_dedup_dataset(ds, col: str, id_col: str, **kw):
@@ -558,18 +568,18 @@ def simhash_pairs(ds, col: str, id_col: str, *, hamming_k: int = 3,
     buckets (pigeonhole: any pair within k<=3 shares a chunk)."""
 
     def add_sim(t: pa.Table) -> pa.Table:
+        # 4x chunk expansion fully vectorized (np.tile/repeat + single
+        # pa.array calls) — no Python row materialization in the stage
         sims = simhash64(t.column(col).to_pylist())
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        rows_id, rows_chunk, rows_sim = [], [], []
-        for c in range(4):
-            chunk = (sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-            key = (chunk.astype(np.uint64) << np.uint64(2)) | np.uint64(c)
-            rows_id.extend(ids.tolist())
-            rows_chunk.extend(key.view(np.int64).tolist())
-            rows_sim.extend(sims.view(np.int64).tolist())
-        return pa.table({"chunk": pa.array(rows_chunk, pa.int64()),
-                         id_col: pa.array(rows_id, pa.int64()),
-                         "sim": pa.array(rows_sim, pa.int64())})
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                         np.int64)
+        c = np.repeat(np.arange(4, dtype=np.uint64), len(sims))
+        sims4 = np.tile(sims, 4)
+        chunk = (sims4 >> (np.uint64(16) * c)) & np.uint64(0xFFFF)
+        key = (chunk << np.uint64(2)) | c
+        return pa.table({"chunk": pa.array(key.view(np.int64), pa.int64()),
+                         id_col: pa.array(np.tile(ids, 4), pa.int64()),
+                         "sim": pa.array(sims4.view(np.int64), pa.int64())})
 
     # typed empty frame: an over-cap/singleton bucket must emit the SAME
     # block schema as pair-producing buckets (untyped [] infers float64
@@ -691,10 +701,28 @@ def ngram_jaccard_pairs(ds, col: str, id_col: str, *, shingle_size: int = 3,
 # embedding near-dup (cosine >= tau) via random-hyperplane LSH
 # ---------------------------------------------------------------------------
 
+def _normalize_embeddings(t: pa.Table, emb_col: str) -> np.ndarray:
+    if len(t) == 0:   # filter stages legitimately emit zero-row batches
+        return np.empty((0, 0), np.float32)
+    emb = np.stack(t.column(emb_col).to_pylist()).astype(np.float32)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return emb / norms
+
+
 def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
                             tau: float = 0.95, num_planes: int = 16,
                             seed: int = 42, dim: int | None = None,
-                            max_bucket: int = 2000):
+                            max_bucket: int = 2000) -> pd.DataFrame:
+    """Near-duplicate ``(a, b, cosine)`` pairs at cosine >= tau, bucketed
+    by random-hyperplane LSH (never all-pairs).
+
+    Scale shape (the minhash pattern): the corpus pass emits ONE
+    ``(bucket, id)`` row per doc, so the only shuffle carries 16 B/row —
+    vectors never ride it. Candidate pairs (tiny: same-bucket clusters)
+    reach the driver; their normalized vectors are fetched from the
+    SOURCE dataset via a broadcast ``_scan_candidate_rows`` filter and
+    the exact cosine verify runs vectorized on that candidate set."""
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[emb_col])
@@ -702,38 +730,58 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
     planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
 
     def add_sig(t: pa.Table) -> pa.Table:
-        emb = np.stack(t.column(emb_col).to_pylist()).astype(np.float32)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        emb = emb / norms
+        emb = _normalize_embeddings(t, emb_col)
         bits = (emb @ planes) > 0
         sig = np.zeros(len(emb), np.uint64)
         for p in range(num_planes):
             sig |= bits[:, p].astype(np.uint64) << np.uint64(p)
         return pa.table({
             "bucket": pa.array(sig.view(np.int64), pa.int64()),
-            id_col: t.column(id_col),
-            "vec": pa.array([v.tobytes() for v in emb], pa.large_binary())})
+            id_col: t.column(id_col).cast(pa.int64())})
 
-    # typed empty frame (same block-schema requirement as simhash_pairs)
     empty_pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                 "b": pd.Series([], dtype=np.int64),
                                 "cosine": pd.Series([], dtype=np.float64)})
+    # typed empty frame (same block-schema requirement as simhash_pairs)
+    empty_ids = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64)})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
+    def id_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy(np.int64))
         if len(ids) < 2 or len(ids) > max_bucket:
-            return empty_pairs
-        order = np.argsort(ids, kind="stable")
-        mat = np.stack([np.frombuffer(v, np.float32)
-                        for v in g["vec"].to_numpy()[order]])
-        sims = mat @ mat.T
+            return empty_ids
         ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= tau
-        return pd.DataFrame({"a": ids[order][ii[keep]],
-                             "b": ids[order][jj[keep]],
-                             "cosine": sims[ii, jj][keep].astype(np.float64)})
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
     sig_ds = ds.map_batches(add_sig, batch_format="pyarrow").materialize()
-    return (_hot_buckets(sig_ds, "bucket")
-            .groupby("bucket").map_groups(pairs, batch_format="pandas"))
+    cand = (_hot_buckets(sig_ds, "bucket").groupby("bucket")
+            .map_groups(id_pairs, batch_format="pandas").to_pandas())
+    if not len(cand):
+        return empty_pairs
+    cand = cand.drop_duplicates(subset=["a", "b"])
+    need = np.unique(np.concatenate([cand["a"].to_numpy(np.int64),
+                                     cand["b"].to_numpy(np.int64)]))
+
+    def norm_vecs(sel: pa.Table) -> pa.Table:
+        if len(sel) == 0:   # batch with no candidate rows
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.large_binary())})
+        emb = _normalize_embeddings(sel, emb_col)
+        return pa.table({
+            id_col: sel.column(id_col).cast(pa.int64()),
+            "vec": pa.array([v.tobytes() for v in emb], pa.large_binary())})
+
+    sub = _scan_candidate_rows(ds, id_col, need, norm_vecs)
+    vecs = {int(i): np.frombuffer(b, np.float32)
+            for i, b in zip(sub[id_col], sub["vec"])}
+    a = cand["a"].to_numpy(np.int64)
+    b = cand["b"].to_numpy(np.int64)
+    va = np.stack([vecs[int(x)] for x in a])
+    vb = np.stack([vecs[int(x)] for x in b])
+    cos = np.einsum("ij,ij->i", va, vb)
+    keep = cos >= tau
+    if not keep.any():
+        return empty_pairs
+    return (pd.DataFrame({"a": a[keep], "b": b[keep],
+                          "cosine": cos[keep].astype(np.float64)})
+            .sort_values(["a", "b"]).reset_index(drop=True))

@@ -338,9 +338,20 @@ def _distinct_keys(t: pa.Table, col: str) -> pa.Table:
     c = t.column(col)
     arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
     arr = arr.filter(pc.is_valid(arr))
+    if len(arr) == 0 or pa.types.is_null(arr.type):
+        # all-null batch (a pure-null column types as arrow null)
+        return pa.table({"__h": pa.array([], pa.int64()),
+                         "__h2": pa.array([], pa.int64())})
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        # INJECTIVE escape so pandas' C-string siphash (which stops at
+        # NUL) sees the whole value without colliding distinct inputs:
+        # escape the escape char first (U+FFFD -> U+FFFD'1'), then
+        # NUL -> U+FFFD'0'. A bare replace NUL->U+FFFD would alias
+        # 'a\x00b' with a literal 'a�b'.
+        arr = pc.replace_substring(arr, "\N{REPLACEMENT CHARACTER}",
+                                   "\N{REPLACEMENT CHARACTER}1")
         arr = pc.replace_substring(arr, "\x00",
-                                   "\N{REPLACEMENT CHARACTER}")
+                                   "\N{REPLACEMENT CHARACTER}0")
         vals = np.asarray(arr.to_numpy(zero_copy_only=False), object)
         h1 = pd.util.hash_array(vals).view(np.int64)
         h2 = pd.util.hash_array(vals, hash_key=_CARD_KEY2).view(np.int64)
@@ -383,6 +394,9 @@ def exact_cardinality(ds, col: str) -> int:
         # Python UDF once per distinct value: O(count-distinct) calls)
         h1 = np.asarray(t.column("__h").to_numpy(), np.int64)
         h2 = np.asarray(t.column("__h2").to_numpy(), np.int64)
+        if not len(h1):   # don't rely on sort never emitting empty blocks
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("n", "f1", "f2", "l1", "l2")})
         first = np.ones(len(h1), bool)
         first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
         return pa.table({

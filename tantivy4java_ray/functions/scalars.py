@@ -116,17 +116,24 @@ def truncate_utf8(s: str, max_bytes: int = 256) -> str:
 
 def string_fingerprint(values) -> np.ndarray:
     """u64 fingerprint per value; 0 reserved for null (the reference's
-    ``_phash`` convention). NUL bytes are mapped to U+FFFD first:
-    pandas' C-string siphash stops at the first NUL, so 'a', 'a\\x00b'
-    and 'a\\x00c' would otherwise all collide."""
+    ``_phash`` convention). NUL bytes are escaped INJECTIVELY first
+    (U+FFFD -> U+FFFD'1' then NUL -> U+FFFD'0'): pandas' C-string
+    siphash stops at the first NUL, so 'a', 'a\\x00b' and 'a\\x00c'
+    would otherwise all collide — and a bare NUL->U+FFFD replacement
+    would deterministically alias 'a\\x00b' with a literal 'a\\uFFFDb'."""
     arr = np.asarray(values, dtype=object)
     mask = pd.isna(arr)
-    nul = np.fromiter(
-        (isinstance(v, str) and "\x00" in v for v in arr), bool, len(arr))
-    if nul.any():
+    esc = np.fromiter(
+        (isinstance(v, str)
+         and ("\x00" in v or "\N{REPLACEMENT CHARACTER}" in v)
+         for v in arr), bool, len(arr))
+    if esc.any():
         arr = arr.copy()
-        for i in np.flatnonzero(nul):
-            arr[i] = arr[i].replace("\x00", "\N{REPLACEMENT CHARACTER}")
+        for i in np.flatnonzero(esc):
+            arr[i] = (arr[i]
+                      .replace("\N{REPLACEMENT CHARACTER}",
+                               "\N{REPLACEMENT CHARACTER}1")
+                      .replace("\x00", "\N{REPLACEMENT CHARACTER}0"))
     out = pd.util.hash_array(arr).astype(np.uint64)
     out[out == 0] = 1  # keep 0 exclusively for null
     out[mask] = 0

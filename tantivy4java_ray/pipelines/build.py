@@ -1161,7 +1161,11 @@ class IndexBuilder:
                 == (list(self.html_fallback) if self.html_fallback else None)
                 and tuple(cfg.get("phash_fields") or ()) == self.phash_fields
                 and (cfg.get("column_renames") or None)
-                == (self.column_renames or None))
+                == (self.column_renames or None)
+                # bm25 k1/b are read-time-only, but IndexReader reads
+                # them from meta — reusing a committed index silently
+                # scores with the stale parameters
+                and (cfg.get("bm25") or {"k1": 1.2, "b": 0.75}) == self.bm25)
             if (state.get("committed") and cfg_same
                     and state["meta"]["plan"]["files"] == plan.files
                     and state["meta"]["plan"]["num_docs"] == plan.num_docs

@@ -36,11 +36,22 @@ from tantivy4java_ray.state.manifest import TransactionLog, atomic_write_json
 
 
 @dataclass
+class SkippedSplit:
+    """A merge input dropped by ``skip_corrupt=True`` — the analog of the
+    reference's skipped-split records (``QuickwitSplit.java:140-158``,
+    ``native/src/quickwit_split/resilient_ops.rs:17-50``): one bad input
+    must not kill a 10^4-shard merge hours in."""
+    index_dir: str
+    reason: str
+
+
+@dataclass
 class MergeResult:
     index_dir: str
     num_docs: int
     num_deleted: int
     elapsed_s: float
+    skipped: list[SkippedSplit] | None = None
 
 
 def _read_all(st, path: str) -> bytes:
@@ -61,6 +72,64 @@ def _load_states(index_dirs: list[str]) -> list[dict]:
     from tantivy4java_ray import storage as st
     return [st.read_json_any(st.sjoin(d, "manifest.json"))
             for d in index_dirs]
+
+
+def _validate_input(index_dir: str) -> str | None:
+    """Structural soundness of one merge input; returns a skip reason or
+    None. Footer-only cost (terms.parquet dictionaries + parquet
+    metadata + file sizes) — the same open-the-split work the reference
+    does before a merge, never a full blob read."""
+    from tantivy4java_ray import storage as st
+    try:
+        state = st.read_json_any(st.sjoin(index_dir, "manifest.json"))
+    except Exception as e:
+        return f"manifest unreadable: {type(e).__name__}: {e}"
+    if not state.get("committed"):
+        return "index not committed"
+    try:
+        meta = state["meta"]
+        nshards = int(meta["plan"]["num_shards"])
+        meta["stats"]["num_docs"]
+    except Exception as e:
+        return f"manifest incomplete: {type(e).__name__}: {e}"
+    for sid in range(nshards):
+        sd = st.sjoin(index_dir, "shards", f"shard-{sid:05d}")
+        tp = st.sjoin(sd, "terms.parquet")
+        if not st.sexists(tp):
+            continue   # legal: shard had no terms for this input
+        try:
+            t = st.read_parquet_any(tp, columns=["offset", "nbytes",
+                                                 "pos_offset", "pos_nbytes"])
+        except Exception as e:
+            return f"shard {sid}: terms.parquet corrupt: {e}"
+        if len(t) == 0:
+            continue
+        off = t.column("offset").to_numpy()
+        nb = t.column("nbytes").to_numpy()
+        need_p = int((off + nb).max())
+        ppath = st.sjoin(sd, "postings.bin")
+        have_p = st.ssize(ppath) if st.sexists(ppath) else -1
+        if have_p < need_p:
+            return (f"shard {sid}: postings.bin truncated "
+                    f"({have_p} B < dictionary's {need_p} B)")
+        po = t.column("pos_offset").to_numpy()
+        pn = t.column("pos_nbytes").to_numpy()
+        haspos = po >= 0
+        if haspos.any():
+            need_q = int((po[haspos] + pn[haspos]).max())
+            qpath = st.sjoin(sd, "positions.bin")
+            have_q = st.ssize(qpath) if st.sexists(qpath) else -1
+            if have_q < need_q:
+                return (f"shard {sid}: positions.bin truncated "
+                        f"({have_q} B < dictionary's {need_q} B)")
+    for p in state.get("partitions", {}).values():
+        dpath = st.sjoin(index_dir, "docdata",
+                         f"part-{p['pid']:05d}.parquet")
+        try:
+            st.parquet_file_any(dpath).metadata  # footer parse
+        except Exception as e:
+            return f"docdata part {p['pid']}: unreadable: {e}"
+    return None
 
 
 class _ShardMerger:
@@ -209,12 +278,47 @@ class _ShardMerger:
 
 def merge_indexes(index_dirs: list[str], out_dir: str,
                   delete_queries: list | None = None,
-                  concurrency: int | None = None) -> MergeResult:
-    """Merge N indexes built with identical schema + num_shards."""
+                  concurrency: int | None = None,
+                  skip_corrupt: bool = False) -> MergeResult:
+    """Merge N indexes built with identical schema + num_shards.
+
+    ``skip_corrupt=True`` validates every input up front (footer-only)
+    and drops unreadable/truncated ones with a ``SkippedSplit`` record
+    instead of aborting — the reference's skipped-splits contract
+    (``QuickwitSplit.java:140-158``). The merge then completes over the
+    sound inputs; skipped dirs are recorded in ``MergeResult.skipped``
+    and in the output manifest's ``plan.skipped_inputs``."""
     import ray
     import ray.data
 
     t0 = time.monotonic()
+    skipped: list[SkippedSplit] = []
+    # validate every input up front — footer-only, distributed (10^4
+    # inputs is a Dataset map, not a driver loop). Without this, the
+    # byte-copy fast path would stream a truncated postings.bin into the
+    # output and the corruption surfaces only at query time.
+    items = [{"d": d} for d in index_dirs]
+
+    def check(b: pa.Table) -> pa.Table:
+        ds_ = b.column("d").to_pylist()
+        return pa.table({
+            "d": pa.array(ds_),
+            "reason": pa.array([_validate_input(x) or "" for x in ds_])})
+
+    res = (ray.data.from_items(items)
+           .map_batches(check, batch_format="pyarrow").take_all())
+    bad = {r["d"]: r["reason"] for r in res if r["reason"]}
+    if bad and not skip_corrupt:
+        raise ValueError(
+            "corrupt merge input(s) (pass skip_corrupt=True to merge "
+            "the sound inputs and record these as skipped): "
+            + "; ".join(f"{d}: {r}" for d, r in bad.items()))
+    skipped = [SkippedSplit(d, bad[d]) for d in index_dirs if d in bad]
+    index_dirs = [d for d in index_dirs if d not in bad]
+    if not index_dirs:
+        raise ValueError(
+            "every merge input was skipped: "
+            + "; ".join(f"{s.index_dir}: {s.reason}" for s in skipped))
     states = _load_states(index_dirs)
     metas = [s["meta"] for s in states]
     nshards = {m["plan"]["num_shards"] for m in metas}
@@ -242,11 +346,17 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     crit = {(int((m.get("config") or {}).get("hot_salts", 4)),
              bool((m.get("config") or {}).get("exact_fieldnorms", False)),
              tuple(sorted((m.get("config") or {}).get("phash_fields")
-                          or ()))) for m in metas}
+                          or ())),
+             # bm25 k1/b: the merged meta stamps metas[0]'s values and
+             # IndexReader scores with them — mixed inputs would
+             # silently rescore the others' docs under foreign params
+             tuple(sorted(((m.get("config") or {}).get("bm25")
+                           or {"k1": 1.2, "b": 0.75}).items()))) for m in metas}
     if len(crit) != 1:
         raise ValueError(
-            f"inputs disagree on hot_salts/exact_fieldnorms/phash_fields: "
-            f"{sorted(crit)} — rebuild with matching config before merging")
+            f"inputs disagree on hot_salts/exact_fieldnorms/phash_fields/"
+            f"bm25: {sorted(crit)} — rebuild with matching config before "
+            f"merging")
 
     doc_offsets: list[int] = []
     base = 0
@@ -342,7 +452,10 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         "plan": {"files": sum((m["plan"]["files"] for m in metas), []),
                  "num_docs": num_docs, "num_partitions": len(parts_out),
                  "num_shards": nshards,
-                 "merged_from": index_dirs},
+                 "merged_from": index_dirs,
+                 "skipped_inputs": [{"index_dir": s.index_dir,
+                                     "reason": s.reason}
+                                    for s in skipped]},
         "schema": meta0["schema"], "config": meta0["config"]}}]
     actions += [{"add_partition": p} for p in parts_out]
     actions += [{"add_shard": {k: (v.item() if hasattr(v, "item") else v)
@@ -367,4 +480,4 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     atomic_write_json(st.sjoin(out_dir, "manifest.json"),
                       txlog.read_state())
     return MergeResult(out_dir, num_docs, num_deleted,
-                       time.monotonic() - t0)
+                       time.monotonic() - t0, skipped=skipped or None)

@@ -293,3 +293,57 @@ def test_txlog_lineage(setup):
     state_m = TransactionLog(f"{BASE}/idx_merged").read_state()
     assert state_m["meta"]["plan"]["merged_from"] == [
         f"{BASE}/idx_a", f"{BASE}/idx_b"]
+
+
+def test_merge_skip_corrupt_truncated_shard(setup):
+    """skip_corrupt=True drops a truncated input with a SkippedSplit
+    record and completes the merge over the sound inputs (the
+    reference's skipped-splits contract, QuickwitSplit.java:140-158)."""
+    bad = f"{BASE}/idx_bad"
+    shutil.rmtree(bad, ignore_errors=True)
+    shutil.copytree(f"{BASE}/idx_b", bad)
+    # truncate one shard's postings to half: dictionary offsets now
+    # point past EOF
+    pbin = glob.glob(f"{bad}/shards/shard-*/postings.bin")[0]
+    blob = open(pbin, "rb").read()
+    with open(pbin, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+
+    out = f"{BASE}/idx_skip"
+    shutil.rmtree(out, ignore_errors=True)
+    res = merge_indexes([f"{BASE}/idx_a", bad], out, skip_corrupt=True)
+    assert res.skipped and res.skipped[0].index_dir == bad
+    assert "truncated" in res.skipped[0].reason
+    assert res.num_docs == 600  # idx_a alone
+    r = IndexReader(out)
+    ra = IndexReader(f"{BASE}/idx_a")
+    for q in QUERIES:
+        assert r.search(q, 20).hits == ra.search(q, 20).hits, q
+    # skip record persisted in the output manifest for lineage
+    from tantivy4java_ray.state.manifest import TransactionLog
+    plan = TransactionLog(out).read_state()["meta"]["plan"]
+    assert plan["skipped_inputs"] == [
+        {"index_dir": bad, "reason": res.skipped[0].reason}]
+
+    # strict mode (default) must refuse loudly, never byte-copy the
+    # truncated blob into the output
+    out2 = f"{BASE}/idx_strict"
+    shutil.rmtree(out2, ignore_errors=True)
+    with pytest.raises(ValueError, match="truncated"):
+        merge_indexes([f"{BASE}/idx_a", bad], out2)
+
+
+def test_merge_skip_corrupt_all_bad_raises(setup):
+    bad = f"{BASE}/idx_allbad"
+    shutil.rmtree(bad, ignore_errors=True)
+    os.makedirs(bad)  # no manifest at all
+    with pytest.raises(ValueError, match="every merge input was skipped"):
+        merge_indexes([bad], f"{BASE}/idx_never", skip_corrupt=True)
+
+
+def test_merge_skip_corrupt_clean_inputs_no_skips(setup):
+    out = f"{BASE}/idx_skipclean"
+    shutil.rmtree(out, ignore_errors=True)
+    res = merge_indexes([f"{BASE}/idx_a", f"{BASE}/idx_b"], out,
+                        skip_corrupt=True)
+    assert res.skipped is None and res.num_docs == 1200
