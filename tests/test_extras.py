@@ -248,7 +248,7 @@ def test_driver_contract_shape():
     no_oracle = set(q) - set(o)
     # only inherently-approximate entries may lack an oracle
     # (more_like_this and dedup_ngram_jaccard are fully oracled)
-    assert no_oracle == {"dedup_minhash", "dedup_simhash_pairs",
-                         "ann_ivf", "agg_cardinality_users",
-                         "agg_percentiles_value"}, no_oracle
+    # HLL/HDR/ann_ivf/simhash surfaces were retired to pytest-only coverage
+    # so that every oracled surface fits in the driver's 50-row window.
+    assert no_oracle == {"dedup_minhash"}, no_oracle
     assert callable(m.entry)

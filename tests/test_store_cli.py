@@ -79,7 +79,7 @@ def test_error_paths(stored_index, ray_session):
     with pytest.raises(FileNotFoundError):
         build_index("/nonexistent/*.parquet", f"{BASE}/nope")
     from tantivy4java_ray.pipelines.merge import merge_indexes
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ValueError, match="corrupt merge input"):
         merge_indexes(["/nonexistent_idx"], f"{BASE}/nope2")
 
 
