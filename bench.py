@@ -37,7 +37,18 @@ BENCH_FILES = 8
 #: timing measures the neighbour's noise as much as the engine. Cold/
 #: warm query benchmarks stay single-shot (a repeat would turn "cold"
 #: into "warm" and change the metric's meaning).
-BENCH_RUNS = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
+BENCH_RUNS = int(os.environ.get("GRAFT_BENCH_RUNS", "1"))
+#: probe-gated retries replace best-of-2: the suite runs ONCE per attempt,
+#: each attempt is bracketed by host probes, and a degraded window (wide
+#: busy-loop efficiency below GATE_CPU_EFF or steal above GATE_STEAL_PCT)
+#: triggers a retry in a later window instead of doubling exposure to the
+#: same bad one. All attempts + probes are disclosed in the JSON.
+BENCH_ATTEMPTS = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "3"))
+GATE_CPU_EFF = float(os.environ.get("GRAFT_GATE_CPU_EFF", "0.85"))
+GATE_STEAL_PCT = float(os.environ.get("GRAFT_GATE_STEAL_PCT", "1.0"))
+#: how long to wait (probe->sleep->re-probe) for a healthy window before
+#: running an attempt anyway
+GATE_WAIT_SEC = float(os.environ.get("GRAFT_GATE_WAIT_SEC", "90"))
 
 
 def _best(fn, n: int = 0):
@@ -444,31 +455,65 @@ def main() -> None:
                 min(eff / max(min(ctl_eff, mem_eff), 1e-9), 1.0), 3)}))
         return
 
-    # bracket the suite with host probes: this VM's deliverable CPU and
-    # memory bandwidth swing >100x in bursts (measured 0.03 vs 8.5 GB/s
-    # for the identical single-process memcpy minutes apart), so a
-    # single snapshot can sample a good or bad moment — two timestamps
-    # bound the window the suite actually ran in
-    host_pre = _host_context(num_cpus)
-    _init_ray(num_cpus)
-    t0 = time.monotonic()
-    queries = suite(sf_dir, num_cpus)
-    wall = round(time.monotonic() - t0, 3)
-    host_post = _host_context(num_cpus)
-    queries.update({k + "_pre": v for k, v in host_pre.items()})
-    queries.update({k + "_post": v for k, v in host_post.items()})
+    # Probe-gated attempts: this VM's deliverable CPU and memory bandwidth
+    # swing >100x in bursts (measured 0.03 vs 8.5 GB/s for the identical
+    # single-process memcpy minutes apart; a 24-worker busy-loop has
+    # delivered 47% parallel efficiency during one round's bench window).
+    # Each attempt waits for a healthy window (probe, sleep, re-probe, up
+    # to GATE_WAIT_SEC), runs the suite ONCE bracketed by probes, and is
+    # accepted when BOTH probes are healthy; otherwise retry (bounded).
+    # The reported numbers are the fastest attempt; every attempt and
+    # every probe is disclosed under _attempts.
     import ray
-    ray.shutdown()
-    # value = one best pass through the suite (sum of the reported timed
-    # sections — comparable to the single-shot semantics of earlier
-    # rounds); _suite_wall is the actual wall incl. the best-of-N repeats
-    total = round(sum(v for k, v in queries.items()
-                      if not k.startswith("_") and not k.startswith("query_"))
-                  + queries.get("query_bench_sec", 0.0), 3)
-    queries["_suite_wall"] = wall
-    print(json.dumps({"metric": "headline_suite", "value": total,
-                      "unit": "sec", "queries": queries, "sf": sf_dir,
-                      "num_cpus": num_cpus, "bench_runs": BENCH_RUNS}))
+
+    def healthy(probe: dict) -> bool:
+        return (probe["_host_cpu_eff_wide"] >= GATE_CPU_EFF
+                and probe["_host_steal_pct"] <= GATE_STEAL_PCT)
+
+    def wait_healthy() -> dict:
+        deadline = time.monotonic() + GATE_WAIT_SEC
+        while True:
+            p = _host_context(num_cpus)
+            if healthy(p) or time.monotonic() >= deadline:
+                return p
+            time.sleep(10.0)
+
+    attempts: list[dict] = []
+    for i in range(max(1, BENCH_ATTEMPTS)):
+        host_pre = wait_healthy()
+        _init_ray(num_cpus)
+        t0 = time.monotonic()
+        queries = suite(sf_dir, num_cpus)
+        wall = round(time.monotonic() - t0, 3)
+        ray.shutdown()
+        host_post = _host_context(num_cpus)
+        total = round(sum(v for k, v in queries.items()
+                          if not k.startswith("_")
+                          and not k.startswith("query_"))
+                      + queries.get("query_bench_sec", 0.0), 3)
+        ok = healthy(host_pre) and healthy(host_post)
+        attempts.append({"queries": queries, "total": total, "wall": wall,
+                         "pre": host_pre, "post": host_post, "healthy": ok})
+        if ok:
+            break
+
+    # prefer healthy-window attempts; among candidates take the fastest
+    pool = [a for a in attempts if a["healthy"]] or attempts
+    best = min(pool, key=lambda a: a["total"])
+    queries = best["queries"]
+    queries.update({k + "_pre": v for k, v in best["pre"].items()})
+    queries.update({k + "_post": v for k, v in best["post"].items()})
+    queries["_suite_wall"] = best["wall"]
+    print(json.dumps({
+        "metric": "headline_suite", "value": best["total"],
+        "unit": "sec", "queries": queries, "sf": sf_dir,
+        "num_cpus": num_cpus, "bench_runs": BENCH_RUNS,
+        "healthy_window": best["healthy"],
+        "gate": {"cpu_eff": GATE_CPU_EFF, "steal_pct": GATE_STEAL_PCT,
+                 "attempts": len(attempts)},
+        "_attempts": [{"total": a["total"], "healthy": a["healthy"],
+                       "pre": a["pre"], "post": a["post"]}
+                      for a in attempts]}))
 
 
 if __name__ == "__main__":
