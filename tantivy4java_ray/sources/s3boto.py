@@ -1,0 +1,401 @@
+"""S3 filesystem for fsspec, built on boto3 (used when ``s3fs`` is absent).
+
+The reference engine ships first-class object-store configuration on its
+split cache manager (credentials, endpoint, region — reference
+``split/SplitCacheManager.java:155-237``) and env-gated cloud integration
+tests. This module is the Ray-Data-native analog: a minimal, dependency-light
+fsspec ``AbstractFileSystem`` over boto3 that slots under every ``s3://``
+index/split URL the engine touches (all artifact I/O routes through
+``storage.fs_for`` → ``fsspec.core.url_to_fs``).
+
+Configuration resolution (highest priority first):
+
+1. Explicit constructor kwargs (``key`` / ``secret`` / ``token`` /
+   ``endpoint_url`` / ``region`` / ``max_retries`` ...), e.g. via fsspec
+   storage options.
+2. Standard AWS environment variables: ``AWS_ACCESS_KEY_ID``,
+   ``AWS_SECRET_ACCESS_KEY``, ``AWS_SESSION_TOKEN``,
+   ``AWS_ENDPOINT_URL_S3`` / ``AWS_ENDPOINT_URL``, ``AWS_DEFAULT_REGION``.
+3. A JSON side-file named by ``$T4JR_S3_CONF`` (default
+   ``/tmp/t4jr_s3_conf.json``) with the same keys. This exists because Ray
+   worker processes inherit the *raylet's* environment from cluster start
+   time — config changed in the driver afterwards (e.g. a test pointing at
+   an emulated endpoint) can't reach workers through env vars, but a
+   side-file read at filesystem construction time can. Production clusters
+   use (2); the soak tests use (3) for the worker side and (2) for the
+   driver side so both paths stay exercised.
+4. boto3's default provider chain (instance profile, shared credentials).
+
+Transient-failure handling is botocore's ``standard`` retry mode (jittered
+exponential backoff on 5xx/throttle/connection errors), ``max_retries``
+attempts. Writes above ``multipart_threshold`` use multipart upload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any
+
+from fsspec import AbstractFileSystem
+from fsspec.spec import AbstractBufferedFile
+
+CONF_ENV = "T4JR_S3_CONF"
+CONF_DEFAULT = "/tmp/t4jr_s3_conf.json"
+
+#: process-local API-call counters (GET/PUT/...) for same-process tests;
+#: cross-process truth comes from the counting moto middleware in tests.
+API_CALLS: dict[str, int] = {}
+_calls_lock = threading.Lock()
+
+
+def _count(op: str) -> None:
+    with _calls_lock:
+        API_CALLS[op] = API_CALLS.get(op, 0) + 1
+
+
+def _conf_file() -> dict[str, Any]:
+    path = os.environ.get(CONF_ENV, CONF_DEFAULT)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+class S3BotoFileSystem(AbstractFileSystem):
+    protocol = ("s3", "s3a")
+    root_marker = ""
+
+    def __init__(self, key: str | None = None, secret: str | None = None,
+                 token: str | None = None, endpoint_url: str | None = None,
+                 region: str | None = None, max_retries: int = 5,
+                 connect_timeout: float = 5.0, read_timeout: float = 60.0,
+                 multipart_threshold: int = 64 * 1024 * 1024,
+                 multipart_chunksize: int = 16 * 1024 * 1024,
+                 default_block_size: int | None = None, **kwargs):
+        super().__init__(**kwargs)
+        conf = _conf_file()
+        env = os.environ
+        self.key = key or env.get("AWS_ACCESS_KEY_ID") or conf.get("key")
+        self.secret = (secret or env.get("AWS_SECRET_ACCESS_KEY")
+                       or conf.get("secret"))
+        self.token = (token or env.get("AWS_SESSION_TOKEN")
+                      or conf.get("token"))
+        self.endpoint_url = (endpoint_url or env.get("AWS_ENDPOINT_URL_S3")
+                             or env.get("AWS_ENDPOINT_URL")
+                             or conf.get("endpoint_url"))
+        self.region = (region or env.get("AWS_DEFAULT_REGION")
+                       or conf.get("region") or "us-east-1")
+        self.max_retries = int(conf.get("max_retries", max_retries))
+        self.connect_timeout = connect_timeout
+        self.read_timeout = read_timeout
+        self.multipart_threshold = multipart_threshold
+        # S3 rejects non-final parts under 5 MiB (EntityTooSmall)
+        self.multipart_chunksize = max(multipart_chunksize, 5 * 1024 * 1024)
+        self.default_block_size = default_block_size or multipart_threshold
+        self._client = None
+        self._client_lock = threading.Lock()
+
+    # -- client ------------------------------------------------------------
+
+    @property
+    def client(self):
+        # built lazily so fork-spawned Ray workers each get their own
+        # connection pool (urllib3 pools are not fork-safe)
+        if self._client is None:
+            with self._client_lock:
+                if self._client is None:
+                    import boto3
+                    from botocore.config import Config
+                    cfg = Config(
+                        retries={"max_attempts": self.max_retries,
+                                 "mode": "standard"},
+                        connect_timeout=self.connect_timeout,
+                        read_timeout=self.read_timeout,
+                        # custom endpoints (minio/moto/on-prem) rarely have
+                        # wildcard DNS for virtual-hosted buckets
+                        s3={"addressing_style": "path"}
+                        if self.endpoint_url else {})
+                    self._client = boto3.client(
+                        "s3", endpoint_url=self.endpoint_url,
+                        region_name=self.region,
+                        aws_access_key_id=self.key,
+                        aws_secret_access_key=self.secret,
+                        aws_session_token=self.token, config=cfg)
+        return self._client
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_client"] = None           # never ship a live connection pool
+        d["_client_lock"] = None
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._client_lock = threading.Lock()
+
+    # -- path helpers --------------------------------------------------------
+
+    @staticmethod
+    def _bk(path: str) -> tuple[str, str]:
+        path = path.lstrip("/")
+        bucket, _, key = path.partition("/")
+        if not bucket:
+            raise ValueError("S3 path needs a bucket")
+        return bucket, key
+
+    @classmethod
+    def _strip_protocol(cls, path):
+        p = super()._strip_protocol(path)
+        return p.lstrip("/")
+
+    # -- metadata ------------------------------------------------------------
+
+    def info(self, path, **kwargs):
+        path = self._strip_protocol(path)
+        bucket, key = self._bk(path)
+        if key:
+            try:
+                _count("HEAD")
+                h = self.client.head_object(Bucket=bucket, Key=key)
+                return {"name": path, "size": h["ContentLength"],
+                        "type": "file", "ETag": h.get("ETag"),
+                        "LastModified": h.get("LastModified")}
+            except self.client.exceptions.ClientError as e:
+                if e.response["Error"]["Code"] not in ("404", "NoSuchKey"):
+                    raise
+        # fall through: directory prefix (or bucket root)
+        _count("LIST")
+        r = self.client.list_objects_v2(
+            Bucket=bucket, Prefix=key + "/" if key else "", MaxKeys=1)
+        if r.get("KeyCount", 0) > 0 or not key:
+            return {"name": path, "size": 0, "type": "directory"}
+        raise FileNotFoundError(path)
+
+    def ls(self, path, detail=True, **kwargs):
+        path = self._strip_protocol(path)
+        bucket, key = self._bk(path)
+        prefix = key + "/" if key else ""
+        out, token = [], None
+        while True:
+            _count("LIST")
+            kw = dict(Bucket=bucket, Prefix=prefix, Delimiter="/")
+            if token:
+                kw["ContinuationToken"] = token
+            r = self.client.list_objects_v2(**kw)
+            for o in r.get("Contents", []):
+                out.append({"name": f"{bucket}/{o['Key']}",
+                            "size": o["Size"], "type": "file",
+                            "ETag": o.get("ETag"),
+                            "LastModified": o.get("LastModified")})
+            for p in r.get("CommonPrefixes", []):
+                out.append({"name": f"{bucket}/{p['Prefix'].rstrip('/')}",
+                            "size": 0, "type": "directory"})
+            token = r.get("NextContinuationToken")
+            if not token:
+                break
+        if not out and key:
+            # maybe ``path`` is a file, not a prefix
+            inf = self.info(path)     # raises FileNotFoundError if neither
+            if inf["type"] == "file":
+                out = [inf]
+        return out if detail else sorted(o["name"] for o in out)
+
+    # -- reads ---------------------------------------------------------------
+
+    def cat_file(self, path, start=None, end=None, **kwargs):
+        path = self._strip_protocol(path)
+        bucket, key = self._bk(path)
+        kw = {}
+        if start is not None or end is not None:
+            size = None
+            if (start or 0) < 0 or (end is not None and end < 0):
+                size = self.size(path)
+            s = start or 0
+            if s < 0:
+                s += size
+            if end is None:
+                rng = f"bytes={s}-"
+            else:
+                e = end if end >= 0 else end + size
+                if e <= s:
+                    return b""
+                rng = f"bytes={s}-{e - 1}"
+            kw["Range"] = rng
+        _count("GET")
+        r = self.client.get_object(Bucket=bucket, Key=key, **kw)
+        return r["Body"].read()
+
+    # -- writes --------------------------------------------------------------
+
+    def pipe_file(self, path, value, **kwargs):
+        path = self._strip_protocol(path)
+        bucket, key = self._bk(path)
+        if len(value) <= self.multipart_threshold:
+            _count("PUT")
+            self.client.put_object(Bucket=bucket, Key=key, Body=value)
+        else:
+            self._multipart_put(bucket, key, value)
+        self.invalidate_cache(self._parent(path))
+
+    def _multipart_put(self, bucket: str, key: str, value: bytes) -> None:
+        _count("MPU_CREATE")
+        up = self.client.create_multipart_upload(Bucket=bucket, Key=key)
+        uid = up["UploadId"]
+        try:
+            parts = []
+            cs = self.multipart_chunksize
+            for i in range(0, len(value), cs):
+                _count("MPU_PART")
+                r = self.client.upload_part(
+                    Bucket=bucket, Key=key, UploadId=uid,
+                    PartNumber=len(parts) + 1, Body=value[i:i + cs])
+                parts.append({"PartNumber": len(parts) + 1,
+                              "ETag": r["ETag"]})
+            _count("MPU_COMPLETE")
+            self.client.complete_multipart_upload(
+                Bucket=bucket, Key=key, UploadId=uid,
+                MultipartUpload={"Parts": parts})
+        except Exception:
+            self.client.abort_multipart_upload(
+                Bucket=bucket, Key=key, UploadId=uid)
+            raise
+
+    # -- management ----------------------------------------------------------
+
+    def cp_file(self, path1, path2, **kwargs):
+        b1, k1 = self._bk(self._strip_protocol(path1))
+        b2, k2 = self._bk(self._strip_protocol(path2))
+        _count("COPY")
+        self.client.copy_object(Bucket=b2, Key=k2,
+                                CopySource={"Bucket": b1, "Key": k1})
+        self.invalidate_cache(self._parent(self._strip_protocol(path2)))
+
+    def rm_file(self, path):
+        bucket, key = self._bk(self._strip_protocol(path))
+        _count("DELETE")
+        self.client.delete_object(Bucket=bucket, Key=key)
+        self.invalidate_cache(self._parent(self._strip_protocol(path)))
+
+    def rm(self, path, recursive=False, maxdepth=None):
+        paths = self.expand_path(path, recursive=recursive,
+                                 maxdepth=maxdepth)
+        by_bucket: dict[str, list[str]] = {}
+        for p in paths:
+            if self.isdir(p):        # prefixes have no object to delete
+                continue
+            b, k = self._bk(p)
+            by_bucket.setdefault(b, []).append(k)
+        for b, keys in by_bucket.items():
+            for i in range(0, len(keys), 1000):   # DeleteObjects API cap
+                _count("DELETE_BATCH")
+                self.client.delete_objects(Bucket=b, Delete={
+                    "Objects": [{"Key": k} for k in keys[i:i + 1000]],
+                    "Quiet": True})
+        self.invalidate_cache()
+
+    def mkdir(self, path, create_parents=True, **kwargs):
+        pass                          # object stores have no directories
+
+    def makedirs(self, path, exist_ok=True):
+        pass
+
+    def touch(self, path, truncate=True, **kwargs):
+        self.pipe_file(path, b"")
+
+    def created(self, path):
+        return self.info(path).get("LastModified")
+
+    def modified(self, path):
+        return self.info(path).get("LastModified")
+
+    def _open(self, path, mode="rb", block_size=None, autocommit=True,
+              cache_options=None, **kwargs):
+        return S3BotoFile(self, path, mode,
+                          block_size=block_size or self.default_block_size,
+                          autocommit=autocommit,
+                          cache_options=cache_options, **kwargs)
+
+
+class S3BotoFile(AbstractBufferedFile):
+    """Buffered file: ranged GETs for reads; PutObject below one block,
+    multipart upload above (parts flushed per block — bounded memory)."""
+
+    def _fetch_range(self, start, end):
+        return self.fs.cat_file(self.path, start=start, end=end)
+
+    def _initiate_upload(self):
+        if self.autocommit and self.tell() < self.blocksize:
+            return                    # small file: single PUT on final flush
+        bucket, key = self.fs._bk(self.fs._strip_protocol(self.path))
+        _count("MPU_CREATE")
+        up = self.fs.client.create_multipart_upload(Bucket=bucket, Key=key)
+        self._mpu_id = up["UploadId"]
+        self._parts: list[dict] = []
+
+    def _upload_chunk(self, final=False):
+        bucket, key = self.fs._bk(self.fs._strip_protocol(self.path))
+        if self.autocommit and final and not getattr(self, "_mpu_id", None):
+            data = self.buffer.getvalue()
+            _count("PUT")
+            self.fs.client.put_object(Bucket=bucket, Key=key, Body=data)
+            self.fs.invalidate_cache(
+                self.fs._parent(self.fs._strip_protocol(self.path)))
+            return True
+        # S3 rejects parts under 5 MiB except the last, so non-final
+        # flushes upload only whole chunksize parts and carry the tail in
+        # _pending (fsspec clears self.buffer after every flush)
+        data = getattr(self, "_pending", b"") + self.buffer.getvalue()
+        cs = self.fs.multipart_chunksize
+        pos = 0
+
+        def send(chunk: bytes) -> None:
+            _count("MPU_PART")
+            r = self.fs.client.upload_part(
+                Bucket=bucket, Key=key, UploadId=self._mpu_id,
+                PartNumber=len(self._parts) + 1, Body=chunk)
+            self._parts.append({"PartNumber": len(self._parts) + 1,
+                                "ETag": r["ETag"]})
+
+        while len(data) - pos >= cs:
+            send(data[pos:pos + cs])
+            pos += cs
+        if final:
+            if pos < len(data):
+                send(data[pos:])
+            self._pending = b""
+            _count("MPU_COMPLETE")
+            self.fs.client.complete_multipart_upload(
+                Bucket=bucket, Key=key, UploadId=self._mpu_id,
+                MultipartUpload={"Parts": self._parts})
+            self.fs.invalidate_cache(
+                self.fs._parent(self.fs._strip_protocol(self.path)))
+        else:
+            self._pending = data[pos:]
+        return True
+
+    def _abort_mpu(self):
+        if getattr(self, "_mpu_id", None):
+            bucket, key = self.fs._bk(self.fs._strip_protocol(self.path))
+            self.fs.client.abort_multipart_upload(
+                Bucket=bucket, Key=key, UploadId=self._mpu_id)
+            self._mpu_id = None
+
+
+def ensure_registered() -> None:
+    """Make ``s3://`` / ``s3a://`` resolvable through fsspec.
+
+    Defers to an installed ``s3fs`` when present (it registers itself via
+    entry points); otherwise registers this boto3-backed implementation.
+    Must run in every process that resolves S3 URLs — ``storage.fs_for``
+    calls it on first contact with an s3 path, which covers Ray workers.
+    """
+    import fsspec
+    for proto in ("s3", "s3a"):
+        try:
+            fsspec.get_filesystem_class(proto)
+        except (ImportError, ValueError):
+            fsspec.register_implementation(proto, S3BotoFileSystem,
+                                           clobber=False)

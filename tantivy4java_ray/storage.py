@@ -45,6 +45,12 @@ def fs_for(path: str):
         # single-file split bundles register their own fsspec protocol
         from tantivy4java_ray.pipelines.bundle import register_split_protocol
         register_split_protocol()
+    if path.startswith(("s3://", "s3a://")):
+        # boto3-backed fallback when s3fs isn't installed (must run in
+        # every process that touches s3 paths — this call site covers
+        # Ray workers, which resolve URLs lazily)
+        from tantivy4java_ray.sources.s3boto import ensure_registered
+        ensure_registered()
     import fsspec
     fs, p = fsspec.core.url_to_fs(path)
     return fs, p

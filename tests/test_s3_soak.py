@@ -1,0 +1,270 @@
+"""Emulated-object-store soak: the engine's full artifact path against an
+in-process moto S3 server, with server-side request counting.
+
+This is the sandbox stand-in for the reference's env-gated real-cloud
+integration tests (reference ``RealS3EndToEndTest`` /
+``split/SplitCacheManager.java:155-237`` credential+endpoint surface):
+auth config via env (driver) AND via the worker-side conf file, ranged
+reads, retry-on-5xx, multipart upload, and the L1/L2 cache GET budgets —
+all counted at the SERVER, so Ray worker traffic is included.
+"""
+
+import json
+import os
+import threading
+from wsgiref.simple_server import WSGIServer, WSGIRequestHandler, make_server
+
+import pytest
+
+from tantivy4java_ray.sources.s3boto import (CONF_DEFAULT,
+                                             S3BotoFileSystem,
+                                             ensure_registered)
+
+BUCKET = "t4jr-soak"
+
+
+class _Counter:
+    """Server-side tally of S3 API traffic + bounded failure injection."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.counts: dict[str, int] = {}
+        self.fail = {"method": None, "remaining": 0, "status": 500}
+
+    def classify(self, environ) -> str:
+        m = environ["REQUEST_METHOD"]
+        q = environ.get("QUERY_STRING", "")
+        path = environ.get("PATH_INFO", "")
+        if m == "GET":
+            is_obj = path.count("/") >= 2 and not path.endswith("/")
+            if not is_obj or "list-type" in q:
+                return "LIST"
+            return "GET_RANGE" if environ.get("HTTP_RANGE") else "GET"
+        if m == "POST" and "uploads" in q:
+            return "MPU_CREATE"
+        if m == "PUT" and "partNumber" in q:
+            return "MPU_PART"
+        if m == "PUT" and environ.get("HTTP_X_AMZ_COPY_SOURCE"):
+            return "COPY"
+        return m
+
+    def snapshot(self) -> dict[str, int]:
+        with self.lock:
+            return dict(self.counts)
+
+    def gets_since(self, snap: dict[str, int]) -> int:
+        cur = self.snapshot()
+        return sum(cur.get(k, 0) - snap.get(k, 0)
+                   for k in ("GET", "GET_RANGE"))
+
+
+class _QuietHandler(WSGIRequestHandler):
+    def log_message(self, *a):
+        pass
+
+
+class _ThreadingWSGIServer(WSGIServer):
+    # moto's own ThreadedMotoServer uses a threaded werkzeug server; boto3
+    # retries + Ray worker fan-in need concurrent request handling too
+    import socketserver
+    daemon_threads = True
+
+    def process_request(self, request, client_address):
+        t = threading.Thread(target=self._work,
+                             args=(request, client_address), daemon=True)
+        t.start()
+
+    def _work(self, request, client_address):
+        try:
+            self.finish_request(request, client_address)
+        except Exception:
+            pass
+        finally:
+            self.shutdown_request(request)
+
+
+@pytest.fixture(scope="module")
+def s3_env(ray_session):
+    from moto.moto_server.werkzeug_app import (DomainDispatcherApplication,
+                                               create_backend_app)
+    counter = _Counter()
+    inner = DomainDispatcherApplication(create_backend_app)
+
+    def app(environ, start_response):
+        op = counter.classify(environ)
+        with counter.lock:
+            counter.counts[op] = counter.counts.get(op, 0) + 1
+            inject = (counter.fail["remaining"] > 0
+                      and environ["REQUEST_METHOD"] == counter.fail["method"])
+            if inject:
+                counter.fail["remaining"] -= 1
+        if inject:
+            status = counter.fail["status"]
+            start_response(f"{status} Injected",
+                           [("Content-Type", "application/xml")])
+            return [b"<Error><Code>InternalError</Code>"
+                    b"<Message>injected</Message></Error>"]
+        return inner(environ, start_response)
+
+    srv = make_server("127.0.0.1", 0, app, server_class=_ThreadingWSGIServer,
+                      handler_class=_QuietHandler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    endpoint = f"http://127.0.0.1:{srv.server_port}"
+
+    # driver-side config path: standard AWS env vars
+    saved = {k: os.environ.get(k) for k in
+             ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY",
+              "AWS_ENDPOINT_URL", "AWS_DEFAULT_REGION")}
+    os.environ.update({"AWS_ACCESS_KEY_ID": "t4jr-test-key",
+                       "AWS_SECRET_ACCESS_KEY": "t4jr-test-secret",
+                       "AWS_ENDPOINT_URL": endpoint,
+                       "AWS_DEFAULT_REGION": "us-east-1"})
+    # worker-side config path: Ray workers inherited the raylet's env from
+    # cluster start (before this fixture ran), so they pick the endpoint up
+    # from the conf side-file at filesystem construction time instead
+    with open(CONF_DEFAULT, "w") as f:
+        json.dump({"endpoint_url": endpoint, "key": "t4jr-test-key",
+                   "secret": "t4jr-test-secret"}, f)
+    S3BotoFileSystem.clear_instance_cache()
+    ensure_registered()
+
+    import boto3
+    boto3.client("s3", endpoint_url=endpoint).create_bucket(Bucket=BUCKET)
+
+    yield {"endpoint": endpoint, "counter": counter}
+
+    srv.shutdown()
+    os.remove(CONF_DEFAULT)
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    S3BotoFileSystem.clear_instance_cache()
+
+
+def _fs() -> S3BotoFileSystem:
+    S3BotoFileSystem.clear_instance_cache()
+    return S3BotoFileSystem()
+
+
+def test_fs_roundtrip(s3_env):
+    fs = _fs()
+    fs.pipe_file(f"{BUCKET}/a/b.bin", b"0123456789abcdef")
+    assert fs.cat_file(f"{BUCKET}/a/b.bin") == b"0123456789abcdef"
+    # ranged reads — the hot path for every index-component fetch
+    assert fs.cat_file(f"{BUCKET}/a/b.bin", start=4, end=8) == b"4567"
+    assert fs.cat_file(f"{BUCKET}/a/b.bin", start=-4) == b"cdef"
+    assert fs.cat_file(f"{BUCKET}/a/b.bin", start=2, end=2) == b""
+    assert fs.size(f"{BUCKET}/a/b.bin") == 16
+    assert fs.exists(f"{BUCKET}/a/b.bin")
+    assert fs.isdir(f"{BUCKET}/a")
+    assert not fs.exists(f"{BUCKET}/a/nope")
+    names = fs.ls(f"{BUCKET}/a", detail=False)
+    assert names == [f"{BUCKET}/a/b.bin"]
+    # mv = server-side copy + delete (sreplace's atomic-publish path)
+    fs.mv(f"{BUCKET}/a/b.bin", f"{BUCKET}/a/c.bin")
+    assert fs.cat_file(f"{BUCKET}/a/c.bin") == b"0123456789abcdef"
+    assert not fs.exists(f"{BUCKET}/a/b.bin")
+    assert s3_env["counter"].snapshot().get("COPY", 0) >= 1
+    fs.rm(f"{BUCKET}/a", recursive=True)
+    assert not fs.exists(f"{BUCKET}/a/c.bin")
+    with pytest.raises(FileNotFoundError):
+        fs.info(f"{BUCKET}/a/c.bin")
+
+
+def test_multipart_upload(s3_env):
+    MB = 1 << 20
+    fs = _fs()
+    # real S3 (and moto) reject non-final parts < 5 MiB — the fs clamps
+    assert S3BotoFileSystem(multipart_chunksize=MB).multipart_chunksize \
+        == 5 * MB
+    fs.multipart_threshold = 5 * MB
+    fs.multipart_chunksize = 5 * MB
+    payload = bytes(range(256)) * 4096 * 11 + b"tail"  # 11 MiB + 4
+    snap = s3_env["counter"].snapshot()
+    with fs.open(f"{BUCKET}/big/obj.bin", "wb", block_size=5 * MB) as f:
+        # write in uneven slices to exercise the _pending tail carry
+        for i in range(0, len(payload), 3_000_001):
+            f.write(payload[i:i + 3_000_001])
+    cur = s3_env["counter"].snapshot()
+    assert cur.get("MPU_CREATE", 0) - snap.get("MPU_CREATE", 0) == 1
+    # 11 MiB at 5 MiB parts -> 2 full + 1 final tail
+    assert cur.get("MPU_PART", 0) - snap.get("MPU_PART", 0) == 3
+    assert fs.cat_file(f"{BUCKET}/big/obj.bin") == payload
+    # streamed read through the buffered file (ranged GETs)
+    with fs.open(f"{BUCKET}/big/obj.bin", "rb", block_size=MB) as f:
+        assert f.read(10) == payload[:10]
+        f.seek(7 * MB)
+        assert f.read(16) == payload[7 * MB:7 * MB + 16]
+    fs.rm_file(f"{BUCKET}/big/obj.bin")
+
+
+def test_retry_on_injected_500(s3_env):
+    fs = _fs()
+    fs.pipe_file(f"{BUCKET}/r/x.bin", b"resilient")
+    c = s3_env["counter"]
+    with c.lock:
+        c.fail.update({"method": "GET", "remaining": 2, "status": 500})
+    # botocore standard retry mode must absorb both injected 500s
+    assert fs.cat_file(f"{BUCKET}/r/x.bin") == b"resilient"
+    with c.lock:
+        assert c.fail["remaining"] == 0
+    fs.rm_file(f"{BUCKET}/r/x.bin")
+
+
+def test_build_search_soak(s3_env, tmp_path):
+    """Full artifact path on the emulated store: distributed build writes
+    the index to s3:// (worker-side conf auth), cold open+search within a
+    GET budget, warm re-query = ZERO server-side GETs (L1 page cache)."""
+    from tantivy4java_ray.sources.webpages import write_webpages
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.schema import IndexSchema
+
+    data = str(tmp_path / "data")
+    write_webpages(data, 1500, n_files=2, rows_per_row_group=500)
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    s.add_string_field("lang", fast=True)
+
+    idx = f"s3://{BUCKET}/idx_soak"
+    res = build_index(f"{data}/*.parquet", idx, s, num_shards=4,
+                      target_docs_per_partition=500,
+                      html_fallback=("text", "html"))
+    assert res.num_docs == 1500
+
+    c = s3_env["counter"]
+    snap = c.snapshot()
+    r = IndexReader(idx)
+    hits = r.search("needleterm", 5)
+    assert len(hits) == 5
+    cold = c.gets_since(snap)
+    assert cold > 0
+    # cold budget: manifest + per-shard footer/hotcache reads + the query's
+    # dictionary/posting pages; at 4 shards this lands well under 64 —
+    # anything above means ranged reads degraded to per-component chatter
+    assert cold <= 64, f"cold open+query took {cold} GETs"
+
+    snap = c.snapshot()
+    hits2 = r.search("needleterm", 5)
+    assert [h[1] for h in hits2.hits] == [h[1] for h in hits.hits]
+    assert c.gets_since(snap) == 0, "warm re-query must be zero-GET"
+
+    # a different term may touch new pages but must reuse footer/dict pages
+    snap = c.snapshot()
+    r.search("w0042", 5)
+    second_term = c.gets_since(snap)
+    assert second_term <= 16, f"second term took {second_term} GETs"
+
+
+def test_validate_and_cli_on_s3(s3_env):
+    """validate + agg surfaces over the s3:// index built above."""
+    from tantivy4java_ray.pipelines.search import IndexReader, validate_index
+    idx = f"s3://{BUCKET}/idx_soak"
+    problems = validate_index(idx)
+    assert problems == [], problems
+    r = IndexReader(idx)
+    agg = r.aggregate(None, {"l": {"terms": {"field": "lang", "size": 5}}})
+    assert agg["l"]["buckets"], agg
