@@ -964,47 +964,51 @@ class IndexReader:
         PREFIX within the edit budget (FuzzyTermQuery::new_prefix): the
         DP returns min distance over the term's prefixes; exact-prefix
         terms short-circuit before the DP."""
-        import pyarrow.compute as pc
-
-        def match():
-            matched = []
-            for sid in range(self.num_shards):
-                fs = self._field_slice(sid, field)
-                if fs is None:
-                    continue
-                lens = np.asarray(pc.utf8_length(fs["uterms_pa"])
-                                  .to_numpy(zero_copy_only=False), np.int64)
-                if prefix:
-                    # terms may be arbitrarily longer than the pattern
-                    cand = np.flatnonzero(lens >= len(value) - distance)
-                else:
-                    cand = np.flatnonzero(
-                        np.abs(lens - len(value)) <= distance)
-                if not len(cand):
-                    continue
-                keep = np.fromiter(
-                    ((prefix and t.startswith(value))
-                     or _edit_distance(value, t, distance, transposition,
-                                       prefix=prefix) <= distance
-                     for t in fs["uterms"][cand]), bool, len(cand))
-                uidx = cand[keep]
-                if len(uidx):
-                    matched.append((sid, self._matched_rows(sid, fs, uidx),
-                                    uidx))
-            return matched
-
         docs = self._drop_deleted(self._cached_union(
             ("fuzzy", field, value, distance, transposition, prefix),
-            match))
+            lambda: self._match_fuzzy(field, value, distance,
+                                      transposition, prefix)))
         return docs, np.full(len(docs), boost, np.float32)
 
-    def _eval_automaton(self, kind: str, field: str, pattern: str,
-                        lenient: bool, boost: float):
-        fcfg = self.schema.get_field(field)
-        lit_prefix = None
+    def _match_fuzzy(self, field: str, value: str, distance: int,
+                     transposition: bool, prefix: bool):
+        """Dictionary rows within the edit budget (shared by evaluate
+        and query-shaped warmup)."""
+        import pyarrow.compute as pc
+        matched = []
+        for sid in range(self.num_shards):
+            fs = self._field_slice(sid, field)
+            if fs is None:
+                continue
+            lens = np.asarray(pc.utf8_length(fs["uterms_pa"])
+                              .to_numpy(zero_copy_only=False), np.int64)
+            if prefix:
+                # terms may be arbitrarily longer than the pattern
+                cand = np.flatnonzero(lens >= len(value) - distance)
+            else:
+                cand = np.flatnonzero(
+                    np.abs(lens - len(value)) <= distance)
+            if not len(cand):
+                continue
+            keep = np.fromiter(
+                ((prefix and t.startswith(value))
+                 or _edit_distance(value, t, distance, transposition,
+                                   prefix=prefix) <= distance
+                 for t in fs["uterms"][cand]), bool, len(cand))
+            uidx = cand[keep]
+            if len(uidx):
+                matched.append((sid, self._matched_rows(sid, fs, uidx),
+                                uidx))
+        return matched
+
+    def _automaton_spec(self, kind: str, field: str, pattern: str,
+                        lenient: bool) -> tuple[str, str] | None:
+        """regex/wildcard -> ("prefix", literal) | ("regex", rx) | None
+        (lenient + uncompilable). Shared by evaluate and warmup."""
         if kind == "wildcard":
             # lowercase only if the field's tokenizer lowercases
             # (native/src/query/wildcard.rs:8-16)
+            fcfg = self.schema.get_field(field)
             from tantivy4java_ray.analyzer import get_analyzer
             if (fcfg.type is FieldType.TEXT
                     and get_analyzer(fcfg.tokenizer).lowercase):
@@ -1012,11 +1016,7 @@ class IndexReader:
             lit_prefix = pattern.split("*", 1)[0].split("?", 1)[0]
             if pattern == lit_prefix + "*":
                 # pure prefix wildcard: dictionary window, no regex at all
-                docs = self._drop_deleted(self._cached_union(
-                    ("prefix", field, lit_prefix),
-                    lambda: self.match_terms(field, "prefix",
-                                             prefix=lit_prefix)))
-                return docs, np.full(len(docs), boost, np.float32)
+                return ("prefix", lit_prefix)
             # [\s\S] not '.': wildcard matches ANY char incl. newline in
             # raw STRING terms (tantivy-fst has no line semantics)
             regex = "".join(
@@ -1028,11 +1028,24 @@ class IndexReader:
             re.compile(regex)
         except re.error:
             if lenient:
-                return _EMPTY
+                return None
             raise
-        docs = self._drop_deleted(self._cached_union(
-            ("regex", field, regex),
-            lambda: self.match_terms(field, "regex", pattern=regex)))
+        return ("regex", regex)
+
+    def _eval_automaton(self, kind: str, field: str, pattern: str,
+                        lenient: bool, boost: float):
+        spec = self._automaton_spec(kind, field, pattern, lenient)
+        if spec is None:
+            return _EMPTY
+        mkind, arg = spec
+        if mkind == "prefix":
+            docs = self._drop_deleted(self._cached_union(
+                ("prefix", field, arg),
+                lambda: self.match_terms(field, "prefix", prefix=arg)))
+        else:
+            docs = self._drop_deleted(self._cached_union(
+                ("regex", field, arg),
+                lambda: self.match_terms(field, "regex", pattern=arg)))
         return docs, np.full(len(docs), boost, np.float32)
 
     def _ip_term(self, value: str) -> str:
@@ -1361,6 +1374,123 @@ class IndexReader:
             fcfg = self.schema.get_field(f)
             if fcfg.type is FieldType.TEXT and fcfg.fieldnorms:
                 self.norms(f)
+
+    def warmup(self, query) -> dict:
+        """Query-shaped warmup — the ``warmupQuery`` analog
+        (``split/SplitSearcher.java:1306``): walk the query tree, resolve
+        the exact dictionary rows each leaf will touch, and prefetch their
+        posting (and, for phrase leaves, position) byte ranges into the
+        remote page caches in coalesced batches — WITHOUT decoding
+        postings or scoring. Fieldnorms for text leaves and fast columns
+        for numeric-range/exists leaves are loaded too. Prefetch is a
+        no-op on local memmap indexes. Returns a summary dict."""
+        from tantivy4java_ray.query import Query, parse_query
+        if isinstance(query, str):
+            query = parse_query(query, self.schema)
+        post_runs: list[tuple[int, int]] = []
+        pos_runs: list[tuple[int, int]] = []
+        fields: set[str] = set()
+
+        def add_matched(matched) -> None:
+            for sid, rows, _u in matched:
+                post_runs.extend((sid, int(r)) for r in np.asarray(rows))
+
+        def add_term(field: str, term: str, positions: bool = False) -> None:
+            runs = self._term_runs(field, term)
+            post_runs.extend(runs)
+            if positions:
+                pos_runs.extend(runs)
+
+        def walk(q: Query) -> None:
+            k, p = q.kind, q.params
+            if k == "term":
+                field, term = p
+                if self.schema.get_field(field).type is FieldType.IP_ADDR:
+                    term = self._ip_term(term)
+                fields.add(field)
+                add_term(field, term)
+            elif k == "term_set":
+                field, terms = p
+                if self.schema.get_field(field).type is FieldType.IP_ADDR:
+                    terms = [self._ip_term(t) for t in terms]
+                fields.add(field)
+                for t in terms:
+                    add_term(field, t)
+            elif k == "phrase":
+                field, elems, _slop = p
+                fields.add(field)
+                for _pos, w in elems:
+                    add_term(field, w, positions=True)
+            elif k == "fuzzy":
+                field = p[0]
+                fields.add(field)
+                add_matched(self._match_fuzzy(*p))
+            elif k in ("regex", "wildcard"):
+                field, pattern, lenient = p
+                fields.add(field)
+                spec = self._automaton_spec(k, field, pattern, lenient)
+                if spec is not None:
+                    mkind, arg = spec
+                    add_matched(self.match_terms(
+                        field, mkind,
+                        **({"prefix": arg} if mkind == "prefix"
+                           else {"pattern": arg})))
+            elif k == "range":
+                field, lower, upper, ilo, ihi = p
+                fields.add(field)
+                fcfg = self.schema.get_field(field)
+                if fcfg.type is FieldType.IP_ADDR:
+                    lower = (self._ip_term(lower) if lower is not None
+                             else None)
+                    upper = (self._ip_term(upper) if upper is not None
+                             else None)
+                if fcfg.type in (FieldType.STRING, FieldType.TEXT,
+                                 FieldType.FACET, FieldType.IP_ADDR):
+                    add_matched(self.match_terms(
+                        field, "range", lo=lower, hi=upper,
+                        incl_lo=ilo, incl_hi=ihi))
+                else:
+                    self.fast_column(field)   # numeric/date: fast pages
+            elif k == "exists":
+                fields.add(p[0])
+                self.fast_column(p[0])
+            elif k == "json_exists":
+                field, path = p
+                fields.add(field)
+                for pref in (f"{path}\x01", f"{path}\x02", f"{path}."):
+                    add_matched(self.match_terms(field, "prefix",
+                                                 prefix=pref))
+            elif k == "json_range":
+                field, path = p[0], p[1]
+                fields.add(field)
+                # warm both typed windows under the path (a superset of
+                # the matched terms — path-bounded, so small)
+                for pref in (f"{path}\x01", f"{path}\x02"):
+                    add_matched(self.match_terms(field, "prefix",
+                                                 prefix=pref))
+            elif k == "bool":
+                for _occ, sub in p:
+                    walk(sub)
+            elif k == "dismax":
+                for sub in p[0]:
+                    walk(sub)
+            elif k in ("boost", "const"):
+                walk(p[0])
+            elif k == "more_like_this":
+                walk(self._expand_mlt(*p))
+            # "all"/"none": nothing to warm
+
+        walk(query)
+        self._prefetch_runs(post_runs)
+        if pos_runs:
+            self._prefetch_runs(pos_runs, "positions")
+        for f in fields:
+            fcfg = self.schema.get_field(f)
+            if fcfg.type is FieldType.TEXT and fcfg.fieldnorms:
+                self.norms(f)
+        return {"postings_runs": len(post_runs),
+                "position_runs": len(pos_runs),
+                "fields": sorted(fields)}
 
     def cache_stats(self) -> dict:
         """Per-tier cache telemetry — the ``getCacheStats`` /

@@ -259,6 +259,47 @@ def test_build_search_soak(s3_env, tmp_path):
     assert second_term <= 16, f"second term took {second_term} GETs"
 
 
+def test_query_warmup_zero_get(s3_env, tmp_path):
+    """warmup(query) must prefetch exactly what the query needs: after a
+    warmup on a FRESH index (empty L1/L2 caches), executing the query
+    issues zero additional server-side GETs."""
+    from tantivy4java_ray.sources.webpages import write_webpages
+    from tantivy4java_ray.pipelines.build import build_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    from tantivy4java_ray.schema import IndexSchema
+
+    data = str(tmp_path / "wdata")
+    write_webpages(data, 600, n_files=1, rows_per_row_group=300)
+    s = IndexSchema()
+    s.add_text_field("text", index_option="position")
+    s.add_string_field("lang", fast=True)
+    idx = f"s3://{BUCKET}/idx_warmq"
+    build_index(f"{data}/*.parquet", idx, s, num_shards=2,
+                target_docs_per_partition=300,
+                html_fallback=("text", "html"))
+
+    c = s3_env["counter"]
+    r = IndexReader(idx)
+    q = '(text:"alpha bravo charlie" OR w0042) AND NOT w0007'
+    snap = c.snapshot()
+    info = r.warmup(q)
+    assert info["postings_runs"] > 0 and "text" in info["fields"]
+    warm_gets = c.gets_since(snap)
+    assert warm_gets > 0, "fresh index: warmup must actually fetch pages"
+    snap = c.snapshot()
+    hits = r.search(q, 10)
+    assert len(hits) > 0
+    assert c.gets_since(snap) == 0, \
+        "query after query-shaped warmup must be zero-GET"
+    # warmup of expansion kinds (fuzzy/wildcard/range) resolves matched
+    # dictionary rows the same way evaluate does
+    info2 = r.warmup("text:w0100~1 OR text:alp* OR lang:[aa TO zz]")
+    assert info2["postings_runs"] > 0
+    snap = c.snapshot()
+    r.search("text:w0100~1 OR text:alp* OR lang:[aa TO zz]", 5)
+    assert c.gets_since(snap) == 0
+
+
 def test_validate_and_cli_on_s3(s3_env):
     """validate + agg surfaces over the s3:// index built above."""
     from tantivy4java_ray.pipelines.search import IndexReader, validate_index
