@@ -194,6 +194,13 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
 
     out: dict[str, float] = {}
 
+    # warm-up: a small untimed build prestarts Ray worker processes with
+    # the package imported, so the timed build below measures steady-state
+    # cluster throughput, not 32 cold process spawns (the --scaling path
+    # has always done this; without it, dropping best-of-2 for probe-gated
+    # single runs silently folded worker cold-start into build_webpages)
+    build_webpages(num_cpus, "warm", n_docs=20000)
+
     # build: best-of-N full rebuilds (deterministic identical output)
     b = min((build_webpages(num_cpus, "suite") for _ in range(BENCH_RUNS)),
             key=lambda r: r["build_sec"])
@@ -253,6 +260,7 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
     out["agg_events_suite"] = round(el, 3)
 
     out["_build_docs_per_sec"] = round(b["docs_per_sec"], 1)
+    out["_build_phase_s"] = {k: round(v, 2) for k, v in b["phase_s"].items()}
     out["_batch_search_qps"] = round(bs["qps"], 1)
     out["_batch_search_warm_qps"] = round(bs["warm_qps"], 1)
     out["_sharded_search_qps"] = round(ss["qps"], 1)

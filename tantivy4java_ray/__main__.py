@@ -80,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
                                 '{"field": "lang"}}}\'')
     a.add_argument("-q", "--query", default=None)
 
+    w = sub.add_parser("warmup", help="prefetch exactly the pages a "
+                                      "query will touch (warmupQuery)")
+    w.add_argument("index_dir")
+    w.add_argument("query")
+
     args = p.parse_args(argv)
 
     try:
@@ -168,6 +173,10 @@ def _dispatch(args) -> int:
         q = parse_query(args.query, r.schema) if args.query else None
         print(json.dumps(r.aggregate(q, json.loads(args.spec)),
                          default=str))
+    elif args.cmd == "warmup":
+        from tantivy4java_ray.pipelines.search import IndexReader
+        r = IndexReader(_maybe_split(args.index_dir))
+        print(json.dumps(r.warmup(args.query)))
     return 0
 
 

@@ -189,7 +189,13 @@ def _flatten_json_terms(col: pa.Array, expand_dots: bool = True
     ``path\\x02<f64 order-preserving hex>`` term so range queries compare
     numerically, mirroring the reference's typed subpath discovery
     (``native/src/quickwit_split/json_discovery.rs``,
-    ``native/src/query/json_query.rs``)."""
+    ``native/src/query/json_query.rs``).
+
+    NOTE — this is the COMPAT path: schema-less JSON strings force a
+    per-row ``json.loads`` + Python walk, inherent to the format. Store
+    JSON as Arrow STRUCT columns (parquet nested types) to take the
+    vectorized ``_flatten_struct_terms`` path instead: one type-tree walk,
+    whole child arrays per leaf, no per-row Python."""
     from tantivy4java_ray.pipelines.search import encode_f64_sortable
     rows: list[int] = []
     terms: list[str] = []

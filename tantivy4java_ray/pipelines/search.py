@@ -2190,6 +2190,9 @@ class SearchPool:
                             ) -> list[list[tuple[float, int]]]:
                 return [self.reader.search(q, limit).hits for q in queries]
 
+            def warmup(self, query: str) -> dict:
+                return self.reader.warmup(query)
+
         self._actors = [_QueryActor.remote(index_dir)
                         for _ in range(num_actors)]
         self.limit = limit
@@ -2218,6 +2221,14 @@ class SearchPool:
                 out[idx] = hits
             fi += 1
         return out
+
+    def warmup(self, query: str) -> list[dict]:
+        """warmupQuery across the pool: every actor prefetches exactly
+        the pages ``query`` touches, so a subsequent ``search_many`` on
+        remote (object-store) indexes is zero-GET for that query shape
+        (``split/SplitSearcher.java:1306`` analog)."""
+        import ray
+        return ray.get([a.warmup.remote(query) for a in self._actors])
 
     def shutdown(self) -> None:
         import ray
@@ -2290,6 +2301,9 @@ class ShardedSearchPool:
                 return pickle.dumps(merged_partial_on_index(
                     self.reader, query, specs, distributed=False))
 
+            def warmup(self, query: str) -> dict:
+                return self.reader.warmup(query)
+
         self._actors = [_LeafActor.remote(index_dir, lo, hi, prewarm)
                         for lo, hi in ranges]
         self.ranges = ranges
@@ -2331,6 +2345,12 @@ class ShardedSearchPool:
         for b in blobs:
             merged = merge_states(aggs, merged, pickle.loads(b))
         return finalize(aggs, merged)
+
+    def warmup(self, query: str) -> list[dict]:
+        """warmupQuery across the leaves: each leaf prefetches only the
+        pages ``query`` touches within ITS doc range."""
+        import ray
+        return ray.get([a.warmup.remote(query) for a in self._actors])
 
     def shutdown(self) -> None:
         import ray

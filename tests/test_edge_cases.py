@@ -137,7 +137,23 @@ def test_search_pool_matches_reader(r, ray_session):
     from tantivy4java_ray.pipelines.search import SearchPool
     pool = SearchPool(f"{BASE}/idx", num_actors=2, limit=5)
     queries = ["a", "b AND c", "t:e", "zzz"]
+    # query-shaped warmup across the pool: one summary per actor, and
+    # results after warmup are unchanged
+    infos = pool.warmup("a OR (b AND c)")
+    assert len(infos) == 2
+    assert all(i["postings_runs"] > 0 for i in infos)
     got = pool.search_many(queries)
     pool.shutdown()
     for q, hits in zip(queries, got):
         assert hits == r.search(q, 5).hits, q
+
+
+def test_sharded_pool_warmup(r, ray_session):
+    from tantivy4java_ray.pipelines.search import ShardedSearchPool
+    pool = ShardedSearchPool(f"{BASE}/idx", num_actors=2, limit=5,
+                             prewarm=False)
+    infos = pool.warmup("a")
+    assert len(infos) == len(pool.ranges)
+    hits = pool.search("a", 5).hits
+    pool.shutdown()
+    assert hits == r.search("a", 5).hits
