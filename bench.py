@@ -46,6 +46,12 @@ BENCH_RUNS = int(os.environ.get("GRAFT_BENCH_RUNS", "1"))
 BENCH_ATTEMPTS = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "3"))
 GATE_CPU_EFF = float(os.environ.get("GRAFT_GATE_CPU_EFF", "0.85"))
 GATE_STEAL_PCT = float(os.environ.get("GRAFT_GATE_STEAL_PCT", "1.0"))
+#: deliverable parallel memory bandwidth floor (GB/s, 8-worker memcpy).
+#: The CPU gate alone misses bandwidth collapses: identical 24-task
+#: builds measured 1.9 s and 10.5 s minutes apart with the busy-loop
+#: probe healthy both times. Healthy windows measure 58-192 GB/s at 8
+#: workers; degraded ones 8-50.
+GATE_MEM_WIDE = float(os.environ.get("GRAFT_GATE_MEM_WIDE", "45"))
 #: how long to wait (probe->sleep->re-probe) for a healthy window before
 #: running an attempt anyway
 GATE_WAIT_SEC = float(os.environ.get("GRAFT_GATE_WAIT_SEC", "90"))
@@ -199,7 +205,7 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
     # cluster throughput, not 32 cold process spawns (the --scaling path
     # has always done this; without it, dropping best-of-2 for probe-gated
     # single runs silently folded worker cold-start into build_webpages)
-    build_webpages(num_cpus, "warm", n_docs=20000)
+    warm = build_webpages(num_cpus, "warm", n_docs=20000)
 
     # build: best-of-N full rebuilds (deterministic identical output)
     b = min((build_webpages(num_cpus, "suite") for _ in range(BENCH_RUNS)),
@@ -261,6 +267,10 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
 
     out["_build_docs_per_sec"] = round(b["docs_per_sec"], 1)
     out["_build_phase_s"] = {k: round(v, 2) for k, v in b["phase_s"].items()}
+    # warm-up build rate = an in-suite consistency signal: a timed build
+    # much slower per-doc than the warm-up that ran seconds earlier
+    # means the window degraded mid-suite
+    out["_warmup_build_docs_per_sec"] = round(warm["docs_per_sec"], 1)
     out["_batch_search_qps"] = round(bs["qps"], 1)
     out["_batch_search_warm_qps"] = round(bs["warm_qps"], 1)
     out["_sharded_search_qps"] = round(ss["qps"], 1)
@@ -354,10 +364,17 @@ def _host_context(num_cpus: int) -> dict[str, float]:
     cw = _cpu_control(wide, seconds=3.0)
     s1, t1 = _read_steal()
     m1 = _mem_control(1, seconds=2.0)
+    # WIDE parallel memcpy: the probe the CPU gate cannot replace —
+    # identical 24-task builds have measured 1.9 s and 10.5 s minutes
+    # apart while the busy-loop gate read healthy both times; the
+    # distinguishing host state is deliverable PARALLEL memory
+    # bandwidth (observed 8.7-192 GB/s at 8 workers across windows)
+    mw = _mem_control(min(8, wide), seconds=2.0)
     steal = (s1 - s0) / max(t1 - t0, 1)
     return {"_host_cpu_eff_wide": round(cw / (c1 * wide), 3),
             "_host_cpu_wide_workers": wide,
             "_host_mem_gbps_1p": round(m1, 1),
+            "_host_mem_gbps_wide": round(mw, 1),
             "_host_steal_pct": round(100.0 * steal, 1)}
 
 
@@ -476,7 +493,8 @@ def main() -> None:
 
     def healthy(probe: dict) -> bool:
         return (probe["_host_cpu_eff_wide"] >= GATE_CPU_EFF
-                and probe["_host_steal_pct"] <= GATE_STEAL_PCT)
+                and probe["_host_steal_pct"] <= GATE_STEAL_PCT
+                and probe["_host_mem_gbps_wide"] >= GATE_MEM_WIDE)
 
     def wait_healthy() -> dict:
         deadline = time.monotonic() + GATE_WAIT_SEC
@@ -518,6 +536,7 @@ def main() -> None:
         "num_cpus": num_cpus, "bench_runs": BENCH_RUNS,
         "healthy_window": best["healthy"],
         "gate": {"cpu_eff": GATE_CPU_EFF, "steal_pct": GATE_STEAL_PCT,
+                 "mem_gbps_wide": GATE_MEM_WIDE,
                  "attempts": len(attempts)},
         "_attempts": [{"total": a["total"], "healthy": a["healthy"],
                        "pre": a["pre"], "post": a["post"]}

@@ -321,22 +321,47 @@ class IndexReader:
             return np.empty(0, np.int64), np.empty(0, np.uint32)
         self._prefetch_runs(runs, "postings")
         doc_parts, tf_parts = [], []
-        for sid, r in runs:
-            d = self._dict(sid)
-            base = int(d["run_base"][r])
-            if self.doc_range is not None and self.doc_hi - base <= 0:
-                continue
-            buf = self._run_bytes(sid, r)
-            if self.doc_range is not None:
+        if self.doc_range is None:
+            # full-index path: batch-decode ALL of a shard's runs in one
+            # width-grouped pass (per-region decode overhead dominates
+            # cold multi-run terms — the at-scale shape is one run per
+            # build partition). Remote RangedBlobs can't expose one flat
+            # buffer, so they stay on the per-run loop below.
+            by_sid: dict[int, list[int]] = {}
+            for sid, r in runs:
+                by_sid.setdefault(sid, []).append(r)
+            for sid, rs in by_sid.items():
+                d = self._dict(sid)
+                mm = self._mm(sid)
+                if isinstance(mm, np.ndarray):
+                    docs, tfs = pcodec.decode_postings_multi(
+                        mm, [int(d["offset"][r]) for r in rs],
+                        [int(d["run_base"][r]) for r in rs])
+                    if len(docs):
+                        doc_parts.append(docs)
+                        tf_parts.append(tfs)
+                else:
+                    for r in rs:
+                        base = int(d["run_base"][r])
+                        docs, tfs = pcodec.decode_postings(
+                            self._run_bytes(sid, r), 0)
+                        if len(docs):
+                            doc_parts.append(docs.astype(np.int64) + base)
+                            tf_parts.append(tfs)
+        else:
+            for sid, r in runs:
+                d = self._dict(sid)
+                base = int(d["run_base"][r])
+                if self.doc_hi - base <= 0:
+                    continue
                 # leaf mode: decode only the 128-blocks inside the range
                 docs, tfs = pcodec.decode_postings_range(
-                    buf, 0, max(self.doc_lo - base, 0), self.doc_hi - base)
-            else:
-                docs, tfs = pcodec.decode_postings(buf, 0)
-            if not len(docs):
-                continue
-            doc_parts.append(docs.astype(np.int64) + base)
-            tf_parts.append(tfs)
+                    self._run_bytes(sid, r), 0,
+                    max(self.doc_lo - base, 0), self.doc_hi - base)
+                if not len(docs):
+                    continue
+                doc_parts.append(docs.astype(np.int64) + base)
+                tf_parts.append(tfs)
         if not doc_parts:
             return np.empty(0, np.int64), np.empty(0, np.uint32)
         docs = np.concatenate(doc_parts)
