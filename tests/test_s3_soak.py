@@ -309,3 +309,26 @@ def test_validate_and_cli_on_s3(s3_env):
     r = IndexReader(idx)
     agg = r.aggregate(None, {"l": {"terms": {"field": "lang", "size": 5}}})
     assert agg["l"]["buckets"], agg
+
+
+def test_sharded_pool_on_s3_warmup_zero_get(s3_env):
+    """Distributed leaf/root search over the s3:// index: leaf actors
+    (separate Ray worker processes, conf-file auth) warm a query shape,
+    then serving it repeatedly is zero-GET at the server."""
+    from tantivy4java_ray.pipelines.search import (IndexReader,
+                                                   ShardedSearchPool)
+    idx = f"s3://{BUCKET}/idx_soak"
+    pool = ShardedSearchPool(idx, num_actors=2, prewarm=False)
+    c = s3_env["counter"]
+    q = "needleterm OR w0011"
+    infos = pool.warmup(q)
+    assert len(infos) == len(pool.ranges)
+    snap = c.snapshot()
+    res = pool.search_many([q] * 6, limit=5)
+    assert all(res[0] == r for r in res)
+    assert c.gets_since(snap) == 0, \
+        "warmed sharded serving must issue no server GETs"
+    expect = IndexReader(idx).search(q, 5).hits
+    got = [(round(s, 4), d) for s, d in res[0]]
+    assert got == [(round(s, 4), d) for s, d in expect]
+    pool.shutdown()
