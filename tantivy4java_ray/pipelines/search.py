@@ -395,15 +395,53 @@ class IndexReader:
         self._prefetch_runs(runs, "postings")
         self._prefetch_runs(runs, "positions")
         doc_parts, tf_parts, pos_parts = [], [], []
-        for sid, r in runs:
-            d = self._dict(sid)
-            base = int(d["run_base"][r])
-            docs, tfs = pcodec.decode_postings(self._run_bytes(sid, r), 0)
-            pos = (pcodec.decode_positions(
-                self._run_bytes(sid, r, "positions"), 0)
-                if int(d["pos_offset"][r]) >= 0
-                and self._mm(sid, "positions") is not None else None)
-            if self.doc_range is not None:
+        if self.doc_range is None:
+            # full-index path: batch-decode docs/tfs per shard (see
+            # postings()); position streams decode per run (one unpack
+            # each) and concatenate in the SAME region order, keeping
+            # the tf-alignment invariant
+            by_sid: dict[int, list[int]] = {}
+            for sid, r in runs:
+                by_sid.setdefault(sid, []).append(r)
+            for sid, rs in by_sid.items():
+                d = self._dict(sid)
+                mm = self._mm(sid)
+                pos_mm = self._mm(sid, "positions")
+                if isinstance(mm, np.ndarray):
+                    docs, tfs = pcodec.decode_postings_multi(
+                        mm, [int(d["offset"][r]) for r in rs],
+                        [int(d["run_base"][r]) for r in rs])
+                    if len(docs):
+                        doc_parts.append(docs)
+                        tf_parts.append(tfs)
+                    for r in rs:
+                        if int(d["pos_offset"][r]) >= 0 and \
+                                pos_mm is not None:
+                            pos_parts.append(pcodec.decode_positions(
+                                self._run_bytes(sid, r, "positions"), 0))
+                else:
+                    for r in rs:
+                        base = int(d["run_base"][r])
+                        docs, tfs = pcodec.decode_postings(
+                            self._run_bytes(sid, r), 0)
+                        if not len(docs):
+                            continue
+                        doc_parts.append(docs.astype(np.int64) + base)
+                        tf_parts.append(tfs)
+                        if int(d["pos_offset"][r]) >= 0 and \
+                                pos_mm is not None:
+                            pos_parts.append(pcodec.decode_positions(
+                                self._run_bytes(sid, r, "positions"), 0))
+        else:
+            for sid, r in runs:
+                d = self._dict(sid)
+                base = int(d["run_base"][r])
+                docs, tfs = pcodec.decode_postings(
+                    self._run_bytes(sid, r), 0)
+                pos = (pcodec.decode_positions(
+                    self._run_bytes(sid, r, "positions"), 0)
+                    if int(d["pos_offset"][r]) >= 0
+                    and self._mm(sid, "positions") is not None else None)
                 # positions are tf-aligned: mask docs, repeat over tfs
                 keep = ((docs >= self.doc_lo - base)
                         & (docs < self.doc_hi - base))
@@ -411,12 +449,12 @@ class IndexReader:
                     if pos is not None and len(pos):
                         pos = pos[np.repeat(keep, tfs)]
                     docs, tfs = docs[keep], tfs[keep]
-            if not len(docs):
-                continue
-            doc_parts.append(docs.astype(np.int64) + base)
-            tf_parts.append(tfs)
-            if pos is not None:
-                pos_parts.append(pos)
+                if not len(docs):
+                    continue
+                doc_parts.append(docs.astype(np.int64) + base)
+                tf_parts.append(tfs)
+                if pos is not None:
+                    pos_parts.append(pos)
         if not doc_parts:
             return (np.empty(0, np.int64), np.empty(0, np.uint32),
                     np.empty(0, np.uint32))
