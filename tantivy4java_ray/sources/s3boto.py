@@ -265,6 +265,30 @@ class S3BotoFileSystem(AbstractFileSystem):
 
     # -- management ----------------------------------------------------------
 
+    def put_if_absent(self, path, value: bytes) -> bool:
+        """True conditional create: PutObject with ``If-None-Match: *``
+        (supported by real S3 since 2024 and by moto). Returns False when
+        the key already exists with DIFFERENT content. A 412 after a
+        retried request that actually landed is disambiguated by reading
+        the object back: identical content = our claim succeeded
+        (idempotent content-addressed claim semantics)."""
+        path = self._strip_protocol(path)
+        bucket, key = self._bk(path)
+        try:
+            _count("PUT_COND")
+            self.client.put_object(Bucket=bucket, Key=key, Body=value,
+                                   IfNoneMatch="*")
+            self.invalidate_cache(self._parent(path))
+            return True
+        except self.client.exceptions.ClientError as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            if code not in ("PreconditionFailed", "412"):
+                raise
+            try:
+                return self.cat_file(path) == value
+            except FileNotFoundError:
+                return False
+
     def cp_file(self, path1, path2, **kwargs):
         b1, k1 = self._bk(self._strip_protocol(path1))
         b2, k2 = self._bk(self._strip_protocol(path2))

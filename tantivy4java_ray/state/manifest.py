@@ -60,17 +60,15 @@ def exclusive_write_json(path: str, obj: Any) -> bool:
     exists. A Delta-style log version must be claimed exclusively —
     write-then-replace is idempotent for identical content but lets a
     concurrent writer at the same version silently clobber a different
-    transaction. Local paths get real O_EXCL; URL stores (no atomic
-    create-if-absent on S3-style APIs) fall back to a pre-existence
-    check, which narrows but cannot close the race — same caveat as
-    Delta on S3 without a coordinator."""
+    transaction. Local paths get real O_EXCL; URL stores route through
+    ``storage.write_bytes_if_absent`` — on S3 that is a native
+    conditional create (``If-None-Match: *``), a RACE-FREE claim; other
+    stores fall back to a pre-existence check, which narrows but cannot
+    close the race (the Delta-on-S3-without-coordinator caveat)."""
     data = json.dumps(obj, sort_keys=True).encode()
     if "://" in path:
         from tantivy4java_ray import storage as st
-        if st.sexists(path):
-            return False
-        st.write_bytes_atomic(data, path)
-        return True
+        return st.write_bytes_if_absent(data, path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     # write the FULL content to a private tmp first, then claim the
     # version with an atomic hard link: a bare O_EXCL create would

@@ -272,6 +272,24 @@ def write_bytes_atomic(data: bytes, path: str) -> None:
     fs.mv(tmp, p)
 
 
+def write_bytes_if_absent(data: bytes, path: str) -> bool:
+    """Put-if-absent for URL paths -> True when this write claimed the
+    key. Filesystems with a native conditional create (S3
+    ``If-None-Match: *`` via ``s3boto.put_if_absent``) get a RACE-FREE
+    claim; others fall back to exists-check + atomic write, which
+    narrows but cannot close the window (the Delta-on-S3-without-
+    coordinator caveat, now closed on S3 proper)."""
+    fs, p = fs_for(path)
+    if fs is None:
+        raise ValueError("local paths use the O_EXCL path in manifest")
+    if hasattr(fs, "put_if_absent"):
+        return fs.put_if_absent(p, data)
+    if fs.exists(p):
+        return False
+    write_bytes_atomic(data, path)
+    return True
+
+
 class DiskPageCache:
     """Node-local L2 page cache shared by every ``RangedBlob`` in the
     process (and, via the filesystem, by every worker process on the

@@ -46,6 +46,8 @@ class _Counter:
             return "MPU_PART"
         if m == "PUT" and environ.get("HTTP_X_AMZ_COPY_SOURCE"):
             return "COPY"
+        if m == "PUT" and environ.get("HTTP_IF_NONE_MATCH"):
+            return "PUT_COND"
         return m
 
     def snapshot(self) -> dict[str, int]:
@@ -309,6 +311,49 @@ def test_validate_and_cli_on_s3(s3_env):
     r = IndexReader(idx)
     agg = r.aggregate(None, {"l": {"terms": {"field": "lang", "size": 5}}})
     assert agg["l"]["buckets"], agg
+
+
+def test_conditional_put_claims(s3_env):
+    """Txlog version claims on S3 are RACE-FREE via If-None-Match: * —
+    of N concurrent different-content claims exactly one wins, the
+    stored content is the winner's, and re-claiming identical content
+    is idempotent-True (retried-request disambiguation)."""
+    import threading
+    from tantivy4java_ray.storage import write_bytes_if_absent
+    fs = _fs()
+    key = f"s3://{BUCKET}/txlog/v00000007.json"
+    results = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def claim(i):
+        barrier.wait()
+        results[i] = write_bytes_if_absent(b'{"writer": %d}' % i, key)
+    ts = [threading.Thread(target=claim, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sum(results) == 1, results
+    winner = results.index(True)
+    assert fs.cat_file(f"{BUCKET}/txlog/v00000007.json") \
+        == b'{"writer": %d}' % winner
+    # identical-content re-claim = True (a retry that actually landed)
+    assert write_bytes_if_absent(b'{"writer": %d}' % winner, key)
+    # different-content claim = False, content untouched
+    assert not write_bytes_if_absent(b'{"writer": 99}', key)
+    assert s3_env["counter"].snapshot().get("PUT_COND", 0) >= 10
+    fs.rm_file(f"{BUCKET}/txlog/v00000007.json")
+
+
+def test_exclusive_write_json_on_s3(s3_env):
+    """The manifest-level claim API routes through the conditional put."""
+    from tantivy4java_ray.state.manifest import exclusive_write_json
+    path = f"s3://{BUCKET}/txlog2/v00000001.json"
+    assert exclusive_write_json(path, {"txn": "a"})
+    assert exclusive_write_json(path, {"txn": "a"})      # idempotent
+    assert not exclusive_write_json(path, {"txn": "b"})  # lost the race
+    fs = _fs()
+    assert b'"txn": "a"' in fs.cat_file(f"{BUCKET}/txlog2/v00000001.json")
 
 
 def test_sharded_pool_on_s3_warmup_zero_get(s3_env):
