@@ -311,6 +311,10 @@ def test_validate_and_cli_on_s3(s3_env):
     r = IndexReader(idx)
     agg = r.aggregate(None, {"l": {"terms": {"field": "lang", "size": 5}}})
     assert agg["l"]["buckets"], agg
+    # doc retrieval reads the docdata parquet straight from s3
+    tbl = r.retrieve_docs([0, 97, 194], columns=["url"])
+    assert tbl.num_rows == 3
+    assert tbl.column("url")[0].as_py().startswith("https://site0")
 
 
 def test_conditional_put_claims(s3_env):
