@@ -215,6 +215,45 @@ def decode_block(buf: bytes | memoryview, skip: SkipInfo, i: int,
     return docs, tfs
 
 
+def _unpack_rows(buf, starts: np.ndarray, counts: np.ndarray, w: int
+                 ) -> np.ndarray:
+    """Unpack many same-width VARIABLE-COUNT regions in one batched pass
+    -> values concatenated in row order (``sum(counts)`` total).
+
+    The full-block path packs to a uniform stride so rows concatenate
+    into one stream; partial tail blocks have per-row counts, so here
+    each row is unpacked independently on a padded 2-D byte matrix and
+    the per-row prefixes are masked out at the end. One gather + one
+    kernel per width instead of one ``_unpack`` call per tail block."""
+    starts = np.asarray(starts, np.int64)
+    counts = np.asarray(counts, np.int64)
+    if w == 0:
+        return np.zeros(int(counts.sum()), np.uint32)
+    maxc = int(counts.max())
+    nbytes = (maxc * w + 7) // 8
+    mv = np.frombuffer(memoryview(buf), np.uint8)
+    # clamp the gather so short rows near the buffer end stay in bounds;
+    # over-read bytes land only in masked-out positions
+    idx = np.minimum(starts[:, None]
+                     + np.arange(nbytes + 8, dtype=np.int64)[None, :],
+                     len(mv) - 1)
+    raw = mv[idx]
+    mask = (np.arange(maxc, dtype=np.int64)[None, :] < counts[:, None])
+    if w <= 6:
+        bits = np.unpackbits(raw[:, :nbytes], axis=1, bitorder="little")
+        vals = (bits[:, :maxc * w].reshape(len(starts), maxc, w)
+                .astype(np.uint64)
+                @ (np.uint64(1) << np.arange(w, dtype=np.uint64))
+                ).astype(np.uint32)
+        return vals[mask]
+    win = np.lib.stride_tricks.sliding_window_view(raw, 8, axis=1)
+    w64 = np.ascontiguousarray(win).view(np.uint64)[..., 0]
+    bitpos = np.arange(maxc, dtype=np.int64) * w
+    vals = ((w64[:, bitpos >> 3] >> (bitpos & 7).astype(np.uint64)[None, :])
+            & np.uint64((1 << w) - 1)).astype(np.uint32)
+    return vals[mask]
+
+
 def _gather_unpack(buf, starts: np.ndarray, nbytes: int, w: int,
                    count_per_block: int) -> np.ndarray:
     """Unpack same-width full blocks in one batched unpackbits call.
@@ -356,19 +395,44 @@ def decode_postings_multi(buf, offsets: list[int], bases: list[int],
                        + np.arange(BLOCK, dtype=np.int64)[None, :]).ravel()
                 mat[idx] = vals
 
-    for ri in tails:                  # partial tail blocks, one each
-        s = skips[ri]
-        nb = s.nblocks
-        d, t = decode_block(buf, s, nb - 1, offsets[ri])
-        lo = int(out_off[ri]) + (nb - 1) * BLOCK
-        prev = np.uint32(s.last_doc[nb - 2] + 1) if nb > 1 else np.uint32(0)
-        dd = np.empty(len(d), np.uint32)
-        dd[0] = d[0] - prev
-        np.subtract(d[1:], d[:-1], out=dd[1:])
-        dd[1:] -= 1
-        deltas[lo:lo + len(d)] = dd
+    if tails:
+        # partial tail blocks, batched by width: raw stored deltas drop
+        # straight into the global delta chain (block-first deltas are
+        # relative to the previous block's last_doc by construction), so
+        # no per-tail decode_block + re-diff round trip
+        t_cnt = np.empty(len(tails), np.int64)
+        t_lo = np.empty(len(tails), np.int64)
+        t_dstart = np.empty(len(tails), np.int64)
+        t_tstart = np.empty(len(tails), np.int64)
+        t_wd = np.empty(len(tails), np.uint8)
+        t_wt = np.empty(len(tails), np.uint8)
+        for k, ri in enumerate(tails):
+            s = skips[ri]
+            nb = s.nblocks
+            cnt = s.df - (nb - 1) * BLOCK
+            start = (offsets[ri] + s.data_start
+                     + int(s.block_offsets[nb - 1]))
+            t_cnt[k] = cnt
+            t_lo[k] = int(out_off[ri]) + (nb - 1) * BLOCK
+            t_dstart[k] = start
+            t_tstart[k] = start + (cnt * int(s.bits_doc[nb - 1]) + 7) // 8
+            t_wd[k] = s.bits_doc[nb - 1]
+            t_wt[k] = s.bits_tf[nb - 1]
+        t_streams = [(deltas, t_wd, t_dstart, 0)]
         if with_tfs:
-            tfs_all[lo:lo + len(d)] = t
+            t_streams.append((tfs_all, t_wt, t_tstart, 1))
+        out_idx_cache: dict = {}
+        for mat, widths, starts, bias in t_streams:
+            for w in np.unique(widths):
+                sel = np.flatnonzero(widths == w)
+                key = tuple(sel.tolist())
+                idx = out_idx_cache.get(key)
+                if idx is None:
+                    idx = np.concatenate(
+                        [t_lo[i] + np.arange(t_cnt[i]) for i in sel])
+                    out_idx_cache[key] = idx
+                vals = _unpack_rows(buf, starts[sel], t_cnt[sel], int(w))
+                mat[idx] = vals + np.uint32(bias)
 
     docs = np.cumsum(deltas.astype(np.int64) + 1) - 1
     # segmented reset + per-region base: region ri's local docs are the
