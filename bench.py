@@ -143,9 +143,11 @@ def query_benchmark(index_dir: str) -> dict:
         r.search(q, 10)
         lats.append(time.monotonic() - t0)
     lats = np.sort(np.array(lats))
+    bm = r._cstats.get("blockmax", [0, 0])
     return {"query_p50": float(np.percentile(lats, 50)),
             "query_p99": float(np.percentile(lats, 99)),
-            "query_count": len(lats)}
+            "query_count": len(lats),
+            "blockmax_pruned_frac": round(bm[0] / bm[1], 4) if bm[1] else 0.0}
 
 
 def batch_search_benchmark(index_dir: str, num_cpus: int) -> dict:
@@ -216,6 +218,7 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
     out["query_bench_sec"] = round(time.monotonic() - t0, 3)
     out["query_p50"] = round(qb["query_p50"], 5)
     out["query_p99"] = round(qb["query_p99"], 5)
+    out["_blockmax_pruned_frac"] = qb["blockmax_pruned_frac"]
     bs = batch_search_benchmark(b["index_dir"], num_cpus)
     out["batch_search_500"] = round(bs["batch_search_sec"], 3)
     ss = sharded_search_benchmark(b["index_dir"], num_cpus)

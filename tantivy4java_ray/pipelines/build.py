@@ -61,6 +61,7 @@ import pyarrow.parquet as pq
 
 from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
 from tantivy4java_ray.fieldnorm import fieldnorm_to_id
+from tantivy4java_ray import postings as pcodec
 from tantivy4java_ray.postings import encode_positions, encode_postings
 from tantivy4java_ray.schema import FieldType, IndexSchema, infer_index_schema
 from tantivy4java_ray.sources.parquet_meta import plan_partitions
@@ -107,6 +108,7 @@ _ENC_SCHEMA = pa.schema([
     ("ttf", pa.int64()),
     ("postings", pa.large_binary()),   # encode_postings(docs - first, tfs)
     ("positions", pa.large_binary()),  # encode_positions(...) or b""
+    ("blockmax", pa.large_binary()),   # block_frontier_blob(...) or b""
 ])
 
 
@@ -351,7 +353,10 @@ def _config_fp(schema_dict: dict, num_shards: int, exact_fieldnorms: bool,
          "html_fallback": list(html_fallback) if html_fallback else None,
          "renames": column_renames or {},
          "phash_fields": sorted(phash_fields),
-         "hot_salts": hot_salts},
+         "hot_salts": hot_salts,
+         # bumped when partial/shard file formats change: a resume must
+         # not byte-copy pre-frontier partials into a post-frontier index
+         "pfmt": 2},
         sort_keys=True).encode()).hexdigest()
 
 
@@ -497,9 +502,11 @@ class PartitionIndexer:
                                       include_tokens=False)
                 counts = tok["row_token_counts"]
                 total_tokens[fcfg.name] = int(counts.sum())
+                nid_arr = (fieldnorm_to_id(counts)
+                           if fcfg.fieldnorms else None)
                 if fcfg.fieldnorms:
                     docdata_cols[f"norm__{fcfg.name}"] = pa.array(
-                        fieldnorm_to_id(counts), pa.uint8())
+                        nid_arr, pa.uint8())
                     if self.exact_fieldnorms:
                         docdata_cols[f"dl__{fcfg.name}"] = pa.array(
                             counts.astype(np.uint32), pa.uint32())
@@ -508,7 +515,8 @@ class PartitionIndexer:
                     n_postings += self._emit_terms(
                         acc, enc_acc, fcfg.name, spec, tok["row"],
                         tok["codes"], tok["vocab"],
-                        tok["position"] if with_pos else None, n)
+                        tok["position"] if with_pos else None, n,
+                        nids=nid_arr)
             elif fcfg.type in (FieldType.STRING, FieldType.FACET,
                                FieldType.IP_ADDR):
                 if col is None:
@@ -651,7 +659,8 @@ class PartitionIndexer:
 
     def _emit_terms(self, acc: list, enc_acc: list, field: str, spec: dict,
                     rows: np.ndarray, codes: np.ndarray, vocab: np.ndarray,
-                    positions: np.ndarray | None, n_rows: int) -> int:
+                    positions: np.ndarray | None, n_rows: int,
+                    nids: np.ndarray | None = None) -> int:
         """Aggregate dictionary-encoded (token, row) pairs into per-term
         partial postings. Vectorized: one stable argsort over int64 keys;
         Python touches only the partition's vocabulary, never its tokens."""
@@ -745,6 +754,7 @@ class PartitionIndexer:
             e_idx = np.flatnonzero(enc_mask)
             e_blobs: list[bytes] = []
             e_pblobs: list[bytes] = []
+            e_bm: list[bytes] = []
             e_first = np.empty(len(e_idx), np.int64)
             for k, ti in enumerate(e_idx):
                 p0 = int(tstarts[ti])
@@ -757,6 +767,13 @@ class PartitionIndexer:
                     encode_positions(
                         pos_sorted[pair_pos_off[p0]:pair_pos_off[p1]])
                     if pos_sorted is not None else b"")
+                # per-block (tf, fieldnorm) Pareto frontier: the block-max
+                # metadata the pruned top-k path needs; computed here where
+                # the work parallelizes across partitions and the doc->norm
+                # mapping is at hand (parameter-free, survives merges)
+                e_bm.append(pcodec.block_frontier_blob(tf[p0:p1],
+                                                       nids[dloc])
+                            if nids is not None else b"")
             enc_acc.append(pa.table({
                 "shard": pa.array(shards[e_idx], pa.int32()),
                 "field": pa.array([field] * len(e_idx), pa.string()),
@@ -765,7 +782,8 @@ class PartitionIndexer:
                 "df": pa.array(tlens[e_idx].astype(np.int64)),
                 "ttf": pa.array(ttf_arr[e_idx]),
                 "postings": pa.array(e_blobs, pa.large_binary()),
-                "positions": pa.array(e_pblobs, pa.large_binary())},
+                "positions": pa.array(e_pblobs, pa.large_binary()),
+                "blockmax": pa.array(e_bm, pa.large_binary())},
                 schema=_ENC_SCHEMA))
             # drop fragment terms from the cold partial (delta streams
             # reset at term starts, so whole-term filtering keeps the
@@ -871,16 +889,18 @@ def _write_shard(group: pa.Table, index_dir: str,
     dict_rows: dict[str, list] = {k: [] for k in
                                   ("key", "field", "term", "run_base", "df",
                                    "ttf", "offset", "nbytes", "pos_offset",
-                                   "pos_nbytes")}
+                                   "pos_nbytes", "bm_offset", "bm_nbytes")}
     # postings/positions stream STRAIGHT to their (atomic) output files:
     # accumulating in BytesIO then getvalue() costs two extra full passes
     # over index-sized bytes, which is most of what a reduce task does
     from tantivy4java_ray import storage as st
     shard_dir = st.sjoin(index_dir, "shards", f"shard-{sid:05d}")
     with st.open_bytes_atomic(st.sjoin(shard_dir, "postings.bin")) as _pf, \
-         st.open_bytes_atomic(st.sjoin(shard_dir, "positions.bin")) as _xf:
+         st.open_bytes_atomic(st.sjoin(shard_dir, "positions.bin")) as _xf, \
+         st.open_bytes_atomic(st.sjoin(shard_dir, "blockmax.bin")) as _bf:
         post_buf = _CountingWriter(_pf)
         pos_buf = _CountingWriter(_xf)
+        bm_buf = _CountingWriter(_bf)
 
         if group.num_rows:
             # chained stable argsorts == lexsort by (field, term, doc_base).
@@ -987,6 +1007,12 @@ def _write_shard(group: pa.Table, index_dir: str,
                     dict_rows["nbytes"].append(len(blob))
                     dict_rows["pos_offset"].append(poff)
                     dict_rows["pos_nbytes"].append(len(pblob))
+                    # cold (reduce-encoded) runs carry no block-max
+                    # frontier: the reduce has no doc->fieldnorm map, and
+                    # rare terms decode in microseconds anyway — readers
+                    # treat a missing frontier as bound=+inf (never prune)
+                    dict_rows["bm_offset"].append(-1)
+                    dict_rows["bm_nbytes"].append(0)
                     run_start = run_end
 
         if n_enc:
@@ -999,6 +1025,11 @@ def _write_shard(group: pa.Table, index_dir: str,
             e_ttf = enc.column("ttf").to_numpy(zero_copy_only=False)
             eb_off, eb_data = _binary_column_view(enc.column("postings"))
             ep_off, ep_data = _binary_column_view(enc.column("positions"))
+            if "blockmax" in enc.column_names:
+                em_off, em_data = _binary_column_view(enc.column("blockmax"))
+            else:  # partials from a pre-frontier build (resume compat)
+                em_off = np.zeros(n_enc + 1, np.int64)
+                em_data = np.empty(0, np.uint8)
             for k in range(n_enc):
                 off = post_buf.tell()
                 post_buf.write(eb_data[eb_off[k]:eb_off[k + 1]])
@@ -1008,6 +1039,12 @@ def _write_shard(group: pa.Table, index_dir: str,
                     pos_buf.write(ep_data[ep_off[k]:ep_off[k + 1]])
                 else:
                     poff = -1
+                bnb = int(em_off[k + 1] - em_off[k])
+                if bnb:
+                    boff = bm_buf.tell()
+                    bm_buf.write(em_data[em_off[k]:em_off[k + 1]])
+                else:
+                    boff = -1
                 dict_rows["key"].append(f"{e_fields[k]}\x00{e_terms[k]}")
                 dict_rows["field"].append(e_fields[k])
                 dict_rows["term"].append(e_terms[k])
@@ -1018,6 +1055,8 @@ def _write_shard(group: pa.Table, index_dir: str,
                 dict_rows["nbytes"].append(int(eb_off[k + 1] - eb_off[k]))
                 dict_rows["pos_offset"].append(poff)
                 dict_rows["pos_nbytes"].append(pnb)
+                dict_rows["bm_offset"].append(boff)
+                dict_rows["bm_nbytes"].append(bnb)
 
     terms_tbl = pa.table(dict_rows)
     if n_enc:
@@ -1171,7 +1210,10 @@ class IndexBuilder:
                 # bm25 k1/b are read-time-only, but IndexReader reads
                 # them from meta — reusing a committed index silently
                 # scores with the stale parameters
-                and (cfg.get("bm25") or {"k1": 1.2, "b": 0.75}) == self.bm25)
+                and (cfg.get("bm25") or {"k1": 1.2, "b": 0.75}) == self.bm25
+                # pre-frontier committed indexes rebuild once so the
+                # pruned top-k path has its block-max sidecar
+                and "blockmax_frontier" in (cfg.get("index_features") or ()))
             if (state.get("committed") and cfg_same
                     and state["meta"]["plan"]["files"] == plan.files
                     and state["meta"]["plan"]["num_docs"] == plan.num_docs
@@ -1224,7 +1266,8 @@ class IndexBuilder:
                        # capability stamps queries can gate on (readers
                        # of OLDER indexes fail loudly, not silently)
                        "index_features": ["json_numeric_terms",
-                                          "ip_u128_terms"]}}}])
+                                          "ip_u128_terms",
+                                          "blockmax_frontier"]}}}])
 
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8

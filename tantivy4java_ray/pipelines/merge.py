@@ -122,6 +122,21 @@ def _validate_input(index_dir: str) -> str | None:
             if have_q < need_q:
                 return (f"shard {sid}: positions.bin truncated "
                         f"({have_q} B < dictionary's {need_q} B)")
+        try:
+            tb = st.read_parquet_any(tp, columns=["bm_offset", "bm_nbytes"])
+        except Exception:
+            tb = None   # pre-frontier input: no block-max sidecar
+        if tb is not None and len(tb):
+            bo = tb.column("bm_offset").to_numpy()
+            bn = tb.column("bm_nbytes").to_numpy()
+            hasbm = bo >= 0
+            if hasbm.any():
+                need_b = int((bo[hasbm] + bn[hasbm]).max())
+                bpath = st.sjoin(sd, "blockmax.bin")
+                have_b = st.ssize(bpath) if st.sexists(bpath) else -1
+                if have_b < need_b:
+                    return (f"shard {sid}: blockmax.bin truncated "
+                            f"({have_b} B < dictionary's {need_b} B)")
     for p in state.get("partitions", {}).values():
         dpath = st.sjoin(index_dir, "docdata",
                          f"part-{p['pid']:05d}.parquet")
@@ -148,8 +163,9 @@ class _ShardMerger:
     def _merge_shard(self, sid: int) -> pa.Table:
         from tantivy4java_ray import storage as st
         dicts = []
-        srcs: list[tuple[str, str | None]] = []  # per-input blob paths
-        cur_p, cur_q = 0, 0
+        # per-input blob paths (postings, positions|None, blockmax|None)
+        srcs: list[tuple[str, str | None, str | None]] = []
+        cur_p, cur_q, cur_b = 0, 0, 0
         for i, d in enumerate(self.index_dirs):
             sd = st.sjoin(d, "shards", f"shard-{sid:05d}")
             tp = st.sjoin(sd, "terms.parquet")
@@ -157,15 +173,23 @@ class _ShardMerger:
                 continue
             t = st.read_parquet_any(tp).to_pandas()
             t["run_base"] += self.doc_offsets[i]
+            if "bm_offset" not in t.columns:  # pre-frontier input
+                t["bm_offset"] = -1
+                t["bm_nbytes"] = 0
             dicts.append(t)
             ppath = st.sjoin(sd, "postings.bin")
             qpath = st.sjoin(sd, "positions.bin")
+            bpath = st.sjoin(sd, "blockmax.bin")
             qlen = st.ssize(qpath) if st.sexists(qpath) else 0
-            srcs.append((ppath, qpath if qlen else None))
+            blen = st.ssize(bpath) if st.sexists(bpath) else 0
+            srcs.append((ppath, qpath if qlen else None,
+                         bpath if blen else None))
             t["offset"] += cur_p
             t.loc[t["pos_offset"] >= 0, "pos_offset"] += cur_q
+            t.loc[t["bm_offset"] >= 0, "bm_offset"] += cur_b
             cur_p += st.ssize(ppath)
             cur_q += qlen
+            cur_b += blen
         if not dicts:
             return pa.table({"sid": pa.array([sid], pa.int32()),
                              "num_terms": pa.array([0], pa.int64())})
@@ -176,12 +200,14 @@ class _ShardMerger:
         if self.deleted is not None and any(len(x) for x in self.deleted):
             # delete path decodes/re-encodes intersecting runs, so it
             # needs the joined blobs in memory
-            post_blob = b"".join(_read_all(st, p) for p, _ in srcs)
-            pos_blob = b"".join(_read_all(st, q) for _, q in srcs if q)
-            dict_df, post_blob, pos_blob = self._apply_deletes(
-                dict_df, post_blob, pos_blob)
+            post_blob = b"".join(_read_all(st, p) for p, _, _ in srcs)
+            pos_blob = b"".join(_read_all(st, q) for _, q, _ in srcs if q)
+            bm_blob = b"".join(_read_all(st, b) for _, _, b in srcs if b)
+            dict_df, post_blob, pos_blob, bm_blob = self._apply_deletes(
+                dict_df, post_blob, pos_blob, bm_blob)
             for name, blob in (("postings.bin", post_blob),
-                               ("positions.bin", pos_blob)):
+                               ("positions.bin", pos_blob),
+                               ("blockmax.bin", bm_blob)):
                 st.write_bytes_atomic(blob, st.sjoin(shard_dir, name))
         else:
             # pure byte-copy merge STREAMS each input blob to the
@@ -189,13 +215,18 @@ class _ShardMerger:
             # the multi-GB sum of every input shard's postings
             with st.open_bytes_atomic(
                     st.sjoin(shard_dir, "postings.bin")) as pf:
-                for p, _ in srcs:
+                for p, _, _ in srcs:
                     _stream_copy(st, p, pf)
             with st.open_bytes_atomic(
                     st.sjoin(shard_dir, "positions.bin")) as xf:
-                for _, q in srcs:
+                for _, q, _ in srcs:
                     if q:
                         _stream_copy(st, q, xf)
+            with st.open_bytes_atomic(
+                    st.sjoin(shard_dir, "blockmax.bin")) as bf:
+                for _, _, bq in srcs:
+                    if bq:
+                        _stream_copy(st, bq, bf)
 
         # stable numpy argsort on the object key column (pandas sort_values
         # truncates object strings at NUL — see build._write_shard); equal
@@ -208,7 +239,8 @@ class _ShardMerger:
         return pa.table({"sid": pa.array([sid], pa.int32()),
                          "num_terms": pa.array([len(dict_df)], pa.int64())})
 
-    def _apply_deletes(self, dict_df, post_blob: bytes, pos_blob: bytes):
+    def _apply_deletes(self, dict_df, post_blob: bytes, pos_blob: bytes,
+                       bm_blob: bytes = b""):
         """Filter deleted global docs out of each run.
 
         Runs whose doc RANGE contains no tombstone (the vast majority —
@@ -221,8 +253,9 @@ class _ShardMerger:
              for dels, off in zip(self.deleted, self.doc_offsets)
              if len(dels)]))
         cols = {k: dict_df[k].to_numpy() for k in dict_df.columns}
-        new_post, new_pos = bytearray(), bytearray()
+        new_post, new_pos, new_bm = bytearray(), bytearray(), bytearray()
         rows: dict[str, list] = {k: [] for k in dict_df.columns}
+        has_bm = "bm_offset" in dict_df.columns
 
         def emit(i: int, **over) -> None:
             for k in dict_df.columns:
@@ -243,6 +276,11 @@ class _ShardMerger:
                     pnb = int(cols["pos_nbytes"][i])
                     over["pos_offset"] = len(new_pos)
                     new_pos.extend(pos_blob[p0:p0 + pnb])
+                if has_bm and int(cols["bm_offset"][i]) >= 0:
+                    b0 = int(cols["bm_offset"][i])
+                    bnb = int(cols["bm_nbytes"][i])
+                    over["bm_offset"] = len(new_bm)
+                    new_bm.extend(bm_blob[b0:b0 + bnb])
                 emit(i, **over)
                 continue
             docs, tfs = pcodec.decode_postings(post_blob, offset)
@@ -266,6 +304,12 @@ class _ShardMerger:
             blob = pcodec.encode_postings(docs[keep], tfs[keep])
             over = {"df": int(keep.sum()), "ttf": int(tfs[keep].sum()),
                     "offset": len(new_post), "nbytes": len(blob)}
+            if has_bm:
+                # re-encoded run: block boundaries moved and the merge
+                # has no doc->fieldnorm map here — drop the frontier
+                # (readers then never prune this run; still correct)
+                over["bm_offset"] = -1
+                over["bm_nbytes"] = 0
             new_post.extend(blob)
             if pos_bytes:
                 over["pos_offset"] = len(new_pos)
@@ -273,7 +317,8 @@ class _ShardMerger:
                 new_pos.extend(pos_bytes)
             emit(i, **over)
         import pandas as pd
-        return pd.DataFrame(rows), bytes(new_post), bytes(new_pos)
+        return pd.DataFrame(rows), bytes(new_post), bytes(new_pos), \
+            bytes(new_bm)
 
 
 def merge_indexes(index_dirs: list[str], out_dir: str,

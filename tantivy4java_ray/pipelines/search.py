@@ -140,6 +140,11 @@ class IndexReader:
         self._fslices: dict[tuple[int, str], dict | None] = {}
         self._post_mm: dict[int, np.memmap] = {}
         self._pos_mm: dict[int, np.memmap] = {}
+        self._bm_mm: dict[int, object] = {}
+        # parsed skip tables + block-max frontiers (tiny, index-immutable)
+        self._skip_cache: dict[tuple[int, int], object] = {}
+        self._bm_cache: dict[tuple[int, int], tuple | None] = {}
+        self._topk_cache: dict[tuple, list] = {}
         self._norms: dict[str, np.ndarray] = {}
         self._dls: dict[str, np.ndarray] = {}
         self._fast: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -248,18 +253,71 @@ class IndexReader:
                     "pos_offset": t.column("pos_offset").to_numpy(),
                     "pos_nbytes": t.column("pos_nbytes").to_numpy(),
                 }
+                nrows = t.num_rows
+                if "bm_offset" in t.column_names:
+                    self._dicts[sid]["bm_offset"] = \
+                        t.column("bm_offset").to_numpy()
+                    self._dicts[sid]["bm_nbytes"] = \
+                        t.column("bm_nbytes").to_numpy()
+                else:  # pre-frontier index: no block-max metadata
+                    self._dicts[sid]["bm_offset"] = np.full(nrows, -1,
+                                                            np.int64)
+                    self._dicts[sid]["bm_nbytes"] = np.zeros(nrows,
+                                                             np.int64)
         return self._dicts[sid]
 
     def _mm(self, sid: int, which: str = "postings"):
         """np.memmap (local) or RangedBlob (URL): both support byte-range
         slicing; posting runs are sliced by (offset, nbytes) before
         decode, so remote reads are one ranged GET per run."""
-        cache = self._post_mm if which == "postings" else self._pos_mm
+        cache = {"postings": self._post_mm, "positions": self._pos_mm,
+                 "blockmax": self._bm_mm}[which]
         if sid not in cache:
             path = self._st.sjoin(self.index_dir, "shards",
                                   f"shard-{sid:05d}", f"{which}.bin")
-            cache[sid] = self._st.blob_open(path)
+            if which == "blockmax" and not self._st.sexists(path):
+                cache[sid] = None   # pre-frontier index
+            else:
+                cache[sid] = self._st.blob_open(path)
         return cache[sid]
+
+    def _run_skip(self, sid: int, r: int):
+        """Parsed skip table of one posting run, cached (tiny,
+        index-immutable; parsed once per run per reader). Remote blobs
+        read ONLY the region head — the pruned path must not page in the
+        whole run just to see its skip table."""
+        k = (sid, r)
+        sk = self._skip_cache.get(k)
+        if sk is None:
+            mm = self._mm(sid)
+            off = int(self._dict(sid)["offset"][r])
+            if isinstance(mm, np.ndarray):
+                sk = pcodec.read_skip(mm, off)
+            else:
+                nblocks = int(np.frombuffer(mm[off:off + 8],
+                                            np.uint32, 1, 4)[0])
+                head = mm[off:off + 8 + nblocks * 10]
+                sk = pcodec.read_skip(head, 0)
+            self._skip_cache[k] = sk
+        return sk
+
+    def _run_frontier(self, sid: int, r: int):
+        """One run's parsed block-max frontier -> (pair_offsets int64,
+        tf f32, nid u8) or None when the run carries no frontier (cold
+        reduce-encoded run, or a pre-frontier index)."""
+        k = (sid, r)
+        if k in self._bm_cache:
+            return self._bm_cache[k]
+        d = self._dict(sid)
+        nb = int(d["bm_nbytes"][r])
+        out = None
+        if nb > 0:
+            mm = self._mm(sid, "blockmax")
+            if mm is not None:
+                off = int(d["bm_offset"][r])
+                out = pcodec.parse_frontier_blob(mm[off:off + nb])
+        self._bm_cache[k] = out
+        return out
 
     def _prefetch_runs(self, runs, which: str = "postings") -> None:
         """Remote blobs: warm the byte-range page cache for all of a
@@ -1354,13 +1412,177 @@ class IndexReader:
                 and _wand_eligible(query, self.schema):
             hits = self._wand_search(query, limit + offset)
         else:
-            leaves: list[tuple[str, str]] = []
-            _collect_postings_leaves(query, self, leaves)
-            if len(leaves) > 1:
-                self.postings_many(leaves)
-            docs, scores = self.evaluate(query)
-            hits = _top_k(docs, scores, limit + offset)
+            hits = None
+            shape = _term_shape(query)
+            k = limit + offset
+            if method == "auto" and shape is not None and 1 <= k <= 1024:
+                ckey = (shape[0], shape[1], float(shape[2]), k)
+                hits = self._topk_cache.get(ckey)
+                if hits is None:
+                    hits = self._pruned_term_search(*shape, k)
+                    if hits is not None:
+                        if len(self._topk_cache) >= 65536:
+                            self._topk_cache.clear()
+                        self._topk_cache[ckey] = hits
+            if hits is None:
+                leaves: list[tuple[str, str]] = []
+                _collect_postings_leaves(query, self, leaves)
+                if len(leaves) > 1:
+                    self.postings_many(leaves)
+                docs, scores = self.evaluate(query)
+                hits = _top_k(docs, scores, limit + offset)
         return SearchResult(hits[offset:])
+
+    def _pruned_term_search(self, field: str, term: str, boost: float,
+                            k: int) -> list[tuple[float, int]] | None:
+        """Top-k for a single scored term by block-max pruning: decode
+        ONLY the 128-doc blocks whose frontier bound can reach the k-th
+        best score (measured 1-3% of blocks for Zipf-head terms).
+
+        Bit-identical to the full scan: frontier pairs dominate every doc
+        in their block in (tf up, fieldnorm down), the f32 score
+        expression is weakly monotone in both, and the phase-1 theta is
+        the k-th best of a SUBSET (<= the true k-th), so every doc that
+        can appear in the final top-k — including ties broken by doc id —
+        lives in a decoded block. Returns None when ineligible (caller
+        falls back to the scan): non-TEXT/no-norms fields, exact-f64
+        scoring, non-positive boost, small df, or an already-cached
+        posting list.
+
+        At scale this is also the remote read shape: object-store runs
+        page in only the skip head, the frontier sidecar, and the
+        surviving blocks — bytes per query proportional to k, not df
+        (the reference's hotcache + block-max traversal economics,
+        ``docs/SPLIT_FILE_FORMAT.md`` + tantivy block WAND)."""
+        fcfg = self.schema.get_field(field)
+        if (fcfg.type is not FieldType.TEXT or not fcfg.fieldnorms
+                or self.exact_fieldnorms or k < 1 or boost <= 0.0
+                or (field, term) in self._post_cache):
+            return None
+        runs = self._term_runs(field, term)
+        if not runs:
+            return []
+        df = self.doc_freq(field, term)
+        if df <= max(4 * k, 512):
+            return None   # small term: the full decode is already cheap
+        weight = np.float32(boost * self.idf(df) * (self.k1 + 1.0))
+        cache = self._norm_factor_cache(field)
+
+        run_info: list[tuple[int, int, object, int]] = []
+        bounds_l, runidx_l, blk_l = [], [], []
+        for sid, r in runs:
+            d = self._dict(sid)
+            base = int(d["run_base"][r])
+            if self.doc_range is not None and base >= self.doc_hi:
+                continue
+            sk = self._run_skip(sid, r)
+            b0, b1 = 0, sk.nblocks
+            if self.doc_range is not None:
+                lo = max(self.doc_lo - base, 0)
+                hi = self.doc_hi - base
+                b0 = int(np.searchsorted(sk.last_doc, lo, side="left"))
+                b1 = min(int(np.searchsorted(sk.last_doc, hi - 1,
+                                             side="left")) + 1, sk.nblocks)
+                if b0 >= b1:
+                    continue
+            fr = self._run_frontier(sid, r)
+            nb = b1 - b0
+            if fr is None:
+                # no frontier (cold run / pre-frontier index): never
+                # pruned, always decoded
+                bnd = np.full(nb, np.inf, np.float32)
+            else:
+                off, ftf, fnid = fr
+                # the exact f32 score expression of the scan path, so a
+                # bound is the achieved score of a real dominating pair
+                s = (weight * ftf) / (ftf + cache[fnid])
+                bnd = np.maximum.reduceat(s, off[:-1])[b0:b1]
+            idx = len(run_info)
+            run_info.append((sid, r, sk, base))
+            bounds_l.append(bnd.astype(np.float32, copy=False))
+            runidx_l.append(np.full(nb, idx, np.int32))
+            blk_l.append(np.arange(b0, b1, dtype=np.int64))
+        if not run_info:
+            return []
+        bounds = np.concatenate(bounds_l)
+        runidx = np.concatenate(runidx_l)
+        blks = np.concatenate(blk_l)
+        total_blocks = len(bounds)
+
+        order = np.argsort(-bounds, kind="stable")
+        doc_parts: list[np.ndarray] = []
+        tf_parts: list[np.ndarray] = []
+
+        def _decode(sel: np.ndarray) -> None:
+            for idx in np.unique(runidx[sel]):
+                m = sel[runidx[sel] == idx]
+                sid, r, sk, base = run_info[idx]
+                blocks = np.sort(blks[m])
+                mm = self._mm(sid)
+                off = int(self._dict(sid)["offset"][r])
+                if isinstance(mm, np.ndarray):
+                    dd, tt = pcodec.decode_blocks_subset(mm, off, blocks,
+                                                         skip=sk)
+                else:
+                    # remote: fetch ONLY the surviving blocks' byte spans
+                    # (coalesced) and decode them packed — bytes touched
+                    # scale with k, not df
+                    data0 = off + sk.data_start
+                    spans = [(data0 + int(sk.block_offsets[b]),
+                              data0 + int(sk.block_offsets[b + 1]))
+                             for b in blocks]
+                    if hasattr(mm, "prefetch"):
+                        mm.prefetch(spans)
+                    parts = [np.asarray(mm[s:e]) for s, e in spans]
+                    sizes = np.array([len(p) for p in parts], np.int64)
+                    starts = np.cumsum(sizes) - sizes
+                    buf = (np.concatenate(parts) if parts
+                           else np.empty(0, np.uint8))
+                    dd, tt = pcodec.decode_blocks_subset(
+                        buf, 0, blocks, skip=sk, starts=starts)
+                dd = dd.astype(np.int64) + base
+                if self.doc_range is not None:
+                    keep = (dd >= self.doc_lo) & (dd < self.doc_hi)
+                    dd, tt = dd[keep], tt[keep]
+                if len(dd):
+                    doc_parts.append(dd)
+                    tf_parts.append(tt)
+
+        # phase 1: the top k+2 blocks by bound. Bounds are EXACT block
+        # maxima (each is an actual doc's score), so these blocks alone
+        # contribute k+2 docs whose scores are the k+2 highest bounds —
+        # theta lands within a hair of the true k-th score and phase 2
+        # keeps only the handful of blocks that can still beat it.
+        n1 = min(max(k + 2, 4), total_blocks)
+        _decode(order[:n1])
+        ndocs = sum(len(p) for p in doc_parts)
+        while ndocs < k and n1 < total_blocks:
+            n2 = min(total_blocks, max(n1 * 2, n1 + 8))
+            _decode(order[n1:n2])
+            n1 = n2
+            ndocs = sum(len(p) for p in doc_parts)
+        if not doc_parts:
+            return []
+        docs = np.concatenate(doc_parts)
+        tfs = np.concatenate(tf_parts)
+        scores = self._score_term_postings(field, docs, tfs, df, boost)
+        # phase 2: theta = k-th best of the decoded subset (<= the true
+        # k-th), keep every remaining block whose bound can still reach it
+        if len(scores) >= k:
+            theta = np.partition(scores, len(scores) - k)[len(scores) - k]
+            rest = order[n1:]
+            sel2 = rest[bounds[rest] >= theta]
+        else:
+            sel2 = order[n1:]
+        if len(sel2):
+            _decode(sel2)
+            docs = np.concatenate(doc_parts)
+            tfs = np.concatenate(tf_parts)
+            scores = self._score_term_postings(field, docs, tfs, df, boost)
+        st = self._cstats.setdefault("blockmax", [0, 0])
+        st[0] += total_blocks - (n1 + len(sel2))   # blocks pruned
+        st[1] += total_blocks
+        return _top_k(docs, scores, k)
 
     def _wand_search(self, query: Query, k: int) -> list[tuple[float, int]]:
         terms = [(f, t, b) for f, t, b in _collect_union_terms(query)]
@@ -1633,6 +1855,11 @@ class IndexReader:
         self._prefetch_runs(post_runs)
         if pos_runs:
             self._prefetch_runs(pos_runs, "positions")
+        # block-max frontiers: the pruned top-k path reads these before
+        # postings; parse (and thereby page in) every touched run's blob
+        # now so a warmed query stays zero-GET
+        for sid, r in post_runs:
+            self._run_frontier(sid, r)
         for f in fields:
             fcfg = self.schema.get_field(f)
             if fcfg.type is FieldType.TEXT and fcfg.fieldnorms:
@@ -1941,6 +2168,19 @@ def _wand_eligible(q: Query, schema) -> bool:
                    and _norm_field(sub.params[0])
                    for o, sub in q.params)
     return False
+
+
+def _term_shape(q: Query) -> tuple[str, str, float] | None:
+    """(field, term, boost) when the query is a plain scored term
+    (possibly boost-wrapped) — the shape the pruned block-max top-k
+    path handles."""
+    if q.kind == "term":
+        return q.params[0], q.params[1], 1.0
+    if q.kind == "boost":
+        inner = _term_shape(q.params[0])
+        if inner is not None:
+            return inner[0], inner[1], inner[2] * q.params[1]
+    return None
 
 
 def _collect_postings_leaves(q: Query, reader: "IndexReader",
@@ -2342,6 +2582,15 @@ def validate_index(index_dir: str) -> list[str]:
         keys = d["key"]
         if len(keys) > 1 and not bool(np.all(keys[:-1] <= keys[1:])):
             problems.append(f"shard {sid}: term dictionary not sorted")
+        hasbm = d["bm_offset"] >= 0
+        if hasbm.any():
+            bmm = r._mm(sid, "blockmax")
+            bsize = len(bmm) if bmm is not None else 0
+            bends = (d["bm_offset"] + d["bm_nbytes"])[hasbm]
+            if int(bends.max()) > bsize:
+                problems.append(
+                    f"shard {sid}: blockmax offsets exceed file "
+                    f"({int(bends.max())} > {bsize})")
     return problems
 
 

@@ -446,6 +446,126 @@ def decode_postings_multi(buf, offsets: list[int], bases: list[int],
     return docs, tfs_all
 
 
+def block_frontier_blob(tfs: np.ndarray, nids: np.ndarray) -> bytes:
+    """Per-block (tf, fieldnorm-id) Pareto frontier -> sidecar blob.
+
+    The block-max metadata true top-k pruning needs: a block's max BM25
+    score under ANY (k1, b, avgdl) is attained at a pair where no other
+    doc has both higher tf and lower fieldnorm — the Pareto frontier
+    (typically 1-5 pairs per 128-doc block). ``max_tf`` alone bounds via
+    the global min norm, which is orders of magnitude too loose to prune
+    (measured: 100% of blocks kept on the bench corpus vs 1-3% with the
+    frontier). Parameter-free, so merge byte-copies it and readers
+    evaluate it lazily under their own BM25 params.
+
+    Blob layout (little-endian)::
+
+        u32 nblocks | u8 npairs[nblocks] | u32 tf[total] | u8 nid[total]
+
+    This is the analog of tantivy's per-block ``BlockWandMaxInfo``
+    (tf + fieldnorm id of the best-scoring doc), generalized to the
+    whole frontier so the bound stays exact under stats drift (merges
+    recompute avgdl; a single stored argmax pair would silently stop
+    being the argmax)."""
+    n = len(tfs)
+    if n == 0:
+        return np.array([0], np.uint32).tobytes()
+    nb = (n + BLOCK - 1) // BLOCK
+    block_of = np.arange(n, dtype=np.int64) >> 7
+    t64 = np.asarray(tfs, np.int64)
+    ns = np.asarray(nids, np.int64)
+    order = np.lexsort((ns, -t64, block_of))
+    bo = block_of[order]
+    ts = t64[order]
+    nss = ns[order]
+    # segmented prefix-min of nid with free resets: each block's offset
+    # places its values strictly BELOW every earlier block's, so the
+    # global running min becomes block-local from the block's first row
+    v = nss - bo * 256
+    cm = np.minimum.accumulate(v)
+    keep = np.empty(n, bool)
+    keep[0] = True
+    np.less(cm[1:], cm[:-1], out=keep[1:])
+    ft = ts[keep].astype(np.uint32)
+    fn = nss[keep].astype(np.uint8)
+    npairs = np.bincount(bo[keep], minlength=nb).astype(np.uint8)
+    return (np.array([nb], np.uint32).tobytes() + npairs.tobytes()
+            + ft.tobytes() + fn.tobytes())
+
+
+def parse_frontier_blob(buf) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (pair offsets int64[nblocks+1], tf f32[total], nid u8[total])."""
+    mv = memoryview(buf)
+    nb = int(np.frombuffer(mv, np.uint32, 1, 0)[0])
+    npairs = np.frombuffer(mv, np.uint8, nb, 4).astype(np.int64)
+    off = np.zeros(nb + 1, np.int64)
+    np.cumsum(npairs, out=off[1:])
+    total = int(off[-1])
+    p = 4 + nb
+    tf = np.frombuffer(mv, np.uint32, total, p).astype(np.float32)
+    nid = np.frombuffer(mv, np.uint8, total, p + 4 * total)
+    return off, tf, nid
+
+
+def decode_blocks_subset(buf, offset: int, sel: np.ndarray,
+                         skip: SkipInfo | None = None,
+                         with_tfs: bool = True,
+                         starts: np.ndarray | None = None
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY the selected blocks of one region -> (local doc ids
+    uint32, tfs), concatenated in ascending-``sel`` order.
+
+    The pruned top-k path: block-max bounds eliminate most blocks, so a
+    cold head-term query decodes (and, on object storage, pages in) a
+    handful of 128-doc blocks instead of the whole run. Full blocks
+    batch by width; a selected partial tail decodes via the row kernel.
+
+    ``starts`` overrides each selected block's byte start within ``buf``
+    — the remote path packs just the fetched block spans contiguously
+    instead of materializing the whole run."""
+    if skip is None:
+        skip = read_skip(buf, offset)
+    sel = np.asarray(sel, np.int64)
+    if not len(sel):
+        return np.empty(0, np.uint32), np.empty(0, np.uint32)
+    nb = skip.nblocks
+    counts = np.full(len(sel), BLOCK, np.int64)
+    last_cnt = skip.df - (nb - 1) * BLOCK
+    counts[sel == nb - 1] = last_cnt
+    out_off = np.zeros(len(sel) + 1, np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    total = int(out_off[-1])
+    deltas = np.empty(total, np.uint32)
+    tfs = np.empty(total if with_tfs else 0, np.uint32)
+    if starts is None:
+        dstarts = offset + skip.data_start + skip.block_offsets[sel]
+    else:
+        dstarts = np.asarray(starts, np.int64)
+    doc_nbytes = (counts * skip.bits_doc[sel] + 7) // 8
+    tstarts = dstarts + doc_nbytes
+    streams = [(deltas, skip.bits_doc[sel], dstarts, 0)]
+    if with_tfs:
+        streams.append((tfs, skip.bits_tf[sel], tstarts, 1))
+    for mat, widths, starts, bias in streams:
+        for w in np.unique(widths):
+            gsel = np.flatnonzero(widths == w)
+            vals = _unpack_rows(buf, starts[gsel], counts[gsel], int(w))
+            idx = np.concatenate(
+                [out_off[i] + np.arange(counts[i]) for i in gsel])
+            mat[idx] = vals + np.uint32(bias)
+    # restore absolutes: each block's first delta is relative to the
+    # previous block's last_doc (known from the skip table even when
+    # that block is NOT decoded)
+    docs = np.cumsum(deltas.astype(np.int64) + 1) - 1
+    prev = np.where(sel > 0, skip.last_doc[sel - 1].astype(np.int64) + 1, 0)
+    adj = np.empty(len(sel), np.int64)
+    adj[0] = -prev[0]
+    if len(sel) > 1:
+        adj[1:] = docs[out_off[1:-1] - 1] + 1 - prev[1:]
+    docs -= np.repeat(adj, counts)
+    return docs.astype(np.uint32), tfs
+
+
 def decode_postings_range(buf: bytes | memoryview, offset: int,
                           lo: int, hi: int
                           ) -> tuple[np.ndarray, np.ndarray]:
