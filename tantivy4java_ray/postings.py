@@ -566,6 +566,57 @@ def decode_blocks_subset(buf, offset: int, sel: np.ndarray,
     return docs.astype(np.uint32), tfs
 
 
+def decode_blocks_gather(buf, dstarts: np.ndarray, counts: np.ndarray,
+                         wd: np.ndarray, wt: np.ndarray,
+                         prev: np.ndarray, with_tfs: bool = True
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode an ARBITRARY set of blocks — possibly spanning many runs of
+    one buffer — in one width-grouped pass -> (doc ids int64 already
+    rebased by ``prev``, tfs uint32), concatenated in entry order.
+
+    Per entry: ``dstarts`` byte start of the block's doc deltas,
+    ``counts`` values, ``wd``/``wt`` bit widths, ``prev`` the value the
+    block's first doc is relative to PLUS any global base (for block i of
+    a run at ``base``: ``base + (last_doc[i-1] + 1 if i else 0)``).
+    This is the pruned top-k decode shape: the per-(term, run) call
+    overhead of one-region-at-a-time decoding exceeds the decode itself
+    once bounds prune runs down to a block or two each."""
+    n = len(dstarts)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint32)
+    counts = np.asarray(counts, np.int64)
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    total = int(out_off[-1])
+    deltas = np.empty(total, np.uint32)
+    tfs = np.empty(total if with_tfs else 0, np.uint32)
+    dstarts = np.asarray(dstarts, np.int64)
+    tstarts = dstarts + (counts * np.asarray(wd, np.int64) + 7) // 8
+    streams = [(deltas, np.asarray(wd), dstarts, 0)]
+    if with_tfs:
+        streams.append((tfs, np.asarray(wt), tstarts, 1))
+    idx_cache: dict = {}
+    for mat, widths, starts, bias in streams:
+        for w in np.unique(widths):
+            gsel = np.flatnonzero(widths == w)
+            key = tuple(gsel.tolist())
+            idx = idx_cache.get(key)
+            if idx is None:
+                idx = np.concatenate(
+                    [out_off[i] + np.arange(counts[i]) for i in gsel])
+                idx_cache[key] = idx
+            vals = _unpack_rows(buf, starts[gsel], counts[gsel], int(w))
+            mat[idx] = vals + np.uint32(bias)
+    docs = np.cumsum(deltas.astype(np.int64) + 1) - 1
+    prev = np.asarray(prev, np.int64)
+    adj = np.empty(n, np.int64)
+    adj[0] = -prev[0]
+    if n > 1:
+        adj[1:] = docs[out_off[1:-1] - 1] + 1 - prev[1:]
+    docs -= np.repeat(adj, counts)
+    return docs, tfs
+
+
 def decode_postings_range(buf: bytes | memoryview, offset: int,
                           lo: int, hi: int
                           ) -> tuple[np.ndarray, np.ndarray]:

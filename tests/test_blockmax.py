@@ -46,6 +46,14 @@ def bm_index(ray_session, tmp_path_factory):
     return idx
 
 
+def _pruned_reader(idx, **kw):
+    """Reader with the local run-size gate zeroed: test corpora are
+    small, and these tests assert the PRUNED path's bit-parity."""
+    r = IndexReader(idx, **kw)
+    r.prune_min_run_docs = 0
+    return r
+
+
 def _scan_topk(r, q, k):
     docs, scores = r.evaluate(parse_query(q, r.schema)
                               if isinstance(q, str) else q)
@@ -53,7 +61,7 @@ def _scan_topk(r, q, k):
 
 
 def test_pruned_matches_scan_bitwise(bm_index):
-    r = IndexReader(bm_index)
+    r = _pruned_reader(bm_index)
     rs = IndexReader(bm_index)
     engaged = 0
     for i in range(0, 500, 7):
@@ -67,7 +75,7 @@ def test_pruned_matches_scan_bitwise(bm_index):
 
 
 def test_pruned_boost_and_offset(bm_index):
-    r = IndexReader(bm_index)
+    r = _pruned_reader(bm_index)
     rs = IndexReader(bm_index)
     for q, k, off in (("t0001^2.5", 10, 0), ("t0002^0.3", 5, 3),
                       ("t0000", 20, 10)):
@@ -93,7 +101,7 @@ def test_pruned_ties_break_by_doc_id(ray_session, tmp_path):
     build_index(src, idx, IndexSchema().add_text_field("text"),
                 num_shards=2, target_docs_per_partition=300,
                 frag_min_df=1)
-    r = IndexReader(idx)
+    r = _pruned_reader(idx)
     hits = r.search("same", 10).hits
     assert [d for _s, d in hits] == list(range(10))
     assert hits == _scan_topk(IndexReader(idx), "same", 10)
@@ -107,7 +115,7 @@ def test_pruned_doc_range_leaf(bm_index):
     mid = bases[len(bases) // 2]
     q1 = bases[max(1, len(bases) // 4)]
     for lo, hi in ((0, mid), (mid, n), (q1, mid)):
-        leaf = IndexReader(bm_index, doc_range=(lo, hi))
+        leaf = _pruned_reader(bm_index, doc_range=(lo, hi))
         sc = IndexReader(bm_index, doc_range=(lo, hi))
         for term in ("t0000", "t0003", "t0011", "t0100"):
             a = leaf.search(term, 10).hits
@@ -122,7 +130,7 @@ def test_no_frontier_fallback(ray_session, tmp_path):
     idx = str(tmp_path / "idx")
     build_index(src, idx, IndexSchema().add_text_field("text"),
                 num_shards=2, frag_min_df=10 ** 9)
-    r = IndexReader(idx)
+    r = _pruned_reader(idx)
     runs = r._term_runs("text", "t0000")
     assert runs and all(r._run_frontier(s, rr) is None for s, rr in runs)
     assert r.search("t0000", 10).hits == _scan_topk(
@@ -139,7 +147,7 @@ def test_merge_preserves_frontier(ray_session, tmp_path, bm_index):
                 frag_min_df=1)
     out = str(tmp_path / "merged")
     merge_indexes([bm_index, idx2], out)
-    r = IndexReader(out)
+    r = _pruned_reader(out)
     rs = IndexReader(out)
     # frontiers survived the byte-copy (offsets re-based)
     runs = r._term_runs("text", "t0000")
@@ -158,7 +166,7 @@ def test_delete_merge_drops_frontier_only_on_rewritten_runs(
     out = str(tmp_path / "mdel")
     merge_indexes([bm_index], out,
                   delete_queries=[Query.term("text", "t0400")])
-    r = IndexReader(out)
+    r = _pruned_reader(out)
     rs = IndexReader(out)
     for term in ("t0000", "t0001", "t0010"):
         a = r.search(term, 10).hits
@@ -171,7 +179,7 @@ def test_bundle_split_pruned_parity(ray_session, tmp_path, bm_index):
     from tantivy4java_ray.pipelines.bundle import bundle_index
     split = str(tmp_path / "idx.split")
     bundle_index(bm_index, split)
-    r = IndexReader(f"t4jrsplit://{split}")
+    r = _pruned_reader(f"t4jrsplit://{split}")
     rs = IndexReader(bm_index)
     for term in ("t0000", "t0004", "t0123"):
         assert r.search(term, 10).hits == _scan_topk(rs, term, 10), term
