@@ -1768,6 +1768,11 @@ class IndexReader:
 
     def aggregate(self, query: Query | None, aggs: dict) -> dict:
         from tantivy4java_ray.aggs import run_aggregations_on_index
+        if query is not None:
+            leaves: list[tuple[str, str]] = []
+            _collect_postings_leaves(query, self, leaves)
+            if len(leaves) > 1:
+                self.postings_many(leaves)
         return run_aggregations_on_index(self, query, aggs)
 
     def prewarm(self, fields: list[str] | None = None) -> None:
