@@ -95,6 +95,9 @@ _PARTIAL_SCHEMA = pa.schema([
     ("docs", pa.large_binary()),
     ("tfs", pa.large_binary()),
     ("positions", pa.large_binary()),
+    ("nids", pa.large_binary()),   # u8 fieldnorm id per pair (or empty):
+                                   # lets the reduce emit block-max
+                                   # frontiers for reduce-encoded runs
 ])
 
 #: pre-encoded hot-term fragments (one FINAL-format posting run per
@@ -356,7 +359,7 @@ def _config_fp(schema_dict: dict, num_shards: int, exact_fieldnorms: bool,
          "hot_salts": hot_salts,
          # bumped when partial/shard file formats change: a resume must
          # not byte-copy pre-frontier partials into a post-frontier index
-         "pfmt": 2},
+         "pfmt": 3},
         sort_keys=True).encode()).hexdigest()
 
 
@@ -693,6 +696,8 @@ class PartitionIndexer:
         tf = np.diff(np.append(pstarts, len(order))).astype(np.uint32)
         pair_code = codes_s[pstarts]
         pair_row = rows_s[pstarts].astype(np.uint32)
+        nid_pairs = (np.asarray(nids, np.uint8)[pair_row]
+                     if nids is not None else None)
         pos_sorted = positions[order].astype(np.uint32) if positions is not None else None
         pair_pos_off = np.concatenate(
             ([0], np.cumsum(tf, dtype=np.int64))).astype(np.int64)
@@ -792,6 +797,8 @@ class PartitionIndexer:
             pair_keep = np.repeat(cold, tlens)
             docs_delta = docs_delta[pair_keep]
             tf = tf[pair_keep]
+            if nid_pairs is not None:
+                nid_pairs = nid_pairs[pair_keep]
             if pos_delta is not None:
                 pos_delta = pos_delta[np.repeat(cold, ttf_arr)]
             shards = shards[cold]
@@ -817,6 +824,20 @@ class PartitionIndexer:
         else:
             pos_col = bin_col(np.empty(0, np.uint32),
                               np.zeros(n_terms + 1, np.int64))
+
+        def u8_col(values: np.ndarray | None) -> pa.Array:
+            if values is None:
+                return pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(), n_terms,
+                    [None, pa.py_buffer(np.zeros(n_terms + 1,
+                                                 np.int64).tobytes()),
+                     pa.py_buffer(b"")])
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), n_terms,
+                [None, pa.py_buffer(term_bounds.tobytes()),
+                 pa.py_buffer(np.ascontiguousarray(values,
+                                                   np.uint8).tobytes())])
+
         acc.append(pa.table({
             "shard": pa.array(shards, pa.int32()),
             "field": pa.array([field] * n_terms, pa.string()),
@@ -828,7 +849,8 @@ class PartitionIndexer:
             "ttf": pa.array(ttf_arr),
             "docs": bin_col(docs_delta, term_bounds),
             "tfs": bin_col(tf, term_bounds),
-            "positions": pos_col}))
+            "positions": pos_col,
+            "nids": u8_col(nid_pairs)}))
         return int(n_pairs)
 
 
@@ -926,6 +948,12 @@ def _write_shard(group: pa.Table, index_dir: str,
             doc_off, doc_data = _binary_column_view(group.column("docs"))
             _, tf_data = _binary_column_view(group.column("tfs"))
             pos_off, pos_data = _binary_column_view(group.column("positions"))
+            if "nids" in group.column_names:   # u8 fieldnorm id per pair
+                nid_off, nid_data = _binary_column_view(
+                    group.column("nids"))
+            else:  # partials from a pre-frontier build (resume compat)
+                nid_off = np.zeros(group.num_rows + 1, np.int64)
+                nid_data = np.empty(0, np.uint8)
 
             def _u32(data: np.ndarray) -> np.ndarray:
                 return data[:(len(data) // 4) * 4].view(np.uint32)
@@ -965,6 +993,7 @@ def _write_shard(group: pa.Table, index_dir: str,
             for i, j in zip(tstarts, tends):
                 docs = docs_all[pair_off[i]:pair_off[j]]
                 tfs = tfs_all[pair_off[i]:pair_off[j]]
+                nid_t = nid_data[nid_off[i]:nid_off[j]]
                 has_pos = posv_off[j] > posv_off[i]
                 if has_pos:
                     # restore this term's absolute positions from within-pair
@@ -1007,12 +1036,21 @@ def _write_shard(group: pa.Table, index_dir: str,
                     dict_rows["nbytes"].append(len(blob))
                     dict_rows["pos_offset"].append(poff)
                     dict_rows["pos_nbytes"].append(len(pblob))
-                    # cold (reduce-encoded) runs carry no block-max
-                    # frontier: the reduce has no doc->fieldnorm map, and
-                    # rare terms decode in microseconds anyway — readers
-                    # treat a missing frontier as bound=+inf (never prune)
-                    dict_rows["bm_offset"].append(-1)
-                    dict_rows["bm_nbytes"].append(0)
+                    # cold (reduce-encoded) runs get frontiers too: the
+                    # partial ships a u8 fieldnorm id per pair, so a
+                    # mid-frequency term (below the per-partition hot
+                    # threshold but with large TOTAL df at scale) still
+                    # prunes. Empty nids = no-norm field / old partials.
+                    if len(nid_t) == len(docs):
+                        bm = pcodec.block_frontier_blob(tfs[sl],
+                                                        nid_t[sl])
+                        boff = bm_buf.tell()
+                        bm_buf.write(bm)
+                        dict_rows["bm_offset"].append(boff)
+                        dict_rows["bm_nbytes"].append(len(bm))
+                    else:
+                        dict_rows["bm_offset"].append(-1)
+                        dict_rows["bm_nbytes"].append(0)
                     run_start = run_end
 
         if n_enc:

@@ -122,19 +122,36 @@ def test_pruned_doc_range_leaf(bm_index):
             assert a == _scan_topk(sc, term, 10), (term, lo, hi)
 
 
-def test_no_frontier_fallback(ray_session, tmp_path):
-    # frag_min_df huge: every run is reduce-encoded (no frontier) and
-    # the pruned path must fall back cleanly
+def test_cold_run_frontier_and_no_norms_fallback(ray_session, tmp_path):
     src = str(tmp_path / "d.parquet")
     pq.write_table(_corpus(800, seed=5), src)
+    # frag_min_df huge: every run is reduce-encoded — the reduce now
+    # builds frontiers from the shipped per-pair fieldnorm ids, so
+    # mid-frequency terms prune too
     idx = str(tmp_path / "idx")
     build_index(src, idx, IndexSchema().add_text_field("text"),
                 num_shards=2, frag_min_df=10 ** 9)
     r = _pruned_reader(idx)
     runs = r._term_runs("text", "t0000")
-    assert runs and all(r._run_frontier(s, rr) is None for s, rr in runs)
+    assert runs and all(r._run_frontier(s, rr) is not None
+                        for s, rr in runs)
     assert r.search("t0000", 10).hits == _scan_topk(
         IndexReader(idx), "t0000", 10)
+    # tiny corpus: phase-1 alone may cover every block — assert the
+    # pruned path ENGAGED (bounds evaluated), not a prune count
+    assert r._cstats.get("blockmax", [0, 0])[1] > 0
+    # fieldnorms=False: no norm ids exist anywhere -> no frontier, and
+    # the pruned path must fall back cleanly
+    idx2 = str(tmp_path / "idx2")
+    build_index(src, idx2,
+                IndexSchema().add_text_field("text", fieldnorms=False),
+                num_shards=2, frag_min_df=1)
+    r2 = _pruned_reader(idx2)
+    runs2 = r2._term_runs("text", "t0000")
+    assert runs2 and all(r2._run_frontier(s, rr) is None
+                         for s, rr in runs2)
+    assert r2.search("t0000", 10).hits == _scan_topk(
+        IndexReader(idx2), "t0000", 10)
 
 
 def test_merge_preserves_frontier(ray_session, tmp_path, bm_index):
