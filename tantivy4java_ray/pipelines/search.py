@@ -2281,7 +2281,7 @@ class _TermCursor:
     __slots__ = ("reader", "field", "runs", "run_i", "skip", "mm", "base",
                  "block_i", "docs", "tfs", "pos", "weight", "norm_cache",
                  "norms", "min_norm", "max_score", "exhausted", "offset",
-                 "ord", "doc_lo", "doc_hi")
+                 "ord", "doc_lo", "doc_hi", "bm_bounds")
 
     @classmethod
     def open_runs(cls, reader: IndexReader, field: str, term: str,
@@ -2325,9 +2325,21 @@ class _TermCursor:
                 self.seek(reader.doc_lo)
             if self.exhausted:
                 continue
-            gmax_tf = float(pcodec.read_skip(self.runs[0][2],
-                                             self.runs[0][1]).max_tf.max())
-            self.max_score = float(weight) * gmax_tf / (gmax_tf + min_norm)
+            fr = reader._run_frontier(sid, r)
+            if fr is not None:
+                # EXACT per-block maxima from the frontier sidecar — the
+                # max_tf/global-min-norm bound below keeps ~100% of
+                # blocks on realistic corpora (see block_frontier_blob)
+                off, ftf, fnid = fr
+                s = (weight * ftf) / (ftf + norm_cache[fnid])
+                self.bm_bounds = np.maximum.reduceat(s, off[:-1])
+                self.max_score = float(self.bm_bounds.max())
+            else:
+                self.bm_bounds = None
+                gmax_tf = float(pcodec.read_skip(
+                    self.runs[0][2], self.runs[0][1]).max_tf.max())
+                self.max_score = (float(weight) * gmax_tf
+                                  / (gmax_tf + min_norm))
             out.append(self)
         return out
 
@@ -2356,8 +2368,11 @@ class _TermCursor:
         return int(self.docs[self.pos])
 
     def block_max_score(self) -> float:
-        # min_norm precomputed in open_runs: this runs per pivot in the
-        # hottest WAND loop — no numpy .min() over the 256-entry cache
+        # frontier bounds are EXACT per-block maxima (precomputed in
+        # open_runs); the max_tf/min-norm formula is the fallback for
+        # runs without a sidecar. Runs per pivot in the hottest WAND loop.
+        if self.bm_bounds is not None:
+            return float(self.bm_bounds[self.block_i])
         mt = float(self.skip.max_tf[self.block_i])
         return float(self.weight) * mt / (mt + self.min_norm)
 
