@@ -434,6 +434,90 @@ class IndexReader:
         self._post_cache_put(ck, docs, tfs)
         return docs, tfs
 
+    def _postings_many_ranged(self, todo: list[tuple[tuple, list]]) -> None:
+        """Leaf-mode batch decode: a doc-range-pinned reader decodes only
+        the 128-blocks inside its window, but one call per (term, run)
+        dominated the cold sharded batch — here every term's in-window
+        blocks across all runs gather-decode in ONE pass per shard."""
+        t_sid, t_dst, t_cnt, t_wd, t_wt, t_prev, t_ti = \
+            [], [], [], [], [], [], []
+        for ti, (_ck, runs) in enumerate(todo):
+            for sid, r in runs:
+                d = self._dict(sid)
+                base = int(d["run_base"][r])
+                if base >= self.doc_hi:
+                    continue
+                sk = self._run_skip(sid, r)
+                lo = max(self.doc_lo - base, 0)
+                hi = self.doc_hi - base
+                b0 = int(np.searchsorted(sk.last_doc, lo, side="left"))
+                b1 = min(int(np.searchsorted(sk.last_doc, hi - 1,
+                                             side="left")) + 1,
+                         sk.nblocks)
+                if b0 >= b1:
+                    continue
+                nb = b1 - b0
+                data0 = int(d["offset"][r]) + sk.data_start
+                t_sid.append(np.full(nb, sid, np.int32))
+                t_dst.append(data0 + sk.block_offsets[b0:b1])
+                cnt = np.full(nb, pcodec.BLOCK, np.int64)
+                if b1 == sk.nblocks:
+                    cnt[-1] = sk.df - (sk.nblocks - 1) * pcodec.BLOCK
+                t_cnt.append(cnt)
+                t_wd.append(sk.bits_doc[b0:b1].astype(np.int64))
+                t_wt.append(sk.bits_tf[b0:b1].astype(np.int64))
+                prevg = np.empty(nb, np.int64)
+                prevg[0] = base + (int(sk.last_doc[b0 - 1]) + 1
+                                   if b0 else 0)
+                if nb > 1:
+                    prevg[1:] = (base
+                                 + sk.last_doc[b0:b1 - 1].astype(np.int64)
+                                 + 1)
+                t_prev.append(prevg)
+                t_ti.append(np.full(nb, ti, np.int32))
+        if not t_sid:
+            return
+        f_sid = np.concatenate(t_sid)
+        f_dst = np.concatenate(t_dst)
+        f_cnt = np.concatenate(t_cnt)
+        f_wd = np.concatenate(t_wd)
+        f_wt = np.concatenate(t_wt)
+        f_prev = np.concatenate(t_prev)
+        f_ti = np.concatenate(t_ti)
+        parts: list[list[tuple[np.ndarray, np.ndarray]]] = [
+            [] for _ in todo]
+        for sid in np.unique(f_sid):
+            m = np.flatnonzero(f_sid == sid)
+            mm = self._mm(sid)
+            if not isinstance(mm, np.ndarray):
+                continue   # remote leaves keep the per-term ranged path
+            docs, tfs = pcodec.decode_blocks_gather(
+                mm, f_dst[m], f_cnt[m], f_wd[m], f_wt[m], f_prev[m])
+            cuts = np.zeros(len(m) + 1, np.int64)
+            np.cumsum(f_cnt[m], out=cuts[1:])
+            for e, ti in enumerate(f_ti[m]):
+                if cuts[e + 1] > cuts[e]:
+                    parts[ti].append((docs[cuts[e]:cuts[e + 1]],
+                                      tfs[cuts[e]:cuts[e + 1]]))
+        done = set()
+        for ti, (ck, _runs) in enumerate(todo):
+            if not parts[ti]:
+                continue
+            done.add(ti)
+            self._cstats["postings"][1] += 1
+            docs = np.concatenate([p[0] for p in parts[ti]])
+            tfs = np.concatenate([p[1] for p in parts[ti]])
+            keep = (docs >= self.doc_lo) & (docs < self.doc_hi)
+            docs, tfs = docs[keep], tfs[keep]
+            if len(parts[ti]) > 1 and len(docs) \
+                    and np.any(docs[1:] <= docs[:-1]):
+                order = np.argsort(docs, kind="stable")
+                docs, tfs = docs[order], tfs[order]
+            self._post_cache_put(ck, docs, tfs)
+        for ti, (ck, _runs) in enumerate(todo):
+            if ti not in done and ck not in self._post_cache:
+                self.postings(*ck)   # remote shards / empty windows
+
     def _post_cache_put(self, ck, docs: np.ndarray, tfs: np.ndarray) -> None:
         nbytes = docs.nbytes + tfs.nbytes
         if nbytes < self.postings_cache_max // 4:
@@ -463,9 +547,12 @@ class IndexReader:
             runs = self._term_runs(field, term)
             if runs:
                 todo.append((ck, runs))
-        if len(todo) < 2 or self.doc_range is not None:
+        if len(todo) < 2:
             for ck, _runs in todo:
                 self.postings(*ck)
+            return
+        if self.doc_range is not None:
+            self._postings_many_ranged(todo)
             return
         self._prefetch_runs([rn for _, runs in todo for rn in runs],
                             "postings")
@@ -2675,7 +2762,22 @@ class SearchPool:
 
             def search_many(self, queries: list[str], limit: int
                             ) -> list[list[tuple[float, int]]]:
-                return [self.reader.search(q, limit).hits for q in queries]
+                from tantivy4java_ray import storage as st
+                from tantivy4java_ray.query import parse_query
+                qs = [parse_query(q, self.reader.schema)
+                      if isinstance(q, str) else q for q in queries]
+                # local indexes: decode the WHOLE slice's uncached terms
+                # in one width-grouped pass per shard — a cold batch of
+                # 60+ single-term queries collapses to a handful of
+                # kernel calls. Remote indexes skip this: the pruned
+                # per-query path pages in bytes ~ k instead of whole runs
+                if not st.is_url(self.reader.index_dir):
+                    leaves: list[tuple[str, str]] = []
+                    for q in qs:
+                        _collect_postings_leaves(q, self.reader, leaves)
+                    if len(leaves) > 1:
+                        self.reader.postings_many(leaves)
+                return [self.reader.search(q, limit).hits for q in qs]
 
             def warmup(self, query: str) -> dict:
                 return self.reader.warmup(query)
@@ -2773,8 +2875,21 @@ class ShardedSearchPool:
 
             def search_many(self, queries: list[str], limit: int
                             ) -> list[list[tuple[float, int]]]:
+                from tantivy4java_ray import storage as st
+                from tantivy4java_ray.query import parse_query
+                qs = [parse_query(q, self.reader.schema)
+                      if isinstance(q, str) else q for q in queries]
+                # local leaves: gather-decode the whole slice's in-window
+                # blocks in one pass per shard (see postings_many);
+                # remote leaves keep the per-query pruned GET shape
+                if not st.is_url(self.reader.index_dir):
+                    leaves: list[tuple[str, str]] = []
+                    for q in qs:
+                        _collect_postings_leaves(q, self.reader, leaves)
+                    if len(leaves) > 1:
+                        self.reader.postings_many(leaves)
                 return [self.reader.search(q, limit).hits
-                        for q in queries]
+                        for q in qs]
 
             def aggregate_partial(self, query_blob: bytes,
                                   specs_blob: bytes) -> bytes:
