@@ -174,10 +174,21 @@ class IndexReader:
         self._union_cache_bytes = 0
         self.union_cache_max = 32 << 20
         self._df_cache: dict[tuple[str, str], int] = {}
+        # doc-store tier: ParquetFile handles (footer parsed once) and
+        # decoded per-(row-group, column) arrays, byte-bounded LRU — the
+        # doc-store block cache analog (the reference caches decoded
+        # store blocks per split; split/SplitCacheManager.java store
+        # component). Index + source parquet are immutable, so entries
+        # never invalidate.
+        self._pf_cache: dict[str, object] = {}
+        self._rg_lens: dict[str, np.ndarray] = {}
+        self._doc_cache: "OrderedDict[tuple, pa.Array]" = OrderedDict()
+        self._doc_cache_bytes = 0
+        self.doc_cache_max = 256 << 20
         # [hits, misses] per cache tier (SplitCacheManager.getCacheStats
         # analog, split/SplitCacheManager.java:983-1005)
         self._cstats = {"postings": [0, 0], "positions": [0, 0],
-                        "union": [0, 0]}
+                        "union": [0, 0], "docstore": [0, 0]}
         dpath = st.sjoin(index_dir, "deleted_docs.npy")
         self.deleted: np.ndarray | None = None
         if st.sexists(dpath):
@@ -1811,6 +1822,93 @@ class IndexReader:
         return out
 
     # -- doc retrieval (hits -> source parquet rows; companion-mode join) ---
+    def _pf(self, path: str):
+        """ParquetFile with the footer parsed exactly once per reader —
+        repeated retrievals were paying a metadata re-parse per call."""
+        pf = self._pf_cache.get(path)
+        if pf is None:
+            pf = self._pf_cache[path] = self._st.parquet_file_any(path)
+        return pf
+
+    def _docstore_read(self, path: str, rg_list: list[int] | None,
+                       local: np.ndarray, columns: list[str]) -> pa.Table:
+        """Read rows at positions ``local`` (relative to the
+        concatenation of ``rg_list``'s row groups; ``None`` = whole
+        file) returning them in that order. Only row groups containing
+        a requested row are decoded, contiguous missing groups coalesce
+        into one read, and decoded (row-group, column) arrays live in a
+        byte-bounded LRU — so a steady-state retrieval workload decodes
+        each store block once (doc-store block cache semantics,
+        ``split/SplitCacheManager.java`` store component)."""
+        pf = self._pf(path)
+        lens = self._rg_lens.get(path)
+        if lens is None:
+            md = pf.metadata
+            lens = np.array([md.row_group(i).num_rows
+                             for i in range(md.num_row_groups)], np.int64)
+            self._rg_lens[path] = lens
+        sel = (np.arange(len(lens), dtype=np.int64) if rg_list is None
+               else np.asarray(rg_list, np.int64))
+        starts = np.zeros(len(sel) + 1, np.int64)
+        np.cumsum(lens[sel], out=starts[1:])
+        j = np.searchsorted(starts, local, side="right") - 1
+        need = np.unique(j)
+        st_ = self._cstats["docstore"]
+        # coalesce contiguous missing row groups into single reads
+        miss = [int(nj) for nj in need
+                if any((path, int(sel[nj]), c) not in self._doc_cache
+                       for c in columns)]
+        st_[0] += len(need) - len(miss)
+        st_[1] += len(miss)
+        runs: list[list[int]] = []
+        for nj in miss:
+            if runs and sel[nj] == sel[runs[-1][-1]] + 1:
+                runs[-1].append(nj)
+            else:
+                runs.append([nj])
+        for run in runs:
+            rgs = [int(sel[nj]) for nj in run]
+            t = pf.read_row_groups(rgs, columns=columns, use_threads=False)
+            off = 0
+            for rg in rgs:
+                n = int(lens[rg])
+                piece = t.slice(off, n)
+                off += n
+                for c in columns:
+                    key = (path, rg, c)
+                    old = self._doc_cache.pop(key, None)
+                    if old is not None:
+                        self._doc_cache_bytes -= old.nbytes
+                    arr = piece.column(c).combine_chunks()
+                    self._doc_cache[key] = arr
+                    self._doc_cache_bytes += arr.nbytes
+            while (self._doc_cache_bytes > self.doc_cache_max
+                   and self._doc_cache):
+                _k, a = self._doc_cache.popitem(last=False)
+                self._doc_cache_bytes -= a.nbytes
+        # assemble the needed row groups in order, then gather rows
+        cols_out: dict[str, list] = {c: [] for c in columns}
+        new_start = np.empty(len(starts) - 1, np.int64)
+        pos = 0
+        for nj in need:
+            rg = int(sel[nj])
+            for c in columns:
+                key = (path, rg, c)
+                arr = self._doc_cache.get(key)
+                if arr is None:  # evicted mid-call: cache smaller than call
+                    arr = pf.read_row_groups(
+                        [rg], columns=[c],
+                        use_threads=False).column(c).combine_chunks()
+                else:
+                    self._doc_cache.move_to_end(key)
+                cols_out[c].append(arr)
+            new_start[nj] = pos
+            pos += int(lens[rg])
+        tbl = pa.table({c: pa.chunked_array(cols_out[c])
+                        for c in columns})
+        remap = new_start[j] + (local - starts[j])
+        return tbl.take(pa.array(remap))
+
     def retrieve_docs(self, doc_ids, columns: list[str] | None = None,
                       from_store: bool = False) -> pa.Table:
         """Join hits back to the source parquet by positional key —
@@ -1826,6 +1924,8 @@ class IndexReader:
         pidx = np.searchsorted(self.doc_bases, sorted_ids, side="right") - 1
         if from_store and columns is None:
             columns = [f.name for f in self.schema.fields if f.stored]
+        if not columns:  # no stored fields: id-only result, no reads
+            return pa.table({"doc_id": pa.array(doc_ids, pa.int64())})
         pieces: list[pa.Table] = []
         out_rows: list[np.ndarray] = []
         for pi in np.unique(pidx):
@@ -1835,13 +1935,13 @@ class IndexReader:
             if from_store:
                 path = self._st.sjoin(self.index_dir, "docdata",
                                       f"part-{part['pid']:05d}.parquet")
-                tbl = self._st.read_parquet_any(
-                    path, columns=[f"stored__{c}" for c in columns])
+                tbl = self._docstore_read(
+                    path, None, local, [f"stored__{c}" for c in columns])
                 tbl = tbl.rename_columns(columns)
             else:
-                pf = self._st.parquet_file_any(part["path"])
-                tbl = pf.read_row_groups(part["row_groups"], columns=columns)
-            pieces.append(tbl.take(pa.array(local)))
+                tbl = self._docstore_read(part["path"], part["row_groups"],
+                                          local, columns)
+            pieces.append(tbl)
             out_rows.append(np.flatnonzero(sel))
         if not pieces:
             return pa.table({})
@@ -2016,7 +2116,9 @@ class IndexReader:
                 ("positions", self._pos_cache, self._pos_cache_bytes,
                  self.postings_cache_max),
                 ("union", self._union_cache, self._union_cache_bytes,
-                 self.union_cache_max)):
+                 self.union_cache_max),
+                ("docstore", self._doc_cache, self._doc_cache_bytes,
+                 self.doc_cache_max)):
             h, m = self._cstats[name]
             out[name] = {"hits": h, "misses": m, "entries": len(cache),
                          "bytes": int(nbytes), "max_bytes": int(cap)}

@@ -1,0 +1,112 @@
+"""Doc-store cache tier (round 4): row-group-pruned retrieval with a
+byte-bounded decoded-block LRU — the doc-store block cache analog
+(``split/SplitCacheManager.java`` store component).  Pins value
+correctness vs a brute full read, warm-hit accounting, byte-bounded
+eviction, unsorted/duplicate id order, and the no-stored-fields
+``from_store`` edge."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tantivy4java_ray.pipelines.build import build_index
+from tantivy4java_ray.pipelines.search import IndexReader
+from tantivy4java_ray.schema import IndexSchema
+from tantivy4java_ray.sources.webpages import write_webpages
+
+DATA = "/tmp/t4jr_test_docstore_data"
+IDX = "/tmp/t4jr_test_docstore_idx"
+N = 900
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session):
+    shutil.rmtree(DATA, ignore_errors=True)
+    shutil.rmtree(IDX, ignore_errors=True)
+    paths = write_webpages(DATA, N, n_files=2, rows_per_row_group=100)
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_string_field("url", stored=True)
+    s.add_string_field("lang")
+    build_index(paths, IDX, s, html_fallback=("text", "html"),
+                target_docs_per_partition=250, num_shards=4)
+    return IndexReader(IDX)
+
+
+def _brute(reader, ids, columns):
+    pieces = []
+    for part in reader.partitions:
+        pf = pq.ParquetFile(part["path"])
+        pieces.append(pf.read_row_groups(part["row_groups"],
+                                         columns=columns))
+    full = pa.concat_tables(pieces)
+    return [[full.column(c)[int(i)].as_py() for c in columns]
+            for i in ids]
+
+
+def test_values_match_brute_read(idx):
+    rng = np.random.default_rng(7)
+    ids = rng.choice(N, size=120, replace=False)
+    t = idx.retrieve_docs(ids, columns=["url", "lang"])
+    want = _brute(idx, ids, ["url", "lang"])
+    got = list(zip(t.column("url").to_pylist(),
+                   t.column("lang").to_pylist()))
+    assert [list(g) for g in got] == want
+    assert t.column("doc_id").to_pylist() == [int(i) for i in ids]
+
+
+def test_unsorted_and_duplicate_ids_preserve_order(idx):
+    ids = [500, 3, 500, 899, 3]
+    t = idx.retrieve_docs(ids, columns=["url"])
+    assert t.column("doc_id").to_pylist() == ids
+    urls = t.column("url").to_pylist()
+    assert urls[0] == urls[2] and urls[1] == urls[4]
+
+
+def test_warm_retrieval_hits_cache(idx):
+    r = IndexReader(IDX)
+    ids = np.arange(0, N, 9)
+    r.retrieve_docs(ids, columns=["url"])
+    s0 = r.cache_stats()["docstore"]
+    assert s0["misses"] > 0 and s0["entries"] > 0
+    t = r.retrieve_docs(ids, columns=["url"])
+    s1 = r.cache_stats()["docstore"]
+    assert s1["misses"] == s0["misses"], "warm re-retrieval re-decoded"
+    assert s1["hits"] > s0["hits"]
+    assert t.column("url")[0].as_py().startswith("https://site")
+
+
+def test_row_group_pruning_sparse_ids(idx):
+    # 2 ids in one 100-row row group: exactly 1 rg decoded per column
+    r = IndexReader(IDX)
+    r.retrieve_docs([10, 20], columns=["url", "lang"])
+    s = r.cache_stats()["docstore"]
+    assert s["misses"] == 1 and s["entries"] == 2
+
+
+def test_eviction_is_byte_bounded(idx):
+    r = IndexReader(IDX)
+    r.doc_cache_max = 1  # force eviction after every insert
+    ids = np.arange(0, N, 7)
+    t = r.retrieve_docs(ids, columns=["url", "lang"])
+    want = _brute(r, ids, ["url", "lang"])
+    got = [[u, g] for u, g in zip(t.column("url").to_pylist(),
+                                  t.column("lang").to_pylist())]
+    assert got == want
+    s = r.cache_stats()["docstore"]
+    assert s["bytes"] <= 1 or s["entries"] <= 1
+
+
+def test_from_store_no_stored_columns_is_id_only(idx):
+    t = idx.retrieve_docs([1, 2, 3], columns=[], from_store=True)
+    assert t.column_names == ["doc_id"]
+    assert t.column("doc_id").to_pylist() == [1, 2, 3]
+
+
+def test_from_store_stored_field(idx):
+    t = idx.retrieve_docs([5, 800], from_store=True)
+    assert t.column("url").to_pylist() == [
+        "https://site5.example/page/5", "https://site800.example/page/800"]
