@@ -110,3 +110,48 @@ def test_from_store_stored_field(idx):
     t = idx.retrieve_docs([5, 800], from_store=True)
     assert t.column("url").to_pylist() == [
         "https://site5.example/page/5", "https://site800.example/page/800"]
+
+
+# ---------------------------------------------------------------------------
+# _postings_many_ranged: the doc-range leaf batch-decode path must be
+# byte-identical to the per-term ranged path for every term and range
+# ---------------------------------------------------------------------------
+
+def test_postings_many_ranged_equals_per_term(idx):
+    full = IndexReader(IDX)
+    terms = [f"w{i:04d}" for i in range(0, 60, 7)] + ["needleterm"]
+    present = [t for t in terms if full.doc_freq("text", t) > 0]
+    assert len(present) >= 5
+    # partition bases: 0/300/450/750 — use aligned windows
+    for lo, hi in [(0, 300), (300, 750), (450, N), (0, 450)]:
+        a = IndexReader(IDX, doc_range=(lo, hi))
+        b = IndexReader(IDX, doc_range=(lo, hi))
+        # a: batch path (cold cache, >=2 uncached pairs)
+        a.postings_many([("text", t) for t in present])
+        # b: per-term path
+        for t in present:
+            b.postings("text", t)
+        for t in present:
+            da, ta = a.postings("text", t)
+            db, tb = b.postings("text", t)
+            np.testing.assert_array_equal(da, db, err_msg=f"{t} {lo}:{hi}")
+            np.testing.assert_array_equal(ta, tb, err_msg=f"{t} {lo}:{hi}")
+            assert ((da >= lo) & (da < hi)).all()
+
+
+def test_sharded_pool_matches_full_reader(idx, ray_session):
+    from tantivy4java_ray.pipelines.search import ShardedSearchPool
+    full = IndexReader(IDX)
+    queries = [f"w{i:04d}" for i in range(0, 40, 3)] + [
+        "w0001 OR w0042", "needleterm"]
+    pool = ShardedSearchPool(IDX, num_actors=3)
+    try:
+        got = pool.search_many(queries, limit=8)
+        for q, hits in zip(queries, got):
+            want = full.search(q, 8).hits
+            assert [h[1] for h in hits] == [h[1] for h in want], q
+            np.testing.assert_allclose([h[0] for h in hits],
+                                       [h[0] for h in want],
+                                       rtol=1e-6, err_msg=q)
+    finally:
+        pool.shutdown()
