@@ -450,6 +450,14 @@ class IndexReader:
         the 128-blocks inside its window, but one call per (term, run)
         dominated the cold sharded batch — here every term's in-window
         blocks across all runs gather-decode in ONE pass per shard."""
+        from tantivy4java_ray import storage as st
+        if st.is_url(self.index_dir):
+            # remote leaves keep the pruned per-term GET shape — building
+            # skip metadata here would issue serial ranged GETs only to
+            # fall through to postings() re-fetching the same runs
+            for ck, _runs in todo:
+                self.postings(*ck)
+            return
         t_sid, t_dst, t_cnt, t_wd, t_wt, t_prev, t_ti = \
             [], [], [], [], [], [], []
         for ti, (_ck, runs) in enumerate(todo):
@@ -551,13 +559,28 @@ class IndexReader:
         Remote (RangedBlob) shards and doc-range-pinned leaves keep their
         existing per-term paths."""
         todo: list[tuple[tuple, list]] = []
+        seen: set[tuple] = set()
+        # cache-refused size: _post_cache_put drops results >= cap/4, so
+        # batching such a term decodes it for nothing (evaluate() would
+        # miss and decode again) — leave oversized terms to their single
+        # decode in the query path. 16 B/posting (i64 docs + i64 tfs).
+        df_cap = self.postings_cache_max // 4 // 16
         for field, term in pairs:
             ck = (field, term)
-            if ck in self._post_cache:
-                continue
+            if ck in seen or ck in self._post_cache:
+                continue  # repeated term in one batch: decode once
+            seen.add(ck)
             runs = self._term_runs(field, term)
-            if runs:
-                todo.append((ck, runs))
+            if not runs:
+                continue
+            df = sum(int(self._dict(sid)["df"][r]) for sid, r in runs)
+            if self.doc_range is not None and self.num_docs:
+                # a leaf decodes only its window's blocks; postings are
+                # doc-ordered so the window's share of df is ~uniform
+                df = df * (self.doc_hi - self.doc_lo) // self.num_docs
+            if df >= df_cap:
+                continue
+            todo.append((ck, runs))
         if len(todo) < 2:
             for ck, _runs in todo:
                 self.postings(*ck)
@@ -1924,6 +1947,9 @@ class IndexReader:
         pidx = np.searchsorted(self.doc_bases, sorted_ids, side="right") - 1
         if from_store and columns is None:
             columns = [f.name for f in self.schema.fields if f.stored]
+        if columns is None and self.partitions:
+            # source-parquet path, all columns (the pre-cache default)
+            columns = self._pf(self.partitions[0]["path"]).schema_arrow.names
         if not columns:  # no stored fields: id-only result, no reads
             return pa.table({"doc_id": pa.array(doc_ids, pa.int64())})
         pieces: list[pa.Table] = []

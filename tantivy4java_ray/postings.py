@@ -519,65 +519,6 @@ def parse_frontier_blob(buf) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return off, tf, nid
 
 
-def decode_blocks_subset(buf, offset: int, sel: np.ndarray,
-                         skip: SkipInfo | None = None,
-                         with_tfs: bool = True,
-                         starts: np.ndarray | None = None
-                         ) -> tuple[np.ndarray, np.ndarray]:
-    """Decode ONLY the selected blocks of one region -> (local doc ids
-    uint32, tfs), concatenated in ascending-``sel`` order.
-
-    The pruned top-k path: block-max bounds eliminate most blocks, so a
-    cold head-term query decodes (and, on object storage, pages in) a
-    handful of 128-doc blocks instead of the whole run. Full blocks
-    batch by width; a selected partial tail decodes via the row kernel.
-
-    ``starts`` overrides each selected block's byte start within ``buf``
-    — the remote path packs just the fetched block spans contiguously
-    instead of materializing the whole run."""
-    if skip is None:
-        skip = read_skip(buf, offset)
-    sel = np.asarray(sel, np.int64)
-    if not len(sel):
-        return np.empty(0, np.uint32), np.empty(0, np.uint32)
-    nb = skip.nblocks
-    counts = np.full(len(sel), BLOCK, np.int64)
-    last_cnt = skip.df - (nb - 1) * BLOCK
-    counts[sel == nb - 1] = last_cnt
-    out_off = np.zeros(len(sel) + 1, np.int64)
-    np.cumsum(counts, out=out_off[1:])
-    total = int(out_off[-1])
-    deltas = np.empty(total, np.uint32)
-    tfs = np.empty(total if with_tfs else 0, np.uint32)
-    if starts is None:
-        dstarts = offset + skip.data_start + skip.block_offsets[sel]
-    else:
-        dstarts = np.asarray(starts, np.int64)
-    doc_nbytes = (counts * skip.bits_doc[sel] + 7) // 8
-    tstarts = dstarts + doc_nbytes
-    streams = [(deltas, skip.bits_doc[sel], dstarts, 0)]
-    if with_tfs:
-        streams.append((tfs, skip.bits_tf[sel], tstarts, 1))
-    for mat, widths, starts, bias in streams:
-        for w in np.unique(widths):
-            gsel = np.flatnonzero(widths == w)
-            vals = _unpack_rows(buf, starts[gsel], counts[gsel], int(w))
-            idx = np.concatenate(
-                [out_off[i] + np.arange(counts[i]) for i in gsel])
-            mat[idx] = vals + np.uint32(bias)
-    # restore absolutes: each block's first delta is relative to the
-    # previous block's last_doc (known from the skip table even when
-    # that block is NOT decoded)
-    docs = np.cumsum(deltas.astype(np.int64) + 1) - 1
-    prev = np.where(sel > 0, skip.last_doc[sel - 1].astype(np.int64) + 1, 0)
-    adj = np.empty(len(sel), np.int64)
-    adj[0] = -prev[0]
-    if len(sel) > 1:
-        adj[1:] = docs[out_off[1:-1] - 1] + 1 - prev[1:]
-    docs -= np.repeat(adj, counts)
-    return docs.astype(np.uint32), tfs
-
-
 def decode_blocks_gather(buf, dstarts: np.ndarray, counts: np.ndarray,
                          wd: np.ndarray, wt: np.ndarray,
                          prev: np.ndarray, with_tfs: bool = True

@@ -225,7 +225,15 @@ class S3BotoFileSystem(AbstractFileSystem):
                 rng = f"bytes={s}-{e - 1}"
             kw["Range"] = rng
         _count("GET")
-        r = self.client.get_object(Bucket=bucket, Key=key, **kw)
+        try:
+            r = self.client.get_object(Bucket=bucket, Key=key, **kw)
+        except self.client.exceptions.ClientError as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            if code in ("NoSuchKey", "NoSuchBucket", "404"):
+                # fsspec missing-file contract (and put_if_absent's 412
+                # disambiguation relies on catching FileNotFoundError)
+                raise FileNotFoundError(path) from e
+            raise
         return r["Body"].read()
 
     # -- writes --------------------------------------------------------------

@@ -155,3 +155,40 @@ def test_sharded_pool_matches_full_reader(idx, ray_session):
                                        rtol=1e-6, err_msg=q)
     finally:
         pool.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# round-4 self-review regressions
+# ---------------------------------------------------------------------------
+
+def test_retrieve_docs_default_columns_is_all_source_columns(idx):
+    # columns=None on the source-parquet path must return every source
+    # column (the pre-doc-store-cache default), not an id-only table
+    t = idx.retrieve_docs([0, 1])
+    assert set(t.column_names) >= {"url", "lang", "text", "doc_id"}
+    assert t.num_rows == 2
+    assert t.column("url")[0].as_py() == "https://site0.example/page/0"
+
+
+def test_postings_many_dedups_repeated_pairs(idx):
+    r = IndexReader(IDX)
+    pairs = [("text", "w0000"), ("text", "w0001")] * 5
+    r.postings_many(pairs)
+    # 2 distinct terms -> at most 2 decode misses, not 10
+    assert r._cstats["postings"][1] <= 2
+    d0 = r.postings("text", "w0000")[0]
+    full = IndexReader(IDX)
+    np.testing.assert_array_equal(d0, full.postings("text", "w0000")[0])
+
+
+def test_postings_many_skips_cache_refused_terms(idx):
+    # a term whose decoded size >= cap/4 is refused by _post_cache_put;
+    # batching it would decode it for nothing
+    r = IndexReader(IDX)
+    r.postings_cache_max = 64  # df_cap = 64//4//16 = 1 posting
+    before = r._cstats["postings"][1]
+    r.postings_many([("text", "w0000"), ("text", "w0001")])
+    assert r._cstats["postings"][1] == before  # nothing batch-decoded
+    # query path still works (decodes once, uncached)
+    d, _ = r.postings("text", "w0000")
+    assert len(d) > 0

@@ -174,6 +174,12 @@ def test_fs_roundtrip(s3_env):
     assert not fs.exists(f"{BUCKET}/a/c.bin")
     with pytest.raises(FileNotFoundError):
         fs.info(f"{BUCKET}/a/c.bin")
+    # reads follow the fsspec missing-file contract too (put_if_absent's
+    # 412 disambiguation catches FileNotFoundError from this path)
+    with pytest.raises(FileNotFoundError):
+        fs.cat_file(f"{BUCKET}/a/c.bin")
+    with pytest.raises(FileNotFoundError):
+        fs.cat_file(f"{BUCKET}/a/c.bin", start=0, end=4)
 
 
 def test_multipart_upload(s3_env):
