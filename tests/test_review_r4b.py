@@ -192,3 +192,52 @@ def test_postings_many_skips_cache_refused_terms(idx):
     # query path still works (decodes once, uncached)
     d, _ = r.postings("text", "w0000")
     assert len(d) > 0
+
+
+def test_api_doc_default_fields_returns_full_document(idx):
+    from tantivy4java_ray.api import Index
+    s = Index(IDX).searcher()
+    d = s.doc(7)   # fields=None -> every source column
+    assert d["url"] == "https://site7.example/page/7"
+    assert "text" in d and "lang" in d
+
+
+# ---------------------------------------------------------------------------
+# property: _docstore_read over random row-group layouts / id patterns
+# ---------------------------------------------------------------------------
+
+def test_docstore_read_property_random_layouts(tmp_path):
+    import pyarrow.parquet as pqm
+    rng = np.random.default_rng(41)
+    for trial in range(12):
+        n = int(rng.integers(1, 400))
+        rg = int(rng.integers(1, n + 1))
+        tbl = pa.table({
+            "a": pa.array(rng.integers(0, 1000, n), pa.int64()),
+            "b": pa.array([f"s{v}" for v in rng.integers(0, 50, n)]),
+        })
+        p = str(tmp_path / f"t{trial}.parquet")
+        pqm.write_table(tbl, p, row_group_size=rg)
+        pf = pqm.ParquetFile(p)
+        nrg = pf.metadata.num_row_groups
+        # random subset of row groups plays the partition's rg list
+        k = int(rng.integers(1, nrg + 1))
+        rgs = sorted(rng.choice(nrg, size=k, replace=False).tolist())
+        concat = pa.concat_tables([pf.read_row_groups([g]) for g in rgs])
+        m = concat.num_rows
+        ids = rng.integers(0, m, size=int(rng.integers(1, 40)))
+        from tantivy4java_ray.pipelines.search import IndexReader
+        r = IndexReader.__new__(IndexReader)
+        from tantivy4java_ray import storage as st
+        from collections import OrderedDict
+        r._st, r._pf_cache, r._rg_lens = st, {}, {}
+        r._doc_cache, r._doc_cache_bytes = OrderedDict(), 0
+        r.doc_cache_max = int(rng.choice([1, 1 << 10, 256 << 20]))
+        r._cstats = {"docstore": [0, 0]}
+        cols = ["a", "b"] if rng.random() < 0.7 else ["b"]
+        got = r._docstore_read(p, rgs, np.asarray(ids, np.int64), cols)
+        want = concat.select(cols).take(pa.array(ids))
+        assert got.equals(want), f"trial {trial} rg={rg} rgs={rgs}"
+        # second read: warm path must agree too
+        got2 = r._docstore_read(p, rgs, np.asarray(ids, np.int64), cols)
+        assert got2.equals(want), f"warm trial {trial}"
