@@ -3002,7 +3002,7 @@ class ShardedSearchPool:
                     self.reader.prewarm()
 
             def search_many(self, queries: list[str], limit: int
-                            ) -> list[list[tuple[float, int]]]:
+                            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                 from tantivy4java_ray import storage as st
                 from tantivy4java_ray.query import parse_query
                 qs = [parse_query(q, self.reader.schema)
@@ -3016,8 +3016,24 @@ class ShardedSearchPool:
                         _collect_postings_leaves(q, self.reader, leaves)
                     if len(leaves) > 1:
                         self.reader.postings_many(leaves)
-                return [self.reader.search(q, limit).hits
-                        for q in qs]
+                # flat-array wire form: (counts, scores, docs) — plasma
+                # zero-copies ndarrays, where a list of 8×500×k python
+                # tuples dominated the root's warm wall time
+                counts = np.empty(len(qs), np.int64)
+                sc_parts, dc_parts = [], []
+                for i, q in enumerate(qs):
+                    hits = self.reader.search(q, limit).hits
+                    counts[i] = len(hits)
+                    if hits:
+                        sc_parts.append(np.array([h[0] for h in hits],
+                                                 np.float64))
+                        dc_parts.append(np.array([h[1] for h in hits],
+                                                 np.int64))
+                scores = (np.concatenate(sc_parts) if sc_parts
+                          else np.empty(0, np.float64))
+                docs = (np.concatenate(dc_parts) if dc_parts
+                        else np.empty(0, np.int64))
+                return counts, scores, docs
 
             def aggregate_partial(self, query_blob: bytes,
                                   specs_blob: bytes) -> bytes:
@@ -3043,16 +3059,27 @@ class ShardedSearchPool:
     def search_many(self, queries: list[str],
                     limit: int | None = None) -> list[list]:
         """Every leaf sees every query (it owns a doc subset); the root
-        merge keeps the global top-k by (score desc, doc asc)."""
+        merge keeps the global top-k by (score desc, doc asc). Leaves
+        ship flat (counts, scores, docs) ndarrays — zero-copy out of the
+        object store — and the merge is ONE lexsort over all leaves'
+        hits, not a python sort per query."""
         import ray
         limit = limit or self.limit
         per_leaf = ray.get([a.search_many.remote(queries, limit)
                             for a in self._actors])
+        nq = len(queries)
+        qids = np.concatenate([np.repeat(np.arange(nq, dtype=np.int64),
+                                         cnt) for cnt, _s, _d in per_leaf])
+        scores = np.concatenate([s for _c, s, _d in per_leaf])
+        docs = np.concatenate([d for _c, _s, d in per_leaf])
+        order = np.lexsort((docs, -scores, qids))
+        qs_, sc_, dc_ = qids[order], scores[order], docs[order]
+        starts = np.searchsorted(qs_, np.arange(nq + 1))
         out = []
-        for qi in range(len(queries)):
-            allhits = [h for leaf in per_leaf for h in leaf[qi]]
-            allhits.sort(key=lambda h: (-h[0], h[1]))
-            out.append(allhits[:limit])
+        for qi in range(nq):
+            s = int(starts[qi])
+            e = min(int(starts[qi + 1]), s + limit)
+            out.append(list(zip(sc_[s:e].tolist(), dc_[s:e].tolist())))
         return out
 
     def search(self, query: str, limit: int | None = None) -> SearchResult:
