@@ -2905,7 +2905,24 @@ class SearchPool:
                         _collect_postings_leaves(q, self.reader, leaves)
                     if len(leaves) > 1:
                         self.reader.postings_many(leaves)
-                return [self.reader.search(q, limit).hits for q in qs]
+                # flat ndarray wire form (see ShardedSearchPool): the
+                # object store zero-copies arrays where per-hit python
+                # tuples pay pickle per element
+                counts = np.empty(len(qs), np.int64)
+                sc_parts, dc_parts = [], []
+                for i, q in enumerate(qs):
+                    hits = self.reader.search(q, limit).hits
+                    counts[i] = len(hits)
+                    if hits:
+                        sc_parts.append(np.array([h[0] for h in hits],
+                                                 np.float64))
+                        dc_parts.append(np.array([h[1] for h in hits],
+                                                 np.int64))
+                scores = (np.concatenate(sc_parts) if sc_parts
+                          else np.empty(0, np.float64))
+                docs = (np.concatenate(dc_parts) if dc_parts
+                        else np.empty(0, np.int64))
+                return counts, scores, docs
 
             def warmup(self, query: str) -> dict:
                 return self.reader.warmup(query)
@@ -2934,8 +2951,13 @@ class SearchPool:
         for ai in range(n):
             if not chunks[ai]:
                 continue
-            for idx, hits in zip(owners[ai], ray.get(futs[fi])):
-                out[idx] = hits
+            counts, scores, docs = ray.get(futs[fi])
+            cuts = np.zeros(len(counts) + 1, np.int64)
+            np.cumsum(counts, out=cuts[1:])
+            sc, dc = scores.tolist(), docs.tolist()
+            for k, idx in enumerate(owners[ai]):
+                out[idx] = list(zip(sc[cuts[k]:cuts[k + 1]],
+                                    dc[cuts[k]:cuts[k + 1]]))
             fi += 1
         return out
 
