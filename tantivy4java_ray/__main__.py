@@ -28,8 +28,16 @@ def _init_ray() -> None:
         # cluster; when it is unset (plain standalone invocation) a
         # throwaway local instance is started instead
         addr = os.environ.get("RAY_ADDRESS", "local")
+        kw = {}
+        if addr != "local":
+            # attaching to a RUNNING cluster (RAY_ADDRESS=auto / a GCS
+            # address): cluster workers don't share this client's
+            # sys.path, so ship the package itself — the same thing
+            # `ray job submit --working-dir` does for a submitted job
+            import tantivy4java_ray
+            kw["runtime_env"] = {"py_modules": [tantivy4java_ray]}
         ray.init(address=addr, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR", **kw)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
@@ -106,9 +114,19 @@ def _dispatch(args) -> int:
     if args.cmd == "build":
         _init_ray()
         from tantivy4java_ray.pipelines.build import build_index
+        # local paths absolutize CLIENT-side: build tasks run on cluster
+        # workers whose cwd differs from the submitting shell's (under
+        # an attached cluster / ray job submit). URLs pass through.
+        import os as _os
+
+        from tantivy4java_ray import storage as _st
+        paths = [p if _st.is_url(p) else _os.path.abspath(p)
+                 for p in args.paths]
+        index_dir = (args.index_dir if _st.is_url(args.index_dir)
+                     else _os.path.abspath(args.index_dir))
         res = build_index(
-            args.paths if len(args.paths) > 1 else args.paths[0],
-            args.index_dir, text_fields=tuple(args.text_fields),
+            paths if len(paths) > 1 else paths[0],
+            index_dir, text_fields=tuple(args.text_fields),
             num_shards=args.num_shards,
             target_docs_per_partition=args.target_docs,
             html_fallback=tuple(args.html_fallback)
