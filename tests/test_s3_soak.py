@@ -236,6 +236,7 @@ def test_build_search_soak(s3_env, tmp_path):
     s = IndexSchema()
     s.add_text_field("text", index_option="position")
     s.add_string_field("lang", fast=True)
+    s.add_string_field("url", stored=True)  # docdata STORE component
 
     idx = f"s3://{BUCKET}/idx_soak"
     res = build_index(f"{data}/*.parquet", idx, s, num_shards=4,
@@ -317,10 +318,25 @@ def test_validate_and_cli_on_s3(s3_env):
     r = IndexReader(idx)
     agg = r.aggregate(None, {"l": {"terms": {"field": "lang", "size": 5}}})
     assert agg["l"]["buckets"], agg
-    # doc retrieval reads the docdata parquet straight from s3
-    tbl = r.retrieve_docs([0, 97, 194], columns=["url"])
+    # STORE-component retrieval reads the docdata parquet straight from
+    # s3 (source parquet not consulted); decoded blocks land in the
+    # reader's doc-store LRU so a warm re-retrieval is ZERO-GET
+    c = s3_env["counter"]
+    snap = c.snapshot()
+    tbl = r.retrieve_docs([0, 97, 194], from_store=True)
     assert tbl.num_rows == 3
-    assert tbl.column("url")[0].as_py().startswith("https://site0")
+    assert tbl.column("url").to_pylist() == [
+        f"https://site{d % 1000}.example/page/{d}" for d in (0, 97, 194)]
+    cold = c.gets_since(snap)
+    assert cold > 0, "cold store retrieval must read docdata from s3"
+    snap = c.snapshot()
+    tbl2 = r.retrieve_docs([0, 97, 194, 291], from_store=True)
+    assert tbl2.num_rows == 4
+    assert c.gets_since(snap) <= 2, \
+        "warm store retrieval re-decoded cached blocks from s3"
+    snap = c.snapshot()
+    r.retrieve_docs([0, 97, 194], from_store=True)
+    assert c.gets_since(snap) == 0, "fully-warm retrieval must be zero-GET"
 
 
 def test_conditional_put_claims(s3_env):
