@@ -45,8 +45,14 @@ _ARROW_TYPES = {
 }
 
 
-def _typed_column(fcfg, vals: list) -> pa.Array:
-    """One staged column with the schema-declared arrow type."""
+def _typed_column(fcfg, vals: list,
+                  text_mode: dict[str, str] | None = None) -> pa.Array:
+    """One staged column with the schema-declared arrow type.
+
+    ``text_mode`` pins a TEXT field's shape (``'scalar'`` | ``'list'``)
+    ACROSS flushes: without it, an all-scalar flush followed by an
+    all-list flush would write staged parquets with incompatible column
+    types and ``commit()`` would fail late on schema unification."""
     if fcfg.type is FieldType.JSON:
         # dicts serialize to JSON strings (the build side parses either
         # form); a struct-typed column would change shape per flush
@@ -56,12 +62,32 @@ def _typed_column(fcfg, vals: list) -> pa.Array:
     if fcfg.type is FieldType.TEXT:
         lists = [isinstance(v, (list, tuple)) for v in vals
                  if v is not None]
-        if lists and all(lists):
+        mode = (text_mode or {}).get(fcfg.name)
+        if lists and all(lists) and mode != "scalar":
+            if text_mode is not None:
+                text_mode[fcfg.name] = "list"
             return pa.array(vals, pa.list_(pa.string()))
-        if any(lists):
+        if any(lists) and not all(lists):
             raise TypeError(
                 f"field {fcfg.name!r}: mixed scalar and list values in "
                 f"one flush — multi-valued text must be lists everywhere")
+        if any(lists) and mode == "scalar":
+            raise TypeError(
+                f"field {fcfg.name!r}: earlier flushes staged this TEXT "
+                f"field as scalar strings; a later list-valued flush "
+                f"would write an incompatible staged column type and "
+                f"fail at commit(). Use lists from the first document, "
+                f"or commit before switching shape.")
+        if not any(lists) and mode == "list":
+            # scalar -> single-element list is lossless; keep the
+            # staged column type stable instead of failing at commit
+            return pa.array([None if v is None else [v] for v in vals],
+                            pa.list_(pa.string()))
+        if text_mode is not None and mode is None:
+            # pin even for an all-null flush: the staged column IS a
+            # scalar string column, and reopen-pinning (which reads the
+            # staged file's schema) would conclude 'scalar' too
+            text_mode[fcfg.name] = "scalar"
     if fcfg.type is FieldType.DATE:
         from tantivy4java_ray.functions.scalars import parse_date_us
         us = [None if v is None
@@ -138,9 +164,14 @@ class IndexWriter:
         self.heap_docs = heap_docs
         self.num_shards = num_shards
         self.staging = staging_dir or index_dir + ".staging"
+        self._lock_path = index_dir + ".writer.lock"
+        self._lock_token: str | None = None
+        self._acquire_writer_lock()
         self._rows: list[dict] = []
         self._staged: list[str] = []
         self._delete_queries: list = []
+        #: TEXT field shape pinned across flushes ('scalar' | 'list')
+        self._text_mode: dict[str, str] = {}
         # resume the flush counter past any staged files from earlier
         # writer sessions: committed indexes reference staging/staged-N
         # as their doc store, so a reopened writer must never reuse N
@@ -151,6 +182,92 @@ class IndexWriter:
             nums = [int(m.group(1)) for f in os.listdir(self.staging)
                     if (m := _STAGED_RE.fullmatch(f))]
             self._flush_i = max(nums) + 1 if nums else 0
+            if nums:
+                # pin TEXT shapes to what the surviving (committed)
+                # staged files already use, so a reopened writer cannot
+                # stage an incompatible column type
+                newest = os.path.join(
+                    self.staging, f"staged-{max(nums):05d}.parquet")
+                sch = pq.read_schema(newest)
+                for fcfg in self.schema.fields:
+                    if fcfg.type is FieldType.TEXT and fcfg.name in \
+                            sch.names:
+                        t = sch.field(fcfg.name).type
+                        self._text_mode[fcfg.name] = (
+                            "list" if pa.types.is_list(t) or
+                            pa.types.is_large_list(t) else "scalar")
+
+    # -- writer lock ---------------------------------------------------------
+    def _acquire_writer_lock(self) -> None:
+        """One live writer per index, across processes (the reference's
+        tantivy directory lockfile: a second IndexWriter gets LockBusy).
+        Without it, a second writer's ``_purge_orphan_staged`` unlinks
+        the first writer's flushed-but-uncommitted staged files. Locks
+        from DEAD processes are stolen; a writer opened in the SAME
+        process steals too (process-restart simulation / REPL reopen —
+        in-process callers own their writer lifecycle)."""
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
+        for _ in range(2):
+            try:
+                fd = os.open(self._lock_path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(token)
+                self._lock_token = token
+                return
+            except FileExistsError:
+                try:
+                    with open(self._lock_path) as f:
+                        holder = f.read().strip()
+                    pid = int(holder.split(":", 1)[0])
+                except (OSError, ValueError):
+                    pid = -1
+                alive = False
+                if pid > 0 and pid != os.getpid():
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True
+                if alive:
+                    raise RuntimeError(
+                        f"index {self.index_dir!r} is locked by a live "
+                        f"writer in process {pid} ({self._lock_path}); "
+                        f"close it first (tantivy LockBusy semantics)")
+                try:
+                    os.unlink(self._lock_path)
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(
+            f"could not acquire writer lock {self._lock_path!r}")
+
+    def close(self) -> None:
+        """Release the writer lock. Buffered-but-unflushed rows are
+        dropped (call ``commit()`` first); staged files stay for the
+        next writer session's orphan purge / commit."""
+        if self._lock_token is None:
+            return
+        try:
+            with open(self._lock_path) as f:
+                if f.read().strip() == self._lock_token:
+                    os.unlink(self._lock_path)
+        except OSError:
+            pass
+        self._lock_token = None
+
+    def __enter__(self) -> "IndexWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _check_staging_owner(self) -> None:
         """A staging dir belongs to exactly one index: the orphan purge
@@ -227,7 +344,8 @@ class IndexWriter:
         arrays = {}
         for fcfg in self.schema.fields:
             arrays[fcfg.name] = _typed_column(
-                fcfg, [r.get(fcfg.name) for r in self._rows])
+                fcfg, [r.get(fcfg.name) for r in self._rows],
+                self._text_mode)
         path = os.path.join(self.staging,
                             f"staged-{self._flush_i:05d}.parquet")
         pq.write_table(pa.table(arrays), path)

@@ -304,6 +304,15 @@ def parse_query(text: str, schema: "Any", default_fields: list[str] | None = Non
     def value_query(fname: str | None, kind: str, val: Any) -> Query | None:
         fields = ([fname] if fname
                   else scope_stack[-1] if scope_stack else default_fields)
+        if not fields:
+            # tantivy's QueryParser errors with NoDefaultFieldDeclared
+            # rather than silently matching nothing (query_parser.rs);
+            # schemas with zero TEXT fields hit this on unfielded clauses.
+            if lenient:
+                return None
+            raise QueryParseError(
+                "no default fields: the schema has no TEXT fields and no "
+                "default_fields were given; qualify the clause as field:term")
         subs: list[Query] = []
         for f in fields:
             if f not in schema:
@@ -326,7 +335,15 @@ def parse_query(text: str, schema: "Any", default_fields: list[str] | None = Non
             body, slop = val
             return analyze_to_query(f, body, slop, as_phrase=True)
         if kind == "range":
-            m = re.match(r"([\[{])\s*(.*?)\s+TO\s+(.*?)\s*([\]}])", val)
+            # DOTALL: the lexer's range class accepts embedded newlines,
+            # so the re-parse here must too (else m is None and lenient
+            # mode would crash on a token the lexer accepted).
+            m = re.match(r"([\[{])\s*(.*?)\s+TO\s+(.*?)\s*([\]}])", val,
+                         re.DOTALL)
+            if m is None:
+                if lenient:
+                    return None
+                raise QueryParseError(f"malformed range {val!r}")
             lo, hi = m.group(2), m.group(3)
             lo = None if lo in ("*", "") else lo
             hi = None if hi in ("*", "") else hi

@@ -128,32 +128,55 @@ def _decode(r: _Reader, schema: Any) -> Any:
     return _decode(r, t)
 
 
-def _resolve_named(schema: Any, names: dict) -> Any:
+def _resolve_named(schema: Any, names: dict, ns: str | None = None) -> Any:
     """Inline previously-defined named types (records referenced by
-    name later in the schema — common in Iceberg manifests)."""
+    name later in the schema — common in Iceberg manifests).
+
+    Namespace-aware per the Avro spec: a named type registers under its
+    FULLNAME (``namespace.name``; a dotted ``name`` is already full, an
+    absent ``namespace`` inherits the enclosing one) plus its short name
+    and any ``aliases`` — Java Avro writers reference types by fullname
+    (``ns.r2``), which a short-name-only registry cannot resolve. A
+    string reference without dots resolves against the most tightly
+    enclosing namespace first, then the null namespace."""
     if isinstance(schema, str):
-        return names.get(schema, schema)
+        if schema in names:
+            return names[schema]
+        if ns and "." not in schema and f"{ns}.{schema}" in names:
+            return names[f"{ns}.{schema}"]
+        return schema
     if isinstance(schema, list):
-        return [_resolve_named(s, names) for s in schema]
+        return [_resolve_named(s, names, ns) for s in schema]
     if isinstance(schema, dict):
         t = schema.get("type")
         if t in ("record", "error", "enum", "fixed"):
             nm = schema.get("name")
+            my_ns, keys = ns, []
+            if nm:
+                if "." in nm:
+                    my_ns, _short = nm.rsplit(".", 1)
+                    keys = [nm, _short]
+                else:
+                    my_ns = schema.get("namespace", ns)
+                    keys = ([f"{my_ns}.{nm}"] if my_ns else []) + [nm]
+                for a in schema.get("aliases", ()):
+                    keys.append(a if "." in a else
+                                (f"{my_ns}.{a}" if my_ns else a))
             if t in ("record", "error"):
                 out = dict(schema)
-                if nm:
-                    names[nm] = out  # register before fields (recursion)
+                for k in keys:
+                    names[k] = out  # register before fields (recursion)
                 out["fields"] = [
-                    {**f, "type": _resolve_named(f["type"], names)}
+                    {**f, "type": _resolve_named(f["type"], names, my_ns)}
                     for f in schema["fields"]]
-                if nm:
-                    names[nm] = out
+                for k in keys:
+                    names[k] = out
                 return out
-            if nm:
-                names[nm] = schema
+            for k in keys:
+                names[k] = schema
             return schema
-        out = {k: _resolve_named(v, names) if k in ("type", "items",
-                                                    "values") else v
+        out = {k: _resolve_named(v, names, ns) if k in ("type", "items",
+                                                        "values") else v
                for k, v in schema.items()}
         return out
     return schema

@@ -160,6 +160,15 @@ def read_delta_snapshot(table_path: str,
                     live.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
                     metadata = action["metaData"]
+    if version is not None and last_v != version:
+        # Either log retention pruned the commits at/below the requested
+        # version (last_v == -1 or only a newer checkpoint existed), or
+        # the version was never written. Silently returning an older or
+        # empty snapshot would time-travel to the wrong data.
+        raise ValueError(
+            f"Delta version {version} is not reconstructable from the log "
+            f"at {table_path!r}: reachable version is {last_v} "
+            f"(requested commits pruned by retention, or never written)")
     if metadata.get("schemaString"):
         schema = json.loads(metadata["schemaString"])
     # Delta spec: add/remove paths are URL-ENCODED relative paths, or

@@ -57,6 +57,7 @@ def _localize(path: str, table_path: str) -> str:
     would read stale (possibly vacuumed/rewritten) files on a host where
     the source directory survives; URL-form (s3://...) locations remap
     the same way when the caller points at a local copy."""
+    from tantivy4java_ray import storage as st
     meta_loc = path
     for scheme in ("file://",):
         if meta_loc.startswith(scheme):
@@ -65,11 +66,14 @@ def _localize(path: str, table_path: str) -> str:
     if is_url or os.path.isabs(meta_loc):
         for marker in ("/metadata/", "/data/"):
             if marker in meta_loc:
-                cand = os.path.join(
+                cand = st.sjoin(
                     table_path, meta_loc[meta_loc.index(marker) + 1:])
                 # take the remapped copy when it exists; otherwise fall
-                # back to the original location (same-place reads)
-                if os.path.exists(cand):
+                # back to the original location (same-place reads).
+                # sexists, not os.path.exists: when the CALLER's path is
+                # an object-store URL the local check is always False and
+                # the remap would silently read the stale write-time URIs.
+                if st.sexists(cand):
                     return cand
                 break
     return meta_loc

@@ -314,11 +314,21 @@ class S3BotoFileSystem(AbstractFileSystem):
     def rm(self, path, recursive=False, maxdepth=None):
         paths = self.expand_path(path, recursive=recursive,
                                  maxdepth=maxdepth)
+        # Prefixes have no object to delete — but detect them from the
+        # expanded listing itself (in sorted order a prefix is directly
+        # followed by its first child), NOT with isdir(): that issues a
+        # HEAD (+LIST on miss) per key, ~100k extra round-trips on a
+        # 100k-object recursive delete.
+        sp = sorted(paths)
+        prefixes = {sp[i] for i in range(len(sp) - 1)
+                    if sp[i + 1].startswith(sp[i] + "/")}
         by_bucket: dict[str, list[str]] = {}
         for p in paths:
-            if self.isdir(p):        # prefixes have no object to delete
+            if p in prefixes:
                 continue
             b, k = self._bk(p)
+            if not k:                 # bucket root is never an object
+                continue
             by_bucket.setdefault(b, []).append(k)
         for b, keys in by_bucket.items():
             for i in range(0, len(keys), 1000):   # DeleteObjects API cap
@@ -359,8 +369,12 @@ class S3BotoFile(AbstractBufferedFile):
         return self.fs.cat_file(self.path, start=start, end=end)
 
     def _initiate_upload(self):
-        if self.autocommit and self.tell() < self.blocksize:
-            return                    # small file: single PUT on final flush
+        # a first flush below one block can only be the FINAL flush
+        # (non-forced flushes require a full buffer), so skip the MPU:
+        # single PUT on final flush (autocommit) or a deferred body that
+        # commit() PUTs (transactional)
+        if self.tell() < self.blocksize:
+            return
         bucket, key = self.fs._bk(self.fs._strip_protocol(self.path))
         _count("MPU_CREATE")
         up = self.fs.client.create_multipart_upload(Bucket=bucket, Key=key)
@@ -369,8 +383,14 @@ class S3BotoFile(AbstractBufferedFile):
 
     def _upload_chunk(self, final=False):
         bucket, key = self.fs._bk(self.fs._strip_protocol(self.path))
-        if self.autocommit and final and not getattr(self, "_mpu_id", None):
+        if final and not getattr(self, "_mpu_id", None):
             data = self.buffer.getvalue()
+            if not self.autocommit:
+                # fsspec transaction: the object must not become visible
+                # until commit() — stash the small-file body instead of
+                # PUTting at close (discard() then just drops it)
+                self._deferred_put = data
+                return True
             _count("PUT")
             self.fs.client.put_object(Bucket=bucket, Key=key, Body=data)
             self.fs.invalidate_cache(
@@ -398,19 +418,60 @@ class S3BotoFile(AbstractBufferedFile):
             if pos < len(data):
                 send(data[pos:])
             self._pending = b""
-            _count("MPU_COMPLETE")
-            self.fs.client.complete_multipart_upload(
-                Bucket=bucket, Key=key, UploadId=self._mpu_id,
-                MultipartUpload={"Parts": self._parts})
-            self.fs.invalidate_cache(
-                self.fs._parent(self.fs._strip_protocol(self.path)))
+            if self.autocommit:
+                self._complete_mpu(bucket, key)
+            # else: parts are uploaded (invisible until completed) and
+            # the MPU completes in commit() / aborts in discard()
         else:
             self._pending = data[pos:]
         return True
 
+    def _complete_mpu(self, bucket, key):
+        _count("MPU_COMPLETE")
+        self.fs.client.complete_multipart_upload(
+            Bucket=bucket, Key=key, UploadId=self._mpu_id,
+            MultipartUpload={"Parts": self._parts})
+        self._mpu_id = None
+        self.fs.invalidate_cache(
+            self.fs._parent(self.fs._strip_protocol(self.path)))
+
+    def commit(self):
+        """Finish a transactional (autocommit=False) write: complete the
+        MPU, or PUT the deferred small-file body."""
+        bucket, key = self.fs._bk(self.fs._strip_protocol(self.path))
+        if getattr(self, "_mpu_id", None):
+            self._complete_mpu(bucket, key)
+        elif getattr(self, "_deferred_put", None) is not None:
+            _count("PUT")
+            self.fs.client.put_object(Bucket=bucket, Key=key,
+                                      Body=self._deferred_put)
+            self._deferred_put = None
+            self.fs.invalidate_cache(
+                self.fs._parent(self.fs._strip_protocol(self.path)))
+
+    def discard(self):
+        """Roll back a transactional write: abort the MPU (orphaned
+        parts otherwise bill until a lifecycle rule reaps them) and drop
+        any deferred small-file body — the object never appears."""
+        self._abort_mpu()
+        self._deferred_put = None
+
+    def close(self):
+        try:
+            super().close()
+        except Exception:
+            # a failed final flush (part upload / completion error) must
+            # not leak an incomplete multipart upload
+            try:
+                self._abort_mpu()
+            except Exception:
+                pass
+            raise
+
     def _abort_mpu(self):
         if getattr(self, "_mpu_id", None):
             bucket, key = self.fs._bk(self.fs._strip_protocol(self.path))
+            _count("MPU_ABORT")
             self.fs.client.abort_multipart_upload(
                 Bucket=bucket, Key=key, UploadId=self._mpu_id)
             self._mpu_id = None

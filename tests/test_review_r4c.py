@@ -1,0 +1,235 @@
+"""Regressions for the round-4 self-review batch: writer lockfile
+(tantivy LockBusy semantics), TEXT column shape pinned across flushes,
+query-parser NoDefaultFieldDeclared + DOTALL range re-parse, Avro
+namespace-aware named-type resolution, Delta version reconstructability.
+"""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tantivy4java_ray.pipelines.search import IndexReader
+from tantivy4java_ray.pipelines.writer import IndexWriter
+from tantivy4java_ray.query import Query, QueryParseError, parse_query
+from tantivy4java_ray.schema import IndexSchema
+
+BASE = "/tmp/t4jr_review_r4c"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _base(ray_session):
+    shutil.rmtree(BASE, ignore_errors=True)
+    os.makedirs(BASE)
+    yield
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+def _schema():
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_integer_field("n")
+    return s
+
+
+# ---------------------------------------------------------------------------
+# writer lockfile
+# ---------------------------------------------------------------------------
+
+def test_writer_lock_blocks_live_foreign_process():
+    """A lockfile held by a LIVE other process refuses a second writer
+    (the reference's tantivy directory lockfile: LockBusy)."""
+    idx = f"{BASE}/idx_lock_live"
+    # pid 1 is always alive; simulate a foreign live writer
+    with open(idx + ".writer.lock", "w") as f:
+        f.write("1:deadbeef")
+    with pytest.raises(RuntimeError, match="locked by a live writer"):
+        IndexWriter(idx, _schema())
+    os.unlink(idx + ".writer.lock")
+
+
+def test_writer_lock_steals_from_dead_process_and_releases():
+    idx = f"{BASE}/idx_lock_dead"
+    with open(idx + ".writer.lock", "w") as f:
+        f.write("999999999:stale")          # no such pid
+    w = IndexWriter(idx, _schema())          # steals the dead lock
+    assert os.path.exists(idx + ".writer.lock")
+    w.close()
+    assert not os.path.exists(idx + ".writer.lock")
+    # context-manager form releases too; same-process reopen is allowed
+    with IndexWriter(idx, _schema()) as w2:
+        assert w2._lock_token is not None
+        IndexWriter(idx, _schema()).close()  # same-process steal: no raise
+    assert not os.path.exists(idx + ".writer.lock")
+
+
+def test_writer_close_does_not_release_anothers_lock():
+    """close() only unlinks the lock it still owns — after a
+    same-process steal the first writer's close must be a no-op."""
+    idx = f"{BASE}/idx_lock_steal"
+    w1 = IndexWriter(idx, _schema())
+    w2 = IndexWriter(idx, _schema())         # steals w1's lock in-process
+    w1.close()                               # token mismatch: keeps file
+    assert os.path.exists(idx + ".writer.lock")
+    w2.close()
+    assert not os.path.exists(idx + ".writer.lock")
+
+
+# ---------------------------------------------------------------------------
+# TEXT shape pinned across flushes
+# ---------------------------------------------------------------------------
+
+def test_text_scalar_then_list_flush_fails_fast():
+    """A later list-valued flush after scalar flushes must fail AT ADD
+    time with a clear message, not at commit() on parquet schema
+    unification."""
+    idx = f"{BASE}/idx_shape_a"
+    with IndexWriter(idx, _schema(), heap_docs=1) as w:
+        w.add_document({"text": "alpha beta", "n": 1})     # flush 1: scalar
+        with pytest.raises(TypeError, match="staged this TEXT field as "
+                                            "scalar"):
+            w.add_document({"text": ["gamma", "delta"], "n": 2})
+
+
+def test_text_list_then_scalar_flush_wraps_losslessly():
+    """list -> scalar is lossless: later scalar flushes wrap to
+    single-element lists, the staged column type stays stable, and
+    commit + search see every document."""
+    idx = f"{BASE}/idx_shape_b"
+    with IndexWriter(idx, _schema(), heap_docs=1, num_shards=1) as w:
+        w.add_document({"text": ["alpha", "beta gamma"], "n": 1})
+        w.add_document({"text": "delta epsilon", "n": 2})   # scalar: wrapped
+        w.commit()
+    r = IndexReader(idx)
+    assert {d for _, d in r.search(Query.term("text", "delta"), 10).hits}
+    assert {d for _, d in r.search(Query.term("text", "beta"), 10).hits}
+    assert r.num_docs == 2
+
+
+def test_text_shape_pin_survives_writer_reopen():
+    """A reopened writer re-derives the pinned shape from the committed
+    staged files, so it cannot stage an incompatible column type."""
+    idx = f"{BASE}/idx_shape_c"
+    with IndexWriter(idx, _schema(), heap_docs=1, num_shards=1) as w:
+        w.add_document({"text": "alpha beta", "n": 1})
+        w.commit()
+    with IndexWriter(idx, _schema(), heap_docs=1) as w2:
+        assert w2._text_mode.get("text") == "scalar"
+        with pytest.raises(TypeError, match="scalar"):
+            w2.add_document({"text": ["gamma"], "n": 2})
+
+
+def test_text_mixed_shapes_in_one_flush_still_rejected():
+    idx = f"{BASE}/idx_shape_d"
+    with IndexWriter(idx, _schema(), heap_docs=10) as w:
+        w.add_document({"text": "alpha", "n": 1})
+        w.add_document({"text": ["beta"], "n": 2})
+        with pytest.raises(TypeError, match="mixed scalar and list"):
+            w._flush()
+
+
+# ---------------------------------------------------------------------------
+# query parser: NoDefaultFieldDeclared + DOTALL range re-parse
+# ---------------------------------------------------------------------------
+
+def test_parse_query_no_default_fields_errors():
+    """tantivy's QueryParser raises NoDefaultFieldDeclared for an
+    unfielded clause when the schema has no TEXT fields (rather than
+    silently matching nothing) — query_parser.rs."""
+    s = IndexSchema()
+    s.add_integer_field("n")
+    with pytest.raises(QueryParseError, match="no default fields"):
+        parse_query("unfielded", s)
+    # a FIELDED clause still parses fine
+    q = parse_query("n:[1 TO 5]", s)
+    assert q.kind == "range"
+    # lenient mode survives instead of raising
+    parse_query("unfielded AND n:3", s, lenient=True)
+
+
+def test_parse_query_range_with_newline_bounds():
+    """The lexer's range class accepts embedded newlines; the re-parse
+    must too (pre-fix: m=None -> AttributeError even in lenient mode)."""
+    s = _schema()
+    q = parse_query("text:[a\nb TO c]", s)
+    assert q.kind == "range"
+    assert q.params[1] == "a\nb" and q.params[2] == "c"
+    parse_query("text:[a\nb TO c]", s, lenient=True)   # no crash
+
+
+# ---------------------------------------------------------------------------
+# Avro namespace-aware named-type resolution
+# ---------------------------------------------------------------------------
+
+def test_avro_resolve_named_fullname_and_shortname():
+    from tantivy4java_ray.sources.avro import _resolve_named
+    sch = {"type": "record", "name": "outer", "namespace": "com.ex",
+           "fields": [
+               {"name": "a", "type": {"type": "record", "name": "inner",
+                                      "fields": [{"name": "x",
+                                                  "type": "long"}]}},
+               {"name": "b", "type": "com.ex.inner"},     # fullname ref
+               {"name": "c", "type": "inner"},            # short ref
+               {"name": "d", "type": ["null", "com.ex.inner"]},
+           ]}
+    out = _resolve_named(sch, {})
+    resolved = out["fields"][0]["type"]
+    assert resolved["type"] == "record" and resolved["name"] == "inner"
+    assert out["fields"][1]["type"] is resolved
+    assert out["fields"][2]["type"] is resolved
+    assert out["fields"][3]["type"][1] is resolved
+
+
+def test_avro_resolve_named_dotted_name_and_alias():
+    from tantivy4java_ray.sources.avro import _resolve_named
+    sch = {"type": "record", "name": "ns2.rec", "fields": [
+        {"name": "e", "type": {"type": "enum", "name": "col",
+                               "aliases": ["colour"],
+                               "namespace": "ns2",
+                               "symbols": ["R", "G"]}},
+        {"name": "f", "type": "ns2.col"},
+        {"name": "g", "type": "ns2.colour"},              # alias fullname
+        {"name": "h", "type": "ns2.rec"},                 # self by fullname
+    ]}
+    out = _resolve_named(sch, {})
+    enum = out["fields"][0]["type"]
+    assert out["fields"][1]["type"] is enum
+    assert out["fields"][2]["type"] is enum
+    assert out["fields"][3]["type"]["name"] == "ns2.rec"  # recursion ok
+
+
+# ---------------------------------------------------------------------------
+# Delta: unreachable requested version raises
+# ---------------------------------------------------------------------------
+
+def test_delta_unreachable_version_raises():
+    from tantivy4java_ray.sources.delta import read_delta_snapshot
+    d = f"{BASE}/delta_ver"
+    os.makedirs(f"{d}/_delta_log")
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}),
+                   f"{d}/part-0.parquet")
+    schema_str = json.dumps({"type": "struct", "fields": [
+        {"name": "x", "type": "long", "nullable": True, "metadata": {}}]})
+    with open(f"{d}/_delta_log/00000000000000000000.json", "w") as f:
+        f.write(json.dumps({"metaData": {"id": "t",
+                                         "schemaString": schema_str}}) + "\n")
+        f.write(json.dumps({"add": {"path": "part-0.parquet",
+                                    "size": 1}}) + "\n")
+    snap = read_delta_snapshot(d, version=0)
+    assert len(snap.files) == 1
+    with pytest.raises(ValueError, match="not reconstructable"):
+        read_delta_snapshot(d, version=3)
+
+
+def test_text_all_null_flush_pins_scalar():
+    """An all-null flush stages a scalar string column, so it pins
+    'scalar' — consistent with what reopen-pinning would read from the
+    staged file's schema. A later list flush fails fast, not at commit."""
+    idx = f"{BASE}/idx_shape_e"
+    with IndexWriter(idx, _schema(), heap_docs=1) as w:
+        w.add_document({"n": 1})              # no text: all-null flush
+        with pytest.raises(TypeError, match="scalar"):
+            w.add_document({"text": ["gamma"], "n": 2})

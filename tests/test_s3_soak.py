@@ -48,6 +48,8 @@ class _Counter:
             return "COPY"
         if m == "PUT" and environ.get("HTTP_IF_NONE_MATCH"):
             return "PUT_COND"
+        if m == "DELETE" and "uploadId" in q:
+            return "MPU_ABORT"
         return m
 
     def snapshot(self) -> dict[str, int]:
@@ -403,3 +405,101 @@ def test_sharded_pool_on_s3_warmup_zero_get(s3_env):
     got = [(round(s, 4), d) for s, d in res[0]]
     assert got == [(round(s, 4), d) for s, d in expect]
     pool.shutdown()
+
+
+def test_transactional_small_file_commit_and_discard(s3_env):
+    """fsspec transaction semantics (autocommit=False): a small-file
+    write stays invisible until commit() and vanishes on discard() —
+    the body is deferred, never PUT at close."""
+    fs = _fs()
+    c = s3_env["counter"]
+    p = f"{BUCKET}/txn/small.bin"
+    snap = c.snapshot()
+    f = fs.open(p, "wb", autocommit=False)
+    f.write(b"hello transactional world")
+    f.close()
+    cur = c.snapshot()
+    assert cur.get("PUT", 0) - snap.get("PUT", 0) == 0, \
+        "transactional close must not PUT"
+    assert cur.get("MPU_CREATE", 0) - snap.get("MPU_CREATE", 0) == 0, \
+        "small transactional file must not open a multipart upload"
+    assert not fs.exists(p)
+    f.commit()
+    assert fs.cat_file(p) == b"hello transactional world"
+    fs.rm_file(p)
+
+    p2 = f"{BUCKET}/txn/small2.bin"
+    f = fs.open(p2, "wb", autocommit=False)
+    f.write(b"never to be seen")
+    f.close()
+    f.discard()
+    assert not fs.exists(p2)
+
+
+def test_transactional_multipart_commit_and_abort(s3_env):
+    """Above the multipart threshold, parts upload during the write
+    (bounded memory) but the object only appears when commit()
+    completes the MPU; discard() aborts it so no orphaned parts bill."""
+    MB = 1 << 20
+    fs = _fs()
+    fs.multipart_threshold = 5 * MB
+    fs.multipart_chunksize = 5 * MB
+    c = s3_env["counter"]
+    payload = bytes(range(256)) * 4096 * 6  # 6 MiB -> real MPU
+    p = f"{BUCKET}/txn/big.bin"
+    snap = c.snapshot()
+    f = fs.open(p, "wb", block_size=5 * MB, autocommit=False)
+    f.write(payload)
+    f.close()
+    cur = c.snapshot()
+    assert cur.get("MPU_CREATE", 0) - snap.get("MPU_CREATE", 0) == 1
+    assert cur.get("MPU_COMPLETE", 0) - snap.get("MPU_COMPLETE", 0) == 0
+    assert not fs.exists(p), "uncompleted MPU must not be visible"
+    f.commit()
+    assert fs.cat_file(p) == payload
+    fs.rm_file(p)
+
+    p2 = f"{BUCKET}/txn/big2.bin"
+    f = fs.open(p2, "wb", block_size=5 * MB, autocommit=False)
+    f.write(payload)
+    f.close()
+    snap = c.snapshot()
+    f.discard()
+    cur = c.snapshot()
+    assert cur.get("MPU_ABORT", 0) - snap.get("MPU_ABORT", 0) == 1
+    assert not fs.exists(p2)
+
+
+def test_rm_recursive_no_per_key_heads(s3_env):
+    """Recursive delete detects prefixes from the sorted expansion, not
+    with isdir() — a tree delete must not issue one HEAD per key."""
+    fs = _fs()
+    for i in range(24):
+        fs.pipe_file(f"{BUCKET}/rmtree/d{i % 4}/f{i:02d}.bin", b"x")
+    c = s3_env["counter"]
+    snap = c.snapshot()
+    fs.rm(f"{BUCKET}/rmtree", recursive=True)
+    cur = c.snapshot()
+    # expand_path may HEAD the root once; the regression was ~1 HEAD
+    # (+LIST on miss) PER KEY, which at 24 keys would be >= 24 here
+    assert cur.get("HEAD", 0) - snap.get("HEAD", 0) <= 2, \
+        "rm must not HEAD each key to classify prefixes"
+    fs.invalidate_cache()
+    assert fs.find(f"{BUCKET}/rmtree") == []
+
+
+def test_iceberg_localize_remaps_to_object_store(s3_env):
+    """_localize must probe remap candidates with the storage layer's
+    sexists, not os.path.exists: when the caller's table_path is an
+    object-store URL the local check is always False and reads would
+    silently fall back to the stale write-time URIs."""
+    from tantivy4java_ray.sources.iceberg import _localize
+    fs = _fs()
+    fs.pipe_file(f"{BUCKET}/tbl/metadata/v1.json", b"{}")
+    tbl = f"s3://{BUCKET}/tbl"
+    assert _localize("file:///old/home/tbl/metadata/v1.json", tbl) == \
+        f"s3://{BUCKET}/tbl/metadata/v1.json"
+    # missing candidate falls back to the original location
+    assert _localize("/old/home/tbl/data/zzz.parquet", tbl) == \
+        "/old/home/tbl/data/zzz.parquet"
+    fs.rm_file(f"{BUCKET}/tbl/metadata/v1.json")
