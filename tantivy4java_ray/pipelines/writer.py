@@ -158,7 +158,6 @@ class IndexWriter:
     def __init__(self, index_dir: str, schema: IndexSchema, *,
                  heap_docs: int = 100_000, num_shards: int | None = None,
                  staging_dir: str | None = None):
-        recover_interrupted_commit(index_dir)
         self.index_dir = index_dir
         self.schema = schema
         self.heap_docs = heap_docs
@@ -166,7 +165,17 @@ class IndexWriter:
         self.staging = staging_dir or index_dir + ".staging"
         self._lock_path = index_dir + ".writer.lock"
         self._lock_token: str | None = None
+        # the lock comes FIRST: recovery and the orphan purge below both
+        # MUTATE shared state (unlink markers, rmtree swap leftovers,
+        # delete staged files) — running them before mutual exclusion
+        # would let a second writer destroy a live writer's in-flight
+        # commit swap and only then discover the lock
         self._acquire_writer_lock()
+        try:
+            recover_interrupted_commit(index_dir)
+        except BaseException:
+            self.close()
+            raise
         self._rows: list[dict] = []
         self._staged: list[str] = []
         self._delete_queries: list = []
@@ -176,26 +185,38 @@ class IndexWriter:
         # writer sessions: committed indexes reference staging/staged-N
         # as their doc store, so a reopened writer must never reuse N
         self._flush_i = 0
-        if os.path.isdir(self.staging):
-            self._check_staging_owner()
-            self._purge_orphan_staged()
-            nums = [int(m.group(1)) for f in os.listdir(self.staging)
-                    if (m := _STAGED_RE.fullmatch(f))]
-            self._flush_i = max(nums) + 1 if nums else 0
-            if nums:
-                # pin TEXT shapes to what the surviving (committed)
-                # staged files already use, so a reopened writer cannot
-                # stage an incompatible column type
-                newest = os.path.join(
-                    self.staging, f"staged-{max(nums):05d}.parquet")
-                sch = pq.read_schema(newest)
-                for fcfg in self.schema.fields:
-                    if fcfg.type is FieldType.TEXT and fcfg.name in \
-                            sch.names:
-                        t = sch.field(fcfg.name).type
-                        self._text_mode[fcfg.name] = (
-                            "list" if pa.types.is_list(t) or
-                            pa.types.is_large_list(t) else "scalar")
+        try:
+            if os.path.isdir(self.staging):
+                self._check_staging_owner()
+                self._purge_orphan_staged()
+                nums = [int(m.group(1)) for f in os.listdir(self.staging)
+                        if (m := _STAGED_RE.fullmatch(f))]
+                self._flush_i = max(nums) + 1 if nums else 0
+                self._pin_text_modes_from_staging()
+        except BaseException:
+            self.close()                  # a failed init must not hold the lock
+            raise
+
+    def _pin_text_modes_from_staging(self) -> None:
+        """Pin TEXT shapes to what the surviving (committed) staged
+        files already use, so a reopened writer (or a writer continuing
+        after rollback) cannot stage an incompatible column type."""
+        self._text_mode = {}
+        if not os.path.isdir(self.staging):
+            return
+        nums = [int(m.group(1)) for f in os.listdir(self.staging)
+                if (m := _STAGED_RE.fullmatch(f))]
+        if not nums:
+            return
+        newest = os.path.join(
+            self.staging, f"staged-{max(nums):05d}.parquet")
+        sch = pq.read_schema(newest)
+        for fcfg in self.schema.fields:
+            if fcfg.type is FieldType.TEXT and fcfg.name in sch.names:
+                t = sch.field(fcfg.name).type
+                self._text_mode[fcfg.name] = (
+                    "list" if pa.types.is_list(t) or
+                    pa.types.is_large_list(t) else "scalar")
 
     # -- writer lock ---------------------------------------------------------
     def _acquire_writer_lock(self) -> None:
@@ -207,12 +228,27 @@ class IndexWriter:
         process steals too (process-restart simulation / REPL reopen —
         in-process callers own their writer lifecycle)."""
         token = f"{os.getpid()}:{uuid.uuid4().hex}"
+        # claim by os.link of a fully-written temp file, NOT a bare
+        # O_EXCL create-then-write: that would expose an empty lockfile
+        # a concurrent acquirer reads as pid=-1 (dead) and steals — the
+        # same reasoning as state/manifest.py exclusive_write_json
+        tmp = f"{self._lock_path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(token)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            self._acquire_with_tmp(tmp, token)
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def _acquire_with_tmp(self, tmp: str, token: str) -> None:
         for _ in range(2):
             try:
-                fd = os.open(self._lock_path,
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    f.write(token)
+                os.link(tmp, self._lock_path)
                 self._lock_token = token
                 return
             except FileExistsError:
@@ -406,6 +442,10 @@ class IndexWriter:
                 pass
         self._staged = []
         self._delete_queries = []
+        # the pinned TEXT shapes may have come from files just deleted;
+        # re-derive from what actually survives so a rolled-back writer
+        # is not stricter than a freshly reopened one
+        self._pin_text_modes_from_staging()
         return n
 
     def _swap_generation(self, merged_dir: str, tag: str) -> None:

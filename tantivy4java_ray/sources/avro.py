@@ -140,10 +140,13 @@ def _resolve_named(schema: Any, names: dict, ns: str | None = None) -> Any:
     string reference without dots resolves against the most tightly
     enclosing namespace first, then the null namespace."""
     if isinstance(schema, str):
-        if schema in names:
-            return names[schema]
+        # enclosing-namespace fullname FIRST (Avro spec resolution
+        # order): the bare short-name registry is global and a later
+        # same-short-name type in another namespace overwrites it
         if ns and "." not in schema and f"{ns}.{schema}" in names:
             return names[f"{ns}.{schema}"]
+        if schema in names:
+            return names[schema]
         return schema
     if isinstance(schema, list):
         return [_resolve_named(s, names, ns) for s in schema]

@@ -50,6 +50,13 @@ def iceberg_snapshots(table_path: str) -> list[dict]:
     return read_table_metadata(table_path).get("snapshots", [])
 
 
+#: remap decision per (table_path, marker): a table copy is treated as
+#: all-or-nothing, so ONE existence probe decides for every file under
+#: the marker — per-file sexists would be one HEAD round-trip per data
+#: file at plan time on object-store tables (100k files = 100k HEADs)
+_REMAP_CACHE: dict[tuple[str, str], bool] = {}
+
+
 def _localize(path: str, table_path: str) -> str:
     """Iceberg metadata stores absolute URIs from write time; remap the
     table-location prefix onto the path the CALLER gave — it is the
@@ -68,14 +75,22 @@ def _localize(path: str, table_path: str) -> str:
             if marker in meta_loc:
                 cand = st.sjoin(
                     table_path, meta_loc[meta_loc.index(marker) + 1:])
-                # take the remapped copy when it exists; otherwise fall
-                # back to the original location (same-place reads).
+                # reading in place (the common case): candidate IS the
+                # original location — no probe needed at all
+                if cand == meta_loc or (
+                        not is_url and "://" not in cand and
+                        os.path.normpath(cand) ==
+                        os.path.normpath(meta_loc)):
+                    return meta_loc
                 # sexists, not os.path.exists: when the CALLER's path is
                 # an object-store URL the local check is always False and
-                # the remap would silently read the stale write-time URIs.
-                if st.sexists(cand):
-                    return cand
-                break
+                # the remap would silently read the stale write-time URIs
+                key = (table_path, marker)
+                hit = _REMAP_CACHE.get(key)
+                if hit is None:
+                    hit = bool(st.sexists(cand))
+                    _REMAP_CACHE[key] = hit
+                return cand if hit else meta_loc
     return meta_loc
 
 

@@ -33,6 +33,7 @@ attempts. Writes above ``multipart_threshold`` use multipart upload.
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import threading
@@ -319,9 +320,15 @@ class S3BotoFileSystem(AbstractFileSystem):
         # followed by its first child), NOT with isdir(): that issues a
         # HEAD (+LIST on miss) per key, ~100k extra round-trips on a
         # 100k-object recursive delete.
+        # ANY later key under p/ makes p a prefix — not just the sorted
+        # successor: a sibling like 'd.txt' sorts between 'd' and 'd/x'
+        # ('.' < '/'), which an adjacency-only test misclassifies
         sp = sorted(paths)
-        prefixes = {sp[i] for i in range(len(sp) - 1)
-                    if sp[i + 1].startswith(sp[i] + "/")}
+        prefixes = set()
+        for p in sp:
+            j = bisect.bisect_left(sp, p + "/")
+            if j < len(sp) and sp[j].startswith(p + "/"):
+                prefixes.add(p)
         by_bucket: dict[str, list[str]] = {}
         for p in paths:
             if p in prefixes:

@@ -233,3 +233,149 @@ def test_text_all_null_flush_pins_scalar():
         w.add_document({"n": 1})              # no text: all-null flush
         with pytest.raises(TypeError, match="scalar"):
             w.add_document({"text": ["gamma"], "n": 2})
+
+
+# ---------------------------------------------------------------------------
+# review follow-ups: lock ordering/atomicity, rollback re-pin, avro ns
+# precedence, rm sibling-sorting, _localize probe cache
+# ---------------------------------------------------------------------------
+
+def test_lock_checked_before_recovery_mutations():
+    """A second writer must hit LockBusy BEFORE running commit-swap
+    recovery: recovery unlinks markers and rmtree's swap leftovers a
+    LIVE writer is mid-way through using."""
+    idx = f"{BASE}/idx_lock_order"
+    merged = f"{idx}.merged-live"
+    os.makedirs(merged)
+    marker = f"{idx}.swap.json"
+    with open(marker, "w") as f:
+        json.dump({"old": f"{idx}.old-x", "merged": merged,
+                   "index_dir": idx}, f)
+    with open(idx + ".writer.lock", "w") as f:
+        f.write("1:live-holder")                 # pid 1: always alive
+    with pytest.raises(RuntimeError, match="locked by a live writer"):
+        IndexWriter(idx, _schema())
+    # recovery must NOT have run: marker and merged dir untouched
+    assert os.path.exists(marker)
+    assert os.path.isdir(merged)
+    os.unlink(idx + ".writer.lock")
+    os.unlink(marker)
+    shutil.rmtree(merged)
+
+
+def _race_acquire(args):
+    idx, barrier_ns = args
+    import time
+    # align attempts to one instant across processes
+    while time.time_ns() < barrier_ns:
+        time.sleep(0.001)
+    try:
+        w = IndexWriter(idx, _schema())
+        time.sleep(2.0)                          # hold while others attempt
+        w.close()
+        return "won"
+    except RuntimeError:
+        return "busy"
+
+
+def test_lock_acquisition_race_single_winner():
+    """N processes racing to open a writer on the same index: exactly
+    one wins. The claim is an os.link of a fully-written temp file —
+    a bare O_EXCL create-then-write exposes an empty lockfile a racer
+    reads as a dead pid and steals (two winners)."""
+    import multiprocessing as mp
+    import time
+    idx = f"{BASE}/idx_lock_race"
+    n = 6
+    barrier_ns = time.time_ns() + int(1.5e9)
+    with mp.get_context("fork").Pool(n) as pool:
+        results = pool.map(_race_acquire, [(idx, barrier_ns)] * n)
+    assert results.count("won") == 1, results
+    assert results.count("busy") == n - 1
+    assert not os.path.exists(idx + ".writer.lock")
+
+
+def test_rollback_resets_text_shape_pin():
+    """rollback() deletes the staged files the pin came from; the pin
+    must be re-derived so a rolled-back writer is no stricter than a
+    freshly reopened one."""
+    idx = f"{BASE}/idx_rollback_pin"
+    with IndexWriter(idx, _schema(), heap_docs=1, num_shards=1) as w:
+        w.add_document({"text": "alpha beta", "n": 1})    # pins scalar
+        assert w._text_mode.get("text") == "scalar"
+        w.rollback()
+        assert "text" not in w._text_mode
+        w.add_document({"text": ["gamma", "delta"], "n": 2})  # list: OK now
+        w.commit()
+    r = IndexReader(idx)
+    assert r.num_docs == 1
+    assert r.search(Query.term("text", "gamma"), 10).hits
+
+
+def test_avro_short_name_resolves_in_enclosing_namespace():
+    """Unqualified named-type refs resolve in the ENCLOSING namespace
+    first (Avro spec), not against the last-registered global short
+    name — two namespaces may reuse a short name."""
+    from tantivy4java_ray.sources.avro import _resolve_named
+    a_item = {"type": "record", "name": "item", "namespace": "a",
+              "fields": [{"name": "x", "type": "long"}]}
+    b_item = {"type": "record", "name": "item", "namespace": "b",
+              "fields": [{"name": "y", "type": "string"}]}
+    sch = {"type": "record", "name": "top", "namespace": "a", "fields": [
+        {"name": "first", "type": a_item},
+        {"name": "other", "type": {"type": "record", "name": "b.holder",
+                                   "fields": [{"name": "i",
+                                               "type": b_item}]}},
+        # unqualified ref inside namespace 'a': must be a.item, even
+        # though b.item registered the bare short name 'item' later
+        {"name": "ref", "type": "item"},
+    ]}
+    out = _resolve_named(sch, {})
+    ref = out["fields"][2]["type"]
+    assert ref["namespace"] == "a" and \
+        ref["fields"][0]["name"] == "x", ref
+
+
+def test_localize_probes_once_per_table_marker(tmp_path):
+    """The remap existence probe runs ONCE per (table, marker): on
+    object-store tables a per-file probe is one HEAD per data file at
+    plan time."""
+    from tantivy4java_ray.sources import iceberg as ice
+    tbl = tmp_path / "tbl_copy"
+    (tbl / "data").mkdir(parents=True)
+    for i in range(5):
+        (tbl / "data" / f"f{i}.parquet").write_bytes(b"")
+    calls = {"n": 0}
+    from tantivy4java_ray import storage as st
+    real = st.sexists
+
+    def counting(p):
+        calls["n"] += 1
+        return real(p)
+
+    ice._REMAP_CACHE.clear()
+    st.sexists = counting
+    try:
+        for i in range(5):
+            got = ice._localize(f"/old/home/tbl/data/f{i}.parquet",
+                                str(tbl))
+            assert got == str(tbl / "data" / f"f{i}.parquet")
+    finally:
+        st.sexists = real
+        ice._REMAP_CACHE.clear()
+    assert calls["n"] == 1, calls
+    # reading in place never probes at all
+    st_calls = {"n": 0}
+
+    def counting2(p):
+        st_calls["n"] += 1
+        return real(p)
+
+    st.sexists = counting2
+    try:
+        inplace = ice._localize(str(tbl / "data" / "f0.parquet"), str(tbl))
+        assert inplace == str(tbl / "data" / "f0.parquet")
+    finally:
+        st.sexists = real
+        ice._REMAP_CACHE.clear()
+    assert st_calls["n"] == 0, st_calls

@@ -503,3 +503,16 @@ def test_iceberg_localize_remaps_to_object_store(s3_env):
     assert _localize("/old/home/tbl/data/zzz.parquet", tbl) == \
         "/old/home/tbl/data/zzz.parquet"
     fs.rm_file(f"{BUCKET}/tbl/metadata/v1.json")
+
+
+def test_rm_prefix_with_dot_sibling(s3_env):
+    """A sibling key sorting between a prefix and its first child
+    ('d.txt' < 'd/...' because '.' < '/') must not break prefix
+    classification — any later key under p/ makes p a prefix."""
+    fs = _fs()
+    fs.pipe_file(f"{BUCKET}/rmtree2/d.txt", b"sibling")
+    for i in range(3):
+        fs.pipe_file(f"{BUCKET}/rmtree2/d/f{i}.bin", b"x")
+    fs.rm(f"{BUCKET}/rmtree2", recursive=True)
+    fs.invalidate_cache()
+    assert fs.find(f"{BUCKET}/rmtree2") == []
