@@ -106,7 +106,16 @@ class IndexReader:
         meta = self.state["meta"]
         self.schema = IndexSchema.from_dict(meta["schema"])
         self.stats = meta["stats"]
-        self.num_docs: int = self.stats["num_docs"]
+        #: doc-ID space (tantivy ``max_doc``): doc ranges, partitions,
+        #: and leaf splits address this space; tombstoned ids stay in it
+        self.max_doc: int = self.stats["num_docs"]
+        #: ALIVE docs (tantivy ``Searcher::num_docs``): ``max_doc``
+        #: minus merge tombstones — adjusted below once
+        #: ``deleted_docs.npy`` loads. BM25 idf uses this N (tantivy's
+        #: Bm25Weight reads searcher.num_docs()); avgdl keeps the
+        #: build-time totals over the full id space, matching tantivy's
+        #: pre-compaction fieldnorm accounting.
+        self.num_docs: int = self.max_doc
         self.avgdl: dict[str, float] = self.stats["avgdl"]
         cfg = meta["config"]
         self.k1: float = cfg["bm25"]["k1"]
@@ -131,7 +140,7 @@ class IndexReader:
             self.doc_lo, self.doc_hi = lo, hi
         else:
             self.doc_lo = 0
-            self.doc_hi = self.num_docs
+            self.doc_hi = self.max_doc
         self.doc_range = doc_range
         self.partitions = parts
         self.doc_bases = np.array([p["doc_base"] for p in parts], np.int64)
@@ -194,6 +203,7 @@ class IndexReader:
         if st.sexists(dpath):
             with st.sopen(dpath, "rb") as f:
                 self.deleted = np.load(f)
+            self.num_docs = self.max_doc - int(len(self.deleted))
 
     # -- shard access -------------------------------------------------------
     def _query_term(self, field: str, term: str) -> str:
@@ -574,10 +584,10 @@ class IndexReader:
             if not runs:
                 continue
             df = sum(int(self._dict(sid)["df"][r]) for sid, r in runs)
-            if self.doc_range is not None and self.num_docs:
+            if self.doc_range is not None and self.max_doc:
                 # a leaf decodes only its window's blocks; postings are
                 # doc-ordered so the window's share of df is ~uniform
-                df = df * (self.doc_hi - self.doc_lo) // self.num_docs
+                df = df * (self.doc_hi - self.doc_lo) // self.max_doc
             if df >= df_cap:
                 continue
             todo.append((ck, runs))
@@ -2178,7 +2188,7 @@ class IndexReader:
         # would count docs the leaf does not own (root merges would then
         # multiply every facet by the leaf count) — pinned readers count
         # via their range-decoded postings instead
-        range_pinned = (self.doc_lo, self.doc_hi) != (0, self.num_docs)
+        range_pinned = (self.doc_lo, self.doc_hi) != (0, self.max_doc)
         out = []
         for child in children:
             if qdocs is None and not range_pinned:
@@ -2815,7 +2825,8 @@ def highlighted_docs_dataset(index_dir: str, query, *,
 def read_index_metadata(index_dir: str) -> dict:
     """Manifest snapshot: stats, schema, partitions, shards."""
     r = IndexReader(index_dir)
-    return {"num_docs": r.num_docs, "num_shards": r.num_shards,
+    return {"num_docs": r.num_docs, "max_doc": r.max_doc,
+            "num_shards": r.num_shards,
             "schema": r.schema.to_dict(), "stats": r.stats,
             "num_partitions": len(r.partitions),
             "committed": r.state.get("committed", False)}
@@ -2843,8 +2854,8 @@ def validate_index(index_dir: str) -> list[str]:
         if not r._st.sexists(r._st.sjoin(
                 index_dir, "docdata", f"part-{p['pid']:05d}.parquet")):
             problems.append(f"partition {p['pid']}: docdata missing")
-    if expected_base != r.num_docs:
-        problems.append(f"num_docs {r.num_docs} != partition sum "
+    if expected_base != r.max_doc:
+        problems.append(f"max_doc {r.max_doc} != partition sum "
                         f"{expected_base}")
     for sid in range(r.num_shards):
         d = r._dict(sid)
@@ -2977,12 +2988,14 @@ class SearchPool:
 
 
 def split_doc_ranges(index_dir: str, n: int) -> list[tuple[int, int]]:
-    """Partition-aligned contiguous doc ranges, balanced by num_docs —
-    the leaf assignment for ``ShardedSearchPool``."""
+    """Partition-aligned contiguous doc ranges, balanced by doc count —
+    the leaf assignment for ``ShardedSearchPool``. Ranges cover the
+    whole ID SPACE (``max_doc``), not just alive docs: tombstoned ids
+    stay addressable inside their partition's range."""
     r = IndexReader(index_dir)
     parts = r.partitions
     n = max(1, min(n, len(parts)))
-    target = r.num_docs / n
+    target = r.max_doc / n
     ranges: list[tuple[int, int]] = []
     lo = 0
     acc = 0
@@ -2995,7 +3008,7 @@ def split_doc_ranges(index_dir: str, n: int) -> list[tuple[int, int]]:
             hi = p["doc_base"] + p["num_docs"]
             ranges.append((lo, hi))
             lo, acc = hi, 0
-    ranges.append((lo, r.num_docs))
+    ranges.append((lo, r.max_doc))
     return [(a, b) for a, b in ranges if b > a]
 
 

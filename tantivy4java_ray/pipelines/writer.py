@@ -228,6 +228,11 @@ class IndexWriter:
         process steals too (process-restart simulation / REPL reopen —
         in-process callers own their writer lifecycle)."""
         token = f"{os.getpid()}:{uuid.uuid4().hex}"
+        # the lockfile lives BESIDE the (possibly not-yet-built) index
+        # dir; the first commit's build_index would create the parent,
+        # but the lock is taken before any commit exists
+        parent = os.path.dirname(os.path.abspath(self._lock_path))
+        os.makedirs(parent, exist_ok=True)
         # claim by os.link of a fully-written temp file, NOT a bare
         # O_EXCL create-then-write: that would expose an empty lockfile
         # a concurrent acquirer reads as pid=-1 (dead) and steals — the

@@ -1,0 +1,178 @@
+"""Randomized IndexWriter session vs a naive document-set model.
+
+The writer's LSM surface (staged flushes -> delta build -> byte-copy
+merge -> generation swap, delete tombstones at merge, rollback, reopen
+purge of uncommitted staged files) is exercised as a random op sequence
+and compared, after every commit, against a plain Python list of live
+documents:
+
+- ``num_docs`` equals the model's live count
+- per-tag term match sets (mapped to each doc's unique ``n``) agree
+- a text-term match set agrees
+- deletes staged before adds still remove matching added docs (the
+  documented at-commit semantics, writer.py commit docstring)
+- close+reopen discards pending staged files (crash-rollback), keeps
+  everything committed
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from tantivy4java_ray.pipelines.search import IndexReader
+from tantivy4java_ray.pipelines.writer import IndexWriter
+from tantivy4java_ray.query import Query
+from tantivy4java_ray.schema import IndexSchema
+
+BASE = "/tmp/t4jr_writer_model"
+VOCAB = ["apple", "birch", "cedar", "dates", "elder"]
+TAGS = ["red", "green", "blue"]
+
+
+def _schema():
+    s = IndexSchema()
+    s.add_text_field("text")
+    s.add_string_field("tag", fast=True)
+    s.add_integer_field("n", fast=True)
+    return s
+
+
+def _matches(doc: dict, q: Query) -> bool:
+    if q.kind == "term":
+        field, val = q.params
+        if field == "tag":
+            return doc["tag"] == val
+        return val in doc["text"].split()
+    if q.kind == "range":
+        _f, lo, hi, il, ih = q.params
+        v = doc["n"]
+        if lo is not None and not (v >= lo if il else v > lo):
+            return False
+        if hi is not None and not (v <= hi if ih else v < hi):
+            return False
+        return True
+    if q.kind == "all":
+        return True
+    raise AssertionError(q.kind)
+
+
+def _check(idx: str, live: list[dict]) -> None:
+    import os
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        # no add has ever committed: the writer creates no index for
+        # delete-only / empty commits, and the model must agree
+        assert not live
+        return
+    r = IndexReader(idx)
+    assert r.num_docs == len(live)
+    if not live:
+        return
+    nvals, valid = r.fast_column("n")
+    assert valid.all()
+
+    def engine_ns(q: Query) -> list[int]:
+        docs, _ = r.evaluate(q)
+        return sorted(int(nvals[d]) for d in docs)
+
+    for t in TAGS:
+        q = Query.term("tag", t)
+        want = sorted(d["n"] for d in live if _matches(d, q))
+        assert engine_ns(q) == want, t
+    for w in VOCAB[:2]:
+        q = Query.term("text", w)
+        want = sorted(d["n"] for d in live if _matches(d, q))
+        assert engine_ns(q) == want, w
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_random_writer_session_matches_model(ray_session, seed):
+    shutil.rmtree(BASE, ignore_errors=True)
+    idx = f"{BASE}/idx_{seed}"
+    rng = np.random.default_rng(seed)
+
+    w = IndexWriter(idx, _schema(), heap_docs=3, num_shards=2)
+    live: list[dict] = []       # committed, post-delete
+    pending: list[dict] = []
+    pending_dels: list[Query] = []
+    next_n = 0
+    commits = 0
+
+    def model_commit():
+        nonlocal live, pending, pending_dels
+        live = live + pending
+        pending = []
+        for q in pending_dels:
+            live = [d for d in live if not _matches(d, q)]
+        pending_dels = []
+
+    try:
+        for _op in range(70):
+            roll = rng.random()
+            if roll < 0.52:
+                words = [VOCAB[i] for i in
+                         rng.integers(0, len(VOCAB), size=4)]
+                doc = {"text": " ".join(words),
+                       "tag": TAGS[int(rng.integers(0, len(TAGS)))],
+                       "n": next_n}
+                next_n += 1
+                w.add_document(doc)
+                pending.append(doc)
+            elif roll < 0.62:
+                q = (Query.term("tag",
+                                TAGS[int(rng.integers(0, len(TAGS)))])
+                     if rng.random() < 0.5 else
+                     Query.range("n", int(rng.integers(0, next_n + 1)),
+                                 int(rng.integers(0, next_n + 1)) + 5))
+                if q.kind == "term":
+                    w.delete_documents(*q.params)
+                else:
+                    w.delete_documents_by_query(q)
+                pending_dels.append(q)
+            elif roll < 0.68:
+                w.rollback()
+                pending = []
+                pending_dels = []
+            elif roll < 0.88:
+                w.commit()
+                model_commit()
+                commits += 1
+                _check(idx, live)
+            else:
+                # close + reopen: uncommitted staged files are purged
+                # (crash-rollback), committed generations survive
+                w.close()
+                w = IndexWriter(idx, _schema(), heap_docs=3,
+                                num_shards=2)
+                pending = []
+                pending_dels = []
+                if commits:
+                    _check(idx, live)
+        w.commit()
+        model_commit()
+        commits += 1
+        _check(idx, live)
+    finally:
+        w.close()
+    assert commits >= 5
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+def test_delete_staged_before_add_removes_added_doc(ray_session):
+    """Documented at-commit delete semantics: a delete staged BEFORE an
+    add still removes a matching doc added later in the same commit."""
+    shutil.rmtree(f"{BASE}/order", ignore_errors=True)
+    idx = f"{BASE}/order/idx"
+    with IndexWriter(idx, _schema(), heap_docs=2, num_shards=2) as w:
+        w.add_document({"text": "apple", "tag": "red", "n": 0})
+        w.commit()
+        w.delete_documents("tag", "red")
+        w.add_document({"text": "birch", "tag": "red", "n": 1})
+        w.add_document({"text": "cedar", "tag": "blue", "n": 2})
+        w.commit()
+    r = IndexReader(idx)
+    assert r.num_docs == 1
+    nvals, _ = r.fast_column("n")
+    docs, _ = r.evaluate(Query.term("tag", "blue"))
+    assert [int(nvals[d]) for d in docs] == [2]
+    shutil.rmtree(f"{BASE}/order", ignore_errors=True)
