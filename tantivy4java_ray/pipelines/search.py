@@ -1950,8 +1950,16 @@ class IndexReader:
 
         ``from_store=True`` reads fields marked ``stored`` from the
         index's own docdata instead (the STORE component) — retrieval
-        without the source parquet."""
+        without the source parquet.
+
+        Tombstoned ids yield no row (reference parity: deletes apply at
+        merge, and a merged-away doc's address no longer exists —
+        searches never return these ids, so this only affects direct
+        id lookups)."""
         doc_ids = np.asarray(doc_ids, np.int64)
+        if self.deleted is not None and len(doc_ids):
+            dead, _ = _probe_sorted(self.deleted, doc_ids)
+            doc_ids = doc_ids[~dead]
         order = np.argsort(doc_ids, kind="stable")
         sorted_ids = doc_ids[order]
         pidx = np.searchsorted(self.doc_bases, sorted_ids, side="right") - 1

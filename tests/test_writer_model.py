@@ -83,6 +83,11 @@ def _check(idx: str, live: list[dict]) -> None:
         q = Query.term("text", w)
         want = sorted(d["n"] for d in live if _matches(d, q))
         assert engine_ns(q) == want, w
+    # direct id retrieval masks tombstones: requesting the WHOLE id
+    # space returns exactly the live docs
+    t = r.retrieve_docs(np.arange(r.max_doc), columns=["n"])
+    assert sorted(t.column("n").to_pylist()) == \
+        sorted(d["n"] for d in live)
 
 
 @pytest.mark.parametrize("seed", [3, 17])
@@ -172,6 +177,7 @@ def test_delete_staged_before_add_removes_added_doc(ray_session):
         w.commit()
     r = IndexReader(idx)
     assert r.num_docs == 1
+    assert r.max_doc == 3
     nvals, _ = r.fast_column("n")
     docs, _ = r.evaluate(Query.term("tag", "blue"))
     assert [int(nvals[d]) for d in docs] == [2]
