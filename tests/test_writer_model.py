@@ -88,6 +88,14 @@ def _check(idx: str, live: list[dict]) -> None:
     t = r.retrieve_docs(np.arange(r.max_doc), columns=["n"])
     assert sorted(t.column("n").to_pylist()) == \
         sorted(d["n"] for d in live)
+    # aggregations mask tombstones (query=None path)
+    res = r.aggregate(None, {"t": {"terms": {"field": "tag",
+                                             "size": 10}}})
+    got = {b["key"]: b["doc_count"] for b in res["t"]["buckets"]}
+    want: dict[str, int] = {}
+    for d in live:
+        want[d["tag"]] = want.get(d["tag"], 0) + 1
+    assert got == want
 
 
 @pytest.mark.parametrize("seed", [3, 17])
@@ -182,3 +190,26 @@ def test_delete_staged_before_add_removes_added_doc(ray_session):
     docs, _ = r.evaluate(Query.term("tag", "blue"))
     assert [int(nvals[d]) for d in docs] == [2]
     shutil.rmtree(f"{BASE}/order", ignore_errors=True)
+
+
+def test_tombstones_survive_bundling(ray_session):
+    """deleted_docs.npy rides the .split bundle: a bundled tombstoned
+    index must not resurrect deleted docs in queries, retrieval, or
+    num_docs."""
+    from tantivy4java_ray.pipelines.bundle import bundle_index, split_url
+    shutil.rmtree(f"{BASE}/bundle", ignore_errors=True)
+    idx = f"{BASE}/bundle/idx"
+    with IndexWriter(idx, _schema(), heap_docs=10, num_shards=2) as w:
+        w.add_document({"text": "apple", "tag": "red", "n": 0})
+        w.add_document({"text": "birch", "tag": "blue", "n": 1})
+        w.commit()
+        w.delete_documents("tag", "red")
+        w.commit()
+    bundle_index(idx, f"{BASE}/bundle/t.split")
+    r = IndexReader(split_url(f"{BASE}/bundle/t.split"))
+    assert (r.num_docs, r.max_doc) == (1, 2)
+    assert r.evaluate(Query.term("tag", "red"))[0].tolist() == []
+    assert r.evaluate(Query.term("tag", "blue"))[0].tolist() == [1]
+    assert r.retrieve_docs([0, 1], columns=["n"]) \
+        .column("n").to_pylist() == [1]
+    shutil.rmtree(f"{BASE}/bundle", ignore_errors=True)
