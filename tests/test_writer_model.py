@@ -192,6 +192,54 @@ def test_delete_staged_before_add_removes_added_doc(ray_session):
     shutil.rmtree(f"{BASE}/order", ignore_errors=True)
 
 
+def test_merge_two_tombstoned_indexes_matches_union(ray_session):
+    """merge_indexes over two writer-built inputs, EACH carrying its
+    own tombstones, plus a new delete at merge time: the output must
+    equal the union model (carried tombstones rebased per input, new
+    delete applied to both)."""
+    from tantivy4java_ray.pipelines.merge import merge_indexes
+    shutil.rmtree(f"{BASE}/m2", ignore_errors=True)
+    docs_a = [{"text": "apple", "tag": "red", "n": 0},
+              {"text": "birch", "tag": "blue", "n": 1},
+              {"text": "cedar dates", "tag": "green", "n": 2}]
+    docs_b = [{"text": "apple elder", "tag": "blue", "n": 10},
+              {"text": "dates", "tag": "red", "n": 11},
+              {"text": "birch birch", "tag": "green", "n": 12}]
+    for name, docs, del_tag in (("a", docs_a, "red"),
+                                ("b", docs_b, "green")):
+        with IndexWriter(f"{BASE}/m2/{name}", _schema(), heap_docs=10,
+                         num_shards=2) as w:
+            for d in docs:
+                w.add_document(d)
+            w.commit()
+            w.delete_documents("tag", del_tag)
+            w.commit()
+    live = ([d for d in docs_a if d["tag"] != "red"]
+            + [d for d in docs_b if d["tag"] != "green"])
+    res = merge_indexes([f"{BASE}/m2/a", f"{BASE}/m2/b"],
+                        f"{BASE}/m2/out",
+                        delete_queries=[Query.term("text", "dates")])
+    live = [d for d in live if "dates" not in d["text"].split()]
+    assert res.num_deleted >= 1
+    r = IndexReader(f"{BASE}/m2/out")
+    assert r.num_docs == len(live)
+    assert r.max_doc == 6
+    nvals, _ = r.fast_column("n")
+    for t in TAGS:
+        docs, _s = r.evaluate(Query.term("tag", t))
+        got = sorted(int(nvals[d]) for d in docs)
+        assert got == sorted(d["n"] for d in live if d["tag"] == t), t
+    for w_ in ("apple", "birch", "dates"):
+        docs, _s = r.evaluate(Query.term("text", w_))
+        got = sorted(int(nvals[d]) for d in docs)
+        assert got == sorted(d["n"] for d in live
+                             if w_ in d["text"].split()), w_
+    t = r.retrieve_docs(np.arange(r.max_doc), columns=["n"])
+    assert sorted(t.column("n").to_pylist()) == sorted(d["n"]
+                                                       for d in live)
+    shutil.rmtree(f"{BASE}/m2", ignore_errors=True)
+
+
 def test_tombstones_survive_bundling(ray_session):
     """deleted_docs.npy rides the .split bundle: a bundled tombstoned
     index must not resurrect deleted docs in queries, retrieval, or
