@@ -38,12 +38,19 @@ def _schema():
     return s
 
 
+def _tokens(doc: dict) -> list[str]:
+    t = doc["text"]
+    if isinstance(t, list):
+        return [w for part in t for w in part.split()]
+    return t.split()
+
+
 def _matches(doc: dict, q: Query) -> bool:
     if q.kind == "term":
         field, val = q.params
         if field == "tag":
             return doc["tag"] == val
-        return val in doc["text"].split()
+        return val in _tokens(doc)
     if q.kind == "range":
         _f, lo, hi, il, ih = q.params
         v = doc["n"]
@@ -98,9 +105,14 @@ def _check(idx: str, live: list[dict]) -> None:
     assert got == want
 
 
-@pytest.mark.parametrize("seed", [3, 17])
-def test_random_writer_session_matches_model(ray_session, seed):
-    shutil.rmtree(BASE, ignore_errors=True)
+@pytest.mark.parametrize("seed,list_text", [(3, False), (17, False),
+                                            (29, True)])
+def test_random_writer_session_matches_model(ray_session, seed,
+                                             list_text):
+    """``list_text=True`` stages every TEXT value as a LIST (the
+    multi-valued-field shape), driving the writer's text-shape pin
+    through flushes, rollbacks, and reopens."""
+    shutil.rmtree(f"{BASE}/idx_{seed}", ignore_errors=True)
     idx = f"{BASE}/idx_{seed}"
     rng = np.random.default_rng(seed)
 
@@ -125,7 +137,9 @@ def test_random_writer_session_matches_model(ray_session, seed):
             if roll < 0.52:
                 words = [VOCAB[i] for i in
                          rng.integers(0, len(VOCAB), size=4)]
-                doc = {"text": " ".join(words),
+                text = ([" ".join(words[:2]), " ".join(words[2:])]
+                        if list_text else " ".join(words))
+                doc = {"text": text,
                        "tag": TAGS[int(rng.integers(0, len(TAGS)))],
                        "n": next_n}
                 next_n += 1
@@ -237,6 +251,21 @@ def test_merge_two_tombstoned_indexes_matches_union(ray_session):
     t = r.retrieve_docs(np.arange(r.max_doc), columns=["n"])
     assert sorted(t.column("n").to_pylist()) == sorted(d["n"]
                                                        for d in live)
+    # leaf/root pool on the tombstoned merge agrees with the reader
+    # (leaves load the global tombstones and the global alive-N)
+    from tantivy4java_ray.pipelines.search import ShardedSearchPool
+    pool = ShardedSearchPool(f"{BASE}/m2/out", num_actors=2)
+    try:
+        queries = [Query.term("text", "apple"), Query.term("tag", "blue"),
+                   Query.all()]
+        got = pool.search_many(queries, limit=10)
+        for q, g in zip(queries, got):
+            want = r.search(q, 10).hits
+            assert [h[1] for h in g] == [h[1] for h in want], repr(q)
+            np.testing.assert_allclose([h[0] for h in g],
+                                       [h[0] for h in want], rtol=1e-6)
+    finally:
+        pool.shutdown()
     shutil.rmtree(f"{BASE}/m2", ignore_errors=True)
 
 
