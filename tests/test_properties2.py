@@ -107,3 +107,37 @@ def test_ip_term_order_preserving_v6(ints):
     terms = [ip_term(ip) for ip in ips]
     by_num = [t for _x, t in sorted(zip(ints, terms))]
     assert by_num == sorted(terms)
+
+
+def _osa_reference(a: str, b: str, transposition: bool) -> int:
+    """Independent full-matrix OSA DP (same as the naive model in
+    test_differential_r4d) — NOT derived from the engine's banded DP."""
+    la, lb = len(a), len(b)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (transposition and i > 1 and j > 1
+                    and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+@given(st.text(alphabet="abcdeé\U0001F600", max_size=12),
+       st.text(alphabet="abcdeé\U0001F600", max_size=12),
+       st.integers(0, 3), st.booleans())
+@settings(max_examples=400, deadline=None)
+def test_edit_distance_matches_independent_osa(a, b, cap, transp):
+    """The engine's banded DP vs a full-matrix OSA written separately:
+    exact agreement at or under the cap, and 'above cap' agreement
+    beyond it (the band may return any value > cap there)."""
+    got = _edit_distance(a, b, cap, transp)
+    true = _osa_reference(a, b, transp)
+    if true <= cap:
+        assert got == true, (a, b, cap, transp)
+    else:
+        assert got > cap, (a, b, cap, transp)
