@@ -141,3 +141,46 @@ def test_edit_distance_matches_independent_osa(a, b, cap, transp):
         assert got == true, (a, b, cap, transp)
     else:
         assert got > cap, (a, b, cap, transp)
+
+
+@given(st.lists(st.text(
+           alphabet=st.characters(
+               codec="utf-8", categories=("L", "N", "P", "Z", "M", "S"),
+               include_characters="\n\té世\U0001F600_-'"),
+           max_size=40).map(lambda s: s + "x" * 0),
+       max_size=8),
+       st.sampled_from(["default", "whitespace", "keyword"]))
+@settings(max_examples=200, deadline=None)
+def test_tokenize_column_matches_scalar_any_unicode(texts, name):
+    """The vectorized Arrow tokenize kernel is token-for-token identical
+    to the scalar analyzer on arbitrary unicode — the byte-identical
+    tokenization invariant, property-tested (fixtures pin the exact
+    golden outputs; this pins vectorized == scalar on the full space)."""
+    import pyarrow as pa
+    from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
+    a = get_analyzer(name)
+    out = tokenize_column(pa.array(texts, pa.string()), a)
+    per_row: dict[int, list] = {}
+    for t, r in zip(out["token"], out["row"]):
+        per_row.setdefault(int(r), []).append(t)
+    for i, text in enumerate(texts):
+        assert per_row.get(i, []) == a.tokenize(text), (name, text)
+
+
+@given(st.integers(1, 4), st.integers(250, 260))
+@settings(max_examples=30, deadline=None)
+def test_tokenize_column_255_byte_limit_boundary(nbytes_per_char, ln):
+    """RemoveLongFilter boundary: tokens straddling the 255-BYTE limit
+    (multi-byte chars hit it below 255 CHARS) drop identically in the
+    vectorized and scalar paths."""
+    import pyarrow as pa
+    from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
+    ch = {1: "a", 2: "é", 3: "世", 4: "\U0001F600"}[
+        nbytes_per_char]
+    word = ch * ln
+    text = f"pre {word} post"
+    a = get_analyzer("default")
+    out = tokenize_column(pa.array([text]), a)
+    assert list(out["token"]) == a.tokenize(text)
+    kept = len(word.encode()) <= 255
+    assert (word in list(out["token"])) == kept
