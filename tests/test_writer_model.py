@@ -22,7 +22,7 @@ import pytest
 
 from tantivy4java_ray.pipelines.search import IndexReader
 from tantivy4java_ray.pipelines.writer import IndexWriter
-from tantivy4java_ray.query import Query
+from tantivy4java_ray.query import Occur, Query
 from tantivy4java_ray.schema import IndexSchema
 
 BASE = "/tmp/t4jr_writer_model"
@@ -251,6 +251,13 @@ def test_merge_two_tombstoned_indexes_matches_union(ray_session):
     t = r.retrieve_docs(np.arange(r.max_doc), columns=["n"])
     assert sorted(t.column("n").to_pylist()) == sorted(d["n"]
                                                        for d in live)
+    # WAND equals the exhaustive scan on the tombstoned index (its
+    # bounds precompute from the SAME alive-N idf)
+    for q in (Query.term("text", "apple"),
+              Query.boolean([(Occur.SHOULD, Query.term("text", "apple")),
+                             (Occur.SHOULD, Query.term("text", "birch"))])):
+        assert r.search(q, 10, method="wand").hits == \
+            r.search(q, 10).hits, repr(q)
     # leaf/root pool on the tombstoned merge agrees with the reader
     # (leaves load the global tombstones and the global alive-N)
     from tantivy4java_ray.pipelines.search import ShardedSearchPool
