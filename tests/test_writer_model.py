@@ -90,6 +90,8 @@ def _check(idx: str, live: list[dict]) -> None:
         q = Query.term("text", w)
         want = sorted(d["n"] for d in live if _matches(d, q))
         assert engine_ns(q) == want, w
+        # dictionary df values shrink with deletes (postings rewritten)
+        assert r.doc_freq("text", w) == len(want), w
     # direct id retrieval masks tombstones: requesting the WHOLE id
     # space returns exactly the live docs
     t = r.retrieve_docs(np.arange(r.max_doc), columns=["n"])
