@@ -70,6 +70,13 @@ from tantivy4java_ray.state.manifest import TransactionLog, atomic_write_json
 
 RUN_SPAN = 1 << 32  # max doc span addressable by one posting run (u32)
 
+#: inter-value position gap for MULTI-VALUED text fields (tantivy's
+#: segment writer advances the position counter between consecutive
+#: values of one document so a phrase can never match across a value
+#: boundary; tantivy pins this gap at 2 — slop<=1 phrases are blocked,
+#: larger slops can intentionally bridge values, matching upstream)
+MULTIVALUE_POSITION_GAP = 2
+
 #: partial-format completion marker: versioned so a build resumed across
 #: code versions re-maps partitions instead of mixing delta/absolute
 #: partial encodings (v2 = delta-encoded docs/positions; v3 = + map-side
@@ -416,6 +423,55 @@ class PartitionIndexer:
 
 
     # ------------------------------------------------------------------
+    def _tokenize_multivalue(self, col: pa.Array, n: int,
+                             html_col, field: str):
+        """Tokenize a ``list<string>`` text column value-by-value ->
+        ``(rows, codes, vocab, positions, row_token_counts)`` in the
+        per-DOC frame, with positions continuing across a document's
+        values separated by ``MULTIVALUE_POSITION_GAP``. Docs whose
+        whole list is null take the html fallback extraction as their
+        single value (same rule as the scalar path's null fill); doc
+        length (fieldnorm) counts tokens only — gaps are positions,
+        not tokens."""
+        import pyarrow.compute as pc
+        flat = pc.list_flatten(col)              # non-null rows' values
+        parents = np.asarray(pc.list_parent_indices(col)
+                             .to_numpy(zero_copy_only=False), np.int64)
+        if html_col is not None:
+            null_docs = np.flatnonzero(
+                np.asarray(col.is_null().to_numpy(zero_copy_only=False),
+                           bool)).astype(np.int64)
+            if len(null_docs):
+                probe = np.full(n, "", object)
+                probe[null_docs] = None
+                filled = fill_text_from_html(
+                    pa.array(probe, pa.string()), html_col)
+                fb_vals = filled.take(pa.array(null_docs))
+                flat = pa.concat_arrays([flat.cast(pa.string()),
+                                         fb_vals])
+                parents = np.concatenate([parents, null_docs])
+                order = np.argsort(parents, kind="stable")
+                flat = flat.take(pa.array(order))
+                parents = parents[order]
+        tok = tokenize_column(flat, self.analyzers[field],
+                              include_tokens=False)
+        vcounts = tok["row_token_counts"]        # tokens per VALUE
+        # per-value position base inside its doc: exclusive running sum
+        # of (tokens + GAP) over the doc's earlier values
+        adv = vcounts + MULTIVALUE_POSITION_GAP
+        run = np.cumsum(adv) - adv               # global exclusive cumsum
+        first = np.ones(len(parents), bool)
+        if len(parents) > 1:
+            np.not_equal(parents[1:], parents[:-1], out=first[1:])
+        doc_first = np.cumsum(first) - 1         # index of doc's 1st value
+        base = run - run[np.flatnonzero(first)][doc_first]
+        rows = parents[tok["row"]]
+        positions = (tok["position"]
+                     + base[tok["row"]]).astype(np.int32)
+        counts = np.bincount(parents, weights=vcounts,
+                             minlength=n).astype(np.int64)
+        return rows, tok["codes"], tok["vocab"], positions, counts
+
     def _paths(self, pid: int) -> tuple[str, str]:
         from tantivy4java_ray import storage as st
         return (st.sjoin(self.index_dir, "docdata", f"part-{pid:05d}.parquet"),
@@ -490,20 +546,32 @@ class PartitionIndexer:
                         col = pa.nulls(n, pa.string())
                     else:
                         continue
-                if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
-                    # multi-valued text: values joined with a separator token
-                    # boundary (positions run contiguously across values;
-                    # tantivy inserts a position gap — documented deviation)
-                    import pyarrow.compute as pc
-                    col = pc.binary_join(col, "\n")
-                if (self.html_fallback
-                        and fcfg.name == self.html_fallback[0]
-                        and self.html_fallback[1] in avail):
-                    col = fill_text_from_html(
-                        col, tbl.column(self.html_fallback[1]).combine_chunks())
-                tok = tokenize_column(col, self.analyzers[fcfg.name],
-                                      include_tokens=False)
-                counts = tok["row_token_counts"]
+                html_col = (tbl.column(self.html_fallback[1])
+                            .combine_chunks()
+                            if self.html_fallback
+                            and fcfg.name == self.html_fallback[0]
+                            and self.html_fallback[1] in avail else None)
+                if pa.types.is_list(col.type) or \
+                        pa.types.is_large_list(col.type):
+                    # multi-valued text (Document.addText called N times,
+                    # core/Document.java:80-106): tokenize each VALUE,
+                    # then continue positions per doc with the
+                    # inter-value gap so phrases never match across
+                    # value boundaries (tantivy segment-writer
+                    # semantics; the old join-with-'\n' ran positions
+                    # contiguously)
+                    rows, codes, vocab, positions, counts = \
+                        self._tokenize_multivalue(col, n, html_col,
+                                                  fcfg.name)
+                else:
+                    if html_col is not None:
+                        col = fill_text_from_html(col, html_col)
+                    tok = tokenize_column(col, self.analyzers[fcfg.name],
+                                          include_tokens=False)
+                    rows, codes, vocab = (tok["row"], tok["codes"],
+                                          tok["vocab"])
+                    positions = tok["position"]
+                    counts = tok["row_token_counts"]
                 total_tokens[fcfg.name] = int(counts.sum())
                 nid_arr = (fieldnorm_to_id(counts)
                            if fcfg.fieldnorms else None)
@@ -516,9 +584,9 @@ class PartitionIndexer:
                 if fcfg.indexed:
                     with_pos = fcfg.index_option == "position"
                     n_postings += self._emit_terms(
-                        acc, enc_acc, fcfg.name, spec, tok["row"],
-                        tok["codes"], tok["vocab"],
-                        tok["position"] if with_pos else None, n,
+                        acc, enc_acc, fcfg.name, spec, rows,
+                        codes, vocab,
+                        positions if with_pos else None, n,
                         nids=nid_arr)
             elif fcfg.type in (FieldType.STRING, FieldType.FACET,
                                FieldType.IP_ADDR):
