@@ -431,9 +431,19 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     if delete_queries:
         from tantivy4java_ray.pipelines.search import IndexReader
         deleted_per_index = []
-        for d in index_dirs:
+        for d, off in zip(index_dirs, doc_offsets):
             r = IndexReader(d)
-            dels = [r.evaluate(q)[0] for q in delete_queries]
+            dels = []
+            for entry in delete_queries:
+                # (query, cutoff): opstamp-ordered writer deletes — the
+                # query only affects OUTPUT doc ids under the cutoff
+                # (docs that existed when the delete was staged)
+                q, cutoff = (entry if isinstance(entry, tuple)
+                             else (entry, None))
+                arr = r.evaluate(q)[0]
+                if cutoff is not None:
+                    arr = arr[arr + off < cutoff]
+                dels.append(arr)
             arr = (np.unique(np.concatenate(dels)) if dels
                    else np.empty(0, np.int64))
             deleted_per_index.append(arr)

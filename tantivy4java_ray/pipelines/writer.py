@@ -178,7 +178,12 @@ class IndexWriter:
             raise
         self._rows: list[dict] = []
         self._staged: list[str] = []
+        #: staged deletes as ``(query, adds_before)`` — the number of
+        #: docs added THIS SESSION before the delete was staged, giving
+        #: the reference's opstamp ordering (a delete only affects docs
+        #: added before it, ``core/IndexWriter.java:164``)
         self._delete_queries: list = []
+        self._pending_adds = 0
         #: TEXT field shape pinned across flushes ('scalar' | 'list')
         self._text_mode: dict[str, str] = {}
         # resume the flush counter past any staged files from earlier
@@ -358,6 +363,7 @@ class IndexWriter:
     # -- ingest -------------------------------------------------------------
     def add_document(self, doc: dict[str, Any]) -> None:
         self._rows.append(doc)
+        self._pending_adds += 1
         if len(self._rows) >= self.heap_docs:
             self._flush()
 
@@ -366,7 +372,9 @@ class IndexWriter:
 
     def add_documents_batch(self, table: pa.Table) -> None:
         """Arrow-native bulk add (the batch-document-protocol analog)."""
-        self._rows.extend(table.to_pylist())
+        rows = table.to_pylist()
+        self._rows.extend(rows)
+        self._pending_adds += len(rows)
         if len(self._rows) >= self.heap_docs:
             self._flush()
 
@@ -418,19 +426,22 @@ class IndexWriter:
     def delete_documents(self, field: str, value) -> None:
         """Stage a delete-by-term, applied at the next ``commit()``
         (reference ``IndexWriter.deleteDocuments(field, value)``,
-        ``core/IndexWriter.java:153-178`` — tombstones at merge)."""
+        ``core/IndexWriter.java:153-178`` — tombstones at merge,
+        opstamp-ordered: only docs added BEFORE the delete match)."""
         from tantivy4java_ray.query import Query
-        self._delete_queries.append(Query.term(field, value))
+        self._delete_queries.append((Query.term(field, value),
+                                     self._pending_adds))
 
     def delete_documents_by_query(self, query) -> None:
         """Stage a delete-by-query for the next ``commit()``
         (``IndexWriter.deleteDocumentsByQuery``)."""
-        self._delete_queries.append(query)
+        self._delete_queries.append((query, self._pending_adds))
 
     def delete_all_documents(self) -> None:
-        """Stage delete-everything (``IndexWriter.deleteAllDocuments``)."""
+        """Stage delete-everything (``IndexWriter.deleteAllDocuments``,
+        opstamp-ordered like every delete)."""
         from tantivy4java_ray.query import Query
-        self._delete_queries.append(Query.all())
+        self._delete_queries.append((Query.all(), self._pending_adds))
 
     # -- commit / rollback --------------------------------------------------
     def rollback(self) -> int:
@@ -447,6 +458,7 @@ class IndexWriter:
                 pass
         self._staged = []
         self._delete_queries = []
+        self._pending_adds = 0
         # the pinned TEXT shapes may have come from files just deleted;
         # re-derive from what actually survives so a rolled-back writer
         # is not stricter than a freshly reopened one
@@ -483,16 +495,29 @@ class IndexWriter:
         staged deletes; returns the merge/build result (None with
         nothing staged or deleted).
 
-        Delete semantics: staged deletes are applied AT COMMIT against
-        every doc present after the adds merge — unlike the reference's
-        opstamp ordering (``IndexWriter.java:164``), a delete staged
-        before an add still removes a matching added doc. Stage deletes
-        in a separate commit when the distinction matters."""
+        Delete semantics are OPSTAMP-ORDERED like the reference
+        (``IndexWriter.java:164``): a delete only affects docs added
+        before it was staged (plus everything already committed). Doc
+        ids are append-ordered, so each staged delete carries an id
+        CUTOFF (committed id space + adds staged before it) and the
+        delete-merge filters its matches to ids under that cutoff."""
         from tantivy4java_ray.pipelines.build import build_index
         from tantivy4java_ray.pipelines.merge import merge_indexes
+        from tantivy4java_ray import storage as st
 
         self._flush()
-        dels = list(self._delete_queries)
+        base_docs = 0
+        if os.path.exists(os.path.join(self.index_dir, "manifest.json")):
+            base_docs = int(st.read_json_any(
+                st.sjoin(self.index_dir, "manifest.json"))
+                ["meta"]["stats"]["num_docs"])
+        dels = []
+        for q, mark in self._delete_queries:
+            # ('abs', c): retained from a FAILED earlier commit whose
+            # adds already landed — its cutoff must not be re-based
+            dels.append((q, mark[1] if isinstance(mark, tuple)
+                         else base_docs + mark))
+        self._delete_queries = [(q, ("abs", c)) for q, c in dels]
         if not self._staged and not dels:
             # reference semantics: commit() always advances the opstamp,
             # even with nothing pending (getCommitOpstamp contract)
@@ -547,6 +572,7 @@ class IndexWriter:
             # phase lands so a failure in the delete phase below cannot
             # re-merge (duplicate) or rollback-unlink committed files
             self._staged = []
+            self._pending_adds = 0
         if dels and exists:
             deld_dir = f"{self.index_dir}.merged-d{tag}"
             try:

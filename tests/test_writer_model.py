@@ -121,16 +121,24 @@ def test_random_writer_session_matches_model(ray_session, seed,
     w = IndexWriter(idx, _schema(), heap_docs=3, num_shards=2)
     live: list[dict] = []       # committed, post-delete
     pending: list[dict] = []
-    pending_dels: list[Query] = []
+    # (query, number of pending adds staged before it) — the model of
+    # the reference's OPSTAMP ordering: a delete only affects docs
+    # added before it (plus everything already committed)
+    pending_dels: list[tuple[Query, int]] = []
     next_n = 0
     commits = 0
 
     def model_commit():
         nonlocal live, pending, pending_dels
-        live = live + pending
+        all_docs = live + pending
+        cut_base = len(live)
+        dead: set[int] = set()
+        for q, k in pending_dels:
+            for i, d in enumerate(all_docs[:cut_base + k]):
+                if _matches(d, q):
+                    dead.add(i)
+        live = [d for i, d in enumerate(all_docs) if i not in dead]
         pending = []
-        for q in pending_dels:
-            live = [d for d in live if not _matches(d, q)]
         pending_dels = []
 
     try:
@@ -157,7 +165,7 @@ def test_random_writer_session_matches_model(ray_session, seed,
                     w.delete_documents(*q.params)
                 else:
                     w.delete_documents_by_query(q)
-                pending_dels.append(q)
+                pending_dels.append((q, len(pending)))
             elif roll < 0.68:
                 w.rollback()
                 pending = []
@@ -187,24 +195,28 @@ def test_random_writer_session_matches_model(ray_session, seed,
     shutil.rmtree(BASE, ignore_errors=True)
 
 
-def test_delete_staged_before_add_removes_added_doc(ray_session):
-    """Documented at-commit delete semantics: a delete staged BEFORE an
-    add still removes a matching doc added later in the same commit."""
+def test_delete_is_opstamp_ordered(ray_session):
+    """Reference semantics (IndexWriter.java:164): a delete staged
+    BEFORE an add does NOT remove the matching doc added after it in
+    the same commit; docs added before it (and committed earlier) go."""
     shutil.rmtree(f"{BASE}/order", ignore_errors=True)
     idx = f"{BASE}/order/idx"
     with IndexWriter(idx, _schema(), heap_docs=2, num_shards=2) as w:
         w.add_document({"text": "apple", "tag": "red", "n": 0})
         w.commit()
-        w.delete_documents("tag", "red")
-        w.add_document({"text": "birch", "tag": "red", "n": 1})
-        w.add_document({"text": "cedar", "tag": "blue", "n": 2})
+        w.add_document({"text": "dates", "tag": "red", "n": 1})
+        w.delete_documents("tag", "red")      # hits n=0 and n=1 only
+        w.add_document({"text": "birch", "tag": "red", "n": 2})
+        w.add_document({"text": "cedar", "tag": "blue", "n": 3})
         w.commit()
     r = IndexReader(idx)
-    assert r.num_docs == 1
-    assert r.max_doc == 3
+    assert r.max_doc == 4
+    assert r.num_docs == 2
     nvals, _ = r.fast_column("n")
+    docs, _ = r.evaluate(Query.term("tag", "red"))
+    assert [int(nvals[d]) for d in docs] == [2]   # added AFTER the delete
     docs, _ = r.evaluate(Query.term("tag", "blue"))
-    assert [int(nvals[d]) for d in docs] == [2]
+    assert [int(nvals[d]) for d in docs] == [3]
     shutil.rmtree(f"{BASE}/order", ignore_errors=True)
 
 
