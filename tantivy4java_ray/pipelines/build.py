@@ -438,9 +438,20 @@ class PartitionIndexer:
         parents = np.asarray(pc.list_parent_indices(col)
                              .to_numpy(zero_copy_only=False), np.int64)
         if html_col is not None:
-            null_docs = np.flatnonzero(
-                np.asarray(col.is_null().to_numpy(zero_copy_only=False),
-                           bool)).astype(np.int64)
+            # fallback when the list is null OR any ELEMENT is null —
+            # the scalar path's join produced a null joined string for
+            # both, and the doc fell back to the html extraction
+            null_mask = np.asarray(
+                col.is_null().to_numpy(zero_copy_only=False), bool)
+            if len(flat):
+                enull = np.asarray(
+                    flat.is_null().to_numpy(zero_copy_only=False), bool)
+                if enull.any():
+                    null_mask[np.unique(parents[enull])] = True
+                    keep = ~np.isin(parents, np.flatnonzero(null_mask))
+                    flat = flat.filter(pa.array(keep))
+                    parents = parents[keep]
+            null_docs = np.flatnonzero(null_mask).astype(np.int64)
             if len(null_docs):
                 probe = np.full(n, "", object)
                 probe[null_docs] = None

@@ -1988,7 +1988,26 @@ class IndexReader:
             pieces.append(tbl)
             out_rows.append(np.flatnonzero(sel))
         if not pieces:
-            return pa.table({})
+            # zero surviving ids (e.g. every requested id tombstoned):
+            # keep the SHAPE consistent with the non-empty path — the
+            # requested columns, typed from the source schema, plus the
+            # id column — not a column-less table
+            if not self.partitions:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            if from_store:
+                src = self._pf(self._st.sjoin(
+                    self.index_dir, "docdata",
+                    f"part-{self.partitions[0]['pid']:05d}.parquet")
+                ).schema_arrow
+                cols = {c: pa.array([], src.field(f"stored__{c}").type)
+                        for c in columns}
+            else:
+                src = self._pf(self.partitions[0]["path"]).schema_arrow
+                cols = {c: pa.array([], src.field(c).type)
+                        for c in columns}
+            idname = "__doc_id" if "doc_id" in cols else "doc_id"
+            cols[idname] = pa.array([], pa.int64())
+            return pa.table(cols)
         tbl = pa.concat_tables(pieces)
         idcol = "__doc_id" if "doc_id" in tbl.column_names else "doc_id"
         tbl = tbl.append_column(idcol, pa.array(sorted_ids, pa.int64()))

@@ -194,25 +194,25 @@ class IndexWriter:
             if os.path.isdir(self.staging):
                 self._check_staging_owner()
                 self._purge_orphan_staged()
-                nums = [int(m.group(1)) for f in os.listdir(self.staging)
-                        if (m := _STAGED_RE.fullmatch(f))]
+                nums = self._pin_text_modes_from_staging()
                 self._flush_i = max(nums) + 1 if nums else 0
-                self._pin_text_modes_from_staging()
         except BaseException:
             self.close()                  # a failed init must not hold the lock
             raise
 
-    def _pin_text_modes_from_staging(self) -> None:
+    def _pin_text_modes_from_staging(self) -> list[int]:
         """Pin TEXT shapes to what the surviving (committed) staged
         files already use, so a reopened writer (or a writer continuing
-        after rollback) cannot stage an incompatible column type."""
+        after rollback) cannot stage an incompatible column type.
+        Returns the staged-file numbers found (the one directory scan
+        is shared with the flush-counter resume)."""
         self._text_mode = {}
         if not os.path.isdir(self.staging):
-            return
+            return []
         nums = [int(m.group(1)) for f in os.listdir(self.staging)
                 if (m := _STAGED_RE.fullmatch(f))]
         if not nums:
-            return
+            return nums
         newest = os.path.join(
             self.staging, f"staged-{max(nums):05d}.parquet")
         sch = pq.read_schema(newest)
@@ -222,6 +222,7 @@ class IndexWriter:
                 self._text_mode[fcfg.name] = (
                     "list" if pa.types.is_list(t) or
                     pa.types.is_large_list(t) else "scalar")
+        return nums
 
     # -- writer lock ---------------------------------------------------------
     def _acquire_writer_lock(self) -> None:
@@ -238,56 +239,68 @@ class IndexWriter:
         # but the lock is taken before any commit exists
         parent = os.path.dirname(os.path.abspath(self._lock_path))
         os.makedirs(parent, exist_ok=True)
-        # claim by os.link of a fully-written temp file, NOT a bare
-        # O_EXCL create-then-write: that would expose an empty lockfile
-        # a concurrent acquirer reads as pid=-1 (dead) and steals — the
-        # same reasoning as state/manifest.py exclusive_write_json
-        tmp = f"{self._lock_path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(token)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            self._acquire_with_tmp(tmp, token)
-        finally:
+        # The whole read-verify-steal-claim procedure runs under a
+        # flock'd side mutex: ANY unserialized steal protocol has a
+        # two-winner interleave (removing a stale lock momentarily
+        # empties the slot, a concurrent claimer takes it, and a third
+        # racer's restore-or-claim collides — observed in the
+        # 6-process steal race test). The flock releases on PROCESS
+        # DEATH, so the mutex can never go stale; long-lived OWNERSHIP
+        # stays in the pid-token lockfile so it survives the writer's
+        # lifetime without holding an fd open (and a dead holder's
+        # token is steal-able, which flock-as-ownership would not
+        # allow for same-process reopen semantics).
+        with self._acquire_mutex():
             try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+                with open(self._lock_path) as f:
+                    holder = f.read().strip()
+                pid = int(holder.split(":", 1)[0])
+            except FileNotFoundError:
+                pid = None
+            except (OSError, ValueError):
+                pid = -1
+            alive = False
+            if pid is not None and pid > 0 and pid != os.getpid():
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+            if alive:
+                raise RuntimeError(
+                    f"index {self.index_dir!r} is locked by a live "
+                    f"writer in process {pid} ({self._lock_path}); "
+                    f"close it first (tantivy LockBusy semantics)")
+            # free, dead-pid, unreadable, or same-process: (re)claim.
+            # Serialized by the mutex, so a plain write is atomic
+            # ENOUGH for rivals (they also read under the mutex);
+            # write-temp + rename keeps crash-mid-write from leaving a
+            # half-written token for a LATER session to misparse.
+            tmp = f"{self._lock_path}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(token)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._lock_path)
+            self._lock_token = token
 
-    def _acquire_with_tmp(self, tmp: str, token: str) -> None:
-        for _ in range(2):
+    def _acquire_mutex(self):
+        """flock'd critical section for lock acquisition/release."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def cm():
+            mfd = os.open(f"{self._lock_path}.mutex",
+                          os.O_CREAT | os.O_RDWR, 0o644)
             try:
-                os.link(tmp, self._lock_path)
-                self._lock_token = token
-                return
-            except FileExistsError:
-                try:
-                    with open(self._lock_path) as f:
-                        holder = f.read().strip()
-                    pid = int(holder.split(":", 1)[0])
-                except (OSError, ValueError):
-                    pid = -1
-                alive = False
-                if pid > 0 and pid != os.getpid():
-                    try:
-                        os.kill(pid, 0)
-                        alive = True
-                    except ProcessLookupError:
-                        alive = False
-                    except PermissionError:
-                        alive = True
-                if alive:
-                    raise RuntimeError(
-                        f"index {self.index_dir!r} is locked by a live "
-                        f"writer in process {pid} ({self._lock_path}); "
-                        f"close it first (tantivy LockBusy semantics)")
-                try:
-                    os.unlink(self._lock_path)
-                except FileNotFoundError:
-                    pass
-        raise RuntimeError(
-            f"could not acquire writer lock {self._lock_path!r}")
+                fcntl.flock(mfd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(mfd)   # closing releases the flock
+        return cm()
 
     def close(self) -> None:
         """Release the writer lock. Buffered-but-unflushed rows are
@@ -296,9 +309,10 @@ class IndexWriter:
         if self._lock_token is None:
             return
         try:
-            with open(self._lock_path) as f:
-                if f.read().strip() == self._lock_token:
-                    os.unlink(self._lock_path)
+            with self._acquire_mutex():
+                with open(self._lock_path) as f:
+                    if f.read().strip() == self._lock_token:
+                        os.unlink(self._lock_path)
         except OSError:
             pass
         self._lock_token = None
@@ -506,18 +520,20 @@ class IndexWriter:
         from tantivy4java_ray import storage as st
 
         self._flush()
-        base_docs = 0
-        if os.path.exists(os.path.join(self.index_dir, "manifest.json")):
-            base_docs = int(st.read_json_any(
-                st.sjoin(self.index_dir, "manifest.json"))
-                ["meta"]["stats"]["num_docs"])
         dels = []
-        for q, mark in self._delete_queries:
-            # ('abs', c): retained from a FAILED earlier commit whose
-            # adds already landed — its cutoff must not be re-based
-            dels.append((q, mark[1] if isinstance(mark, tuple)
-                         else base_docs + mark))
-        self._delete_queries = [(q, ("abs", c)) for q, c in dels]
+        if self._delete_queries:
+            base_docs = 0
+            if os.path.exists(os.path.join(self.index_dir,
+                                           "manifest.json")):
+                base_docs = int(st.read_json_any(
+                    st.sjoin(self.index_dir, "manifest.json"))
+                    ["meta"]["stats"]["num_docs"])
+            for q, mark in self._delete_queries:
+                # ('abs', c): retained from a FAILED earlier commit
+                # whose adds already landed — never re-based
+                dels.append((q, mark[1] if isinstance(mark, tuple)
+                             else base_docs + mark))
+            self._delete_queries = [(q, ("abs", c)) for q, c in dels]
         if not self._staged and not dels:
             # reference semantics: commit() always advances the opstamp,
             # even with nothing pending (getCommitOpstamp contract)

@@ -84,13 +84,18 @@ def _localize(path: str, table_path: str) -> str:
                     return meta_loc
                 # sexists, not os.path.exists: when the CALLER's path is
                 # an object-store URL the local check is always False and
-                # the remap would silently read the stale write-time URIs
+                # the remap would silently read the stale write-time URIs.
+                # Only a POSITIVE probe is cached: a finished copy never
+                # un-copies, but a False seen mid-sync (or before a copy
+                # lands) must not pin the stale original for the process
+                # lifetime — the fallback path re-probes per call.
                 key = (table_path, marker)
-                hit = _REMAP_CACHE.get(key)
-                if hit is None:
-                    hit = bool(st.sexists(cand))
-                    _REMAP_CACHE[key] = hit
-                return cand if hit else meta_loc
+                if _REMAP_CACHE.get(key):
+                    return cand
+                if st.sexists(cand):
+                    _REMAP_CACHE[key] = True
+                    return cand
+                return meta_loc
     return meta_loc
 
 

@@ -379,3 +379,26 @@ def test_localize_probes_once_per_table_marker(tmp_path):
         st.sexists = real
         ice._REMAP_CACHE.clear()
     assert st_calls["n"] == 0, st_calls
+
+
+def test_dead_lock_steal_race_single_winner():
+    """N processes racing to STEAL a pre-existing dead-pid lock: the
+    blind-unlink protocol let two stealers both win (each unlinking the
+    other's fresh claim); the verified-yank rename admits exactly one."""
+    import multiprocessing as mp
+    import time
+    idx = f"{BASE}/idx_steal_race"
+    # a genuinely dead pid: fork a child and reap it
+    child = mp.get_context("fork").Process(target=lambda: None)
+    child.start()
+    dead_pid = child.pid
+    child.join()
+    with open(idx + ".writer.lock", "w") as f:
+        f.write(f"{dead_pid}:stale-token")
+    n = 6
+    barrier_ns = time.time_ns() + int(1.5e9)
+    with mp.get_context("fork").Pool(n) as pool:
+        results = pool.map(_race_acquire, [(idx, barrier_ns)] * n)
+    assert results.count("won") == 1, results
+    assert results.count("busy") == n - 1
+    assert not os.path.exists(idx + ".writer.lock")

@@ -9,8 +9,9 @@ documents:
 - ``num_docs`` equals the model's live count
 - per-tag term match sets (mapped to each doc's unique ``n``) agree
 - a text-term match set agrees
-- deletes staged before adds still remove matching added docs (the
-  documented at-commit semantics, writer.py commit docstring)
+- deletes are OPSTAMP-ORDERED (reference ``IndexWriter.java:164``): a
+  delete affects only docs added before it was staged, plus everything
+  already committed
 - close+reopen discards pending staged files (crash-rollback), keeps
   everything committed
 """
