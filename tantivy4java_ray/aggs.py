@@ -10,7 +10,9 @@ partition, and merging is associative, so it runs as ``map_batches`` +
 driver merge with no shuffle.
 
 Supported: terms (size + optional shard_size partial truncation),
-multi_terms, histogram, date_histogram, range,
+multi_terms, histogram / date_histogram (offset incl. signed duration
+strings, min_doc_count, hard_bounds, extended_bounds, keyed — the full
+``HistogramAggregation.java:42-225`` parameter surface), range,
 min/max/sum/avg/count/value_count/stats, cardinality (HyperLogLog),
 percentiles (HDR-style log-bucket sketch, ~1% relative error), and
 ARBITRARILY NESTED sub-aggregations under any bucket agg — partial
@@ -94,6 +96,39 @@ def parse_fixed_interval(s: str) -> int:
     if not m:
         raise ValueError(f"bad fixed_interval {s!r}")
     return int(m.group(1)) * _UNIT_US[m.group(2)]
+
+
+def parse_offset_duration(s: str) -> int:
+    """date_histogram ``offset``: signed duration string ('-4h', '+1d',
+    '30m') -> microseconds (``DateHistogramAggregation.java:113-121``
+    shifts bucket boundaries by this amount)."""
+    m = re.fullmatch(r"([+-]?)(\d+)(ms|s|m|h|d)", s)
+    if not m:
+        raise ValueError(f"bad date_histogram offset {s!r}")
+    v = int(m.group(2)) * _UNIT_US[m.group(3)]
+    return -v if m.group(1) == "-" else v
+
+
+def _hist_offset_us(body: dict) -> int:
+    off = body.get("offset")
+    return parse_offset_duration(off) if off else 0
+
+
+def _validate_hist_bounds(body: dict) -> None:
+    """Contract checks shared by histogram/date_histogram
+    (``HistogramAggregation.java:116,129`` — extended_bounds cannot
+    combine with min_doc_count > 0; tantivy additionally requires
+    extended_bounds to lie inside hard_bounds when both are set)."""
+    eb, hb = body.get("extended_bounds"), body.get("hard_bounds")
+    if eb is not None and int(body.get("min_doc_count", 0)) > 0:
+        raise ValueError(
+            "extended_bounds cannot be combined with min_doc_count > 0")
+    if eb is not None and hb is not None and (
+            float(eb["min"]) < float(hb["min"])
+            or float(eb["max"]) > float(hb["max"])):
+        raise ValueError(
+            f"extended_bounds have to be inside hard_bounds, "
+            f"extended_bounds: {eb}, hard_bounds: {hb}")
 
 
 def _col_numpy(table: pa.Table, name: str) -> np.ndarray:
@@ -288,21 +323,34 @@ def _partial_one(spec: dict, table: pa.Table) -> Any:
         grp = keys[ok]
         sel = ok
     elif kind == "histogram":
+        _validate_hist_bounds(body)
         vals = pd.to_numeric(pd.Series(_col_numpy(table, body["field"])),
                              errors="coerce").to_numpy(np.float64)
         interval = float(body["interval"])
         offset = float(body.get("offset", 0.0))
         sel = ~np.isnan(vals)
+        hb = body.get("hard_bounds")
+        if hb is not None:
+            # values outside [min, max] are discarded (inclusive bounds,
+            # HistogramAggregation.java:143-147 / tantivy histogram.rs)
+            sel &= (vals >= float(hb["min"])) & (vals <= float(hb["max"]))
         bucket = (np.floor((vals[sel] - offset) / interval) * interval
                   + offset)
         grp = pd.Series(bucket)
     elif kind == "date_histogram":
+        _validate_hist_bounds(body)
         vals = _col_numpy(table, body["field"])
         ts = np.asarray(vals, "datetime64[us]").astype(np.int64)
         sel = pd.notna(pd.Series(vals)).to_numpy()
         iv = parse_fixed_interval(body.get("fixed_interval")
                                   or body.get("interval"))
-        bucket = (ts[sel] // iv) * iv
+        off = _hist_offset_us(body)
+        hb = body.get("hard_bounds")
+        if hb is not None:
+            # epoch-MILLISECOND bounds on the wire
+            # (DateHistogramAggregation.java:160-168), timestamps in µs
+            sel &= (ts >= int(hb["min"]) * 1000) & (ts <= int(hb["max"]) * 1000)
+        bucket = ((ts[sel] - off) // iv) * iv + off
         grp = pd.Series(bucket)
     elif kind == "range":
         vals = pd.to_numeric(pd.Series(_col_numpy(table, body["field"])),
@@ -475,40 +523,61 @@ def _finalize_one(spec: dict, st: Any) -> dict:
         # ranges with doc_count 0 (buckets are not sparse)
         for i in range(len(body.get("ranges", ()))):
             st.setdefault(i, {"doc_count": 0, "sub": {}})
-    elif kind in ("histogram", "date_histogram") and st \
+    elif kind in ("histogram", "date_histogram") \
             and int(body.get("min_doc_count", 0)) == 0:
         # ES/tantivy fill INTERIOR gaps between the first and last
-        # occupied bucket when min_doc_count == 0. Keys regenerate from
-        # integer bucket ordinals (j*iv + offset — the same expression
-        # the partial used), never by float accumulation, so filled
-        # keys are bit-identical to computed ones
+        # occupied bucket when min_doc_count == 0, extended to cover
+        # ``extended_bounds`` when present (which also emits buckets
+        # from an EMPTY match set). Keys regenerate from integer bucket
+        # ordinals (j*iv + offset — the same expression the partial
+        # used), never by float accumulation, so filled keys are
+        # bit-identical to computed ones
+        _validate_hist_bounds(body)
+        eb = body.get("extended_bounds")
         keys = sorted(st)
         if kind == "histogram":
             iv = float(body["interval"])
             off = float(body.get("offset", 0.0))
-            lo_j = round((keys[0] - off) / iv)
-            hi_j = round((keys[-1] - off) / iv)
-            # ES caps total buckets (search.max_buckets = 65536) instead
-            # of materializing arbitrarily wide gap fills; a single
-            # outlier key must not OOM the driver
-            if hi_j - lo_j + 1 > MAX_BUCKETS:
-                raise ValueError(
-                    f"too many buckets: histogram span {hi_j - lo_j + 1} "
-                    f"exceeds the {MAX_BUCKETS} bucket cap (interval too "
-                    "fine for the data range, or outlier keys present)")
-            for j in range(lo_j + 1, hi_j):
-                st.setdefault(j * iv + off, {"doc_count": 0, "sub": {}})
+            jays = [round((keys[0] - off) / iv),
+                    round((keys[-1] - off) / iv)] if keys else []
+            if eb is not None:
+                # bounds are VALUES; they extend to the buckets
+                # containing them (HistogramAggregation.java:126-138)
+                jays += [math.floor((float(eb["min"]) - off) / iv),
+                         math.floor((float(eb["max"]) - off) / iv)]
+            if jays:
+                lo_j, hi_j = min(jays), max(jays)
+                # ES caps total buckets (search.max_buckets = 65536)
+                # instead of materializing arbitrarily wide gap fills; a
+                # single outlier key must not OOM the driver
+                if hi_j - lo_j + 1 > MAX_BUCKETS:
+                    raise ValueError(
+                        f"too many buckets: histogram span "
+                        f"{hi_j - lo_j + 1} exceeds the {MAX_BUCKETS} "
+                        "bucket cap (interval too fine for the data "
+                        "range, or outlier keys present)")
+                for j in range(lo_j, hi_j + 1):
+                    st.setdefault(j * iv + off, {"doc_count": 0, "sub": {}})
         else:
             iv = parse_fixed_interval(body.get("fixed_interval")
                                       or body.get("interval"))
-            span = (int(keys[-1]) - int(keys[0])) // iv + 1
-            if span > MAX_BUCKETS:
-                raise ValueError(
-                    f"too many buckets: date_histogram span {span} exceeds "
-                    f"the {MAX_BUCKETS} bucket cap (fixed_interval too fine "
-                    "for the time range, or sentinel timestamps present)")
-            for k in range(int(keys[0]) + iv, int(keys[-1]), iv):
-                st.setdefault(k, {"doc_count": 0, "sub": {}})
+            off = _hist_offset_us(body)
+            ends = [int(keys[0]), int(keys[-1])] if keys else []
+            if eb is not None:
+                # epoch-ms bounds snapped onto the offset grid
+                ends += [(int(eb["min"]) * 1000 - off) // iv * iv + off,
+                         (int(eb["max"]) * 1000 - off) // iv * iv + off]
+            if ends:
+                lo_k, hi_k = min(ends), max(ends)
+                span = (hi_k - lo_k) // iv + 1
+                if span > MAX_BUCKETS:
+                    raise ValueError(
+                        f"too many buckets: date_histogram span {span} "
+                        f"exceeds the {MAX_BUCKETS} bucket cap "
+                        "(fixed_interval too fine for the time range, or "
+                        "sentinel timestamps present)")
+                for k in range(lo_k, hi_k + 1, iv):
+                    st.setdefault(k, {"doc_count": 0, "sub": {}})
     if kind in ("histogram", "date_histogram"):
         mdc = int(body.get("min_doc_count", 0))
         if mdc > 0:
@@ -529,6 +598,10 @@ def _finalize_one(spec: dict, st: Any) -> dict:
         for n, s in sub.items():
             b[n] = _finalize_one(s, v["sub"].get(n))
         buckets.append(b)
+    if body.get("keyed") and kind in ("histogram", "date_histogram"):
+        # keyed map output (HistogramAggregation.java:154-162); each
+        # entry keeps its "key" field, ES keyed-response shape
+        return {"buckets": {str(b["key"]): b for b in buckets}}
     return {"buckets": buckets}
 
 

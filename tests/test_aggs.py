@@ -346,3 +346,116 @@ def test_percentile_ranks_concentrated():
     assert abs(out["r"]["values"]["5"] - 100 * 100 / 101) < 2.0
     # 4.9 lies below 5.0's bucket lower bound -> nothing at or below it
     assert out["r"]["values"]["4.9"] < 2.0
+
+
+# ---------------------------------------------------------------------------
+# histogram parameter surface: hard_bounds / extended_bounds / keyed /
+# date offset (HistogramAggregation.java:42-225,
+# DateHistogramAggregationTest.java:381-439)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("split", [None, 33])
+def test_histogram_hard_bounds(table, split):
+    # prices are i*1.5: [30, 89.9] keeps i=20..59, inclusive bounds
+    out = run({"h": {"histogram": {
+        "field": "price", "interval": 30.0,
+        "hard_bounds": {"min": 30.0, "max": 89.9}}}}, table, split)
+    assert [(b["key"], b["doc_count"]) for b in out["h"]["buckets"]] == [
+        (30.0, 20), (60.0, 20)]
+
+
+@pytest.mark.parametrize("split", [None, 50])
+def test_histogram_extended_bounds(table, split):
+    out = run({"h": {"histogram": {
+        "field": "price", "interval": 30.0,
+        "extended_bounds": {"min": -60.0, "max": 210.0}}}}, table, split)
+    got = [(b["key"], b["doc_count"]) for b in out["h"]["buckets"]]
+    # data occupies 0..120; bounds extend with empty buckets on both ends
+    assert got == [(-60.0, 0), (-30.0, 0), (0.0, 20), (30.0, 20),
+                   (60.0, 20), (90.0, 20), (120.0, 20), (150.0, 0),
+                   (180.0, 0), (210.0, 0)]
+
+
+def test_histogram_extended_bounds_empty_match(table):
+    # extended_bounds emits its bucket grid even with NO data at all
+    out = run({"h": {"histogram": {
+        "field": "price", "interval": 50.0,
+        "extended_bounds": {"min": 0.0, "max": 149.0}}}}, table.slice(0, 0))
+    assert [(b["key"], b["doc_count"]) for b in out["h"]["buckets"]] == [
+        (0.0, 0), (50.0, 0), (100.0, 0)]
+
+
+def test_histogram_bounds_validation(table):
+    with pytest.raises(ValueError, match="min_doc_count"):
+        run({"h": {"histogram": {
+            "field": "price", "interval": 50.0, "min_doc_count": 1,
+            "extended_bounds": {"min": 0.0, "max": 10.0}}}}, table)
+    with pytest.raises(ValueError, match="inside hard_bounds"):
+        run({"h": {"histogram": {
+            "field": "price", "interval": 50.0,
+            "hard_bounds": {"min": 0.0, "max": 10.0},
+            "extended_bounds": {"min": 0.0, "max": 20.0}}}}, table)
+
+
+def test_histogram_keyed(table):
+    out = run({"h": {"histogram": {"field": "price", "interval": 50.0,
+                                   "keyed": True}}}, table)
+    bk = out["h"]["buckets"]
+    assert isinstance(bk, dict)
+    assert set(bk) == {"0.0", "50.0", "100.0"}
+    assert bk["50.0"] == {"key": 50.0, "doc_count": 33}
+
+
+def test_date_histogram_offset(table):
+    # daily docs at 00:00; a -12h offset puts each in the PREVIOUS
+    # day's 12:00 bucket
+    out = run({"d": {"date_histogram": {
+        "field": "published", "fixed_interval": "1d",
+        "offset": "-12h"}}}, table)
+    bs = out["d"]["buckets"]
+    assert len(bs) == 100
+    assert bs[0]["key"].startswith("2022-12-31T12:00:00")
+    assert all(b["doc_count"] == 1 for b in bs)
+
+
+def test_date_histogram_hard_and_extended_bounds(table):
+    import numpy as np
+    day_ms = 86_400_000
+    base_ms = int(np.datetime64("2023-01-01", "ms").astype(np.int64))
+    # hard_bounds keep only the first 3 days (epoch-MILLISECOND wire
+    # form, DateHistogramAggregation.java:160-168)
+    out = run({"d": {"date_histogram": {
+        "field": "published", "fixed_interval": "1d",
+        "hard_bounds": {"min": base_ms, "max": base_ms + 2 * day_ms}}}},
+        table, split=33)
+    assert [b["doc_count"] for b in out["d"]["buckets"]] == [1, 1, 1]
+    # extended_bounds emit 2 empty leading days before the data
+    out = run({"d": {"date_histogram": {
+        "field": "published", "fixed_interval": "1d",
+        "extended_bounds": {"min": base_ms - 2 * day_ms,
+                            "max": base_ms}}}}, table)
+    bs = out["d"]["buckets"]
+    assert len(bs) == 102
+    assert bs[0]["key"].startswith("2022-12-30")
+    assert bs[0]["doc_count"] == 0 and bs[1]["doc_count"] == 0
+    assert bs[2]["doc_count"] == 1
+
+
+def test_date_histogram_keyed_with_subagg(table):
+    out = run({"d": {"date_histogram": {
+        "field": "published", "fixed_interval": "1d", "keyed": True},
+        "aggs": {"p": {"avg": {"field": "price"}}}}}, table)
+    bk = out["d"]["buckets"]
+    assert isinstance(bk, dict) and len(bk) == 100
+    k0 = min(bk)
+    assert k0.startswith("2023-01-01")
+    assert bk[k0]["doc_count"] == 1 and bk[k0]["p"]["value"] == 0.0
+
+
+def test_parse_offset_duration():
+    from tantivy4java_ray.aggs import parse_offset_duration
+    assert parse_offset_duration("-4h") == -4 * 3_600_000_000
+    assert parse_offset_duration("+1d") == 86_400_000_000
+    assert parse_offset_duration("30m") == 30 * 60_000_000
+    with pytest.raises(ValueError):
+        parse_offset_duration("4 hours")
