@@ -10,9 +10,33 @@ scores and wrap matched tokens in ``<b>..</b>``.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field as dc_field
 
 from tantivy4java_ray.analyzer import get_analyzer
 from tantivy4java_ray.query import Occur, Query
+
+
+@dataclass
+class Snippet:
+    """Fragment + highlight ranges (``query/Snippet.java:46-68`` —
+    ``getFragment()`` is the raw window, ``getHighlighted()`` the
+    [start, end) character ranges INTO the fragment, ``toHtml()`` the
+    ``<b>``-marked rendering)."""
+
+    fragment: str
+    highlighted: list[tuple[int, int]] = dc_field(default_factory=list)
+
+    def to_html(self) -> str:
+        out: list[str] = []
+        pos = 0
+        for s, e in self.highlighted:
+            out.append(self.fragment[pos:s])
+            out.append("<b>")
+            out.append(self.fragment[s:e])
+            out.append("</b>")
+            pos = e
+        out.append(self.fragment[pos:])
+        return "".join(out)
 
 
 def _collect_terms(q: Query, field: str) -> set[str]:
@@ -75,14 +99,19 @@ class SnippetGenerator:
 
     def snippet_from_text(self, text: str | None) -> str:
         """-> highlighted best fragment ('' when nothing matches)."""
+        return self.snippet(text).to_html()
+
+    def snippet(self, text: str | None) -> Snippet:
+        """-> :class:`Snippet` (fragment + highlight ranges), the
+        ``snippetFromDoc`` analog."""
         if not text:
-            return ""
+            return Snippet("")
         matches = []
         for m in self._tok_re.finditer(text):
             if self._norm(m.group(0)) in self.terms:
                 matches.append((m.start(), m.end()))
         if not matches:
-            return ""
+            return Snippet("")
         # best window: maximize number of matched tokens within max_chars
         best_i, best_n = 0, 0
         j = 0
@@ -112,20 +141,14 @@ class SnippetGenerator:
                 break
         frag_end = min(len(text), frag_start + self.max_chars)
         frag = text[frag_start:frag_end]
-        out = []
-        pos = 0
+        ranges = []
         for s, e in matches:
             s -= frag_start
             e -= frag_start
             if s < 0 or e > len(frag):
                 continue
-            out.append(frag[pos:s])
-            out.append("<b>")
-            out.append(frag[s:e])
-            out.append("</b>")
-            pos = e
-        out.append(frag[pos:])
-        return "".join(out)
+            ranges.append((s, e))
+        return Snippet(frag, ranges)
 
 
 def highlight_hits(reader, query: Query, doc_ids, *, field: str = "text",

@@ -357,3 +357,23 @@ def test_more_like_this_matches_sql_oracle(ray_session, sf_dir):
     orc = con.sql(m.oracle_sql()["more_like_this"]).df()
     assert np.array_equal(mine["doc_id"].to_numpy(np.int64),
                           orc["doc_id"].to_numpy(np.int64))
+
+
+def test_snippet_object_fragment_and_ranges():
+    # Snippet.java:46-68 shape: getFragment (raw), getHighlighted
+    # ([start,end) ranges into the fragment), toHtml (markup rendering)
+    from tantivy4java_ray.functions.snippet import Snippet, SnippetGenerator
+    from tantivy4java_ray.query import Query
+
+    gen = SnippetGenerator(Query.term("text", "fox"), "text")
+    sn = gen.snippet("the quick brown fox jumps over the lazy fox dog")
+    assert isinstance(sn, Snippet)
+    assert "<b>" not in sn.fragment
+    assert [sn.fragment[s:e] for s, e in sn.highlighted] == ["fox", "fox"]
+    assert sn.to_html() == gen.snippet_from_text(
+        "the quick brown fox jumps over the lazy fox dog")
+    assert sn.to_html().count("<b>fox</b>") == 2
+    # no match -> empty snippet, all surfaces agree
+    empty = gen.snippet("nothing here")
+    assert empty.fragment == "" and empty.highlighted == []
+    assert empty.to_html() == ""
