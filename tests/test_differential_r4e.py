@@ -161,13 +161,29 @@ def _check_agg(res: dict, sub: pd.DataFrame, spec: dict) -> None:
                     assert b["v"]["value"] == pytest.approx(
                         float(grp.mean()), rel=1e-12), b
         elif "histogram" in s:
-            interval = s["histogram"]["interval"]
-            keys = (np.floor(sub["value"].to_numpy() / interval)
-                    * interval)
+            body = s["histogram"]
+            interval = body["interval"]
+            off = float(body.get("offset", 0.0))
+            v = sub["value"].to_numpy(np.float64)
+            hb = body.get("hard_bounds")
+            if hb is not None:
+                v = v[(v >= hb["min"]) & (v <= hb["max"])]
+            keys = np.floor((v - off) / interval) * interval + off
             want = pd.Series(keys).value_counts().to_dict()
             got = {float(b["key"]): b["doc_count"]
                    for b in r["buckets"] if b["doc_count"] > 0}
             assert got == {float(k): int(c) for k, c in want.items()}, name
+            bkeys = sorted(float(b["key"]) for b in r["buckets"])
+            eb = body.get("extended_bounds")
+            if eb is not None:
+                import math
+                lo = math.floor((eb["min"] - off) / interval) * interval + off
+                hi = math.floor((eb["max"] - off) / interval) * interval + off
+                # the grid covers the bounds even when the match set is
+                # empty, and every emitted key sits on the offset grid
+                assert bkeys and bkeys[0] <= lo and bkeys[-1] >= hi, name
+            if len(bkeys) > 1:
+                assert np.allclose(np.diff(bkeys), interval), name
         elif "stats" in s:
             v = sub["value"]
             assert r["count"] == len(v)
@@ -189,6 +205,10 @@ _SPECS = [
            "aggs": {"v": {"avg": {"field": "value"}}}}},
     {"t": {"terms": {"field": "event_type", "size": 10}}},
     {"h": {"histogram": {"field": "value", "interval": 12.5}}},
+    {"hb": {"histogram": {"field": "value", "interval": 20.0, "offset": 5.0,
+            "hard_bounds": {"min": 10.0, "max": 180.0}}}},
+    {"he": {"histogram": {"field": "value", "interval": 25.0,
+            "extended_bounds": {"min": -50.0, "max": 250.0}}}},
     {"s": {"stats": {"field": "value"}}},
     {"c": {"value_count": {"field": "user_id"}}},
     {"s": {"stats": {"field": "value"}},
