@@ -104,8 +104,15 @@ def _isin_sorted(values: np.ndarray, sorted_ref: np.ndarray) -> np.ndarray:
 
 def _perm_params(num_perm: int, seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(_MERSENNE), num_perm, dtype=np.uint64)
-    b = rng.integers(0, int(_MERSENNE), num_perm, dtype=np.uint64)
+    # odd multipliers: (a*x + b) mod 2^64 with odd ``a`` is the
+    # multiply-shift universal family (Dietzfelbinger et al.) — the min
+    # over the full 64-bit word is governed by the product's well-mixed
+    # HIGH bits, so no reduction mod a Mersenne prime is needed (the
+    # old shift-fold cost 5 extra memory passes per perm chunk and, on
+    # a value already wrapped mod 2^64, added no independence anyway)
+    a = rng.integers(1, np.iinfo(np.uint64).max, num_perm,
+                     dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, np.iinfo(np.uint64).max, num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -154,9 +161,11 @@ def _batch_shingle_hashes(texts: list, k: int
     # valid window starts per doc: counts_i - k + 1 (min 1 if any tokens)
     sh_counts = np.maximum(counts - (k - 1), np.minimum(counts, 1))
     sh_off = np.concatenate(([0], np.cumsum(sh_counts, dtype=np.int64)))
-    keep = np.zeros(m, bool)
-    for d in np.flatnonzero(counts):
-        keep[tok_off[d]:tok_off[d] + sh_counts[d]] = True
+    # token i is a valid window start iff its position within its doc is
+    # < that doc's window count (vectorized; was a per-doc slice loop)
+    pos_in_doc = np.arange(m, dtype=np.int64) - np.repeat(tok_off[:-1],
+                                                          counts)
+    keep = pos_in_doc < np.repeat(sh_counts, counts)
     return sh_off, acc[keep]
 
 
@@ -192,26 +201,19 @@ class MinHasher:
             vdocs = np.flatnonzero(valid)
             vc = counts[vdocs].astype(np.int64)
             seg_starts = np.concatenate(([0], np.cumsum(vc)[:-1]))
-            sixty_one = np.uint64(61)
             chunk = 32  # perms at a time: bounds memory at |shingles|*32*8B
-            fold = np.empty((len(h), chunk), np.uint64)
+            vals = np.empty((len(h), chunk), np.uint64)
             for c0 in range(0, self.num_perm, chunk):
                 c1 = min(c0 + chunk, self.num_perm)
-                vals = h[:, None] * self.a[None, c0:c1]
-                vals += self.b[None, c0:c1]
-                # exact x mod (2^61-1) via shift-fold, all IN PLACE —
-                # each (shingles x chunk) temporary is ~100 MB at batch
-                # scale, and the extra allocations/passes dominated the
-                # u64 math itself (u64 division would be worse still)
-                f = fold[:, :c1 - c0]
-                np.right_shift(vals, sixty_one, out=f)
-                vals &= _MERSENNE
-                vals += f
-                np.subtract(vals, _MERSENNE, out=vals,
-                            where=vals >= _MERSENNE)
+                v = vals[:, :c1 - c0]
+                # (a*x + b) mod 2^64, odd a — see _perm_params; two
+                # memory passes per chunk (the old Mersenne shift-fold
+                # was seven and dominated the stage wall time)
+                np.multiply(h[:, None], self.a[None, c0:c1], out=v)
+                v += self.b[None, c0:c1]
                 # per-doc minima: segments are contiguous -> reduceat
                 # (minimum.at is the slow unbuffered path)
-                sigs[:, c0:c1] = np.minimum.reduceat(vals, seg_starts,
+                sigs[:, c0:c1] = np.minimum.reduceat(v, seg_starts,
                                                      axis=0)
         return valid, sigs
 

@@ -377,3 +377,23 @@ def test_snippet_object_fragment_and_ranges():
     empty = gen.snippet("nothing here")
     assert empty.fragment == "" and empty.highlighted == []
     assert empty.to_html() == ""
+
+
+def test_minhash_estimator_statistics():
+    # the (a*x+b) mod 2^64 odd-multiplier family must yield an
+    # (empirically) unbiased Jaccard estimator with ~sqrt(J(1-J)/P)
+    # spread — guards the hash family against a regression that biases
+    # collision probabilities (e.g. even multipliers, low-bit structure)
+    from tantivy4java_ray.functions.dedup import MinHasher
+    mh = MinHasher("text", "doc_id", 128, 16, 1)
+    errs = []
+    for trial in range(30):
+        shared = [f"s{trial}_{i}" for i in range(60)]
+        a = shared + [f"a{trial}_{i}" for i in range(30)]
+        b = shared + [f"b{trial}_{i}" for i in range(30)]
+        _, s = mh._signatures([" ".join(a), " ".join(b)])
+        errs.append(float((s[0] == s[1]).mean()) - 0.5)  # true J = 0.5
+    bias = float(np.mean(errs))
+    rmse = float(np.sqrt(np.mean(np.square(errs))))
+    assert abs(bias) < 0.03, bias      # unbiased within noise
+    assert rmse < 0.09, rmse           # ~2x theoretical 0.044
