@@ -78,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
 
     v = sub.add_parser("validate")
     v.add_argument("index_dir")
+    v.add_argument("--deep", action="store_true",
+                   help="also re-CRC every artifact against the "
+                        "checksums.json sidecar (see `checksum`)")
+
+    ck = sub.add_parser("checksum", help="generate the checksums.json "
+                                         "integrity sidecar (one CRC32 "
+                                         "streaming pass per artifact)")
+    ck.add_argument("index_dir")
 
     i = sub.add_parser("info")
     i.add_argument("index_dir")
@@ -178,8 +186,18 @@ def _dispatch(args) -> int:
     elif args.cmd == "validate":
         from tantivy4java_ray.pipelines.search import validate_index
         problems = validate_index(_maybe_split(args.index_dir))
+        if args.deep:
+            from tantivy4java_ray.pipelines.integrity import \
+                verify_checksums
+            problems += verify_checksums(_maybe_split(args.index_dir))
         print(json.dumps({"valid": not problems, "problems": problems}))
         return 1 if problems else 0
+    elif args.cmd == "checksum":
+        from tantivy4java_ray.pipelines.integrity import write_checksums
+        side = write_checksums(_maybe_split(args.index_dir))
+        print(json.dumps({
+            "files": len(side["files"]),
+            "total_bytes": sum(f["size"] for f in side["files"].values())}))
     elif args.cmd == "info":
         from tantivy4java_ray.pipelines.search import read_index_metadata
         print(json.dumps(read_index_metadata(_maybe_split(args.index_dir)),

@@ -170,5 +170,15 @@ class Index:
     def metadata(self) -> dict:
         return read_index_metadata(self.index_dir)
 
-    def validate(self) -> list[str]:
-        return validate_index(self.index_dir)
+    def validate(self, deep: bool = False) -> list[str]:
+        problems = validate_index(self.index_dir)
+        if deep:
+            from tantivy4java_ray.pipelines.integrity import \
+                verify_checksums
+            problems = problems + verify_checksums(self.index_dir)
+        return problems
+
+    def write_checksums(self) -> dict:
+        """Generate the ``checksums.json`` integrity sidecar."""
+        from tantivy4java_ray.pipelines.integrity import write_checksums
+        return write_checksums(self.index_dir)

@@ -1,0 +1,113 @@
+"""Artifact integrity: per-file CRC32 sidecar + deep validation.
+
+Analog of tantivy's per-file checksum footers and the reference's split
+validation (``QuickwitSplit.java:140-158`` records corrupt inputs; each
+tantivy file carries a crc32 the reader can verify). Our artifacts are
+immutable once committed, so integrity is a SIDECAR (``checksums.json``
+at the index root) generated after commit — the hot build path never
+pays an extra pass, and a 100 TB index can (re)generate or verify the
+sidecar as a distributed map over files, one streaming read each.
+
+Staleness: the sidecar records the manifest's own crc32; a rebuild or
+merge that swaps the manifest makes the old sidecar verifiably stale
+instead of silently wrong.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+from tantivy4java_ray import storage as st
+
+SIDECAR = "checksums.json"
+_CHUNK = 8 << 20  # streaming read granularity
+
+
+def _crc_file(path: str) -> tuple[int, int]:
+    """-> (size_bytes, crc32) via one streaming pass."""
+    crc = 0
+    n = 0
+    with st.sopen(path, "rb") as f:
+        while True:
+            buf = f.read(_CHUNK)
+            if not buf:
+                break
+            crc = zlib.crc32(buf, crc)
+            n += len(buf)
+    return n, crc
+
+
+def index_files(index_dir: str) -> list[str]:
+    """Relative paths of every committed artifact (sidecar excluded;
+    temp/staging names never appear in a committed tree)."""
+    return sorted(r for r in st.swalk_files(index_dir) if r != SIDECAR)
+
+
+def compute_checksums(index_dir: str) -> dict:
+    """CRC32 every artifact — one Ray task per file when a session is
+    live (the 100 TB path: files live on object storage, each task
+    streams only its own file), serial otherwise."""
+    rels = index_files(index_dir)
+    paths = [st.sjoin(index_dir, r) for r in rels]
+    try:
+        import ray
+        use_ray = ray.is_initialized() and len(paths) > 1
+    except Exception:
+        use_ray = False
+    if use_ray:
+        import ray
+        f = ray.remote(num_cpus=0.5)(_crc_file)
+        sizes_crcs = ray.get([f.remote(p) for p in paths])
+    else:
+        sizes_crcs = [_crc_file(p) for p in paths]
+    return {r: {"size": s, "crc32": c}
+            for r, (s, c) in zip(rels, sizes_crcs)}
+
+
+def write_checksums(index_dir: str) -> dict:
+    """Generate and atomically persist the sidecar; returns it."""
+    files = compute_checksums(index_dir)
+    manifest_rel = "manifest.json"
+    side = {"version": 1,
+            "manifest_crc32": files.get(manifest_rel, {}).get("crc32"),
+            "files": files}
+    st.write_bytes_atomic(
+        json.dumps(side, indent=1, sort_keys=True).encode(),
+        st.sjoin(index_dir, SIDECAR))
+    return side
+
+
+def verify_checksums(index_dir: str) -> list[str]:
+    """-> problems (empty = every artifact matches the sidecar).
+
+    Reported classes: missing sidecar, stale sidecar (manifest changed
+    since generation), missing/extra files, size mismatch, crc mismatch.
+    """
+    side_path = st.sjoin(index_dir, SIDECAR)
+    if not st.sexists(side_path):
+        return [f"{SIDECAR} absent — run `checksum` to generate it"]
+    side = st.read_json_any(side_path)
+    recorded = side.get("files", {})
+    problems: list[str] = []
+    # re-crc everything with the same (Ray-distributed when live)
+    # machinery the generator used
+    current = compute_checksums(index_dir)
+    man = current.get("manifest.json", {})
+    if man.get("crc32") != side.get("manifest_crc32"):
+        problems.append(
+            f"{SIDECAR} stale: manifest.json changed since the sidecar "
+            "was generated (rebuild/merge without re-running checksum)")
+        return problems
+    for rel in sorted(set(recorded) - set(current)):
+        problems.append(f"{rel}: missing (recorded in {SIDECAR})")
+    for rel in sorted(set(current) - set(recorded)):
+        problems.append(f"{rel}: not in {SIDECAR} (extra file)")
+    for rel in sorted(set(current) & set(recorded)):
+        got, want = current[rel], recorded[rel]
+        if got["size"] != want["size"]:
+            problems.append(f"{rel}: size {got['size']} != recorded "
+                            f"{want['size']} (truncated or replaced)")
+        elif got["crc32"] != want["crc32"]:
+            problems.append(f"{rel}: crc32 mismatch (corrupt payload)")
+    return problems
