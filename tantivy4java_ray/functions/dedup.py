@@ -26,7 +26,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_MERSENNE = np.uint64((1 << 61) - 1)
 
 
 # ---------------------------------------------------------------------------
