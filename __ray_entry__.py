@@ -741,6 +741,20 @@ def q_dedup_exact(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_paragraph(sf_dir: str):
+    """CCNet-style corpus-wide keep-first duplicate-paragraph removal
+    with doc reassembly. The synthetic corpus has no newlines, so the
+    separator is driven through a frequent token (' the ', present in
+    ~75% of docs, mean 2.5 segments/doc at sf0.01) to exercise real
+    multi-segment explode/dedup/reassemble behavior."""
+    import ray.data
+    from tantivy4java_ray.functions.dedup import paragraph_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = paragraph_dedup(ds, "text", "doc_id", sep=" the ").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_minhash(sf_dir: str):
     # scale path end-to-end: survivors stay a Dataset (filtered inside
     # map_batches against the broadcast drop set); nothing but the
@@ -1002,6 +1016,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": q_language_id,
         "quality": q_quality,
         "dedup_minhash": q_dedup_minhash,
+        # entry #51: outside the driver's 50-row window by design —
+        # verified by scripts/check_oracle.py (oracled) and pytest
+        # (tests/test_paragraph_dedup.py incl. DuckDB differentials)
+        "dedup_paragraph": q_dedup_paragraph,
     }
 
 
@@ -1294,6 +1312,30 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value DESC, event_id LIMIT 20",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # keep-first duplicate-paragraph removal + reassembly; empty
+        # segments never dedup (they keep their slots); first occurrence
+        # = min (doc_id, segment index)
+        "dedup_paragraph": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' the ')) AS para,
+                     unnest(range(len(string_split(text, ' the ')))) AS i
+              FROM documents
+            ), firsts AS (
+              SELECT para, min(doc_id * 100000 + i) AS fk
+              FROM ex WHERE len(para) > 0 GROUP BY para
+            ), kept AS (
+              SELECT e.doc_id, e.para, e.i
+              FROM ex e LEFT JOIN firsts f ON e.para = f.para
+              WHERE len(e.para) = 0 OR e.doc_id * 100000 + e.i = f.fk
+            )
+            SELECT d.doc_id,
+                   coalesce((SELECT string_agg(k.para, ' the '
+                                               ORDER BY k.i)
+                             FROM kept k WHERE k.doc_id = d.doc_id), '')
+                       AS text
+            FROM documents d ORDER BY d.doc_id
+        """,
         # exhaustive all-pairs word-3-gram Jaccard; the Ray side prunes
         # via LSH buckets but must return the identical pair set/values
         "dedup_ngram_jaccard": r"""

@@ -786,3 +786,112 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
     return (pd.DataFrame({"a": a[keep], "b": b[keep],
                           "cosine": cos[keep].astype(np.float64)})
             .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (CCNet / RefinedWeb-style keep-first)
+# ---------------------------------------------------------------------------
+
+def _paragraph_keys(t: pa.Table, col: str, id_col: str,
+                    sep: str) -> pa.Table:
+    """Explode NONEMPTY paragraphs -> ``(id, __pidx, __h, __h2)``.
+
+    32 bytes + id per paragraph; the text never rides the dedup
+    shuffle. ``__pidx`` is the paragraph's index within its doc under
+    ``text.split(sep)`` (empty segments keep their slot so reassembly
+    preserves layout)."""
+    import pyarrow.compute as pc
+    c = t.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    lists = pc.split_pattern(c, sep)       # exact separator, not regex
+    flat = pc.list_flatten(lists)          # null docs contribute nothing
+    parents = np.asarray(pc.list_parent_indices(lists)
+                         .to_numpy(zero_copy_only=False), np.int64)
+    if len(parents):
+        change = np.empty(len(parents), bool)
+        change[0] = True
+        np.not_equal(parents[1:], parents[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        runs = np.diff(np.append(starts, len(parents)))
+        pidx = (np.arange(len(parents), dtype=np.int64)
+                - np.repeat(starts, runs))
+    else:
+        pidx = np.empty(0, np.int64)
+    keep = np.asarray(pc.binary_length(flat)
+                      .to_numpy(zero_copy_only=False), np.int64) > 0
+    paras = flat.filter(pa.array(keep))
+    # same injective NUL escape + dual independent siphash as exact_dedup
+    paras = pc.replace_substring(
+        paras, "\N{REPLACEMENT CHARACTER}", "\N{REPLACEMENT CHARACTER}1")
+    paras = pc.replace_substring(
+        paras, "\x00", "\N{REPLACEMENT CHARACTER}0")
+    vals = np.asarray(paras.to_numpy(zero_copy_only=False), object)
+    h1 = pd.util.hash_array(vals).view(np.int64)
+    h2 = pd.util.hash_array(vals, hash_key=_DEDUP_KEY2).view(np.int64)
+    ids = t.column(id_col).take(pa.array(parents[keep]))
+    return pa.table({id_col: ids,
+                     "__pidx": pa.array(pidx[keep]),
+                     "__h": pa.array(h1, pa.int64()),
+                     "__h2": pa.array(h2, pa.int64())})
+
+
+def paragraph_dedup(ds, col: str, id_col: str, *, sep: str = "\n"):
+    """Corpus-wide exact-duplicate PARAGRAPH removal, keeping the first
+    occurrence in ``(id, paragraph_index)`` order and reassembling each
+    doc with ``sep`` (CCNet-style paragraph dedup; the reference has no
+    analog — SURVEY §2.7 class). Empty segments (consecutive
+    separators) never participate, so the doc's layout is preserved.
+
+    -> Dataset of ``(id_col, col)`` with duplicate paragraphs removed.
+
+    Scale: the dedup shuffle carries 32 B + id per nonempty paragraph
+    (hashes only); duplicate MARKERS ``(id, pidx)`` — proportional to
+    duplicates, not the corpus — then meet the text again in one
+    ``groupby(id)`` reassembly pass. The corpus text moves through
+    exactly one shuffle, the irreducible cost of a reassembling dedup.
+    """
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        # one __h group; true identity is the 128-bit (__h, __h2) pair
+        srt = g.sort_values(["__h2", id_col, "__pidx"], kind="stable")
+        first = srt["__h2"].ne(srt["__h2"].shift())
+        d = srt[~first.to_numpy()]
+        return pd.DataFrame({id_col: d[id_col].to_numpy(),
+                             "__pidx": d["__pidx"].to_numpy()})
+
+    marks = (ds.map_batches(
+                lambda t: _paragraph_keys(t, col, id_col, sep),
+                batch_format="pyarrow")
+               .groupby("__h")
+               .map_groups(losers, batch_format="pandas"))
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "__pidx": pa.array(np.full(t.num_rows, -1, np.int64)),
+            col: t.column(col)})
+
+    def tag_marks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "__pidx": t.column("__pidx").cast(pa.int64()),
+            col: pa.array([None] * t.num_rows, pa.string())})
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["__pidx"] < 0]
+        text = doc[col].iloc[0]
+        drops = set(g.loc[g["__pidx"] >= 0, "__pidx"].astype(int))
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            new = ""
+        elif drops:
+            new = sep.join(p for j, p in enumerate(text.split(sep))
+                           if j not in drops)
+        else:
+            new = text
+        return pd.DataFrame({id_col: doc[id_col].iloc[:1],
+                             col: [new]})
+
+    return (ds.map_batches(tag_docs, batch_format="pyarrow")
+              .union(marks.map_batches(tag_marks, batch_format="pyarrow"))
+              .groupby(id_col)
+              .map_groups(rebuild, batch_format="pandas"))

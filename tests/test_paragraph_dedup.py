@@ -1,0 +1,97 @@
+"""Paragraph-level exact dedup (CCNet-style keep-first) vs hand oracle
+and a DuckDB differential on a random multi-paragraph corpus."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tantivy4java_ray.functions.dedup import paragraph_dedup
+
+
+def _run(ds, **kw):
+    out = paragraph_dedup(ds, "text", "doc_id", **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_paragraph_dedup_keep_first(ray_session):
+    import ray.data
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha\nbeta\ngamma",
+                 "beta\ndelta\nalpha",       # beta+alpha seen in doc 1
+                 "delta\nepsilon"],          # delta seen in doc 2
+    })
+    out = _run(ray.data.from_pandas(docs))
+    assert out["text"].tolist() == [
+        "alpha\nbeta\ngamma", "delta", "epsilon"]
+
+
+def test_within_doc_duplicates_and_empties(ray_session):
+    import ray.data
+    docs = pd.DataFrame({
+        "doc_id": [7],
+        # 'x' repeats within the doc; empty segments (double \n and a
+        # trailing \n) must keep their slots
+        "text": ["x\n\nx\ny\n"],
+    })
+    out = _run(ray.data.from_pandas(docs))
+    # segments [x, '', x, y, '']: the duplicate 'x' at index 2 is
+    # removed WITH its separator slot (string_agg semantics); empties
+    # keep theirs
+    assert out["text"].tolist() == ["x\n\ny\n"]
+
+
+def test_multichar_separator_and_null_text(ray_session):
+    import ray.data
+    import pyarrow as pa
+    docs = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "text": pa.array(["a||b||a", "b||c", None])})
+    out = _run(ray.data.from_arrow(docs), sep="||")
+    assert out["text"].tolist() == ["a||b", "c", ""]
+
+
+def test_no_duplicates_is_identity(ray_session):
+    import ray.data
+    docs = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["p q r\ns t", "u v\nw"]})
+    out = _run(ray.data.from_pandas(docs))
+    assert out["text"].tolist() == docs["text"].tolist()
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_duckdb_differential_random_corpus(ray_session, seed):
+    import ray.data
+    rng = np.random.default_rng(seed)
+    paras = [f"para {i} " + " ".join(
+        f"w{rng.integers(0, 40)}" for _ in range(4)) for i in range(25)]
+    texts = []
+    for _ in range(60):
+        k = int(rng.integers(1, 6))
+        texts.append("\n".join(
+            paras[int(rng.integers(0, len(paras)))] for _ in range(k)))
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                         "text": texts})
+    mine = _run(ray.data.from_pandas(docs))
+    ref = duckdb.sql("""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS para,
+                 unnest(range(len(string_split(text, chr(10))))) AS i
+          FROM docs
+        ), firsts AS (
+          SELECT para, min(doc_id * 100000 + i) AS fk
+          FROM ex WHERE len(para) > 0 GROUP BY para
+        ), kept AS (
+          SELECT e.doc_id, e.para, e.i
+          FROM ex e LEFT JOIN firsts f ON e.para = f.para
+          WHERE len(e.para) = 0 OR e.doc_id * 100000 + e.i = f.fk
+        )
+        SELECT d.doc_id,
+               coalesce((SELECT string_agg(k.para, chr(10) ORDER BY k.i)
+                         FROM kept k WHERE k.doc_id = d.doc_id), '')
+                   AS text
+        FROM docs d ORDER BY d.doc_id
+    """).fetchdf()
+    assert mine["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert mine["text"].tolist() == ref["text"].tolist()
