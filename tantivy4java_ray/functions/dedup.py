@@ -836,40 +836,143 @@ def _paragraph_keys(t: pa.Table, col: str, id_col: str,
                      "__h2": pa.array(h2, pa.int64())})
 
 
-def paragraph_dedup(ds, col: str, id_col: str, *, sep: str = "\n"):
+def _keepfirst_losers(keys, id_col: str):
+    """All ``(id, __pidx)`` rows that are NOT the first occurrence of
+    their 128-bit ``(__h, __h2)`` group, first = min ``(id, __pidx)``.
+
+    ONE range-sort shuffle of the 32 B/row key table, then per-block
+    VECTORIZED run scanning (no per-group Python calls — a corpus has
+    ~one group per distinct paragraph). A block's first and last runs
+    may continue in neighbouring blocks, so each such run resolves its
+    block-local rows immediately (non-minimal rows lose to the local
+    min regardless of neighbours) and emits only its LOCAL MIN as an
+    edge fragment — driver traffic is O(blocks), even for a boilerplate
+    paragraph duplicated across the whole corpus."""
+    import ray.data
+
+    def block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n = len(df)
+        if n == 0:
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             id_col: t.column(id_col),
+                             "__pidx": pa.array([], pa.int64()),
+                             "__h": pa.array([], pa.int64()),
+                             "__h2": pa.array([], pa.int64())})
+        srt = df.sort_values(["__h", "__h2", id_col, "__pidx"],
+                             kind="stable")
+        h1 = srt["__h"].to_numpy(np.int64)
+        h2 = srt["__h2"].to_numpy(np.int64)
+        newrun = np.empty(n, bool)
+        newrun[0] = True
+        newrun[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        run_id = np.cumsum(newrun) - 1
+        boundary = (run_id == 0) | (run_id == run_id[-1])
+        losers = ~newrun           # non-first rows always lose
+        frags = newrun & boundary  # local min of a possibly-split run
+        kind = np.concatenate([np.zeros(int(losers.sum()), np.int8),
+                               np.ones(int(frags.sum()), np.int8)])
+        sel = pd.concat([srt[losers], srt[frags]])
+        return pa.table({
+            "kind": pa.array(kind),
+            id_col: pa.Array.from_pandas(sel[id_col]),
+            "__pidx": pa.array(sel["__pidx"].to_numpy(np.int64)),
+            "__h": pa.array(sel["__h"].to_numpy(np.int64)),
+            "__h2": pa.array(sel["__h2"].to_numpy(np.int64))})
+
+    res = (keys.sort(["__h", "__h2"])
+               .map_batches(block, batch_format="pyarrow")
+               .materialize())
+    frag = res.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("kind"), 1)),
+        batch_format="pyarrow").to_pandas()   # O(blocks) rows
+    losers_ds = res.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("kind"), 0))
+                   .select([id_col, "__pidx"]),
+        batch_format="pyarrow")
+    if len(frag):
+        fsrt = frag.sort_values(["__h", "__h2", id_col, "__pidx"],
+                                kind="stable")
+        first = (fsrt["__h"].ne(fsrt["__h"].shift())
+                 | fsrt["__h2"].ne(fsrt["__h2"].shift()))
+        extra = fsrt[~first.to_numpy()][[id_col, "__pidx"]]
+        if len(extra):
+            losers_ds = losers_ds.union(
+                ray.data.from_pandas(extra.reset_index(drop=True)))
+    return losers_ds
+
+
+#: markers at or below this count broadcast via ``ray.put`` and docs are
+#: rewritten IN PLACE by map_batches (zero corpus shuffle); above it the
+#: text meets its markers through one groupby(id) pass
+_PARA_BCAST_CAP = 2_000_000
+
+
+def paragraph_dedup(ds, col: str, id_col: str, *, sep: str = "\n",
+                    broadcast_cap: int = _PARA_BCAST_CAP):
     """Corpus-wide exact-duplicate PARAGRAPH removal, keeping the first
     occurrence in ``(id, paragraph_index)`` order and reassembling each
     doc with ``sep`` (CCNet-style paragraph dedup; the reference has no
     analog — SURVEY §2.7 class). Empty segments (consecutive
     separators) never participate, so the doc's layout is preserved.
+    Null text normalizes to ``''``.
 
     -> Dataset of ``(id_col, col)`` with duplicate paragraphs removed.
 
     Scale: the dedup shuffle carries 32 B + id per nonempty paragraph
-    (hashes only); duplicate MARKERS ``(id, pidx)`` — proportional to
-    duplicates, not the corpus — then meet the text again in one
-    ``groupby(id)`` reassembly pass. The corpus text moves through
-    exactly one shuffle, the irreducible cost of a reassembling dedup.
-    """
-    def losers(g: pd.DataFrame) -> pd.DataFrame:
-        # one __h group; true identity is the 128-bit (__h, __h2) pair
-        srt = g.sort_values(["__h2", id_col, "__pidx"], kind="stable")
-        first = srt["__h2"].ne(srt["__h2"].shift())
-        d = srt[~first.to_numpy()]
-        return pd.DataFrame({id_col: d[id_col].to_numpy(),
-                             "__pidx": d["__pidx"].to_numpy()})
+    (hashes only, one sort shuffle, vectorized run scan). Duplicate
+    MARKERS ``(id, pidx)`` — proportional to duplicates, not the corpus
+    — broadcast when small (the common case: docs rewrite in place,
+    the corpus text never shuffles) and otherwise meet the text in one
+    ``groupby(id)`` pass."""
+    import ray
+    import ray.data
 
-    marks = (ds.map_batches(
-                lambda t: _paragraph_keys(t, col, id_col, sep),
-                batch_format="pyarrow")
-               .groupby("__h")
-               .map_groups(losers, batch_format="pandas"))
+    marks = _keepfirst_losers(
+        ds.map_batches(lambda t: _paragraph_keys(t, col, id_col, sep),
+                       batch_format="pyarrow"),
+        id_col).materialize()
 
-    def tag_docs(t: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: t.column(id_col),
-            "__pidx": pa.array(np.full(t.num_rows, -1, np.int64)),
-            col: t.column(col)})
+    def _rewrite(text, drops: set) -> str:
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            return ""
+        if not drops:
+            return text
+        return sep.join(p for j, p in enumerate(text.split(sep))
+                        if j not in drops)
+
+    n_marks = marks.count()
+    if n_marks <= broadcast_cap:
+        if n_marks:
+            mpd = marks.to_pandas().sort_values([id_col, "__pidx"],
+                                                kind="stable")
+            mids, mpix = (mpd[id_col].to_numpy(),
+                          mpd["__pidx"].to_numpy(np.int64))
+        else:  # an empty Dataset's to_pandas has no columns at all
+            mids, mpix = np.empty(0, np.int64), np.empty(0, np.int64)
+        ref = ray.put((mids, mpix))
+
+        def apply(t: pa.Table) -> pa.Table:
+            mids, mpix = ray.get(ref)   # numpy: zero-copy from plasma
+            texts = t.column(col)
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(mids, ids, "left")
+            hi = np.searchsorted(mids, ids, "right")
+            touch = (hi > lo) | np.asarray(
+                texts.is_null().to_numpy(zero_copy_only=False), bool)
+            hit = np.flatnonzero(touch)
+            if len(hit):
+                repl = [
+                    _rewrite(texts[j].as_py(),
+                             set(mpix[lo[j]:hi[j]].tolist()))
+                    for j in hit]
+                texts = pa.compute.replace_with_mask(
+                    texts, pa.array(touch), pa.array(repl, texts.type))
+            return pa.table({id_col: t.column(id_col), col: texts})
+
+        return ds.map_batches(apply, batch_format="pyarrow")
 
     def tag_marks(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -879,17 +982,15 @@ def paragraph_dedup(ds, col: str, id_col: str, *, sep: str = "\n"):
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         doc = g[g["__pidx"] < 0]
-        text = doc[col].iloc[0]
         drops = set(g.loc[g["__pidx"] >= 0, "__pidx"].astype(int))
-        if text is None or (isinstance(text, float) and pd.isna(text)):
-            new = ""
-        elif drops:
-            new = sep.join(p for j, p in enumerate(text.split(sep))
-                           if j not in drops)
-        else:
-            new = text
         return pd.DataFrame({id_col: doc[id_col].iloc[:1],
-                             col: [new]})
+                             col: [_rewrite(doc[col].iloc[0], drops)]})
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "__pidx": pa.array(np.full(t.num_rows, -1, np.int64)),
+            col: t.column(col)})
 
     return (ds.map_batches(tag_docs, batch_format="pyarrow")
               .union(marks.map_batches(tag_marks, batch_format="pyarrow"))

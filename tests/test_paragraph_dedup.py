@@ -95,3 +95,20 @@ def test_duckdb_differential_random_corpus(ray_session, seed):
     """).fetchdf()
     assert mine["doc_id"].tolist() == ref["doc_id"].tolist()
     assert mine["text"].tolist() == ref["text"].tolist()
+
+
+def test_groupby_fallback_path_matches_broadcast(ray_session):
+    # broadcast_cap=0 forces the groupby(id) reassembly; results must be
+    # identical to the broadcast fast path
+    import ray.data
+    rng = np.random.default_rng(9)
+    paras = [f"p{i}" for i in range(10)]
+    texts = ["\n".join(paras[int(rng.integers(0, 10))]
+                       for _ in range(int(rng.integers(1, 5))))
+             for _ in range(30)]
+    docs = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                         "text": texts})
+    fast = _run(ray.data.from_pandas(docs))
+    slow = _run(ray.data.from_pandas(docs), broadcast_cap=0)
+    assert fast["doc_id"].tolist() == slow["doc_id"].tolist()
+    assert fast["text"].tolist() == slow["text"].tolist()
