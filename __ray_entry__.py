@@ -755,6 +755,17 @@ def q_dedup_paragraph(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-rule repetition signals per doc (duplicate-word /
+    duplicate-2gram fractions, top-item shares)."""
+    import ray.data
+    from tantivy4java_ray.functions.textstats import repetition_stats
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return (repetition_stats(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_dedup_minhash(sf_dir: str):
     # scale path end-to-end: survivors stay a Dataset (filtered inside
     # map_batches against the broadcast drop set); nothing but the
@@ -1016,10 +1027,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": q_language_id,
         "quality": q_quality,
         "dedup_minhash": q_dedup_minhash,
-        # entry #51: outside the driver's 50-row window by design —
+        # entries #51+: outside the driver's 50-row window by design —
         # verified by scripts/check_oracle.py (oracled) and pytest
         # (tests/test_paragraph_dedup.py incl. DuckDB differentials)
         "dedup_paragraph": q_dedup_paragraph,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1312,6 +1324,45 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value DESC, event_id LIMIT 20",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text,
+                                                               '\s+'),
+                                         x -> x <> '') AS ws
+              FROM documents
+            ), wc AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS tok FROM w) GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id, count(*) AS dw, max(c) AS tw, sum(c) AS nw
+              FROM wc GROUP BY 1
+            ), g AS (
+              SELECT doc_id, [ws[i] || ' ' || ws[i+1]
+                              for i in range(1, len(ws))] AS gs FROM w
+            ), gc AS (
+              SELECT doc_id, gr, count(*) AS c
+              FROM (SELECT doc_id, unnest(gs) AS gr FROM g) GROUP BY 1, 2
+            ), gagg AS (
+              SELECT doc_id, count(*) AS dg, max(c) AS tg, sum(c) AS ng
+              FROM gc GROUP BY 1
+            )
+            SELECT d.doc_id,
+              coalesce(a.nw, 0)::BIGINT AS n_words,
+              round(CASE WHEN coalesce(a.nw, 0) > 0
+                    THEN 1 - a.dw::DOUBLE / a.nw ELSE 0 END, 6)
+                  AS dup_word_frac,
+              round(CASE WHEN coalesce(a.nw, 0) > 0
+                    THEN a.tw::DOUBLE / a.nw ELSE 0 END, 6)
+                  AS top_word_frac,
+              round(CASE WHEN coalesce(ga.ng, 0) > 0
+                    THEN 1 - ga.dg::DOUBLE / ga.ng ELSE 0 END, 6)
+                  AS dup_2gram_frac,
+              round(CASE WHEN coalesce(ga.ng, 0) > 0
+                    THEN ga.tg::DOUBLE / ga.ng ELSE 0 END, 6)
+                  AS top_2gram_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN gagg ga USING (doc_id) ORDER BY d.doc_id
+        """,
         # keep-first duplicate-paragraph removal + reassembly; empty
         # segments never dedup (they keep their slots); first occurrence
         # = min (doc_id, segment index)

@@ -228,3 +228,80 @@ def fingerprint_batch(t: pa.Table, col: str = "text",
 def fingerprints(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(lambda t: fingerprint_batch(t, col, id_col),
                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-rule style: duplicate-word / duplicate-2gram
+# fractions and top-item shares — the published web-text repetition
+# filters, adapted to whitespace words)
+# ---------------------------------------------------------------------------
+
+def repetition_batch(t: pa.Table, col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """(id, n_words, dup_word_frac, top_word_frac, dup_2gram_frac,
+    top_2gram_frac) per doc, all vectorized.
+
+    ``dup_*_frac`` = 1 - distinct/total (the mass in repeats);
+    ``top_*_frac`` = share of the single most frequent item. Docs with
+    no words (or no 2-grams) score 0.0 — short docs are judged by the
+    length signals in ``quality_batch``, not here."""
+    c = t.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    n = t.num_rows
+    lists = pc.split_pattern_regex(c, pattern=r"\s+")
+    flat = pc.list_flatten(lists)
+    parents = np.asarray(pc.list_parent_indices(lists)
+                         .to_numpy(zero_copy_only=False), np.int64)
+    keep = np.asarray(pc.binary_length(flat)
+                      .to_numpy(zero_copy_only=False), np.int64) > 0
+    parents = parents[keep]
+    enc = flat.filter(pa.array(keep)).dictionary_encode()
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+    v = np.int64(max(len(enc.dictionary), 1))
+    nw = np.bincount(parents, minlength=n).astype(np.int64)
+
+    def _distinct_top(doc: np.ndarray, key: np.ndarray,
+                      total: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc (dup_frac, top_frac) from (doc, key) occurrence pairs
+        — one lexsort + run-length scan, no per-doc Python."""
+        distinct = np.zeros(n, np.int64)
+        top = np.zeros(n, np.int64)
+        if len(doc):
+            order = np.lexsort((key, doc))
+            d_s, k_s = doc[order], key[order]
+            new = np.empty(len(order), bool)
+            new[0] = True
+            new[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+            starts = np.flatnonzero(new)
+            rc = np.diff(np.append(starts, len(order)))
+            rd = d_s[starts]
+            distinct = np.bincount(rd, minlength=n).astype(np.int64)
+            np.maximum.at(top, rd, rc)
+        ok = total > 0
+        dup = np.zeros(n, np.float64)
+        tf = np.zeros(n, np.float64)
+        dup[ok] = 1.0 - distinct[ok] / total[ok]
+        tf[ok] = top[ok] / total[ok]
+        return _round6(dup), _round6(tf)
+
+    dup_w, top_w = _distinct_top(parents, codes, nw)
+    # 2-grams: adjacent word pairs within one doc
+    same = parents[1:] == parents[:-1] if len(parents) else \
+        np.empty(0, bool)
+    gdoc = parents[1:][same] if len(parents) else np.empty(0, np.int64)
+    gkey = (codes[:-1][same] * v + codes[1:][same]) if len(parents) \
+        else np.empty(0, np.int64)
+    ng = np.bincount(gdoc, minlength=n).astype(np.int64)
+    dup_g, top_g = _distinct_top(gdoc, gkey, ng)
+    return pa.table({id_col: t.column(id_col),
+                     "n_words": pa.array(nw),
+                     "dup_word_frac": pa.array(dup_w),
+                     "top_word_frac": pa.array(top_w),
+                     "dup_2gram_frac": pa.array(dup_g),
+                     "top_2gram_frac": pa.array(top_g)})
+
+
+def repetition_stats(ds, col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(lambda t: repetition_batch(t, col, id_col),
+                          batch_format="pyarrow")

@@ -112,3 +112,78 @@ def test_groupby_fallback_path_matches_broadcast(ray_session):
     slow = _run(ray.data.from_pandas(docs), broadcast_cap=0)
     assert fast["doc_id"].tolist() == slow["doc_id"].tolist()
     assert fast["text"].tolist() == slow["text"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_hand_cases(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.textstats import repetition_stats
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a a a a",           # one word repeated
+                 "a b c d",           # all distinct
+                 "x",                 # single word: no 2-grams
+                 ""],                 # empty
+    })
+    out = (repetition_stats(ray.data.from_pandas(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_words"].tolist() == [4, 4, 1, 0]
+    assert out["dup_word_frac"].tolist() == [0.75, 0.0, 0.0, 0.0]
+    assert out["top_word_frac"].tolist() == [1.0, 0.25, 1.0, 0.0]
+    # doc1 2-grams: (a a) x3 -> distinct 1/3, top 3/3
+    assert out["dup_2gram_frac"].tolist() == [0.666667, 0.0, 0.0, 0.0]
+    assert out["top_2gram_frac"].tolist() == [1.0, 0.333333, 0.0, 0.0]
+
+
+def test_repetition_stats_duckdb_differential(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.textstats import repetition_stats
+    rng = np.random.default_rng(41)
+    texts = [" ".join(f"w{rng.integers(0, 12)}"
+                      for _ in range(int(rng.integers(0, 30))))
+             for _ in range(80)]
+    docs = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                         "text": texts})
+    mine = (repetition_stats(ray.data.from_pandas(docs)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    ref = duckdb.sql(r"""
+        WITH w AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '') AS ws FROM docs
+        ), wc AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(ws) AS tok FROM w) GROUP BY 1, 2
+        ), agg AS (
+          SELECT doc_id, count(*) AS dw, max(c) AS tw, sum(c) AS nw
+          FROM wc GROUP BY 1
+        ), g AS (
+          SELECT doc_id, [ws[i] || ' ' || ws[i+1]
+                          for i in range(1, len(ws))] AS gs FROM w
+        ), gc AS (
+          SELECT doc_id, gr, count(*) AS c
+          FROM (SELECT doc_id, unnest(gs) AS gr FROM g) GROUP BY 1, 2
+        ), gagg AS (
+          SELECT doc_id, count(*) AS dg, max(c) AS tg, sum(c) AS ng
+          FROM gc GROUP BY 1
+        )
+        SELECT d.doc_id,
+          coalesce(a.nw, 0)::BIGINT AS n_words,
+          round(CASE WHEN coalesce(a.nw, 0) > 0
+                THEN 1 - a.dw::DOUBLE / a.nw ELSE 0 END, 6)
+              AS dup_word_frac,
+          round(CASE WHEN coalesce(a.nw, 0) > 0
+                THEN a.tw::DOUBLE / a.nw ELSE 0 END, 6) AS top_word_frac,
+          round(CASE WHEN coalesce(ga.ng, 0) > 0
+                THEN 1 - ga.dg::DOUBLE / ga.ng ELSE 0 END, 6)
+              AS dup_2gram_frac,
+          round(CASE WHEN coalesce(ga.ng, 0) > 0
+                THEN ga.tg::DOUBLE / ga.ng ELSE 0 END, 6)
+              AS top_2gram_frac
+        FROM docs d LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN gagg ga USING (doc_id) ORDER BY d.doc_id
+    """).fetchdf()
+    for c in mine.columns:
+        assert mine[c].tolist() == ref[c].tolist(), c
