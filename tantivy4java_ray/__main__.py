@@ -189,12 +189,14 @@ def _dispatch(args) -> int:
         if args.deep:
             from tantivy4java_ray.pipelines.integrity import \
                 verify_checksums
-            problems += verify_checksums(_maybe_split(args.index_dir))
+            # raw path: integrity detects .split bundles itself (their
+            # sidecar sits NEXT to the single file)
+            problems += verify_checksums(args.index_dir)
         print(json.dumps({"valid": not problems, "problems": problems}))
         return 1 if problems else 0
     elif args.cmd == "checksum":
         from tantivy4java_ray.pipelines.integrity import write_checksums
-        side = write_checksums(_maybe_split(args.index_dir))
+        side = write_checksums(args.index_dir)
         print(json.dumps({
             "files": len(side["files"]),
             "total_bytes": sum(f["size"] for f in side["files"].values())}))

@@ -51,6 +51,12 @@ def bundle_index(index_dir: str, out_path: str, *,
             continue
         if top == "txlog" and not include_txlog:
             continue
+        if rel == "checksums.json":
+            # the integrity sidecar describes the DIRECTORY form (its
+            # file set differs from the bundle's); a packed bundle is
+            # one object whose integrity is its own single-file sidecar
+            # (integrity.write_checksums on the .split path)
+            continue
         base = rel.split("/")[-1]
         # both temp conventions: '.tmpXXX' prefixes and the atomic
         # writers' 'name.tmp-<pid>' suffixes (storage.py) — leftovers

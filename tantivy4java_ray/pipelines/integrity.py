@@ -65,8 +65,22 @@ def compute_checksums(index_dir: str) -> dict:
             for r, (s, c) in zip(rels, sizes_crcs)}
 
 
+def _is_bundle(path: str) -> bool:
+    """A packed ``.split`` is ONE immutable object — its integrity is a
+    single crc in a sidecar NEXT to it (``<path>.checksums.json``)."""
+    return path.endswith(".split") and not path.startswith("t4jrsplit://")
+
+
 def write_checksums(index_dir: str) -> dict:
     """Generate and atomically persist the sidecar; returns it."""
+    if _is_bundle(index_dir):
+        size, crc = _crc_file(index_dir)
+        side = {"version": 1, "bundle": True,
+                "files": {"": {"size": size, "crc32": crc}}}
+        st.write_bytes_atomic(
+            json.dumps(side, indent=1, sort_keys=True).encode(),
+            index_dir + ".checksums.json")
+        return side
     files = compute_checksums(index_dir)
     manifest_rel = "manifest.json"
     side = {"version": 1,
@@ -84,6 +98,18 @@ def verify_checksums(index_dir: str) -> list[str]:
     Reported classes: missing sidecar, stale sidecar (manifest changed
     since generation), missing/extra files, size mismatch, crc mismatch.
     """
+    if _is_bundle(index_dir):
+        side_path = index_dir + ".checksums.json"
+        if not st.sexists(side_path):
+            return [f"{side_path} absent — run `checksum` to generate it"]
+        want = st.read_json_any(side_path)["files"][""]
+        size, crc = _crc_file(index_dir)
+        if size != want["size"]:
+            return [f"bundle size {size} != recorded {want['size']} "
+                    "(truncated or replaced)"]
+        if crc != want["crc32"]:
+            return ["bundle crc32 mismatch (corrupt payload)"]
+        return []
     side_path = st.sjoin(index_dir, SIDECAR)
     if not st.sexists(side_path):
         return [f"{SIDECAR} absent — run `checksum` to generate it"]

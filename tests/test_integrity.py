@@ -150,3 +150,34 @@ def test_deep_api_surface(idx, tmp_path):
     ix = Index(c)
     ix.write_checksums()
     assert ix.validate(deep=True) == []
+
+
+def test_bundle_checksum_roundtrip(idx, tmp_path):
+    from tantivy4java_ray.pipelines.bundle import bundle_index
+    c = _fresh(idx, tmp_path)
+    write_checksums(c)                       # dir sidecar must NOT pack
+    split = str(tmp_path / "b.split")
+    bundle_index(c, split)
+    side = write_checksums(split)            # single-file mode
+    assert side.get("bundle") and os.path.exists(split + ".checksums.json")
+    assert verify_checksums(split) == []
+    raw = bytearray(open(split, "rb").read())
+    raw[len(raw) // 3] ^= 0x10
+    with open(split, "wb") as f:
+        f.write(raw)
+    probs = verify_checksums(split)
+    assert probs == ["bundle crc32 mismatch (corrupt payload)"]
+
+
+def test_bundle_excludes_dir_sidecar(idx, tmp_path):
+    from tantivy4java_ray.pipelines.bundle import bundle_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    c = _fresh(idx, tmp_path)
+    write_checksums(c)
+    split = str(tmp_path / "b2.split")
+    bundle_index(c, split)
+    r = IndexReader(f"t4jrsplit://{split}")
+    # the directory-form sidecar must not exist inside the bundle
+    from tantivy4java_ray import storage as st
+    assert not st.sexists(f"t4jrsplit://{split}/checksums.json")
+    assert r.max_doc == 600
