@@ -1056,18 +1056,24 @@ class IndexReader:
         if k == "json_range":
             return self._eval_json_range(*p, boost=boost)
         if k == "json_exists":
-            field, path = p
+            field, path, *rest = p
+            subpaths = rest[0] if rest else True  # pre-r4 2-tuple wire
 
             def _match_exists():
                 matched = []
-                # values at the path (str \x01 + numeric \x02) + subpaths
-                for pref in (f"{path}\x01", f"{path}\x02", f"{path}."):
+                # values at the path (str \x01 + numeric \x02); subpath
+                # prefixes only when check_subpaths
+                # (Query.java:417-420)
+                prefs = [f"{path}\x01", f"{path}\x02"]
+                if subpaths:
+                    prefs.append(f"{path}.")
+                for pref in prefs:
                     matched += self.match_terms(field, "prefix",
                                                 prefix=pref)
                 return matched
 
             docs = self._drop_deleted(self._cached_union(
-                ("jexists", field, path), _match_exists))
+                ("jexists", field, path, bool(subpaths)), _match_exists))
             return docs, np.full(len(docs), boost, np.float32)
         if k == "more_like_this":
             return self.evaluate(self._expand_mlt(*p), boost)
@@ -2123,9 +2129,13 @@ class IndexReader:
                 fields.add(p[0])
                 self.fast_column(p[0])
             elif k == "json_exists":
-                field, path = p
+                field, path = p[0], p[1]
+                subpaths = p[2] if len(p) > 2 else True
                 fields.add(field)
-                for pref in (f"{path}\x01", f"{path}\x02", f"{path}."):
+                prefs = [f"{path}\x01", f"{path}\x02"]
+                if subpaths:
+                    prefs.append(f"{path}.")
+                for pref in prefs:
                     add_matched(self.match_terms(field, "prefix",
                                                  prefix=pref))
             elif k == "json_range":

@@ -134,8 +134,13 @@ class Query:
                                     include_lower, include_upper))
 
     @staticmethod
-    def json_exists(field: str, path: str) -> "Query":
-        return Query("json_exists", (field, path))
+    def json_exists(field: str, path: str,
+                    check_subpaths: bool = True) -> "Query":
+        """``Query.jsonExistsQuery`` analog; ``check_subpaths=False``
+        matches only docs with a VALUE at the exact path — a doc where
+        only ``path.sub`` exists does not count
+        (``query/Query.java:417-420``)."""
+        return Query("json_exists", (field, path, check_subpaths))
 
     @staticmethod
     def more_like_this(doc_fields: dict[str, str], *, max_query_terms: int = 25,

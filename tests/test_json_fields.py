@@ -183,3 +183,42 @@ def test_struct_json_index_end_to_end(ray_session, tmp_path):
     docs, _ = r.evaluate(Query.json_range("props", "k", 2, 5,
                                           True, False))
     assert docs.tolist() == [i for i in range(40) if 2 <= i % 7 < 5]
+
+
+def test_json_exists_check_subpaths(ray_session, tmp_path):
+    # Query.jsonExistsQuery(..., checkSubpaths) parity
+    # (query/Query.java:417-420): with False, only a VALUE at the exact
+    # path matches; a doc carrying only path.sub does not
+    import pyarrow as pa
+    from tantivy4java_ray.api import Index
+    from tantivy4java_ray.query import Query
+    # JSON-string column: one doc must hold a STRING at 'user' while
+    # another holds an object under it — impossible in one Arrow struct
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"]),
+        "props": pa.array(['{"user": {"email": "x@y"}}',
+                           '{"user": null}',
+                           '{"other": 1.5}',
+                           '{"user": "direct"}']),
+    })
+    s = IndexSchema()
+    s.add_integer_field("doc_id", fast=True)
+    s.add_text_field("text")
+    s.add_json_field("props")
+    idx = str(tmp_path / "idx")
+    Index.create_from_documents(docs, idx, schema=s, num_shards=2,
+                                target_docs_per_partition=4)
+    r = Index(idx).reader()
+    both = sorted(r.evaluate(Query.json_exists("props", "user"))[0])
+    exact = sorted(r.evaluate(
+        Query.json_exists("props", "user", check_subpaths=False))[0])
+    assert both == [0, 3]     # subpath (doc 0) or direct value (doc 3)
+    assert exact == [3]       # only the direct value
+    # wire-form round trip keeps the flag
+    q = Query.json_exists("props", "user", check_subpaths=False)
+    from tantivy4java_ray.query import Query as Q
+    assert Q.from_json(q.to_json()).params[2] is False
+    # pre-r4 2-tuple wire form still evaluates (subpaths default True)
+    legacy = Q("json_exists", ("props", "user"))
+    assert sorted(r.evaluate(legacy)[0]) == [0, 3]
