@@ -1481,8 +1481,12 @@ class IndexReader:
         return docs, np.full(len(docs), boost, np.float32)
 
     def _expand_mlt(self, doc_fields, max_terms: int, min_tf: int,
-                    min_df: int) -> Query:
+                    min_df: int, max_df: int | None = None,
+                    min_wlen: int = 0, max_wlen: int | None = None,
+                    boost_factor: float = 1.0,
+                    stop_words: tuple = ()) -> Query:
         from tantivy4java_ray.analyzer import get_analyzer
+        stops = set(stop_words)
         scored: list[tuple[float, str, str]] = []
         for field, text in doc_fields:
             fcfg = self.schema.get_field(field)
@@ -1493,16 +1497,27 @@ class IndexReader:
             for t in toks:
                 tf[t] = tf.get(t, 0) + 1
             for t, c in tf.items():
-                if c < min_tf:
+                if c < min_tf or t in stops:
+                    continue
+                # tantivy's MoreLikeThis length filters measure &str
+                # BYTES, not chars (morelikethis.rs word.len())
+                blen = len(t.encode("utf-8"))
+                if blen < min_wlen or (max_wlen is not None
+                                       and blen > max_wlen):
                     continue
                 df = self.doc_freq(field, t)
-                if df < min_df:
+                if df < min_df or (max_df is not None and df > max_df):
                     continue
                 scored.append((c * self.idf(df), field, t))
         scored.sort(reverse=True)
         clauses = [(Occur.SHOULD, Query.term(f, t))
                    for _, f, t in scored[:max_terms]]
-        return Query.boolean(clauses) if clauses else Query.match_none()
+        if not clauses:
+            return Query.match_none()
+        q = Query.boolean(clauses)
+        # SHOULD-sum is linear, so one whole-query boost equals per-term
+        # boosts (the reference applies boostFactor per expanded term)
+        return q if boost_factor == 1.0 else Query.boost(q, boost_factor)
 
     # -- top-k --------------------------------------------------------------
     def search(self, query: Query | str, limit: int = 10,

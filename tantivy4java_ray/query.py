@@ -144,10 +144,22 @@ class Query:
 
     @staticmethod
     def more_like_this(doc_fields: dict[str, str], *, max_query_terms: int = 25,
-                       min_term_freq: int = 1, min_doc_freq: int = 1) -> "Query":
+                       min_term_freq: int = 1, min_doc_freq: int = 1,
+                       max_doc_freq: int | None = None,
+                       min_word_length: int = 0,
+                       max_word_length: int | None = None,
+                       boost_factor: float = 1.0,
+                       stop_words: tuple[str, ...] = ()) -> "Query":
+        """``Query.moreLikeThisQuery`` full parameter surface
+        (``query/Query.java:238-246``): term-selection filters on doc
+        frequency bounds, word BYTE length (tantivy measures ``&str``
+        length in bytes), and a stop-word list; ``boost_factor`` scales
+        the expanded query's scores."""
         return Query("more_like_this",
                      (tuple(sorted(doc_fields.items())), max_query_terms,
-                      min_term_freq, min_doc_freq))
+                      min_term_freq, min_doc_freq, max_doc_freq,
+                      min_word_length, max_word_length, boost_factor,
+                      tuple(stop_words)))
 
     def to_dict(self) -> dict:
         """QueryAst-JSON-style serialization (``SplitQuery.toQueryAstJson``

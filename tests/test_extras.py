@@ -252,3 +252,60 @@ def test_driver_contract_shape():
     # so that every oracled surface fits in the driver's 50-row window.
     assert no_oracle == {"dedup_minhash"}, no_oracle
     assert callable(m.entry)
+
+
+def test_more_like_this_full_parameter_surface(ray_session, tmp_path):
+    # Query.moreLikeThisQuery's 8-parameter form (Query.java:238-246):
+    # max_doc_freq / word-length bounds / stop_words filter the expanded
+    # terms; boost_factor scales scores linearly
+    import pyarrow as pa
+    from tantivy4java_ray.api import Index
+    from tantivy4java_ray.query import Query
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "zebra quokka common common",
+            "zebra common",
+            "quokka common",
+            "common common filler",
+            "ab common",          # 'ab' is a 2-byte token
+            "ab zebra",
+        ]),
+    })
+    idx = str(tmp_path / "mlt")
+    Index.create_from_documents(docs, idx, num_shards=2,
+                                target_docs_per_partition=6)
+    r = Index(idx).reader()
+    ref = {"text": "zebra quokka common ab"}
+
+    def terms(q):
+        expanded = r._expand_mlt(*q.params)
+        out = set()
+        def walk(x):
+            if x.kind == "term":
+                out.add(x.params[1])
+            elif x.kind == "bool":
+                for _o, s in x.params:
+                    walk(s)
+            elif x.kind in ("boost", "const"):
+                walk(x.params[0])
+        walk(expanded)
+        return out
+
+    base = Query.more_like_this(ref)
+    assert terms(base) == {"zebra", "quokka", "common", "ab"}
+    # max_doc_freq drops 'common' (df 5)
+    assert "common" not in terms(Query.more_like_this(ref, max_doc_freq=4))
+    # byte-length bounds: min 3 drops 'ab'; max 5 drops 'quokka' (6 B)
+    assert "ab" not in terms(Query.more_like_this(ref, min_word_length=3))
+    assert "quokka" not in terms(
+        Query.more_like_this(ref, max_word_length=5))
+    # stop words
+    assert "zebra" not in terms(
+        Query.more_like_this(ref, stop_words=("zebra",)))
+    # boost_factor scales every score by exactly the factor
+    plain = r.search(base, 6).hits
+    boosted = r.search(Query.more_like_this(ref, boost_factor=2.5), 6).hits
+    assert [d for _s, d in plain] == [d for _s, d in boosted]
+    for (s1, _), (s2, _) in zip(plain, boosted):
+        assert s2 == pytest.approx(2.5 * s1, rel=1e-6)
