@@ -187,3 +187,36 @@ def test_repetition_stats_duckdb_differential(ray_session):
     """).fetchdf()
     for c in mine.columns:
         assert mine[c].tolist() == ref[c].tolist(), c
+
+
+def test_keepfirst_losers_multiblock_boundaries(ray_session):
+    # force MANY blocks through the sort so (h1,h2) runs span block
+    # boundaries: the edge-fragment path must still pick the single
+    # global first occurrence per group (a boundary bug silently
+    # under-dedups)
+    import ray.data
+    from tantivy4java_ray.functions.dedup import _keepfirst_losers
+    rng = np.random.default_rng(77)
+    n = 4000
+    # few distinct hash groups -> long runs guaranteed to span blocks
+    h = rng.integers(0, 12, n).astype(np.int64)
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(n).astype(np.int64),
+        "__pidx": rng.integers(0, 5, n).astype(np.int64),
+        "__h": h,
+        "__h2": h * 7 + (h % 3),      # aligned, deterministic
+    })
+    # naive model: winner per (h,h2) = lexicographic min (doc_id, pidx);
+    # doc_id is a permutation, so every row is a distinct (id,pidx) and
+    # a set comparison is exact
+    srt = df.sort_values(["__h", "__h2", "doc_id", "__pidx"],
+                         kind="stable")
+    first_mask = ~srt.duplicated(subset=["__h", "__h2"], keep="first")
+    want = set(zip(srt[~first_mask.to_numpy()]["doc_id"],
+                   srt[~first_mask.to_numpy()]["__pidx"]))
+    blocks = [ray.data.from_pandas(df.iloc[i:i + 250])
+              for i in range(0, n, 250)]
+    ds = blocks[0].union(*blocks[1:])   # 16 input blocks
+    out = _keepfirst_losers(ds, "doc_id").to_pandas()
+    got = set(zip(out["doc_id"], out["__pidx"]))
+    assert got == want
