@@ -3,6 +3,7 @@ parser totality, query JSON wire roundtrip, facet encoding injectivity,
 IP term order preservation."""
 
 import ipaddress
+import re
 
 import numpy as np
 from hypothesis import given, settings
@@ -184,3 +185,38 @@ def test_tokenize_column_255_byte_limit_boundary(nbytes_per_char, ln):
     assert list(out["token"]) == a.tokenize(text)
     kept = len(word.encode()) <= 255
     assert (word in list(out["token"])) == kept
+
+
+@given(st.lists(st.text(alphabet=st.characters(
+    blacklist_categories=("Cs",)), max_size=40), min_size=0, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_repetition_stats_vectorized_equals_scalar(texts):
+    # the lexsort/run-scan kernel must agree with a naive per-doc
+    # Counter model on arbitrary unicode
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from tantivy4java_ray.functions.textstats import (_round6,
+                                                      repetition_batch)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = repetition_batch(t).to_pandas()
+    for i, s in enumerate(texts):
+        # RE2's \s is [ \t\n\f\r] — NO \v — matching both the Arrow
+        # kernel and the DuckDB oracle's regex engine
+        words = [w for w in re.split(r"[ \t\n\f\r]+", s) if w]
+        grams = [(a, b) for a, b in zip(words, words[1:])]
+        row = out.iloc[i]
+        assert row["n_words"] == len(words)
+        for items, dup_col, top_col in (
+                (words, "dup_word_frac", "top_word_frac"),
+                (grams, "dup_2gram_frac", "top_2gram_frac")):
+            if not items:
+                assert row[dup_col] == 0.0 and row[top_col] == 0.0
+                continue
+            c = Counter(items)
+            assert row[dup_col] == _round6(
+                np.array([1 - len(c) / len(items)]))[0]
+            assert row[top_col] == _round6(
+                np.array([max(c.values()) / len(items)]))[0]
