@@ -2190,6 +2190,55 @@ class IndexReader:
                 "position_runs": len(pos_runs),
                 "fields": sorted(fields)}
 
+    def per_field_component_sizes(self) -> dict[str, int]:
+        """Per-(field, component) byte sizes — the reference's
+        ``getPerFieldComponentSizes`` (``README.md:1265-1293``) for
+        capacity planning and prewarm validation: ``"<field>.<component>"
+        -> bytes``. postings/positions/blockmax sum the term
+        dictionaries' per-term size columns; fieldnorm and
+        fastfield/doc-store bytes come from the doc-store parquet
+        column-chunk metadata (compressed — what storage actually
+        holds). Metadata-only: no posting or docdata payload is read."""
+        from collections import defaultdict
+        out: dict[str, int] = defaultdict(int)
+        for sid in range(self.num_shards):
+            path = self._st.sjoin(self.index_dir, "shards",
+                                  f"shard-{sid:05d}", "terms.parquet")
+            if not self._st.sexists(path):
+                continue
+            t = self._st.read_parquet_any(
+                path, columns=["field", "nbytes", "pos_nbytes",
+                               "bm_nbytes"])
+            fields = np.asarray(t.column("field")
+                                .to_numpy(zero_copy_only=False), object)
+            for comp, col in (("postings", "nbytes"),
+                              ("positions", "pos_nbytes"),
+                              ("blockmax", "bm_nbytes")):
+                sizes = np.asarray(t.column(col)
+                                   .to_numpy(zero_copy_only=False),
+                                   np.int64)
+                codes, uniq = pd.factorize(fields, sort=False)
+                sums = np.bincount(codes, weights=sizes,
+                                   minlength=len(uniq)).astype(np.int64)
+                for f, s in zip(uniq, sums):
+                    if s:
+                        out[f"{f}.{comp}"] += int(s)
+        for p in self.partitions:
+            path = self._st.sjoin(self.index_dir, "docdata",
+                                  f"part-{p['pid']:05d}.parquet")
+            md = self._st.read_parquet_metadata_any(path)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema.split(".")[0]
+                    size = int(c.total_compressed_size)
+                    if name.startswith("norm__"):
+                        out[name[len("norm__"):] + ".fieldnorm"] += size
+                    else:
+                        out[name + ".fastfield"] += size
+        return dict(sorted(out.items()))
+
     def cache_stats(self) -> dict:
         """Per-tier cache telemetry — the ``getCacheStats`` /
         ``getComponentCacheStatus`` analog

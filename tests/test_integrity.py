@@ -181,3 +181,31 @@ def test_bundle_excludes_dir_sidecar(idx, tmp_path):
     from tantivy4java_ray import storage as st
     assert not st.sexists(f"t4jrsplit://{split}/checksums.json")
     assert r.max_doc == 600
+
+
+def test_per_field_component_sizes(idx, tmp_path):
+    # getPerFieldComponentSizes analog (reference README.md:1265-1293)
+    from tantivy4java_ray.pipelines.bundle import bundle_index
+    from tantivy4java_ray.pipelines.search import IndexReader
+    r = IndexReader(idx)
+    sizes = r.per_field_component_sizes()
+    assert sizes["text.postings"] > 0
+    assert sizes["text.positions"] > 0      # TEXT fields index positions
+    assert sizes["text.fieldnorm"] > 0
+    assert sizes["lang.fastfield"] > 0 and sizes["doc_id.fastfield"] > 0
+    # lang is a raw STRING field: no positions component
+    assert "lang.positions" not in sizes
+    # postings total must equal the dictionaries' own accounting
+    want = 0
+    for sid in range(r.num_shards):
+        d = r._dict(sid)
+        if d is not None:
+            want += int(d["nbytes"].sum())
+    got = sum(v for k, v in sizes.items() if k.endswith(".postings"))
+    assert got == want
+    # works identically on a packed bundle
+    split = str(tmp_path / "sizes.split")
+    bundle_index(idx, split)
+    b = IndexReader(f"t4jrsplit://{split}").per_field_component_sizes()
+    assert {k: v for k, v in b.items() if k.endswith(".postings")} == \
+        {k: v for k, v in sizes.items() if k.endswith(".postings")}
