@@ -516,3 +516,27 @@ def test_rm_prefix_with_dot_sibling(s3_env):
     fs.rm(f"{BUCKET}/rmtree2", recursive=True)
     fs.invalidate_cache()
     assert fs.find(f"{BUCKET}/rmtree2") == []
+
+
+def test_checksums_on_s3(s3_env):
+    """Integrity sidecar over the object store: generate + deep-verify
+    against s3://, then detect a server-side overwrite of an artifact
+    (the bit-rot / bad-multipart-assembly case the sidecar exists for)."""
+    from tantivy4java_ray import storage as st
+    from tantivy4java_ray.pipelines.integrity import (verify_checksums,
+                                                      write_checksums)
+    idx = f"s3://{BUCKET}/idx_soak"
+    side = write_checksums(idx)
+    assert any(k.endswith("postings.bin") for k in side["files"])
+    assert verify_checksums(idx) == []
+    victim = next(k for k in side["files"] if k.endswith("postings.bin"))
+    orig = st.sopen(f"{idx}/{victim}", "rb").read()
+    raw = bytearray(orig)
+    raw[len(raw) // 2] ^= 0x04
+    with st.sopen(f"{idx}/{victim}", "wb") as f:
+        f.write(bytes(raw))
+    probs = verify_checksums(idx)
+    assert probs and victim in probs[0] and "crc32 mismatch" in probs[0]
+    with st.sopen(f"{idx}/{victim}", "wb") as f:   # restore for later tests
+        f.write(orig)
+    assert verify_checksums(idx) == []
