@@ -89,9 +89,17 @@ _UNIT_US = {"ms": 1_000, "s": 1_000_000, "m": 60_000_000,
             "h": 3_600_000_000, "d": 86_400_000_000}
 
 
-def parse_fixed_interval(s: str) -> int:
+def parse_fixed_interval(s: str | None) -> int:
     """'30s' / '1d' / '100ms' -> microseconds (intervals 1ms..7d,
     ``README.md:1076``)."""
+    if s is None:
+        # the reference's DateHistogramAggregation serializes
+        # calendar_interval, but the tantivy aggregation layer it
+        # delegates to supports fixed intervals only — match that
+        # contract with a clear error instead of a TypeError
+        raise ValueError(
+            "date_histogram requires fixed_interval (calendar_interval "
+            "is not supported, matching tantivy's aggregation layer)")
     m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", s)
     if not m:
         raise ValueError(f"bad fixed_interval {s!r}")

@@ -459,3 +459,12 @@ def test_parse_offset_duration():
     assert parse_offset_duration("30m") == 30 * 60_000_000
     with pytest.raises(ValueError):
         parse_offset_duration("4 hours")
+
+
+def test_calendar_interval_clear_error(table):
+    # the tantivy aggregation layer the reference delegates to supports
+    # fixed intervals only; a calendar_interval must error clearly
+    with pytest.raises(ValueError, match="fixed_interval"):
+        run({"d": {"date_histogram": {"field": "published",
+                                      "calendar_interval": "month"}}},
+            table)
