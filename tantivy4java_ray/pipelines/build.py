@@ -448,7 +448,7 @@ class PartitionIndexer:
                     flat.is_null().to_numpy(zero_copy_only=False), bool)
                 if enull.any():
                     null_mask[np.unique(parents[enull])] = True
-                    keep = ~np.isin(parents, np.flatnonzero(null_mask))
+                    keep = ~null_mask[parents]
                     flat = flat.filter(pa.array(keep))
                     parents = parents[keep]
             null_docs = np.flatnonzero(null_mask).astype(np.int64)

@@ -2014,7 +2014,30 @@ class IndexReader:
             # requested columns, typed from the source schema, plus the
             # id column — not a column-less table
             if not self.partitions:
-                return pa.table({"doc_id": pa.array([], pa.int64())})
+                # no partition file to read types from — derive them
+                # from the index schema so the shape matches what a
+                # non-empty index would return for the same `columns`
+                _ft_arrow = {
+                    FieldType.TEXT: pa.string(),
+                    FieldType.STRING: pa.string(),
+                    FieldType.FACET: pa.string(),
+                    FieldType.JSON: pa.string(),
+                    FieldType.IP_ADDR: pa.string(),
+                    FieldType.INTEGER: pa.int64(),
+                    FieldType.UNSIGNED: pa.uint64(),
+                    FieldType.FLOAT: pa.float64(),
+                    FieldType.BOOLEAN: pa.bool_(),
+                    FieldType.DATE: pa.timestamp("us"),
+                    FieldType.BYTES: pa.binary(),
+                }
+                want = (columns if columns is not None
+                        else [f.name for f in self.schema.fields])
+                cols = {c: pa.array([], _ft_arrow[
+                            self.schema.get_field(c).type])
+                        for c in want}
+                idname = "__doc_id" if "doc_id" in cols else "doc_id"
+                cols[idname] = pa.array([], pa.int64())
+                return pa.table(cols)
             if from_store:
                 src = self._pf(self._st.sjoin(
                     self.index_dir, "docdata",

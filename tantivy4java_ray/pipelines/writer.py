@@ -16,6 +16,7 @@ stable across later commits.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -277,30 +278,39 @@ class IndexWriter:
             # Serialized by the mutex, so a plain write is atomic
             # ENOUGH for rivals (they also read under the mutex);
             # write-temp + rename keeps crash-mid-write from leaving a
-            # half-written token for a LATER session to misparse.
-            tmp = f"{self._lock_path}.tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(token)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._lock_path)
+            # half-written token for a LATER session to misparse (and
+            # atomic_write_bytes unlinks the temp on a failed write).
+            from tantivy4java_ray.state.manifest import atomic_write_bytes
+            atomic_write_bytes(self._lock_path, token.encode())
             self._lock_token = token
 
+    @contextlib.contextmanager
     def _acquire_mutex(self):
-        """flock'd critical section for lock acquisition/release."""
-        import contextlib
-        import fcntl
+        """flock'd critical section for lock acquisition/release.
 
-        @contextlib.contextmanager
-        def cm():
-            mfd = os.open(f"{self._lock_path}.mutex",
-                          os.O_CREAT | os.O_RDWR, 0o644)
-            try:
-                fcntl.flock(mfd, fcntl.LOCK_EX)
-                yield
-            finally:
-                os.close(mfd)   # closing releases the flock
-        return cm()
+        The mutex file is chmod'd world-writable (umask-proof) so a
+        writer from ANOTHER user on a shared index can flock it — the
+        os.kill(pid, 0) PermissionError probe above exists exactly for
+        foreign-user holders. If an old 0644 mutex from another user
+        still denies us, surface a clear error instead of EACCES."""
+        import fcntl
+        mpath = f"{self._lock_path}.mutex"
+        try:
+            mfd = os.open(mpath, os.O_CREAT | os.O_RDWR, 0o666)
+        except PermissionError as e:
+            raise RuntimeError(
+                f"cannot open writer-lock mutex {mpath!r} (owned by "
+                f"another user with restrictive permissions); remove it "
+                f"or fix its mode to proceed") from e
+        try:
+            os.chmod(mpath, 0o666)   # beat the process umask
+        except OSError:
+            pass                     # foreign owner; it opened, so fine
+        try:
+            fcntl.flock(mfd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(mfd)   # closing releases the flock
 
     def close(self) -> None:
         """Release the writer lock. Buffered-but-unflushed rows are
@@ -313,8 +323,19 @@ class IndexWriter:
                 with open(self._lock_path) as f:
                     if f.read().strip() == self._lock_token:
                         os.unlink(self._lock_path)
-        except OSError:
-            pass
+        except (OSError, RuntimeError):
+            # mutex unavailable (e.g. foreign-owned 0644 file): fall
+            # back to an unserialized conditional unlink — releasing a
+            # token WE hold cannot race a steal (stealers only remove
+            # dead-pid tokens, and we are alive), so this is safe; a
+            # leaked lock would block every later writer until our
+            # process died
+            try:
+                with open(self._lock_path) as f:
+                    if f.read().strip() == self._lock_token:
+                        os.unlink(self._lock_path)
+            except OSError:
+                pass
         self._lock_token = None
 
     def __enter__(self) -> "IndexWriter":

@@ -57,7 +57,8 @@ def iceberg_snapshots(table_path: str) -> list[dict]:
 _REMAP_CACHE: dict[tuple[str, str], bool] = {}
 
 
-def _localize(path: str, table_path: str) -> str:
+def _localize(path: str, table_path: str,
+              neg_memo: set | None = None) -> str:
     """Iceberg metadata stores absolute URIs from write time; remap the
     table-location prefix onto the path the CALLER gave — it is the
     authority. Preferring the old absolute path whenever it still exists
@@ -85,16 +86,24 @@ def _localize(path: str, table_path: str) -> str:
                 # sexists, not os.path.exists: when the CALLER's path is
                 # an object-store URL the local check is always False and
                 # the remap would silently read the stale write-time URIs.
-                # Only a POSITIVE probe is cached: a finished copy never
-                # un-copies, but a False seen mid-sync (or before a copy
-                # lands) must not pin the stale original for the process
-                # lifetime — the fallback path re-probes per call.
+                # Only a POSITIVE probe is cached process-wide: a
+                # finished copy never un-copies, but a False seen
+                # mid-sync (or before a copy lands) must not pin the
+                # stale original for the process lifetime. Negative
+                # results memoize only within ONE planning call
+                # (``neg_memo``) — bounded staleness, and a never-
+                # materializing candidate costs one HEAD per plan
+                # instead of one per data file (100k files = 100k HEADs)
                 key = (table_path, marker)
                 if _REMAP_CACHE.get(key):
                     return cand
+                if neg_memo is not None and key in neg_memo:
+                    return meta_loc
                 if st.sexists(cand):
                     _REMAP_CACHE[key] = True
                     return cand
+                if neg_memo is not None:
+                    neg_memo.add(key)
                 return meta_loc
     return meta_loc
 
@@ -119,11 +128,12 @@ def iceberg_live_files(table_path: str,
         raise ValueError(
             f"snapshot {snapshot_id} not found in {table_path} "
             f"(have {[s['snapshot-id'] for s in snaps]})")
-    mlist_path = _localize(snap["manifest-list"], table_path)
+    neg: set = set()   # per-plan negative-probe memo (see _localize)
+    mlist_path = _localize(snap["manifest-list"], table_path, neg)
     _schema, manifests = read_avro_file(mlist_path)
     files: list[str] = []
     for m in manifests:
-        mpath = _localize(m["manifest_path"], table_path)
+        mpath = _localize(m["manifest_path"], table_path, neg)
         _s, entries = read_avro_file(mpath)
         for e in entries:
             if e.get("status") == 2:  # DELETED
@@ -133,5 +143,5 @@ def iceberg_live_files(table_path: str,
                 continue
             fp = df.get("file_path")
             if fp:
-                files.append(_localize(fp, table_path))
+                files.append(_localize(fp, table_path, neg))
     return sorted(set(files))
