@@ -36,20 +36,20 @@ import pyarrow as pa
 _DEDUP_KEY2 = "t4jr-dedup-key-2"
 
 
-def exact_dedup_keys(t: pa.Table, col: str, id_col: str) -> pa.Table:
-    """Map side of exact dedup: ``(id, __h, __h2)`` — 24 bytes/row.
-
-    The text column is dropped BEFORE the shuffle; identity is the
-    128-bit pair of two independently-keyed siphashes, so a false merge
-    needs a simultaneous collision in both (P ~ 2^-128 per pair).
-    pandas' siphash reads object strings as C strings (stops at NUL), so
-    NULs are first escaped INJECTIVELY (U+FFFD -> U+FFFD'1', then
-    NUL -> U+FFFD'0'): no two distinct texts map to the same hashed
-    string, and the escaping is vectorized Arrow, not Python."""
+def _hash128(vals_col: pa.Array | pa.ChunkedArray
+             ) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit identity of a string array: two independently-keyed
+    siphashes -> (h1, h2) int64; a false merge needs a simultaneous
+    collision in both (P ~ 2^-128 per pair). pandas' siphash reads
+    object strings as C strings (stops at NUL), so NULs are first
+    escaped INJECTIVELY (U+FFFD -> U+FFFD'1', then NUL -> U+FFFD'0'):
+    no two distinct inputs map to the same hashed string, and the
+    escaping is vectorized Arrow, not Python. Correctness-critical
+    invariant shared by every exact dedup surface — keep it in ONE
+    place."""
     import pyarrow.compute as pc
-    vals_col = (t.column(col).combine_chunks()
-                if isinstance(t.column(col), pa.ChunkedArray)
-                else t.column(col))
+    if isinstance(vals_col, pa.ChunkedArray):
+        vals_col = vals_col.combine_chunks()
     vals_col = pc.replace_substring(
         vals_col, "\N{REPLACEMENT CHARACTER}",
         "\N{REPLACEMENT CHARACTER}1")
@@ -58,6 +58,14 @@ def exact_dedup_keys(t: pa.Table, col: str, id_col: str) -> pa.Table:
     vals = np.asarray(vals_col.to_numpy(zero_copy_only=False), object)
     h1 = pd.util.hash_array(vals).view(np.int64)
     h2 = pd.util.hash_array(vals, hash_key=_DEDUP_KEY2).view(np.int64)
+    return h1, h2
+
+
+def exact_dedup_keys(t: pa.Table, col: str, id_col: str) -> pa.Table:
+    """Map side of exact dedup: ``(id, __h, __h2)`` — 24 bytes/row.
+    The text column is dropped BEFORE the shuffle (see ``_hash128``
+    for the identity contract)."""
+    h1, h2 = _hash128(t.column(col))
     return pa.table({id_col: t.column(id_col),
                      "__h": pa.array(h1, pa.int64()),
                      "__h2": pa.array(h2, pa.int64())})
@@ -821,14 +829,7 @@ def _paragraph_keys(t: pa.Table, col: str, id_col: str,
     keep = np.asarray(pc.binary_length(flat)
                       .to_numpy(zero_copy_only=False), np.int64) > 0
     paras = flat.filter(pa.array(keep))
-    # same injective NUL escape + dual independent siphash as exact_dedup
-    paras = pc.replace_substring(
-        paras, "\N{REPLACEMENT CHARACTER}", "\N{REPLACEMENT CHARACTER}1")
-    paras = pc.replace_substring(
-        paras, "\x00", "\N{REPLACEMENT CHARACTER}0")
-    vals = np.asarray(paras.to_numpy(zero_copy_only=False), object)
-    h1 = pd.util.hash_array(vals).view(np.int64)
-    h2 = pd.util.hash_array(vals, hash_key=_DEDUP_KEY2).view(np.int64)
+    h1, h2 = _hash128(paras)   # shared 128-bit identity contract
     ids = t.column(id_col).take(pa.array(parents[keep]))
     return pa.table({id_col: ids,
                      "__pidx": pa.array(pidx[keep]),

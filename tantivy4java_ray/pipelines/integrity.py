@@ -65,21 +65,27 @@ def compute_checksums(index_dir: str) -> dict:
             for r, (s, c) in zip(rels, sizes_crcs)}
 
 
-def _is_bundle(path: str) -> bool:
+def _bundle_path(path: str) -> str | None:
     """A packed ``.split`` is ONE immutable object — its integrity is a
-    single crc in a sidecar NEXT to it (``<path>.checksums.json``)."""
-    return path.endswith(".split") and not path.startswith("t4jrsplit://")
+    single crc in a sidecar NEXT to it (``<path>.checksums.json``).
+    Accepts both the raw file path and the reader's mounted
+    ``t4jrsplit://<path>`` URL form; returns the underlying file path,
+    or None when ``path`` is a directory index."""
+    if path.startswith("t4jrsplit://"):
+        path = path[len("t4jrsplit://"):]
+    return path if path.endswith(".split") else None
 
 
 def write_checksums(index_dir: str) -> dict:
     """Generate and atomically persist the sidecar; returns it."""
-    if _is_bundle(index_dir):
-        size, crc = _crc_file(index_dir)
+    bundle = _bundle_path(index_dir)
+    if bundle is not None:
+        size, crc = _crc_file(bundle)
         side = {"version": 1, "bundle": True,
                 "files": {"": {"size": size, "crc32": crc}}}
         st.write_bytes_atomic(
             json.dumps(side, indent=1, sort_keys=True).encode(),
-            index_dir + ".checksums.json")
+            bundle + ".checksums.json")
         return side
     files = compute_checksums(index_dir)
     manifest_rel = "manifest.json"
@@ -98,33 +104,48 @@ def verify_checksums(index_dir: str) -> list[str]:
     Reported classes: missing sidecar, stale sidecar (manifest changed
     since generation), missing/extra files, size mismatch, crc mismatch.
     """
-    if _is_bundle(index_dir):
-        side_path = index_dir + ".checksums.json"
+    bundle = _bundle_path(index_dir)
+    if bundle is not None:
+        side_path = bundle + ".checksums.json"
         if not st.sexists(side_path):
             return [f"{side_path} absent — run `checksum` to generate it"]
-        want = st.read_json_any(side_path)["files"][""]
-        size, crc = _crc_file(index_dir)
-        if size != want["size"]:
-            return [f"bundle size {size} != recorded {want['size']} "
+        try:
+            want = st.read_json_any(side_path)["files"][""]
+            size_want, crc_want = int(want["size"]), int(want["crc32"])
+        except Exception:
+            # a corrupt sidecar is itself an integrity finding, not a
+            # traceback
+            return [f"{side_path} unreadable/malformed — regenerate "
+                    "with `checksum`"]
+        size, crc = _crc_file(bundle)
+        if size != size_want:
+            return [f"bundle size {size} != recorded {size_want} "
                     "(truncated or replaced)"]
-        if crc != want["crc32"]:
+        if crc != crc_want:
             return ["bundle crc32 mismatch (corrupt payload)"]
         return []
     side_path = st.sjoin(index_dir, SIDECAR)
     if not st.sexists(side_path):
         return [f"{SIDECAR} absent — run `checksum` to generate it"]
-    side = st.read_json_any(side_path)
-    recorded = side.get("files", {})
+    try:
+        side = st.read_json_any(side_path)
+        recorded = dict(side.get("files", {}))
+    except Exception:
+        return [f"{SIDECAR} unreadable/malformed — regenerate with "
+                "`checksum`"]
     problems: list[str] = []
-    # re-crc everything with the same (Ray-distributed when live)
-    # machinery the generator used
-    current = compute_checksums(index_dir)
-    man = current.get("manifest.json", {})
-    if man.get("crc32") != side.get("manifest_crc32"):
+    # staleness first, on the ONE small file it depends on — bailing
+    # before the full re-CRC pass (a 100 TB index should not stream
+    # everything just to learn the sidecar predates a rebuild)
+    _, man_crc = _crc_file(st.sjoin(index_dir, "manifest.json"))
+    if man_crc != side.get("manifest_crc32"):
         problems.append(
             f"{SIDECAR} stale: manifest.json changed since the sidecar "
             "was generated (rebuild/merge without re-running checksum)")
         return problems
+    # re-crc everything with the same (Ray-distributed when live)
+    # machinery the generator used
+    current = compute_checksums(index_dir)
     for rel in sorted(set(recorded) - set(current)):
         problems.append(f"{rel}: missing (recorded in {SIDECAR})")
     for rel in sorted(set(current) - set(recorded)):

@@ -2229,14 +2229,20 @@ class IndexReader:
                                   f"shard-{sid:05d}", "terms.parquet")
             if not self._st.sexists(path):
                 continue
-            t = self._st.read_parquet_any(
-                path, columns=["field", "nbytes", "pos_nbytes",
-                               "bm_nbytes"])
+            pf = self._pf(path)
+            have = set(pf.schema_arrow.names)
+            # pre-frontier indexes have no bm_nbytes column (the reader
+            # opens them fine; so must this introspection)
+            want = [c for c in ("field", "nbytes", "pos_nbytes",
+                                "bm_nbytes") if c in have]
+            t = self._st.read_parquet_any(path, columns=want)
             fields = np.asarray(t.column("field")
                                 .to_numpy(zero_copy_only=False), object)
             for comp, col in (("postings", "nbytes"),
                               ("positions", "pos_nbytes"),
                               ("blockmax", "bm_nbytes")):
+                if col not in have:
+                    continue
                 sizes = np.asarray(t.column(col)
                                    .to_numpy(zero_copy_only=False),
                                    np.int64)
@@ -2256,8 +2262,17 @@ class IndexReader:
                     c = g.column(ci)
                     name = c.path_in_schema.split(".")[0]
                     size = int(c.total_compressed_size)
+                    # docdata column prefixes -> (field, component):
+                    # norm__X / dl__X back the fieldnorm, stored__X is
+                    # the doc STORE, _phash_X is a derived fast column
                     if name.startswith("norm__"):
                         out[name[len("norm__"):] + ".fieldnorm"] += size
+                    elif name.startswith("dl__"):
+                        out[name[len("dl__"):] + ".fieldnorm"] += size
+                    elif name.startswith("stored__"):
+                        out[name[len("stored__"):] + ".store"] += size
+                    elif name.startswith("_phash_"):
+                        out[name[len("_phash_"):] + ".fastfield"] += size
                     else:
                         out[name + ".fastfield"] += size
         return dict(sorted(out.items()))

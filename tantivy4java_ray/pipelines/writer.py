@@ -258,8 +258,16 @@ class IndexWriter:
                 pid = int(holder.split(":", 1)[0])
             except FileNotFoundError:
                 pid = None
+            except PermissionError as e:
+                # an UNREADABLE foreign lock must refuse, never steal:
+                # treating it as corrupt would let a second user claim
+                # over a LIVE writer and orphan-purge its staged files
+                raise RuntimeError(
+                    f"writer lock {self._lock_path!r} exists but is not "
+                    f"readable by this user; if its owner is dead, "
+                    f"remove it manually") from e
             except (OSError, ValueError):
-                pid = -1
+                pid = -1   # corrupt/garbled token: steal-able
             alive = False
             if pid is not None and pid > 0 and pid != os.getpid():
                 try:
@@ -282,6 +290,13 @@ class IndexWriter:
             # atomic_write_bytes unlinks the temp on a failed write).
             from tantivy4java_ray.state.manifest import atomic_write_bytes
             atomic_write_bytes(self._lock_path, token.encode())
+            try:
+                # mkstemp creates 0600; a foreign-user writer must be
+                # able to READ the token (liveness probe) and REPLACE
+                # it (dead-holder steal, serialized by the mutex)
+                os.chmod(self._lock_path, 0o666)
+            except OSError:
+                pass
             self._lock_token = token
 
     @contextlib.contextmanager

@@ -209,3 +209,21 @@ def test_per_field_component_sizes(idx, tmp_path):
     b = IndexReader(f"t4jrsplit://{split}").per_field_component_sizes()
     assert {k: v for k, v in b.items() if k.endswith(".postings")} == \
         {k: v for k, v in sizes.items() if k.endswith(".postings")}
+
+
+def test_bundle_checksum_via_url_form(idx, tmp_path):
+    # Index API opens bundles as t4jrsplit:// URLs; checksum/deep
+    # validate must resolve the sidecar NEXT to the underlying file
+    from tantivy4java_ray.pipelines.bundle import bundle_index
+    c = _fresh(idx, tmp_path)
+    split = str(tmp_path / "u.split")
+    bundle_index(c, split)
+    url = f"t4jrsplit://{split}"
+    write_checksums(url)
+    assert os.path.exists(split + ".checksums.json")
+    assert verify_checksums(url) == []
+    # malformed sidecar -> reported, not raised
+    with open(split + ".checksums.json", "w") as f:
+        f.write("{not json")
+    probs = verify_checksums(url)
+    assert probs and "malformed" in probs[0]
