@@ -89,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
 
     i = sub.add_parser("info")
     i.add_argument("index_dir")
+    i.add_argument("--sizes", action="store_true",
+                   help="include per-field component byte sizes "
+                        "(getPerFieldComponentSizes analog)")
 
     a = sub.add_parser("agg", help="run an aggregation DSL spec")
     a.add_argument("index_dir")
@@ -201,9 +204,13 @@ def _dispatch(args) -> int:
             "files": len(side["files"]),
             "total_bytes": sum(f["size"] for f in side["files"].values())}))
     elif args.cmd == "info":
-        from tantivy4java_ray.pipelines.search import read_index_metadata
-        print(json.dumps(read_index_metadata(_maybe_split(args.index_dir)),
-                         indent=2))
+        from tantivy4java_ray.pipelines.search import (IndexReader,
+                                                       read_index_metadata)
+        meta = read_index_metadata(_maybe_split(args.index_dir))
+        if args.sizes:
+            meta["component_sizes"] = IndexReader(
+                _maybe_split(args.index_dir)).per_field_component_sizes()
+        print(json.dumps(meta, indent=2))
     elif args.cmd == "agg":
         from tantivy4java_ray.pipelines.search import IndexReader
         from tantivy4java_ray.query import parse_query

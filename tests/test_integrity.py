@@ -227,3 +227,14 @@ def test_bundle_checksum_via_url_form(idx, tmp_path):
         f.write("{not json")
     probs = verify_checksums(url)
     assert probs and "malformed" in probs[0]
+
+
+def test_cli_info_sizes(idx):
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run([sys.executable, "-m", "tantivy4java_ray",
+                        "info", idx, "--sizes"], capture_output=True,
+                       text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    meta = json.loads(r.stdout)
+    cs = meta["component_sizes"]
+    assert cs["text.postings"] > 0 and cs["text.fieldnorm"] > 0
