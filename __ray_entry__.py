@@ -766,6 +766,23 @@ def q_repetition_stats(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_decontaminate(sf_dir: str):
+    """GPT-3-style test-set decontamination: docs sharing any word
+    5-gram with the 'benchmark' (every doc_id % 97 == 0 doc) are
+    dropped; returns the surviving doc ids."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from tantivy4java_ray.functions.dedup import decontaminate
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    bench = t[t["doc_id"] % 97 == 0]["text"].tolist()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    clean, _flagged = decontaminate(ds, "text", "doc_id", bench, ngram=5)
+    out = clean.to_pandas()[["doc_id"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_minhash(sf_dir: str):
     # scale path end-to-end: survivors stay a Dataset (filtered inside
     # map_batches against the broadcast drop set); nothing but the
@@ -1032,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (tests/test_paragraph_dedup.py incl. DuckDB differentials)
         "dedup_paragraph": q_dedup_paragraph,
         "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1324,6 +1342,31 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value DESC, event_id LIMIT 20",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "decontaminate": r"""
+            WITH tk AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text,
+                                                               '\s+'),
+                                         x -> x <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, CASE
+                  WHEN len(tk) = 0 THEN []
+                  WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                  ELSE [array_to_string(tk[i:i+4], ' ')
+                        for i in range(1, len(tk) - 3)] END AS shingles
+              FROM tk
+            ), bench AS (
+              SELECT DISTINCT unnest(shingles) AS g FROM sh
+              WHERE doc_id % 97 = 0
+            ), flagged AS (
+              SELECT DISTINCT s.doc_id
+              FROM sh s, unnest(s.shingles) AS u(g)
+              JOIN bench b ON u.g = b.g
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+            ORDER BY doc_id
+        """,
         "repetition_stats": r"""
             WITH w AS (
               SELECT doc_id, list_filter(regexp_split_to_array(text,

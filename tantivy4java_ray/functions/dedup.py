@@ -997,3 +997,58 @@ def paragraph_dedup(ds, col: str, id_col: str, *, sep: str = "\n",
               .union(marks.map_batches(tag_marks, batch_format="pyarrow"))
               .groupby(id_col)
               .map_groups(rebuild, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination (GPT-3-appendix-style n-gram overlap removal)
+# ---------------------------------------------------------------------------
+
+def decontaminate(ds, col: str, id_col: str, benchmark_texts,
+                  *, ngram: int = 13):
+    """Drop corpus docs sharing ANY word ``ngram``-gram with a benchmark
+    set (the published GPT-3/PaLM decontamination rule; 13-grams there).
+    Docs shorter than ``ngram`` words form one whole-doc shingle, so a
+    short benchmark item flags only exact short matches, not substrings.
+
+    -> ``(clean_ds, flagged_ids int64 array)``.
+
+    Scale: the benchmark set is small by definition — its unique shingle
+    hashes broadcast once via ``ray.put`` (8 B each); the corpus pass is
+    one ``map_batches`` emitting only flagged ids (proportional to
+    contamination). The clean dataset filters against the broadcast
+    flagged set, the same drop-set idiom as ``minhash_dedup_dataset``;
+    the corpus never materializes. Identity is one 64-bit shingle hash:
+    a false flag needs a hash collision (P ~ n_bench * 2^-64 per
+    shingle), and a collision only ever REMOVES a doc, never leaks
+    contamination in."""
+    import ray
+
+    b_off, b_h = _batch_shingle_hashes(
+        [t for t in benchmark_texts if t], ngram)
+    bench = np.unique(b_h)
+    bench_ref = ray.put(bench)
+
+    def flagged_ids(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        texts = t.column(col).to_pylist()
+        off, h = _batch_shingle_hashes(texts, ngram)
+        hit = _isin_sorted(h, bset)
+        out = np.zeros(t.num_rows, bool)
+        if hit.any():
+            doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                               np.diff(off))
+            out[np.unique(doc_of[hit])] = True
+        return pa.table({id_col: t.column(id_col).filter(pa.array(out))})
+
+    flagged = (ds.map_batches(flagged_ids, batch_format="pyarrow")
+                 .to_pandas()[id_col].to_numpy(np.int64))
+    flagged = np.sort(flagged)
+    drop_ref = ray.put(flagged)
+
+    def filt(t: pa.Table) -> pa.Table:
+        dl = ray.get(drop_ref)
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                         np.int64)
+        return t.filter(pa.array(~_isin_sorted(ids, dl)))
+
+    return ds.map_batches(filt, batch_format="pyarrow"), flagged

@@ -220,3 +220,67 @@ def test_keepfirst_losers_multiblock_boundaries(ray_session):
     out = _keepfirst_losers(ds, "doc_id").to_pandas()
     got = set(zip(out["doc_id"], out["__pidx"]))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_hand_cases(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import decontaminate
+    bench = ["the quick brown fox jumps", "short one"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "prefix the quick brown fox jumps suffix",  # contains bench 5gram
+            "the quick brown wolf jumps high today",    # no shared 5-gram
+            "short one",                                # exact short match
+            "contains short one inside a longer doc",   # bench short item is
+                                                        # WHOLE-doc shingle:
+                                                        # must NOT flag
+            "",                                         # empty: never flagged
+        ]})
+    clean, flagged = decontaminate(
+        ray.data.from_pandas(docs), "text", "doc_id", bench, ngram=5)
+    assert flagged.tolist() == [0, 2]
+    assert sorted(clean.to_pandas()["doc_id"]) == [1, 3, 4]
+
+
+def test_decontaminate_duckdb_differential(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import decontaminate
+    rng = np.random.default_rng(13)
+    texts = [" ".join(f"w{rng.integers(0, 25)}"
+                      for _ in range(int(rng.integers(0, 18))))
+             for _ in range(120)]
+    docs = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                         "text": texts})
+    bench = [texts[i] for i in range(0, 120, 17)]
+    clean, _flagged = decontaminate(
+        ray.data.from_pandas(docs), "text", "doc_id", bench, ngram=5)
+    mine = sorted(clean.to_pandas()["doc_id"])
+    ref = duckdb.sql(r"""
+        WITH tk AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '') AS tk FROM docs
+        ), sh AS (
+          SELECT doc_id, CASE
+              WHEN len(tk) = 0 THEN []
+              WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+              ELSE [array_to_string(tk[i:i+4], ' ')
+                    for i in range(1, len(tk) - 3)] END AS shingles
+          FROM tk
+        ), bench AS (
+          SELECT DISTINCT unnest(shingles) AS g FROM sh
+          WHERE doc_id % 17 = 0
+        ), flagged AS (
+          SELECT DISTINCT s.doc_id
+          FROM sh s, unnest(s.shingles) AS u(g)
+          JOIN bench b ON u.g = b.g
+        )
+        SELECT doc_id FROM docs
+        WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        ORDER BY doc_id
+    """).fetchdf()["doc_id"].tolist()
+    assert mine == ref
