@@ -76,18 +76,21 @@ def exact_dedup(ds, col: str, id_col: str):
     value). Equivalent SQL: ``SELECT min(id) FROM t GROUP BY col``.
 
     Scale: the only shuffle moves ``(h1, h2, id)`` — never the text
-    (``exact_dedup_keys`` drops it on the map side; asserted by tests)."""
+    (``exact_dedup_keys`` drops it on the map side; asserted by tests).
+    Winners come from the sort + vectorized run-scan (``_keepfirst_scan``)
+    — the earlier ``groupby(h).map_groups`` made one Python call per
+    DISTINCT VALUE, which at corpus scale (10^9+ distinct texts) is
+    pure interpreter overhead."""
+    def add_pidx(t: pa.Table) -> pa.Table:
+        k = exact_dedup_keys(t, col, id_col)
+        return k.append_column(
+            "__pidx", pa.array(np.zeros(k.num_rows, np.int64)))
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("__h2", sort=False, as_index=False)[id_col].min()
-        # id type is caller's (int doc ids, string urls, ...) — keep it
-        return pd.DataFrame(
-            {id_col: out[id_col].sort_values().to_numpy()})
-
-    return (ds.map_batches(lambda t: exact_dedup_keys(t, col, id_col),
-                           batch_format="pyarrow")
-              .groupby("__h")
-              .map_groups(keep_min, batch_format="pandas"))
+    winners = _keepfirst_scan(
+        ds.map_batches(add_pidx, batch_format="pyarrow"), id_col,
+        "winners")
+    return winners.map_batches(lambda t: t.select([id_col]),
+                               batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -837,19 +840,23 @@ def _paragraph_keys(t: pa.Table, col: str, id_col: str,
                      "__h2": pa.array(h2, pa.int64())})
 
 
-def _keepfirst_losers(keys, id_col: str):
-    """All ``(id, __pidx)`` rows that are NOT the first occurrence of
-    their 128-bit ``(__h, __h2)`` group, first = min ``(id, __pidx)``.
+def _keepfirst_scan(keys, id_col: str, want: str):
+    """Keep-first-per-group scan over ``(id, __pidx, __h, __h2)`` rows:
+    first = min ``(id, __pidx)`` within the 128-bit ``(__h, __h2)``
+    group. ``want="losers"`` returns every NON-first row;
+    ``want="winners"`` returns exactly the first row of every group.
 
     ONE range-sort shuffle of the 32 B/row key table, then per-block
     VECTORIZED run scanning (no per-group Python calls — a corpus has
-    ~one group per distinct paragraph). A block's first and last runs
-    may continue in neighbouring blocks, so each such run resolves its
+    ~one group per distinct value). A block's first and last runs may
+    continue in neighbouring blocks, so each such run resolves its
     block-local rows immediately (non-minimal rows lose to the local
     min regardless of neighbours) and emits only its LOCAL MIN as an
-    edge fragment — driver traffic is O(blocks), even for a boilerplate
-    paragraph duplicated across the whole corpus."""
+    edge fragment — driver traffic is O(blocks), even for a value
+    duplicated across the whole corpus; the driver then settles each
+    boundary group's true first among its per-block minima."""
     import ray.data
+    assert want in ("losers", "winners")
 
     def block(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -869,11 +876,12 @@ def _keepfirst_losers(keys, id_col: str):
         newrun[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
         run_id = np.cumsum(newrun) - 1
         boundary = (run_id == 0) | (run_id == run_id[-1])
-        losers = ~newrun           # non-first rows always lose
-        frags = newrun & boundary  # local min of a possibly-split run
-        kind = np.concatenate([np.zeros(int(losers.sum()), np.int8),
+        # interior rows settle in-block; boundary-run local minima defer
+        settled = (~newrun) if want == "losers" else (newrun & ~boundary)
+        frags = newrun & boundary
+        kind = np.concatenate([np.zeros(int(settled.sum()), np.int8),
                                np.ones(int(frags.sum()), np.int8)])
-        sel = pd.concat([srt[losers], srt[frags]])
+        sel = pd.concat([srt[settled], srt[frags]])
         return pa.table({
             "kind": pa.array(kind),
             id_col: pa.Array.from_pandas(sel[id_col]),
@@ -887,7 +895,7 @@ def _keepfirst_losers(keys, id_col: str):
     frag = res.map_batches(
         lambda t: t.filter(pa.compute.equal(t.column("kind"), 1)),
         batch_format="pyarrow").to_pandas()   # O(blocks) rows
-    losers_ds = res.map_batches(
+    out_ds = res.map_batches(
         lambda t: t.filter(pa.compute.equal(t.column("kind"), 0))
                    .select([id_col, "__pidx"]),
         batch_format="pyarrow")
@@ -895,12 +903,20 @@ def _keepfirst_losers(keys, id_col: str):
         fsrt = frag.sort_values(["__h", "__h2", id_col, "__pidx"],
                                 kind="stable")
         first = (fsrt["__h"].ne(fsrt["__h"].shift())
-                 | fsrt["__h2"].ne(fsrt["__h2"].shift()))
-        extra = fsrt[~first.to_numpy()][[id_col, "__pidx"]]
+                 | fsrt["__h2"].ne(fsrt["__h2"].shift())).to_numpy()
+        extra = (fsrt[~first] if want == "losers"
+                 else fsrt[first])[[id_col, "__pidx"]]
         if len(extra):
-            losers_ds = losers_ds.union(
-                ray.data.from_pandas(extra.reset_index(drop=True)))
-    return losers_ds
+            # arrow table, not from_pandas: the union must carry the
+            # same block schema as the arrow-native main stream
+            out_ds = out_ds.union(ray.data.from_arrow(pa.table({
+                id_col: pa.Array.from_pandas(extra[id_col]),
+                "__pidx": pa.array(extra["__pidx"].to_numpy(np.int64))})))
+    return out_ds
+
+
+def _keepfirst_losers(keys, id_col: str):
+    return _keepfirst_scan(keys, id_col, "losers")
 
 
 #: markers at or below this count broadcast via ``ray.put`` and docs are
