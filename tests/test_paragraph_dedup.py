@@ -284,3 +284,31 @@ def test_decontaminate_duckdb_differential(ray_session):
         ORDER BY doc_id
     """).fetchdf()["doc_id"].tolist()
     assert mine == ref
+
+
+def test_keepfirst_winners_multiblock_boundaries(ray_session):
+    # winners mode of the shared scan: exactly ONE winner per (h,h2)
+    # group, the global min, with runs spanning block boundaries
+    import ray.data
+    from tantivy4java_ray.functions.dedup import _keepfirst_scan
+    rng = np.random.default_rng(31)
+    n = 3000
+    h = rng.integers(0, 9, n).astype(np.int64)
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(n).astype(np.int64),
+        "__pidx": np.zeros(n, np.int64),
+        "__h": h,
+        "__h2": h * 11 + 1,
+    })
+    srt = df.sort_values(["__h", "__h2", "doc_id", "__pidx"],
+                         kind="stable")
+    first = ~srt.duplicated(subset=["__h", "__h2"], keep="first")
+    want = set(zip(srt[first.to_numpy()]["doc_id"],
+                   srt[first.to_numpy()]["__pidx"]))
+    blocks = [ray.data.from_pandas(df.iloc[i:i + 200])
+              for i in range(0, n, 200)]
+    out = _keepfirst_scan(blocks[0].union(*blocks[1:]), "doc_id",
+                          "winners").to_pandas()
+    got = set(zip(out["doc_id"], out["__pidx"]))
+    assert got == want
+    assert len(out) == len(want)     # no duplicate winners emitted
