@@ -859,14 +859,10 @@ def _keepfirst_scan(keys, id_col: str, want: str):
     assert want in ("losers", "winners")
 
     def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("kind", pa.array([], pa.int8()))
         df = t.to_pandas()
         n = len(df)
-        if n == 0:
-            return pa.table({"kind": pa.array([], pa.int8()),
-                             id_col: t.column(id_col),
-                             "__pidx": pa.array([], pa.int64()),
-                             "__h": pa.array([], pa.int64()),
-                             "__h2": pa.array([], pa.int64())})
         srt = df.sort_values(["__h", "__h2", id_col, "__pidx"],
                              kind="stable")
         h1 = srt["__h"].to_numpy(np.int64)
@@ -882,22 +878,23 @@ def _keepfirst_scan(keys, id_col: str, want: str):
         kind = np.concatenate([np.zeros(int(settled.sum()), np.int8),
                                np.ones(int(frags.sum()), np.int8)])
         sel = pd.concat([srt[settled], srt[frags]])
-        return pa.table({
-            "kind": pa.array(kind),
-            id_col: pa.Array.from_pandas(sel[id_col]),
-            "__pidx": pa.array(sel["__pidx"].to_numpy(np.int64)),
-            "__h": pa.array(sel["__h"].to_numpy(np.int64)),
-            "__h2": pa.array(sel["__h2"].to_numpy(np.int64))})
+        # payload columns (stats etc.) ride along untouched; enforce the
+        # INPUT schema so every block emits identical arrow types
+        out = pa.Table.from_pandas(sel, schema=t.schema,
+                                   preserve_index=False)
+        return out.append_column("kind", pa.array(kind))
 
     res = (keys.sort(["__h", "__h2"])
                .map_batches(block, batch_format="pyarrow")
                .materialize())
+    base_schema = res.schema().base_schema
+    data_cols = [c for c in base_schema.names if c != "kind"]
     frag = res.map_batches(
         lambda t: t.filter(pa.compute.equal(t.column("kind"), 1)),
         batch_format="pyarrow").to_pandas()   # O(blocks) rows
     out_ds = res.map_batches(
         lambda t: t.filter(pa.compute.equal(t.column("kind"), 0))
-                   .select([id_col, "__pidx"]),
+                   .select(data_cols),
         batch_format="pyarrow")
     if len(frag):
         fsrt = frag.sort_values(["__h", "__h2", id_col, "__pidx"],
@@ -905,13 +902,15 @@ def _keepfirst_scan(keys, id_col: str, want: str):
         first = (fsrt["__h"].ne(fsrt["__h"].shift())
                  | fsrt["__h2"].ne(fsrt["__h2"].shift())).to_numpy()
         extra = (fsrt[~first] if want == "losers"
-                 else fsrt[first])[[id_col, "__pidx"]]
+                 else fsrt[first])[data_cols]
         if len(extra):
-            # arrow table, not from_pandas: the union must carry the
-            # same block schema as the arrow-native main stream
-            out_ds = out_ds.union(ray.data.from_arrow(pa.table({
-                id_col: pa.Array.from_pandas(extra[id_col]),
-                "__pidx": pa.array(extra["__pidx"].to_numpy(np.int64))})))
+            # arrow with the SAME block schema as the main stream
+            ex = pa.Table.from_pandas(extra.reset_index(drop=True),
+                                      schema=pa.schema(
+                                          [base_schema.field(c)
+                                           for c in data_cols]),
+                                      preserve_index=False)
+            out_ds = out_ds.union(ray.data.from_arrow(ex))
     return out_ds
 
 

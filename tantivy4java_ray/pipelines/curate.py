@@ -85,17 +85,24 @@ def curate_documents(ds, *, col: str = "text", id_col: str = "doc_id",
     that (a) score ``quality >= min_quality``, (b) are predicted to be in
     ``langs`` (None = keep all), and (c) are the minimum-id survivor of
     their exact-text duplicate group. Streaming; one 60 B/row shuffle."""
-    id_col_ = id_col
+    from tantivy4java_ray.functions.dedup import _keepfirst_scan
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col_, kind="stable")
-        g = g.drop_duplicates(subset=["__h2"], keep="first")
-        return g.drop(columns=["__h", "__h2"]).reset_index(drop=True)
+    def add_pidx(t: pa.Table) -> pa.Table:
+        import numpy as np
+        return t.append_column(
+            "__pidx", pa.array(np.zeros(t.num_rows, np.int64)))
 
-    return (ds.map_batches(_ScoreFilter, batch_format="pyarrow",
-                           fn_constructor_kwargs=dict(
-                               col=col, id_col=id_col,
-                               min_quality=min_quality, langs=langs),
-                           concurrency=(1, concurrency), num_cpus=1)
-              .groupby("__h")
-              .map_groups(keep_min, batch_format="pandas"))
+    scored = ds.map_batches(_ScoreFilter, batch_format="pyarrow",
+                            fn_constructor_kwargs=dict(
+                                col=col, id_col=id_col,
+                                min_quality=min_quality, langs=langs),
+                            concurrency=(1, concurrency), num_cpus=1)
+    # min-id winner per exact-text group via the shared vectorized
+    # keep-first scan (stat columns ride the 60 B/row stream as
+    # payload); the previous groupby(h).map_groups made one Python
+    # call per DISTINCT surviving text
+    winners = _keepfirst_scan(scored.map_batches(
+        add_pidx, batch_format="pyarrow"), id_col, "winners")
+    return winners.map_batches(
+        lambda t: t.drop_columns(["__h", "__h2", "__pidx"]),
+        batch_format="pyarrow")
