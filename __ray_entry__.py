@@ -741,6 +741,33 @@ def q_dedup_exact(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup: yesterday's corpus (every doc_id % 3 == 0
+    doc) is committed as a 16 B/row fingerprint snapshot; today's shard
+    (the rest) drops docs whose text the snapshot already contains and
+    keeps the first occurrence within itself."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from tantivy4java_ray.functions.dedup import (
+        corpus_fingerprint_keys, exact_dedup_incremental)
+
+    def split(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column("doc_id").to_numpy(), np.int64)
+            m = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    seen = corpus_fingerprint_keys(
+        ds.map_batches(split(True), batch_format="pyarrow"), "text")
+    new = ds.map_batches(split(False), batch_format="pyarrow")
+    out = exact_dedup_incremental(new, "text", "doc_id", seen).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_paragraph(sf_dir: str):
     """CCNet-style corpus-wide keep-first duplicate-paragraph removal
     with doc reassembly. The synthetic corpus has no newlines, so the
@@ -1050,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraph": q_dedup_paragraph,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -1342,6 +1370,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value DESC, event_id LIMIT 20",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_incremental": """
+            SELECT min(n.doc_id) AS doc_id
+            FROM documents n
+            WHERE n.doc_id % 3 <> 0
+              AND NOT EXISTS (SELECT 1 FROM documents o
+                              WHERE o.doc_id % 3 = 0
+                                AND o.text = n.text)
+            GROUP BY n.text
+            ORDER BY doc_id""",
         "decontaminate": r"""
             WITH tk AS (
               SELECT doc_id, list_filter(regexp_split_to_array(text,

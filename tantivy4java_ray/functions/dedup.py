@@ -94,6 +94,91 @@ def exact_dedup(ds, col: str, id_col: str):
 
 
 # ---------------------------------------------------------------------------
+# incremental exact dedup (new shard vs a committed corpus snapshot)
+# ---------------------------------------------------------------------------
+
+#: seen-side order sentinel — sorts below every real id so a committed
+#: fingerprint always wins its group in the keep-first scan
+_SEEN_ID = np.iinfo(np.int64).min
+
+
+def corpus_fingerprint_keys(ds, col: str):
+    """16 B/row fingerprint snapshot of a corpus: the per-batch-DISTINCT
+    128-bit identities (``__h``, ``__h2``) of ``col`` under the shared
+    ``_hash128`` contract. This is what an incremental pipeline persists
+    between crawls (write_parquet it) instead of re-reading yesterday's
+    text: at 10^12 docs the snapshot is ~16 TB of text identity in
+    16 B/row parquet, readable shard-parallel."""
+    import pyarrow.compute as pc
+
+    def keys(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        arr = arr.filter(pc.is_valid(arr))
+        if len(arr) == 0:
+            return pa.table({"__h": pa.array([], pa.int64()),
+                             "__h2": pa.array([], pa.int64())})
+        h1, h2 = _hash128(arr)
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.ones(len(h1s), bool)
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        return pa.table({"__h": pa.array(h1s[first], pa.int64()),
+                         "__h2": pa.array(h2s[first], pa.int64())})
+
+    return ds.map_batches(keys, batch_format="pyarrow")
+
+
+def exact_dedup_incremental(new_ds, col: str, id_col: str, seen_keys):
+    """Exact dedup of a NEW shard against an already-committed corpus:
+    drop new docs whose ``col`` value appeared in the snapshot, and
+    keep the first (min ``id_col``) occurrence within the new shard
+    itself. -> Dataset of surviving ``{id_col}`` rows.
+
+    ``seen_keys`` is a Dataset of ``(__h, __h2)`` fingerprints —
+    ``corpus_fingerprint_keys(old_corpus, col)`` or a parquet snapshot
+    a previous run wrote. Equivalent SQL::
+
+        SELECT min(id) FROM new n GROUP BY n.col
+        HAVING NOT EXISTS (SELECT 1 FROM old o WHERE o.col = n.col)
+
+    Scale: the old corpus is represented by hashes only (16 B/row —
+    its text is never read); both sides union into ONE keep-first
+    range-sort shuffle (``_keepfirst_scan``). Seen rows ride with a
+    sentinel order key below every real id, so a committed fingerprint
+    always wins its group and the group emits nothing; ids must
+    therefore be > INT64_MIN (asserted per batch)."""
+    import pyarrow.compute as pc
+
+    def add_new(t: pa.Table) -> pa.Table:
+        k = exact_dedup_keys(t, col, id_col)
+        if k.num_rows:
+            lo = pc.min(k.column(id_col)).as_py()
+            if lo is not None and lo <= _SEEN_ID:
+                raise ValueError(
+                    f"exact_dedup_incremental: {id_col}={lo} collides "
+                    f"with the seen-side sentinel (INT64_MIN)")
+        return k.append_column(
+            "__pidx", pa.array(np.zeros(k.num_rows, np.int64)))
+
+    def add_seen(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            id_col: pa.array(np.full(n, _SEEN_ID, np.int64)),
+            "__h": t.column("__h"), "__h2": t.column("__h2"),
+            "__pidx": pa.array(np.zeros(n, np.int64))})
+
+    keys = (new_ds.map_batches(add_new, batch_format="pyarrow")
+            .union(seen_keys.map_batches(add_seen,
+                                         batch_format="pyarrow")))
+    winners = _keepfirst_scan(keys, id_col, "winners")
+    return winners.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column(id_col), _SEEN_ID))
+                   .select([id_col]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
