@@ -741,6 +741,41 @@ def q_dedup_exact(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup: nearest-seed clustering (centroids = the k=8 lowest
+    vec_id embeddings, deterministic) then within-cluster drop of docs
+    with an earlier cluster-mate at cosine >= 0.8. The synthetic
+    embeddings' max off-diagonal cosine is ~0.6, so the five planted
+    re-entries (first five vectors with ids offset by N) are exactly
+    the drops."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from tantivy4java_ray.functions.dedup import semantic_dedup
+
+    seeds = (pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+             .to_pandas().sort_values("vec_id").head(8))
+    cents = np.stack(seeds["embedding"].to_numpy())
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    n = ds.count()
+
+    def bump(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("vec_id")
+        return t.set_column(i, "vec_id", pc.add(t.column("vec_id"), n))
+
+    dup = ds.limit(5).map_batches(bump, batch_format="pyarrow")
+    out = semantic_dedup(ds.union(dup), "embedding", "vec_id",
+                         centroids=cents, tau=0.8).to_pandas()
+    if "vec_id" not in out.columns:   # empty Dataset -> column-less
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+    return out[["vec_id"]].sort_values("vec_id").reset_index(drop=True)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup: yesterday's corpus (every doc_id % 3 == 0
     doc) is committed as a 16 B/row fingerprint snapshot; today's shard
@@ -1078,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "dedup_incremental": q_dedup_incremental,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1370,6 +1406,29 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value DESC, event_id LIMIT 20",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "semantic_dedup": """
+            WITH u AS (SELECT vec_id, embedding FROM embeddings
+                       UNION ALL
+                       SELECT vec_id + (SELECT count(*) FROM embeddings),
+                              embedding
+                       FROM (SELECT * FROM embeddings
+                             ORDER BY vec_id LIMIT 5)),
+            seeds AS (SELECT vec_id AS cid, embedding AS cv
+                      FROM embeddings WHERE vec_id < 8),
+            asg AS (SELECT u.vec_id, u.embedding,
+                           (SELECT s.cid FROM seeds s
+                            ORDER BY list_cosine_similarity(u.embedding,
+                                                            s.cv) DESC,
+                                     s.cid
+                            LIMIT 1) AS cl
+                    FROM u)
+            SELECT a.vec_id FROM asg a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM asg b
+                WHERE b.cl = a.cl AND b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.embedding,
+                                             b.embedding) >= 0.8)
+            ORDER BY vec_id""",
         "dedup_incremental": """
             SELECT min(n.doc_id) AS doc_id
             FROM documents n

@@ -885,6 +885,92 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster, then drop within-cluster near-dups)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(ds, emb_col: str, id_col: str, *,
+                   centroids, tau: float = 0.9,
+                   max_cluster: int = 100_000):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid
+    by cosine (deterministic tie-break: lowest centroid index), then
+    within each cluster drop any doc with an EARLIER (lower ``id_col``)
+    cluster-mate at cosine >= ``tau``. -> Dataset of surviving
+    ``{id_col}`` rows. Equivalent SQL: anti-join on
+    ``EXISTS(same cluster AND earlier id AND cos >= tau)`` — kept
+    status of the earlier doc does not matter (keeps the rule local
+    and order-independent).
+
+    ``centroids``: (k, dim) array — ``similarity._kmeans`` output, IVF
+    centroids, or k seed rows; broadcast via closure (tiny).
+
+    Scale: clustering is the point — pairwise work is confined to
+    clusters, so k scales with the corpus (SemDeDup used 50k clusters
+    at 100M docs). ONE ``groupby(cluster)`` shuffle whose rows carry
+    the f32 vector (4·dim B/row — inherent: within-cluster pairwise
+    needs the vectors once); per-cluster kernel is a blocked gram
+    matrix in f64 (vectorized, 1024-row tiles, O(tile·n) memory).
+    Clusters above ``max_cluster`` raise rather than silently running
+    an unbounded all-pairs (re-train with more centroids)."""
+    from tantivy4java_ray.functions.similarity import _emb_matrix
+    C = np.asarray(centroids, np.float64)
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    C = C / norms
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.large_binary())})
+        V = _emb_matrix(t, emb_col).astype(np.float64)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        V = V / n
+        cl = np.argmax(V @ C.T, axis=1)   # first max = lowest index
+        return pa.table({
+            "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+            id_col: t.column(id_col).cast(pa.int64()),
+            "vec": pa.array([v.tobytes() for v in
+                             V.astype(np.float32)], pa.large_binary())})
+
+    _empty = pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:   # groupby may hand an empty block its own call
+            return _empty
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(g)} rows exceeds "
+                f"max_cluster={max_cluster} — train more centroids")
+        order = np.argsort(g[id_col].to_numpy(np.int64), kind="stable")
+        ids = g[id_col].to_numpy(np.int64)[order]
+        V = np.stack([np.frombuffer(b, np.float32).astype(np.float64)
+                      for b in g["vec"].to_numpy()[order]])
+        n = len(ids)
+        keep = np.ones(n, bool)
+        B = 1024
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            blk = V[s:e]
+            dom = np.zeros(e - s, bool)
+            if s:
+                dom = (blk @ V[:s].T >= tau).any(axis=1)
+            if e - s > 1:
+                intra = blk @ blk.T
+                lower = np.tril(np.ones((e - s, e - s), bool), -1)
+                dom |= ((intra >= tau) & lower).any(axis=1)
+            keep[s:e] = ~dom
+        if not keep.any():
+            return _empty
+        return pd.DataFrame({id_col: ids[keep]})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("cluster")
+              .map_groups(survivors, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
 # paragraph-level exact dedup (CCNet / RefinedWeb-style keep-first)
 # ---------------------------------------------------------------------------
 
