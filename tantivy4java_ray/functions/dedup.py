@@ -885,6 +885,69 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
 
 
 # ---------------------------------------------------------------------------
+# URL dedup (keep the newest crawl per canonical URL)
+# ---------------------------------------------------------------------------
+
+def canonicalize_urls(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized URL canonicalization (Arrow kernels, no Python rows):
+    lowercase; strip ``http(s)://`` scheme, a leading ``www.``, the
+    fragment (``#...``), an explicit default port (``:80``/``:443``),
+    and a single trailing ``/``. Query strings are KEPT (they routinely
+    change content). Two crawls of the same page under these cosmetic
+    variations canonicalize equal."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    u = pc.utf8_lower(col)
+    u = pc.replace_substring_regex(u, r"^https?://", "")
+    u = pc.replace_substring_regex(u, r"^www\.", "")
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    # RE2 has no lookahead: capture the rest instead
+    u = pc.replace_substring_regex(u, r"^([^/?:]+):(?:80|443)([/?].*)?$",
+                                   r"\1\2")
+    u = pc.replace_substring_regex(u, r"/$", "")
+    return u
+
+
+def url_dedup_latest(ds, url_col: str, ts_col: str, id_col: str):
+    """Keep the NEWEST crawl per canonical URL (re-crawl dedup over the
+    Common-Crawl page shape: ``url``, ``warc_ts``, ...); ties on the
+    timestamp keep the lowest ``id_col``. -> Dataset of surviving
+    ``{id_col}`` rows.
+
+    Scale: the only shuffle is the shared keep-first range-sort over
+    40 B/row keys — ``(128-bit canonical-url hash, -ts, id)``; the url,
+    html and text never ride it. Null timestamps sort OLDEST (a dated
+    crawl always beats an undated one); null urls group together."""
+    import pyarrow.compute as pc
+
+    _OLD = np.iinfo(np.int64).min + 1   # null-ts sentinel (negatable)
+
+    def keys(t: pa.Table) -> pa.Table:
+        h1, h2 = _hash128(canonicalize_urls(t.column(url_col)))
+        ts = t.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        else:
+            ts = ts.cast(pa.int64())
+        tsv = np.asarray(pc.fill_null(ts, _OLD).to_numpy(), np.int64)
+        ids = t.column(id_col).cast(pa.int64())
+        return pa.table({
+            "__ord": pa.array(-tsv, pa.int64()),   # min = newest
+            "__pidx": ids,                         # tie: lowest id
+            "__h": pa.array(h1, pa.int64()),
+            "__h2": pa.array(h2, pa.int64()),
+            id_col: ids})
+
+    winners = _keepfirst_scan(
+        ds.map_batches(keys, batch_format="pyarrow"), "__ord", "winners")
+    return winners.map_batches(lambda t: t.select([id_col]),
+                               batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup: cluster, then drop within-cluster near-dups)
 # ---------------------------------------------------------------------------
 
