@@ -741,6 +741,17 @@ def q_dedup_exact(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_vocab_topk(sf_dir: str):
+    """Top-50 corpus terms by frequency (tokenizer-training prep):
+    map-side combiner partials, one groupby(term) shuffle over the
+    vocabulary, per-block partial top-k to the driver."""
+    import ray.data
+    from tantivy4java_ray.functions.textstats import vocab_topk
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return vocab_topk(ds, "text", k=50).reset_index(drop=True)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup: nearest-seed clustering (centroids = the k=8 lowest
     vec_id embeddings, deterministic) then within-cluster drop of docs
@@ -1114,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "dedup_incremental": q_dedup_incremental,
         "semantic_dedup": q_semantic_dedup,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -1406,6 +1418,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value DESC, event_id LIMIT 20",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "vocab_topk": f"""
+            SELECT term, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term
+            ORDER BY cnt DESC, term
+            LIMIT 50""",
         "semantic_dedup": """
             WITH u AS (SELECT vec_id, embedding FROM embeddings
                        UNION ALL

@@ -305,3 +305,71 @@ def repetition_batch(t: pa.Table, col: str = "text",
 def repetition_stats(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(lambda t: repetition_batch(t, col, id_col),
                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary (top-k terms) — tokenizer/BPE training prep
+# ---------------------------------------------------------------------------
+
+def vocab_counts(ds, col: str = "text", *, analyzer: str = "default",
+                 ngram: int = 1):
+    """Corpus-wide term frequencies -> Dataset of ``(term, cnt)``.
+
+    Map-side COMBINER: each batch emits its per-batch (term, count)
+    partials — rows proportional to the batch VOCABULARY, not its token
+    count (``tokenize_column`` dictionary-encodes, so per-token Python
+    strings never exist) — and ``groupby(term).sum`` is the only
+    shuffle. ``ngram=2`` counts adjacent in-document word pairs
+    (``"a b"`` keys), the unit BPE-style merge scoring works on."""
+    if ngram not in (1, 2):
+        raise ValueError("vocab_counts: ngram must be 1 or 2")
+    an = get_analyzer(analyzer)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        tok = tokenize_column(c.combine_chunks()
+                              if isinstance(c, pa.ChunkedArray) else c, an)
+        codes, row, vocab = tok["codes"], tok["row"], tok["vocab"]
+        if ngram == 1:
+            u, cnt = np.unique(codes, return_counts=True) if len(codes) \
+                else (np.empty(0, np.int64), np.empty(0, np.int64))
+            terms = vocab[u] if len(u) else np.empty(0, object)
+        else:
+            same = row[1:] == row[:-1] if len(row) else np.empty(0, bool)
+            a = codes[:-1][same] if len(row) else np.empty(0, np.int64)
+            b = codes[1:][same] if len(row) else np.empty(0, np.int64)
+            # batch vocab is far below 2^31: pack the pair in one int64
+            packed = (a.astype(np.int64) << np.int64(32)) | b.astype(
+                np.int64)
+            u, cnt = np.unique(packed, return_counts=True) if len(packed) \
+                else (np.empty(0, np.int64), np.empty(0, np.int64))
+            if len(u):
+                terms = np.asarray(
+                    [f"{x} {y}" for x, y in
+                     zip(vocab[(u >> np.int64(32)).astype(np.int64)],
+                         vocab[(u & np.int64(0xFFFFFFFF)).astype(
+                             np.int64)])], object)
+            else:
+                terms = np.empty(0, object)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("term").sum("cnt"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["term", "cnt"]),
+        batch_format="pyarrow")
+
+
+def vocab_topk(ds, col: str = "text", *, k: int = 100,
+               analyzer: str = "default", ngram: int = 1) -> pd.DataFrame:
+    """Top-``k`` corpus terms by frequency (count desc, term asc) —
+    per-block partial top-k after the combiner aggregation; only
+    ``k x blocks`` rows reach the driver."""
+    from tantivy4java_ray.functions.topk import topk
+    agg = vocab_counts(ds, col, analyzer=analyzer, ngram=ngram)
+    out = topk(agg, "cnt", k, descending=True, tie_cols=("term",))
+    if not len(out):
+        return pd.DataFrame({"term": pd.Series(dtype=object),
+                             "cnt": pd.Series(dtype=np.int64)})
+    return out[["term", "cnt"]]
