@@ -741,6 +741,37 @@ def q_dedup_exact(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_sample_mix(sf_dir: str):
+    """Deterministic stratified sampling (training-data domain mixing):
+    per-lang keep fractions decided by a multiplicative hash of doc_id —
+    membership is a pure row function (resume/repartition-safe),
+    map-only, and exactly reproducible in SQL."""
+    import ray.data
+    from tantivy4java_ray.functions.sampling import sample_stratified
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    out = sample_stratified(ds, "doc_id", "lang",
+                            {"en": 0.25, "zh": 1.0, "es": 0.5},
+                            default_frac=0.0).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "lang": pd.Series(dtype=object)})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Context-window chunking: 40-token windows, 8-token overlap,
+    whitespace tokens, space-joined chunks."""
+    import ray.data
+    from tantivy4java_ray.functions.textstats import doc_chunks
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = doc_chunks(ds, "text", "doc_id",
+                     max_tokens=40, overlap=8).to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
 def q_vocab_topk(sf_dir: str):
     """Top-50 corpus terms by frequency (tokenizer-training prep):
     map-side combiner partials, one groupby(term) shuffle over the
@@ -1126,6 +1157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "semantic_dedup": q_semantic_dedup,
         "vocab_topk": q_vocab_topk,
+        "sample_mix": q_sample_mix,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -1418,6 +1451,34 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value DESC, event_id LIMIT 20",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "sample_mix": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id::HUGEINT * 2654435761) % 4294967296
+                  < CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 1.0
+                              WHEN 'es' THEN 0.5 ELSE 0.0 END
+                    * 4294967296
+            ORDER BY doc_id""",
+        "doc_chunks": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), c AS (
+              SELECT doc_id, tk, len(tk) AS n,
+                     CASE WHEN len(tk) = 0 THEN 0
+                          WHEN len(tk) <= 40 THEN 1
+                          ELSE 1 + CAST(ceil((len(tk) - 40)::DOUBLE / 32)
+                                        AS BIGINT) END AS nc
+              FROM tk
+            ), e AS (
+              SELECT doc_id, tk, n, unnest(range(nc)) AS i FROM c
+            )
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(tk[i*32 + 1 : least(i*32 + 40, n)],
+                                   ' ') AS chunk,
+                   least(i*32 + 40, n) - i*32 AS n_tokens
+            FROM e ORDER BY doc_id, chunk_idx""",
         "vocab_topk": f"""
             SELECT term, count(*)::BIGINT AS cnt
             FROM (SELECT unnest({_TOKS}) AS term FROM documents)

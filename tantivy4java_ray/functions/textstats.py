@@ -373,3 +373,79 @@ def vocab_topk(ds, col: str = "text", *, k: int = 100,
         return pd.DataFrame({"term": pd.Series(dtype=object),
                              "cnt": pd.Series(dtype=np.int64)})
     return out[["term", "cnt"]]
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context-window training prep)
+# ---------------------------------------------------------------------------
+
+def chunk_batch(t: pa.Table, col: str, id_col: str,
+                max_tokens: int, overlap: int) -> pa.Table:
+    """Split each doc into overlapping windows of <= ``max_tokens``
+    whitespace tokens -> ``(id, chunk_idx, chunk, n_tokens)`` rows.
+    Stride = max_tokens - overlap; the last window ends at the doc's
+    final token (it may be shorter). Chunks join with a single space
+    (training-prep normalization, same whitespace tokenization as
+    ``decontaminate``). Fully vectorized: one regex split, then the
+    chunk windows are built as ONE ListArray over the flat token
+    array + ``binary_join`` — no per-doc Python."""
+    stride = max_tokens - overlap
+    if max_tokens < 1 or not (0 < stride <= max_tokens):
+        raise ValueError("chunk_batch: need max_tokens >= 1 and "
+                         "0 <= overlap < max_tokens")
+    c = t.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    lists = pc.split_pattern_regex(c, r"\s+")
+    flat = pc.list_flatten(lists)
+    parents = np.asarray(pc.list_parent_indices(lists)
+                         .to_numpy(zero_copy_only=False), np.int64)
+    keep = np.asarray(pc.binary_length(flat)
+                      .to_numpy(zero_copy_only=False), np.int64) > 0
+    flat = flat.filter(pa.array(keep))
+    parents = parents[keep]
+    n_rows = t.num_rows
+    n_tok = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    row_off = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    # chunks per row: 0 for empty docs, else 1 + ceil((n - max)/stride)
+    extra = np.maximum(n_tok - max_tokens, 0)
+    n_chunks = np.where(n_tok == 0, 0,
+                        1 + (extra + stride - 1) // stride)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table({id_col: pa.array([], t.column(id_col).type),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64())})
+    doc_of = np.repeat(np.arange(n_rows), n_chunks)
+    cum0 = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(cum0, n_chunks)
+    starts = idx * stride
+    ends = np.minimum(starts + max_tokens, n_tok[doc_of])
+    lens = ends - starts
+    abs_start = row_off[doc_of] + starts
+    # gather indices for all chunk windows in one take
+    coff = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    gather = (np.arange(int(coff[-1]), dtype=np.int64)
+              - np.repeat(coff[:-1], lens) + np.repeat(abs_start, lens))
+    toks = flat.take(pa.array(gather))
+    if coff[-1] < 2**31:
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(coff, pa.int32()), toks)
+    else:
+        chunk_lists = pa.LargeListArray.from_arrays(
+            pa.array(coff, pa.int64()), toks)
+    chunks = pc.binary_join(chunk_lists, " ")
+    return pa.table({id_col: t.column(id_col).take(pa.array(doc_of)),
+                     "chunk_idx": pa.array(idx, pa.int64()),
+                     "chunk": chunks,
+                     "n_tokens": pa.array(lens, pa.int64())})
+
+
+def doc_chunks(ds, col: str = "text", id_col: str = "doc_id", *,
+               max_tokens: int = 512, overlap: int = 0):
+    """Context-window chunking of a corpus (map-only, zero shuffle);
+    see ``chunk_batch``."""
+    return ds.map_batches(
+        lambda t: chunk_batch(t, col, id_col, max_tokens, overlap),
+        batch_format="pyarrow")
