@@ -1452,11 +1452,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "sample_mix": """
+            -- thresholds are floor(frac * 2^32) INTEGERS (the engine's
+            -- documented contract); a raw frac*4294967296 double keeps
+            -- boundary rows the integer comparison drops
             SELECT doc_id, lang FROM documents
             WHERE (doc_id::HUGEINT * 2654435761) % 4294967296
-                  < CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 1.0
-                              WHEN 'es' THEN 0.5 ELSE 0.0 END
-                    * 4294967296
+                  < CASE lang WHEN 'en' THEN 1073741824
+                              WHEN 'zh' THEN 4294967296
+                              WHEN 'es' THEN 2147483648
+                              ELSE 0 END
             ORDER BY doc_id""",
         "doc_chunks": r"""
             WITH tk AS (

@@ -151,7 +151,17 @@ def exact_dedup_incremental(new_ds, col: str, id_col: str, seen_keys):
     import pyarrow.compute as pc
 
     def add_new(t: pa.Table) -> pa.Table:
+        idt = t.schema.field(id_col).type
+        ok = pa.types.is_signed_integer(idt) or (
+            pa.types.is_unsigned_integer(idt) and idt.bit_width < 64)
+        if not ok:
+            raise TypeError(
+                f"exact_dedup_incremental: {id_col} must be an int64-"
+                f"compatible integer column (got {idt}); the seen-side "
+                f"sentinel rides the same column")
         k = exact_dedup_keys(t, col, id_col)
+        k = k.set_column(k.column_names.index(id_col), id_col,
+                         k.column(id_col).cast(pa.int64()))
         if k.num_rows:
             lo = pc.min(k.column(id_col)).as_py()
             if lo is not None and lo <= _SEEN_ID:
@@ -859,14 +869,19 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
     need = np.unique(np.concatenate([cand["a"].to_numpy(np.int64),
                                      cand["b"].to_numpy(np.int64)]))
 
+    vec_t = pa.binary(dim * 4)   # fixed-size: one buffer, no per-row bytes
+
     def norm_vecs(sel: pa.Table) -> pa.Table:
         if len(sel) == 0:   # batch with no candidate rows
             return pa.table({id_col: pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.large_binary())})
-        emb = _normalize_embeddings(sel, emb_col)
+                             "vec": pa.array([], vec_t)})
+        emb = np.ascontiguousarray(_normalize_embeddings(sel, emb_col),
+                                   np.float32)
         return pa.table({
             id_col: sel.column(id_col).cast(pa.int64()),
-            "vec": pa.array([v.tobytes() for v in emb], pa.large_binary())})
+            "vec": pa.Array.from_buffers(vec_t, len(emb),
+                                         [None, pa.py_buffer(emb.tobytes())])
+        })
 
     sub = _scan_candidate_rows(ds, id_col, need, norm_vecs)
     vecs = {int(i): np.frombuffer(b, np.float32)
@@ -890,21 +905,26 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, *,
 
 def canonicalize_urls(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Vectorized URL canonicalization (Arrow kernels, no Python rows):
-    lowercase; strip ``http(s)://`` scheme, a leading ``www.``, the
-    fragment (``#...``), an explicit default port (``:80``/``:443``),
-    and a single trailing ``/``. Query strings are KEPT (they routinely
-    change content). Two crawls of the same page under these cosmetic
-    variations canonicalize equal."""
+    strip the ``http(s)://`` scheme (case-insensitive), the fragment
+    (``#...``), a leading ``www.``, an explicit default port
+    (``:80``/``:443``), and a single trailing ``/``; lowercase ONLY the
+    host (RFC 3986: scheme and host are case-insensitive, the path and
+    query are NOT — ``/wiki/Apple`` and ``/wiki/apple`` are different
+    pages). Query strings are KEPT (they routinely change content)."""
     import pyarrow.compute as pc
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    u = pc.utf8_lower(col)
-    u = pc.replace_substring_regex(u, r"^https?://", "")
-    u = pc.replace_substring_regex(u, r"^www\.", "")
+    u = pc.replace_substring_regex(col, r"^(?i)https?://", "")
     u = pc.replace_substring_regex(u, r"#.*$", "")
-    # RE2 has no lookahead: capture the rest instead
-    u = pc.replace_substring_regex(u, r"^([^/?:]+):(?:80|443)([/?].*)?$",
-                                   r"\1\2")
+    # split host (everything before the first / or ?) from the rest;
+    # lowercase/normalize the host alone, then rejoin
+    host = pc.utf8_lower(pc.replace_substring_regex(
+        u, r"(?s)^([^/?]*).*$", r"\1", max_replacements=1))
+    rest = pc.replace_substring_regex(u, r"^[^/?]*", "",
+                                      max_replacements=1)
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    host = pc.replace_substring_regex(host, r":(?:80|443)$", "")
+    u = pc.binary_join_element_wise(host, rest, "")
     u = pc.replace_substring_regex(u, r"/$", "")
     return u
 
@@ -981,21 +1001,26 @@ def semantic_dedup(ds, emb_col: str, id_col: str, *,
     norms[norms == 0] = 1.0
     C = C / norms
 
+    dim = C.shape[1]
+    vec_t = pa.binary(dim * 4)   # fixed-size: one buffer, no per-row bytes
+
     def assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"cluster": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.large_binary())})
+                             "vec": pa.array([], vec_t)})
         V = _emb_matrix(t, emb_col).astype(np.float64)
         n = np.linalg.norm(V, axis=1, keepdims=True)
         n[n == 0] = 1.0
         V = V / n
         cl = np.argmax(V @ C.T, axis=1)   # first max = lowest index
+        V32 = np.ascontiguousarray(V, np.float32)
+        vec = pa.Array.from_buffers(vec_t, len(V32),
+                                    [None, pa.py_buffer(V32.tobytes())])
         return pa.table({
             "cluster": pa.array(cl.astype(np.int64), pa.int64()),
             id_col: t.column(id_col).cast(pa.int64()),
-            "vec": pa.array([v.tobytes() for v in
-                             V.astype(np.float32)], pa.large_binary())})
+            "vec": vec})
 
     _empty = pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
 
@@ -1008,8 +1033,9 @@ def semantic_dedup(ds, emb_col: str, id_col: str, *,
                 f"max_cluster={max_cluster} — train more centroids")
         order = np.argsort(g[id_col].to_numpy(np.int64), kind="stable")
         ids = g[id_col].to_numpy(np.int64)[order]
-        V = np.stack([np.frombuffer(b, np.float32).astype(np.float64)
-                      for b in g["vec"].to_numpy()[order]])
+        V = (np.frombuffer(b"".join(g["vec"].to_numpy()[order]),
+                           np.float32)
+             .astype(np.float64).reshape(len(ids), -1))
         n = len(ids)
         keep = np.ones(n, bool)
         B = 1024

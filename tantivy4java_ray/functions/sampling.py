@@ -6,6 +6,13 @@ rows. These samplers decide per-row from a multiplicative hash of a key
 column, so membership is a pure function of the row (stable under
 repartitioning, retries, resume), map-only (zero shuffle), and
 SQL-expressible for oracles.
+
+Contract (what a SQL oracle must compute, exactly):
+``keep  <=>  (key * 2654435761) % 2**32  <  floor(frac * 2**32)``
+with NONNEGATIVE integer keys (validated — DuckDB's ``%`` returns
+negative remainders for negative operands, silently diverging) and an
+integer threshold on both sides (a raw ``frac * 4294967296`` double in
+SQL keeps boundary rows the integer comparison drops).
 """
 
 from __future__ import annotations
@@ -19,17 +26,31 @@ _A = 2654435761
 _M = np.uint64(1) << np.uint64(32)
 
 
+def frac_threshold(frac: float) -> int:
+    """The integer threshold ``floor(frac * 2**32)`` — use this exact
+    expression in SQL oracles (comparing against the un-floored double
+    diverges on rows whose hash equals the floor)."""
+    return int(min(max(float(frac), 0.0), 1.0) * float(_M))
+
+
+def _hash_u32(keys: np.ndarray) -> np.ndarray:
+    """(key*A) mod 2^32 via wrapping uint64 product — equals what a
+    HUGEINT SQL oracle computes for nonnegative keys (validated)."""
+    if len(keys) and int(keys.min()) < 0:
+        raise ValueError(
+            "sampling: key column must be nonnegative (SQL '%' returns "
+            "negative remainders for negative keys and would diverge)")
+    return (keys.astype(np.uint64) * np.uint64(_A)) % _M
+
+
 def _keep_mask(keys: np.ndarray, frac: float) -> np.ndarray:
-    """keys*A mod 2^32 < frac*2^32 — wrapping uint64 product's low 32
-    bits equal (key*A) mod 2^32 for any nonnegative key, which is what
-    a HUGEINT SQL oracle computes."""
-    u = (keys.astype(np.uint64) * np.uint64(_A)) % _M
-    return u < np.uint64(min(max(frac, 0.0), 1.0) * float(_M))
+    return _hash_u32(keys) < np.uint64(frac_threshold(frac))
 
 
 def sample_deterministic(ds, key_col: str, frac: float):
     """Keep ~``frac`` of rows, chosen by the hash of ``key_col`` —
-    same rows on every run, any partitioning. Map-only."""
+    same rows on every run, any partitioning. Map-only. Keys must be
+    nonnegative integers (see module contract)."""
     def f(t: pa.Table) -> pa.Table:
         k = np.asarray(t.column(key_col).to_numpy(zero_copy_only=False),
                        np.int64)
@@ -44,16 +65,16 @@ def sample_stratified(ds, key_col: str, group_col: str,
     ``{"web": 0.3, "books": 1.0}``). Groups absent from ``fractions``
     keep ``default_frac``. Map-only; the fraction table is tiny and
     rides the closure; membership is a pure row function (resume-safe).
-    """
-    items = dict(fractions)
+    Keys must be nonnegative integers (see module contract)."""
+    thr = {g: frac_threshold(fr) for g, fr in fractions.items()}
+    dthr = frac_threshold(default_frac)
 
     def f(t: pa.Table) -> pa.Table:
         k = np.asarray(t.column(key_col).to_numpy(zero_copy_only=False),
                        np.int64)
         g = t.column(group_col).to_pandas()
-        fr = g.map(items).fillna(default_frac).to_numpy(np.float64)
-        u = (k.astype(np.uint64) * np.uint64(_A)) % _M
-        keep = u < (np.clip(fr, 0.0, 1.0) * float(_M)).astype(np.uint64)
+        cut = g.map(thr).fillna(dthr).to_numpy(np.uint64)
+        keep = _hash_u32(k) < cut
         return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -328,14 +328,20 @@ def vocab_counts(ds, col: str = "text", *, analyzer: str = "default",
     def partial(t: pa.Table) -> pa.Table:
         c = t.column(col)
         tok = tokenize_column(c.combine_chunks()
-                              if isinstance(c, pa.ChunkedArray) else c, an)
+                              if isinstance(c, pa.ChunkedArray) else c, an,
+                              include_tokens=False)
         codes, row, vocab = tok["codes"], tok["row"], tok["vocab"]
         if ngram == 1:
             u, cnt = np.unique(codes, return_counts=True) if len(codes) \
                 else (np.empty(0, np.int64), np.empty(0, np.int64))
             terms = vocab[u] if len(u) else np.empty(0, object)
         else:
-            same = row[1:] == row[:-1] if len(row) else np.empty(0, bool)
+            # adjacency = same doc AND consecutive POSITIONS — a
+            # RemoveLongFilter-dropped token must not make its two
+            # neighbours a pair that never existed in the document
+            pos = tok["position"]
+            same = ((row[1:] == row[:-1]) & (pos[1:] == pos[:-1] + 1)) \
+                if len(row) else np.empty(0, bool)
             a = codes[:-1][same] if len(row) else np.empty(0, np.int64)
             b = codes[1:][same] if len(row) else np.empty(0, np.int64)
             # batch vocab is far below 2^31: pack the pair in one int64

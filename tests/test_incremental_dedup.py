@@ -94,6 +94,24 @@ def test_snapshot_is_hashes_only(ray_session):
     assert t.num_rows == 2  # batch-distinct
 
 
+def test_non_integer_ids_refused_and_narrow_ints_cast(ray_session):
+    import pyarrow as pa
+    import ray.data
+    seen = corpus_fingerprint_keys(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["y"]})),
+        "text")
+    bad = pa.table({"doc_id": pa.array(["a1"], pa.string()),
+                    "text": pa.array(["x"])})
+    with pytest.raises(Exception, match="int64-compatible"):
+        exact_dedup_incremental(ray.data.from_arrow(bad), "text",
+                                "doc_id", seen).to_pandas()
+    ok = pa.table({"doc_id": pa.array([5, 6], pa.int32()),
+                   "text": pa.array(["x", "x"])})
+    out = exact_dedup_incremental(ray.data.from_arrow(ok), "text",
+                                  "doc_id", seen).to_pandas()
+    assert out["doc_id"].tolist() == [5]
+
+
 def test_sentinel_id_refused(ray_session):
     import ray.data
     bad = pd.DataFrame({"doc_id": [np.iinfo(np.int64).min],

@@ -64,13 +64,44 @@ def test_stratified_duckdb_differential(ray_session):
                             default_frac=0.1).to_pandas()
     con = duckdb.connect()
     con.register("d", df)
-    want = con.sql("""
+    from tantivy4java_ray.functions.sampling import frac_threshold
+    t_en, t_fr, t_def = (frac_threshold(f) for f in (0.25, 0.75, 0.1))
+    want = con.sql(f"""
         SELECT doc_id FROM d
         WHERE (doc_id::HUGEINT * 2654435761) % 4294967296
-              < CASE lang WHEN 'en' THEN 0.25 WHEN 'fr' THEN 0.75
-                          ELSE 0.1 END * 4294967296
+              < CASE lang WHEN 'en' THEN {t_en} WHEN 'fr' THEN {t_fr}
+                          ELSE {t_def} END
         ORDER BY doc_id""").df()["doc_id"].tolist()
     assert sorted(got["doc_id"].tolist()) == want
+
+
+def test_boundary_key_matches_oracle(ray_session):
+    """key 283095145 hashes EXACTLY to floor(0.1 * 2^32): the integer-
+    threshold contract drops it on both sides (the old frac*2^32 double
+    comparison in SQL kept it while the engine dropped it)."""
+    import ray.data
+    from tantivy4java_ray.functions.sampling import frac_threshold
+    k = 283095145
+    assert (k * 2654435761) % (1 << 32) == frac_threshold(0.1)
+    df = pd.DataFrame({"doc_id": np.asarray([k, 0], np.int64)})
+    got = _ids(sample_deterministic(ray.data.from_pandas(df),
+                                    "doc_id", 0.1))
+    assert k not in got   # u < thr is strict
+    con = duckdb.connect()
+    con.register("d", df)
+    want = con.sql(f"""
+        SELECT doc_id FROM d
+        WHERE (doc_id::HUGEINT * 2654435761) % 4294967296
+              < {frac_threshold(0.1)}""").df()["doc_id"].tolist()
+    assert got == sorted(want)
+
+
+def test_negative_keys_refused(ray_session):
+    import ray.data
+    df = pd.DataFrame({"doc_id": np.asarray([-1, 2], np.int64)})
+    with pytest.raises(Exception, match="nonnegative"):
+        sample_deterministic(ray.data.from_pandas(df), "doc_id",
+                             0.5).to_pandas()
 
 
 def test_chunk_hand_oracle():

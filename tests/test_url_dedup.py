@@ -20,9 +20,23 @@ def test_canonicalize_table():
         "https://example.com:8443/x": "example.com:8443/x",  # non-default
         "https://www.example.com/a?q=1#x": "example.com/a?q=1",  # query kept
         "http://example.com:80": "example.com",
+        # RFC 3986: host is case-insensitive, the PATH and QUERY are not
+        "http://Example.com/Wiki/Apple": "example.com/Wiki/Apple",
+        "http://example.com/Q?X=Y": "example.com/Q?X=Y",
     }
     got = canonicalize_urls(pa.array(list(cases))).to_pylist()
     assert got == list(cases.values())
+
+
+def test_case_distinct_paths_not_conflated(ray_session):
+    # '/wiki/Apple' and '/wiki/apple' are different pages: both survive
+    df = pd.DataFrame({
+        "page_id": np.asarray([1, 2], np.int64),
+        "url": ["http://a.com/wiki/Apple", "http://A.com/wiki/apple"],
+        "warc_ts": pd.to_datetime(["2024-01-01", "2024-06-01"])
+        .astype("datetime64[us]"),
+    })
+    assert _run(df) == [1, 2]
 
 
 def _run(df):
@@ -62,8 +76,11 @@ def test_duckdb_differential(ray_session):
     rows = []
     for pid in range(600):
         h = hosts[rng.integers(0, 40)]
-        path = f"/p/{rng.integers(0, 30)}"
-        scheme = rng.choice(["http://", "https://", "http://www.", ""])
+        if rng.random() < 0.3:
+            h = h.upper()           # host case never distinguishes
+        path = f"/{'P' if rng.random() < 0.3 else 'p'}/" \
+               f"{rng.integers(0, 30)}"   # path case DOES distinguish
+        scheme = rng.choice(["http://", "HTTPS://", "http://www.", ""])
         trail = rng.choice(["", "/", "#frag"])
         ts = pd.Timestamp("2024-01-01") + pd.Timedelta(
             seconds=int(rng.integers(0, 10_000)))
@@ -78,10 +95,14 @@ def test_duckdb_differential(ray_session):
 
     con = duckdb.connect()
     con.register("pages", df)
-    canon = """regexp_replace(regexp_replace(regexp_replace(
-                 regexp_replace(regexp_replace(lower({c}),
-                 '^https?://', ''), '^www\\.', ''), '#.*$', ''),
-                 '^([^/?:]+):(?:80|443)([/?].*)?$', '\\1\\2'), '/$', '')"""
+    # identical chain to canonicalize_urls: scheme (case-insensitive),
+    # fragment, then host-only lowercase/www/port, rejoin, trailing /
+    strip = ("regexp_replace(regexp_replace({c}, '^(?i)https?://', ''), "
+             "'#.*$', '')")
+    host = ("regexp_replace(regexp_replace(lower(regexp_extract("
+            f"{strip}, '^[^/?]*')), '^www\\.', ''), ':(80|443)$', '')")
+    rest = f"regexp_replace({strip}, '^[^/?]*', '')"
+    canon = f"regexp_replace(concat({host}, {rest}), '/$', '')"
     want = con.sql(f"""
         SELECT p.page_id FROM pages p
         WHERE NOT EXISTS (

@@ -65,6 +65,19 @@ def test_duckdb_differential_bigram(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_bigram_not_bridged_across_removed_long_token(ray_session):
+    """RemoveLongFilter drops >255-byte tokens from the stream; the two
+    neighbours of a dropped token must NOT count as an adjacent pair
+    (position continuity, not stream adjacency)."""
+    import ray.data
+    blob = "x" * 300
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": [f"foo {blob} bar", "foo bar"]})
+    out = vocab_counts(ray.data.from_pandas(df), ngram=2).to_pandas()
+    counts = dict(zip(out["term"], out["cnt"]))
+    assert counts == {"foo bar": 1}   # only doc 2's real pair
+
+
 def test_counts_sum_to_token_total(ray_session):
     import ray.data
     df = _corpus(n=100, seed=2)
