@@ -129,7 +129,8 @@ def corpus_fingerprint_keys(ds, col: str):
     return ds.map_batches(keys, batch_format="pyarrow")
 
 
-def exact_dedup_incremental(new_ds, col: str, id_col: str, seen_keys):
+def exact_dedup_incremental(new_ds, col: str, id_col: str, seen_keys,
+                            *, keep_keys: bool = False):
     """Exact dedup of a NEW shard against an already-committed corpus:
     drop new docs whose ``col`` value appeared in the snapshot, and
     keep the first (min ``id_col``) occurrence within the new shard
@@ -147,7 +148,12 @@ def exact_dedup_incremental(new_ds, col: str, id_col: str, seen_keys):
     range-sort shuffle (``_keepfirst_scan``). Seen rows ride with a
     sentinel order key below every real id, so a committed fingerprint
     always wins its group and the group emits nothing; ids must
-    therefore be > INT64_MIN (asserted per batch)."""
+    therefore be > INT64_MIN (asserted per batch).
+
+    ``keep_keys=True`` keeps the survivors' ``(__h, __h2)``
+    fingerprints in the output — ``write_parquet`` them next to the
+    old snapshot and the NEXT crawl's seen side is (snapshot ∪ these)
+    with zero re-hashing of today's text."""
     import pyarrow.compute as pc
 
     def add_new(t: pa.Table) -> pa.Table:
@@ -182,9 +188,10 @@ def exact_dedup_incremental(new_ds, col: str, id_col: str, seen_keys):
             .union(seen_keys.map_batches(add_seen,
                                          batch_format="pyarrow")))
     winners = _keepfirst_scan(keys, id_col, "winners")
+    cols = [id_col, "__h", "__h2"] if keep_keys else [id_col]
     return winners.map_batches(
         lambda t: t.filter(pc.not_equal(t.column(id_col), _SEEN_ID))
-                   .select([id_col]),
+                   .select(cols),
         batch_format="pyarrow")
 
 

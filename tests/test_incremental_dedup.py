@@ -94,6 +94,34 @@ def test_snapshot_is_hashes_only(ray_session):
     assert t.num_rows == 2  # batch-distinct
 
 
+def test_keep_keys_roundtrip(ray_session):
+    """keep_keys=True emits survivors WITH their fingerprints; unioning
+    them into the snapshot makes the next crawl's dedup see them —
+    zero re-hashing of today's text."""
+    import ray.data
+    old = pd.DataFrame({"doc_id": [100], "text": ["committed"]})
+    day1 = pd.DataFrame({"doc_id": [1, 2], "text": ["fresh", "committed"]})
+    snap = corpus_fingerprint_keys(ray.data.from_pandas(old), "text")
+    out1 = exact_dedup_incremental(ray.data.from_pandas(day1), "text",
+                                   "doc_id", snap, keep_keys=True)
+    df1 = out1.to_pandas()
+    assert sorted(df1.columns) == ["__h", "__h2", "doc_id"]
+    assert df1["doc_id"].tolist() == [1]
+    # next crawl: snapshot = old snapshot ∪ day-1 survivors' keys
+    snap2 = snap.union(out1.map_batches(
+        lambda t: t.select(["__h", "__h2"]), batch_format="pyarrow"))
+    day2 = pd.DataFrame({"doc_id": [10, 11],
+                         "text": ["fresh", "brand new"]})
+    got = _survivors_ds(ray.data.from_pandas(day2), snap2)
+    assert got == [11]
+
+
+def _survivors_ds(new_ds, snap):
+    df = exact_dedup_incremental(new_ds, "text", "doc_id",
+                                 snap).to_pandas()
+    return sorted(df["doc_id"].tolist()) if "doc_id" in df.columns else []
+
+
 def test_non_integer_ids_refused_and_narrow_ints_cast(ray_session):
     import pyarrow as pa
     import ray.data

@@ -140,6 +140,43 @@ def test_chunk_coverage_invariants(ray_session):
     assert empties.isdisjoint(set(out["doc_id"]))
 
 
+def test_chunk_property_vs_naive_model():
+    """Hypothesis: chunk_batch == a naive per-doc Python model for
+    arbitrary whitespace-laden text and window params."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        texts=st.lists(st.text(alphabet=" \t\nabZ0.", max_size=40),
+                       min_size=1, max_size=8),
+        max_tokens=st.integers(1, 6),
+        overlap_frac=st.floats(0, 0.99),
+    )
+    def prop(texts, max_tokens, overlap_frac):
+        overlap = int(overlap_frac * max_tokens)
+        stride = max_tokens - overlap
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        got = chunk_batch(t, "text", "doc_id", max_tokens,
+                          overlap).to_pydict()
+        want = []
+        for i, x in enumerate(texts):
+            toks = x.split()
+            s = 0
+            j = 0
+            while toks:
+                e = min(s + max_tokens, len(toks))
+                want.append((i, j, " ".join(toks[s:e]), e - s))
+                if e == len(toks):
+                    break
+                s += stride
+                j += 1
+        assert list(zip(got["doc_id"], got["chunk_idx"], got["chunk"],
+                        got["n_tokens"])) == want
+
+    prop()
+
+
 def test_chunk_bad_params():
     t = pa.table({"doc_id": pa.array([1], pa.int64()),
                   "text": pa.array(["a"])})
