@@ -344,20 +344,30 @@ def vocab_counts(ds, col: str = "text", *, analyzer: str = "default",
                 if len(row) else np.empty(0, bool)
             a = codes[:-1][same] if len(row) else np.empty(0, np.int64)
             b = codes[1:][same] if len(row) else np.empty(0, np.int64)
-            # batch vocab is far below 2^31: pack the pair in one int64
+            # batch vocab is far below 2^31 (a batch can't hold more
+            # distinct tokens than characters) — but fail LOUDLY if that
+            # ever breaks rather than silently aliasing packed pairs
+            assert not len(codes) or codes.max() < (1 << 31), \
+                "vocab_counts: batch vocabulary exceeds 2^31 codes"
             packed = (a.astype(np.int64) << np.int64(32)) | b.astype(
                 np.int64)
             u, cnt = np.unique(packed, return_counts=True) if len(packed) \
                 else (np.empty(0, np.int64), np.empty(0, np.int64))
             if len(u):
-                terms = np.asarray(
-                    [f"{x} {y}" for x, y in
-                     zip(vocab[(u >> np.int64(32)).astype(np.int64)],
-                         vocab[(u & np.int64(0xFFFFFFFF)).astype(
-                             np.int64)])], object)
+                # rows ~ the batch's bigram VOCABULARY (already uniqued);
+                # join the two gathered vocab arrays in one Arrow kernel
+                import pyarrow.compute as _pc
+                terms = _pc.binary_join_element_wise(
+                    pa.array(vocab[(u >> np.int64(32)).astype(np.int64)],
+                             pa.string()),
+                    pa.array(vocab[(u & np.int64(0xFFFFFFFF)).astype(
+                        np.int64)], pa.string()),
+                    " ")
             else:
                 terms = np.empty(0, object)
-        return pa.table({"term": pa.array(terms, pa.string()),
+        if not isinstance(terms, pa.Array):
+            terms = pa.array(terms, pa.string())
+        return pa.table({"term": terms,
                          "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")

@@ -23,6 +23,11 @@ def test_canonicalize_table():
         # RFC 3986: host is case-insensitive, the PATH and QUERY are not
         "http://Example.com/Wiki/Apple": "example.com/Wiki/Apple",
         "http://example.com/Q?X=Y": "example.com/Q?X=Y",
+        # fragment strip is (?s): a '#' swallows even embedded newlines
+        "http://example.com/a#x\ny": "example.com/a",
+        # port strip is scheme-blind (documented conflation):
+        # http on the https default port still canonicalizes bare
+        "http://example.com:443/a": "example.com/a",
     }
     got = canonicalize_urls(pa.array(list(cases))).to_pylist()
     assert got == list(cases.values())
@@ -98,7 +103,7 @@ def test_duckdb_differential(ray_session):
     # identical chain to canonicalize_urls: scheme (case-insensitive),
     # fragment, then host-only lowercase/www/port, rejoin, trailing /
     strip = ("regexp_replace(regexp_replace({c}, '^(?i)https?://', ''), "
-             "'#.*$', '')")
+             "'(?s)#.*$', '')")
     host = ("regexp_replace(regexp_replace(lower(regexp_extract("
             f"{strip}, '^[^/?]*')), '^www\\.', ''), ':(80|443)$', '')")
     rest = f"regexp_replace({strip}, '^[^/?]*', '')"
