@@ -3,11 +3,13 @@ with typed metadata.
 
 Decode support in this environment (no PIL/opencv/ffmpeg):
 
-- images: REAL pure-numpy decoders for the uncompressed container
-  formats — PPM (P6) and BMP (24/32-bit) — with nearest-neighbor
-  resize; compressed codecs (JPEG/PNG) raise ``NotImplementedError``
-  (entropy decoders need a codec library) unless ``fake=True``
-  substitutes the deterministic stand-in.
+- images: REAL decoders for PNG (stdlib ``zlib`` inflate + numpy
+  Sub/Up/Average/Paeth unfiltering; 8-bit gray/RGB/palette/RGBA,
+  non-interlaced) plus the uncompressed containers PPM (P6) and BMP
+  (24/32-bit), all with nearest-neighbor resize; JPEG/WEBP raise
+  ``NotImplementedError`` (their entropy decoders need a codec
+  library) unless ``fake=True`` substitutes the deterministic
+  stand-in.
 - audio: REAL WAV/PCM decode via the stdlib ``wave`` module (8/16/32
   bit) -> per-frame RMS energies; other containers raise unless
   ``fake=True``.
@@ -69,6 +71,122 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError("16-bit PPM unsupported")
     arr = np.frombuffer(payload, np.uint8, h * w * 3, pos)
     return arr.reshape(h, w, 3)
+
+
+def _paeth_row(rr: np.ndarray, prior: np.ndarray,
+               bpp: int) -> np.ndarray:
+    """Unfilter one Paeth scanline: the left-neighbour dependence is
+    inherently sequential along x, so loop pixels but keep every lane
+    (channel) vectorized per step. rr/prior: (w, bpp) uint8."""
+    w = rr.shape[0]
+    cur = np.empty((w, bpp), np.uint8)
+    b = prior.astype(np.int16)
+    a = np.zeros(bpp, np.int16)   # left
+    c = np.zeros(bpp, np.int16)   # upper-left
+    for x in range(w):
+        p = a + b[x] - c
+        pa = np.abs(p - a)
+        pb = np.abs(p - b[x])
+        pc = np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a,
+                        np.where(pb <= pc, b[x], c))
+        cur[x] = (rr[x].astype(np.int16) + pred).astype(np.uint8)
+        c = b[x]
+        a = cur[x].astype(np.int16)
+    return cur
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (H, W, 3) uint8 RGB — pure stdlib ``zlib`` inflate +
+    numpy unfiltering, no codec library (the container has none).
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), filters 0-4, non-interlaced. Alpha is
+    dropped (decode target is an RGB tensor). 16-bit depth and Adam7
+    interlacing raise — honestly, like the JPEG path.
+
+    Filters: None/Sub/Up run whole-row vectorized (Sub is a per-lane
+    ``cumsum`` in a wrapping uint8 accumulator); Average/Paeth have a
+    true left-neighbour recurrence, so they loop pixels with the
+    channel lanes vectorized per step."""
+    import zlib
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln   # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} (only 8-bit decodes)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"invalid PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.empty((h, stride), np.uint8)
+    prior = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f, r = int(filters[y]), data[y]
+        if f == 0:
+            cur = r.copy()
+        elif f == 1:    # Sub: per-lane prefix sum, wrapping uint8
+            cur = np.cumsum(r.reshape(w, nch), axis=0,
+                            dtype=np.uint8).reshape(stride)
+        elif f == 2:    # Up
+            cur = prior + r   # uint8 wraps
+        elif f == 3:    # Average: left-recurrence, lanes vectorized
+            rr = r.reshape(w, nch)
+            pr = prior.reshape(w, nch).astype(np.int16)
+            cw = np.empty((w, nch), np.uint8)
+            left = np.zeros(nch, np.int16)
+            for x in range(w):
+                cw[x] = (rr[x].astype(np.int16)
+                         + ((left + pr[x]) >> 1)).astype(np.uint8)
+                left = cw[x].astype(np.int16)
+            cur = cw.reshape(stride)
+        elif f == 4:    # Paeth
+            cur = _paeth_row(r.reshape(w, nch),
+                             prior.reshape(w, nch), nch).reshape(stride)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = prior = cur
+    px = out.reshape(h, w, nch)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    # gray / gray+alpha -> replicate the luma channel
+    return np.repeat(px[:, :, :1], 3, axis=2)
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -225,9 +343,11 @@ class ImageDecodeResize:
             return _resize_nearest(decode_ppm(payload), self.h, self.w)
         if payload.startswith(b"BM"):
             return _resize_nearest(decode_bmp(payload), self.h, self.w)
+        if payload.startswith(b"\x89PNG"):
+            return _resize_nearest(decode_png(payload), self.h, self.w)
         raise NotImplementedError(
-            "compressed image codecs (JPEG/PNG) require PIL/opencv (not in "
-            "this container); PPM/BMP decode natively, or construct with "
+            "JPEG/WEBP decode requires PIL/opencv (not in this "
+            "container); PNG/PPM/BMP decode natively, or construct with "
             "fake=True for the deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:
