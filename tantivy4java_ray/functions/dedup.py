@@ -409,6 +409,83 @@ def _band_table(sig_ds, id_col: str):
     return sig_ds.map_batches(expand, batch_format="pyarrow")
 
 
+def _run_pairs_block(t: pa.Table, id_col: str,
+                     max_bucket: int) -> pa.Table:
+    """One sorted band-table block -> interior-run candidate pairs plus
+    first/last-run edge fragments (see ``_candidate_pairs``). Module-level
+    so ``scripts/profile_minhash.py`` can time the stage in isolation.
+
+    Segmented-vectorized (r5, after profiling the r4 per-bucket loop at
+    10.9% of the pipeline wall on a 30%-duplicated corpus): all
+    duplicate buckets are uniqued in ONE lexsort + run scan, then pair
+    expansion loops over DISTINCT BUCKET SIZES (<= max_bucket of them
+    per block) with one ``triu_indices`` gather per size — not over
+    buckets."""
+    keys = np.asarray(t.column("band_hash").to_numpy(
+        zero_copy_only=False), np.int64)
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                     np.int64)
+    n = len(keys)
+    empty = {"kind": pa.array([], pa.int8()),
+             "x": pa.array([], pa.int64()),
+             "y": pa.array([], pa.int64())}
+    if n == 0:
+        return pa.table(empty)
+    cut = np.flatnonzero(np.diff(keys)) + 1
+    starts = np.concatenate(([0], cut))
+    ends = np.concatenate((cut, [n]))
+    lens = ends - starts
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    # interior runs with >= 2 rows only (singletons never touched;
+    # first/last runs go to the edge-fragment path below)
+    last = len(starts) - 1
+    hot = np.flatnonzero(lens >= 2)
+    hot = hot[(hot != 0) & (hot != last)]
+    if len(hot):
+        sel_start, sel_len = starts[hot], lens[hot]
+        tot = int(sel_len.sum())
+        c0 = np.concatenate(([0], np.cumsum(sel_len)[:-1]))
+        rows = (np.arange(tot, dtype=np.int64)
+                - np.repeat(c0, sel_len) + np.repeat(sel_start, sel_len))
+        rid = np.repeat(np.arange(len(hot), dtype=np.int64), sel_len)
+        vals = ids[rows]
+        order = np.lexsort((vals, rid))       # sort ids WITHIN each run
+        vals, rid = vals[order], rid[order]
+        first = np.empty(tot, bool)
+        first[0] = True
+        first[1:] = (rid[1:] != rid[:-1]) | (vals[1:] != vals[:-1])
+        uvals, urid = vals[first], rid[first]   # per-run unique ids
+        m = np.bincount(urid, minlength=len(hot))
+        keep_run = (m >= 2) & (m <= max_bucket)
+        uvals = uvals[keep_run[urid]]
+        m2 = m[keep_run]
+        off = np.concatenate(([0], np.cumsum(m2)[:-1])).astype(np.int64)
+        for size in np.unique(m2):
+            segs = np.flatnonzero(m2 == size)
+            mat = uvals[off[segs][:, None] + np.arange(int(size))]
+            ia, ib = np.triu_indices(int(size), k=1)
+            out_a.append(mat[:, ia].ravel())
+            out_b.append(mat[:, ib].ravel())
+    pa_ = (np.concatenate(out_a) if out_a else np.empty(0, np.int64))
+    pb_ = (np.concatenate(out_b) if out_b else np.empty(0, np.int64))
+    # edge fragments: first + last run (they may span batches)
+    eidx = [0] if last == 0 else [0, last]
+    ek, ei = [], []
+    for ri in eidx:
+        cap = min(ends[ri], starts[ri] + max_bucket + 1)
+        ek.append(keys[starts[ri]:cap])
+        ei.append(ids[starts[ri]:cap])
+    ek_ = np.concatenate(ek)
+    ei_ = np.concatenate(ei)
+    return pa.table({
+        "kind": pa.array(np.concatenate(
+            [np.zeros(len(pa_), np.int8),
+             np.ones(len(ek_), np.int8)])),
+        "x": pa.array(np.concatenate([pa_, ek_]), pa.int64()),
+        "y": pa.array(np.concatenate([pb_, ei_]), pa.int64())})
+
+
 def _candidate_pairs(sig_ds, id_col: str, max_bucket: int) -> pd.DataFrame:
     """LSH bucket candidates with ONE shuffle and no per-group Python.
 
@@ -422,55 +499,9 @@ def _candidate_pairs(sig_ds, id_col: str, max_bucket: int) -> pd.DataFrame:
     count-pass shipped ~every distinct key to the driver (O(corpus)
     driver traffic at scale)."""
     band = _band_table(sig_ds, id_col)
-
-    def run_pairs(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t.column("band_hash").to_numpy(
-            zero_copy_only=False), np.int64)
-        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
-                         np.int64)
-        n = len(keys)
-        empty = {"kind": pa.array([], pa.int8()),
-                 "x": pa.array([], pa.int64()),
-                 "y": pa.array([], pa.int64())}
-        if n == 0:
-            return pa.table(empty)
-        cut = np.flatnonzero(np.diff(keys)) + 1
-        starts = np.concatenate(([0], cut))
-        ends = np.concatenate((cut, [n]))
-        lens = ends - starts
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        # interior runs with >= 2 rows only (singletons never touched)
-        hot = np.flatnonzero(lens >= 2)
-        last = len(starts) - 1
-        for ri in hot:
-            if ri == 0 or ri == last:
-                continue
-            u = np.unique(ids[starts[ri]:ends[ri]])
-            if 2 <= len(u) <= max_bucket:
-                ia, ib = np.triu_indices(len(u), k=1)
-                out_a.append(u[ia])
-                out_b.append(u[ib])
-        pa_ = (np.concatenate(out_a) if out_a else np.empty(0, np.int64))
-        pb_ = (np.concatenate(out_b) if out_b else np.empty(0, np.int64))
-        # edge fragments: first + last run (they may span batches)
-        eidx = [0] if last == 0 else [0, last]
-        ek, ei = [], []
-        for ri in eidx:
-            cap = min(ends[ri], starts[ri] + max_bucket + 1)
-            ek.append(keys[starts[ri]:cap])
-            ei.append(ids[starts[ri]:cap])
-        ek_ = np.concatenate(ek)
-        ei_ = np.concatenate(ei)
-        return pa.table({
-            "kind": pa.array(np.concatenate(
-                [np.zeros(len(pa_), np.int8),
-                 np.ones(len(ek_), np.int8)])),
-            "x": pa.array(np.concatenate([pa_, ek_]), pa.int64()),
-            "y": pa.array(np.concatenate([pb_, ei_]), pa.int64())})
-
     res = (band.sort("band_hash")
-           .map_batches(run_pairs, batch_format="pyarrow",
+           .map_batches(lambda t: _run_pairs_block(t, id_col, max_bucket),
+                        batch_format="pyarrow",
                         batch_size=None).to_pandas())
     if "kind" not in res.columns:
         # Ray never delivers zero-row blocks to run_pairs, so an empty

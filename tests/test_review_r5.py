@@ -204,3 +204,43 @@ def test_sample_stratified_null_group_gets_default(ray_session):
 def test_frac_threshold_bounds():
     assert frac_threshold(0.0) == 0
     assert frac_threshold(1.0) >= (1 << 32) - 1
+
+
+# ---------------------------------------------------------------------------
+# segmented run_pairs rewrite (r5): vectorized == scalar model
+# ---------------------------------------------------------------------------
+
+
+def test_run_pairs_block_matches_scalar_model():
+    from tantivy4java_ray.functions.dedup import _run_pairs_block
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        n_keys = int(rng.integers(1, 40))
+        keys = np.sort(rng.integers(0, n_keys, int(rng.integers(1, 400))
+                                    ).astype(np.int64))
+        ids = rng.integers(0, 50, len(keys)).astype(np.int64)
+        max_bucket = int(rng.integers(2, 12))
+        t = pa.table({"band_hash": pa.array(keys, pa.int64()),
+                      "doc_id": pa.array(ids, pa.int64())})
+        out = _run_pairs_block(t, "doc_id", max_bucket)
+        kind = np.asarray(out.column("kind").to_numpy(), np.int8)
+        got = sorted(zip(
+            np.asarray(out.column("x").to_numpy(), np.int64)[kind == 0],
+            np.asarray(out.column("y").to_numpy(), np.int64)[kind == 0]))
+        # scalar model over INTERIOR runs only
+        cut = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(keys)]))
+        want = []
+        for ri in range(len(starts)):
+            if ri == 0 or ri == len(starts) - 1:
+                continue
+            u = np.unique(ids[starts[ri]:ends[ri]])
+            if 2 <= len(u) <= max_bucket:
+                for i in range(len(u)):
+                    for j in range(i + 1, len(u)):
+                        want.append((u[i], u[j]))
+        assert got == sorted(want), trial
+        # edge fragments: exactly the first+last runs, capped
+        ex = np.asarray(out.column("x").to_numpy(), np.int64)[kind == 1]
+        assert set(np.unique(ex)) <= {keys[0], keys[-1]}
