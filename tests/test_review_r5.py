@@ -244,3 +244,41 @@ def test_run_pairs_block_matches_scalar_model():
         # edge fragments: exactly the first+last runs, capped
         ex = np.asarray(out.column("x").to_numpy(), np.int64)[kind == 1]
         assert set(np.unique(ex)) <= {keys[0], keys[-1]}
+
+
+def test_embed_feeds_ivf_index(ray_session, tmp_path):
+    """embed_corpus -> build_ivf_index -> search: the persisted IVF path
+    consumes the stage's FixedSizeList column; querying a doc's own
+    (normalized) stub embedding returns that doc first."""
+    import ray.data
+    from tantivy4java_ray.functions.ivf import build_ivf_index
+    from tantivy4java_ray.stages.embed import StubEncoder
+
+    rng = np.random.default_rng(21)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    texts = [" ".join("".join(rng.choice(letters,
+                                         int(rng.integers(2, 9))))
+                      for _ in range(int(rng.integers(5, 20))))
+             for _ in range(60)]
+    # the stub features must actually separate the query docs for the
+    # top-1-is-self assertion to be meaningful
+    from tantivy4java_ray.stages.embed import StubEncoder as _SE
+    E = _SE().encode(pa.array(texts))
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for d in (7, 33):
+        s = E @ E[d]
+        assert np.flatnonzero(s >= s[d] - 1e-6).tolist() == [d]
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                         "text": texts})
+    emb = embed_corpus(ray.data.from_pandas(docs), "text", "doc_id",
+                       normalize=True, concurrency=2, batch_size=16)
+    idx = build_ivf_index(emb, str(tmp_path / "ivf"),
+                          emb_col="embedding", id_col="doc_id",
+                          n_clusters=4, concurrency=2)
+    enc = StubEncoder()
+    q = enc.encode(pa.array([texts[7], texts[33]]))
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    out = idx.search(q, k=3, nprobe=4)
+    top = out[out["rank"] == 0].sort_values("query_id")
+    assert top["doc_id"].tolist() == [7, 33]
+    assert np.allclose(top["score"].to_numpy(), 1.0, atol=1e-5)

@@ -922,10 +922,14 @@ def test_wav_decode_stage_real(ray_session):
 
 
 def test_compressed_codecs_still_raise():
+    # r5: PNG decodes natively now (tests/test_png.py); the honest
+    # raises are the entropy-coded codecs JPEG/WEBP and MP3
     from tantivy4java_ray.stages.multimodal import (AudioFrameSample,
                                                     ImageDecodeResize)
     with pytest.raises(NotImplementedError):
-        ImageDecodeResize()._decode_real(b"\x89PNG....")
+        ImageDecodeResize()._decode_real(b"\xff\xd8\xff\xe0....JFIF")
+    with pytest.raises(NotImplementedError):
+        ImageDecodeResize()._decode_real(b"RIFF....WEBP")
     with pytest.raises(NotImplementedError):
         AudioFrameSample()._decode_real(b"ID3....")
 
