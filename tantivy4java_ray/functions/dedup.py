@@ -1396,29 +1396,90 @@ def paragraph_dedup(ds, col: str, id_col: str, *, sep: str = "\n",
             "__pidx": t.column("__pidx").cast(pa.int64()),
             col: pa.array([None] * t.num_rows, pa.string())})
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g[g["__pidx"] < 0]
-        m = np.sort(g.loc[g["__pidx"] >= 0, "__pidx"]
-                    .to_numpy(np.int64))
-        # same vectorized drop/join kernel as the broadcast path, keyed
-        # by a dense single-row id (the group IS one doc)
-        v = doc[col].iloc[0]
-        txt = _drop_paragraphs(
-            pa.array([None if pd.isna(v) else v], pa.string()),
-            np.zeros(1, np.int64), np.zeros(len(m), np.int64), m, sep)
-        return pd.DataFrame({id_col: doc[id_col].iloc[:1],
-                             col: [txt[0].as_py()]})
-
     def tag_docs(t: pa.Table) -> pa.Table:
         return pa.table({
             id_col: t.column(id_col),
             "__pidx": pa.array(np.full(t.num_rows, -1, np.int64)),
             col: t.column(col)})
 
-    return (ds.map_batches(tag_docs, batch_format="pyarrow")
-              .union(marks.map_batches(tag_marks, batch_format="pyarrow"))
-              .groupby(id_col)
-              .map_groups(rebuild, batch_format="pandas"))
+    def _rebuild_rows(t: pa.Table) -> pa.Table:
+        """(id, __pidx, text) rows of COMPLETE doc groups — doc row
+        (__pidx=-1) first, its markers after — -> rebuilt (id, text),
+        fully vectorized via the shared drop/join kernel."""
+        pidx = np.asarray(t.column("__pidx").to_numpy(
+            zero_copy_only=False), np.int64)
+        is_doc = pidx < 0
+        texts = t.column(col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_rows = np.flatnonzero(is_doc)
+        ids_all = np.asarray(t.column(id_col).to_numpy(
+            zero_copy_only=False), np.int64)
+        mrows = ~is_doc
+        out_txt = _drop_paragraphs(
+            texts.take(pa.array(doc_rows)), ids_all[doc_rows],
+            ids_all[mrows], pidx[mrows], sep)
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(doc_rows)),
+            col: out_txt})
+
+    def block(t: pa.Table) -> pa.Table:
+        """One sorted (id, __pidx) block: interior id-runs rebuild
+        in-block vectorized (kind=0 rows are finished docs); the first
+        and last id-run may continue in neighbouring blocks, so their
+        raw rows defer to the driver as kind=1 fragments — O(blocks)
+        boundary docs, exactly the `_keepfirst_scan` edge idiom."""
+        if t.num_rows == 0:
+            return t.append_column("kind", pa.array([], pa.int8()))
+        ids = np.asarray(t.column(id_col).to_numpy(
+            zero_copy_only=False), np.int64)
+        boundary = (ids == ids[0]) | (ids == ids[-1])
+        interior = np.flatnonzero(~boundary)
+        parts = []
+        if len(interior):
+            reb = _rebuild_rows(t.take(pa.array(interior)))
+            parts.append(pa.table({
+                id_col: reb.column(id_col),
+                "__pidx": pa.array(
+                    np.full(reb.num_rows, -1, np.int64)),
+                col: reb.column(col),
+                "kind": pa.array(np.zeros(reb.num_rows, np.int8))}))
+        frag_idx = np.flatnonzero(boundary)
+        frag = t.take(pa.array(frag_idx))
+        parts.append(pa.table({
+            id_col: frag.column(id_col),
+            "__pidx": frag.column("__pidx"),
+            col: frag.column(col),
+            "kind": pa.array(np.ones(len(frag_idx), np.int8))}))
+        return pa.concat_tables(parts)
+
+    # scale path (markers > broadcast_cap): text meets its markers in
+    # ONE range sort by (id, __pidx) — the doc row's -1 sentinel puts it
+    # first in its group — then per-block VECTORIZED rebuild. Replaces
+    # the r4 groupby(id).map_groups design whose per-group Python
+    # dispatch ran once per doc-with-duplicates (30-60% of a real crawl).
+    import ray.data
+    res = (ds.map_batches(tag_docs, batch_format="pyarrow")
+             .union(marks.map_batches(tag_marks, batch_format="pyarrow"))
+             .sort([id_col, "__pidx"])
+             .map_batches(block, batch_format="pyarrow")
+             .materialize())
+    frag = res.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("kind"), 1)),
+        batch_format="pyarrow").to_pandas()   # O(blocks) boundary docs
+    out_ds = res.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("kind"), 0))
+                   .select([id_col, col]),
+        batch_format="pyarrow")
+    if len(frag):
+        fsrt = frag.sort_values([id_col, "__pidx"], kind="stable")
+        settled = _rebuild_rows(pa.Table.from_pandas(
+            fsrt[[id_col, "__pidx", col]].reset_index(drop=True),
+            preserve_index=False))
+        out_ds = out_ds.union(ray.data.from_arrow(pa.table({
+            id_col: settled.column(id_col),
+            col: settled.column(col).cast(pa.string())})))
+    return out_ds
 
 
 # ---------------------------------------------------------------------------
