@@ -5,7 +5,7 @@ Decode support in this environment (no PIL/opencv/ffmpeg):
 
 - images: REAL decoders for PNG (stdlib ``zlib`` inflate + numpy
   Sub/Up/Average/Paeth unfiltering; 8-bit gray/RGB/palette/RGBA,
-  non-interlaced) plus the uncompressed containers PPM (P6) and BMP
+  plain or Adam7-interlaced) plus the uncompressed containers PPM (P6) and BMP
   (24/32-bit), all with nearest-neighbor resize; JPEG/WEBP raise
   ``NotImplementedError`` (their entropy decoders need a codec
   library) unless ``fake=True`` substitutes the deterministic
@@ -96,54 +96,17 @@ def _paeth_row(rr: np.ndarray, prior: np.ndarray,
     return cur
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> (H, W, 3) uint8 RGB — pure stdlib ``zlib`` inflate +
-    numpy unfiltering, no codec library (the container has none).
-
-    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), filters 0-4, non-interlaced. Alpha is
-    dropped (decode target is an RGB tensor). 16-bit depth and Adam7
-    interlacing raise — honestly, like the JPEG path.
-
-    Filters: None/Sub/Up run whole-row vectorized (Sub is a per-lane
-    ``cumsum`` in a wrapping uint8 accumulator); Average/Paeth have a
-    true left-neighbour recurrence, so they loop pixels with the
-    channel lanes vectorized per step."""
-    import zlib
-    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
-        raise ValueError("not a PNG")
-    pos, ihdr, plte, idat = 8, None, None, []
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos:pos + 4], "big")
-        typ = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + ln]
-        pos += 12 + ln   # length + type + data + crc
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"PLTE":
-            plte = data
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if ihdr is None or len(ihdr) < 13:
-        raise ValueError("PNG missing IHDR")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
-    if depth != 8:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} (only 8-bit decodes)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG")
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if nch is None:
-        raise ValueError(f"invalid PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat))
+def _unfilter_image(buf: np.ndarray, w: int, h: int,
+                    nch: int) -> np.ndarray:
+    """Filtered scanline bytes -> (h, w, nch) uint8 (PNG filters 0-4).
+    None/Sub/Up run whole-row vectorized (Sub is a per-lane cumsum in a
+    wrapping uint8 accumulator); Average/Paeth have a true
+    left-neighbour recurrence, so they loop pixels with the channel
+    lanes vectorized per step."""
     stride = w * nch
-    if len(raw) != h * (stride + 1):
+    if len(buf) != h * (stride + 1):
         raise ValueError("PNG scanline size mismatch")
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    rows = buf.reshape(h, stride + 1)
     filters, data = rows[:, 0], rows[:, 1:]
     out = np.empty((h, stride), np.uint8)
     prior = np.zeros(stride, np.uint8)
@@ -172,7 +135,68 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = prior = cur
-    px = out.reshape(h, w, nch)
+    return out.reshape(h, w, nch)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (H, W, 3) uint8 RGB — pure stdlib ``zlib`` inflate +
+    numpy unfiltering, no codec library (the container has none).
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), filters 0-4, non-interlaced AND Adam7
+    interlaced. Alpha is dropped (decode target is an RGB tensor).
+    16-bit depth raises — honestly, like the JPEG path. Filter kernels:
+    see ``_unfilter_image``."""
+    import zlib
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln   # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} (only 8-bit decodes)")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"invalid PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    if not interlace:
+        px = _unfilter_image(np.frombuffer(raw, np.uint8), w, h, nch)
+    else:   # Adam7: 7 independently-filtered sub-images, scattered
+        px = np.empty((h, w, nch), np.uint8)
+        buf = np.frombuffer(raw, np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * nch + 1)
+            sub = _unfilter_image(buf[pos:pos + need], pw, ph, nch)
+            pos += need
+            px[y0::dy, x0::dx] = sub
+        if pos != len(buf):
+            raise ValueError("PNG interlaced scanline size mismatch")
     if ctype == 2:
         return px
     if ctype == 6:

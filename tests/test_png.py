@@ -112,12 +112,12 @@ def test_rejections():
     bad[29:33] = struct.pack(">I", zlib.crc32(data))
     with pytest.raises(NotImplementedError, match="bit depth"):
         decode_png(bytes(bad))
-    # Adam7
+    # invalid interlace method
     bad = bytearray(good)
-    bad[28] = 1
+    bad[28] = 2
     data = bytes(bad[12:29])
     bad[29:33] = struct.pack(">I", zlib.crc32(data))
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(bytes(bad))
 
 
@@ -145,3 +145,52 @@ def test_image_stage_decodes_png_end_to_end(ray_session):
     want = _resize_nearest(imgs[0], 8, 8).ravel()
     got = np.asarray(out["pixels"].iloc[0], np.uint8)
     np.testing.assert_array_equal(got, want)
+
+
+ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def encode_png_adam7(img: np.ndarray, ctype: int, filters) -> bytes:
+    """Adam7 reference encoder: each pass's sub-image is filtered
+    independently (scalar formulas, per encode_png) and the streams are
+    concatenated in pass order before deflate."""
+    h, w, nch = img.shape
+    streams = []
+    for x0, y0, dx, dy in ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        body = encode_png(sub, ctype, filters)
+        # pull the raw scanline stream back out of the sub-encode
+        pos, idat = 8, []
+        while pos + 8 <= len(body):
+            ln = int.from_bytes(body[pos:pos + 4], "big")
+            typ = body[pos + 4:pos + 8]
+            if typ == b"IDAT":
+                idat.append(body[pos + 8:pos + 8 + ln])
+            pos += 12 + ln
+        streams.append(zlib.decompress(b"".join(idat)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)  # interlace=1
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(streams)))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 9), (7, 5), (1, 1),
+                                   (2, 11)])
+def test_adam7_roundtrip(shape):
+    rng = np.random.default_rng(shape[0] * 31 + shape[1])
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    got = decode_png(encode_png_adam7(img, 2, [0, 1, 2, 3, 4]))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_adam7_rgba_and_gray():
+    rng = np.random.default_rng(8)
+    rgba = rng.integers(0, 256, (10, 6, 4), dtype=np.uint8)
+    got = decode_png(encode_png_adam7(rgba, 6, [4]))
+    np.testing.assert_array_equal(got, rgba[:, :, :3])
+    g = rng.integers(0, 256, (9, 3, 1), dtype=np.uint8)
+    got = decode_png(encode_png_adam7(g, 0, [3]))
+    np.testing.assert_array_equal(got, np.repeat(g, 3, axis=2))
