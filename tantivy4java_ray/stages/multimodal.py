@@ -3,13 +3,14 @@ with typed metadata.
 
 Decode support in this environment (no PIL/opencv/ffmpeg):
 
-- images: REAL decoders for PNG (stdlib ``zlib`` inflate + numpy
-  Sub/Up/Average/Paeth unfiltering; 8-bit gray/RGB/palette/RGBA,
-  plain or Adam7-interlaced) plus the uncompressed containers PPM (P6) and BMP
-  (24/32-bit), all with nearest-neighbor resize; JPEG/WEBP raise
-  ``NotImplementedError`` (their entropy decoders need a codec
-  library) unless ``fake=True`` substitutes the deterministic
-  stand-in.
+- images: REAL decoders for baseline JPEG (``stages/jpeg.py``:
+  Huffman entropy decode + vectorized IDCT/upsample/color, SOF0/SOF1,
+  4:2:0/4:2:2/4:4:4, restart intervals; progressive raises), PNG
+  (stdlib ``zlib`` inflate + numpy Sub/Up/Average/Paeth unfiltering;
+  8-bit gray/RGB/palette/RGBA, plain or Adam7-interlaced), and the
+  uncompressed containers PPM (P6) and BMP (24/32-bit), all with
+  nearest-neighbor resize; WEBP/GIF raise ``NotImplementedError``
+  unless ``fake=True`` substitutes the deterministic stand-in.
 - audio: REAL WAV/PCM decode via the stdlib ``wave`` module (8/16/32
   bit) -> per-frame RMS energies; other containers raise unless
   ``fake=True``.
@@ -369,10 +370,14 @@ class ImageDecodeResize:
             return _resize_nearest(decode_bmp(payload), self.h, self.w)
         if payload.startswith(b"\x89PNG"):
             return _resize_nearest(decode_png(payload), self.h, self.w)
+        if payload.startswith(b"\xff\xd8"):
+            from tantivy4java_ray.stages.jpeg import decode_jpeg
+            return _resize_nearest(decode_jpeg(payload), self.h, self.w)
         raise NotImplementedError(
-            "JPEG/WEBP decode requires PIL/opencv (not in this "
-            "container); PNG/PPM/BMP decode natively, or construct with "
-            "fake=True for the deterministic stand-in")
+            "WEBP/GIF/AVIF decode requires PIL/opencv (not in this "
+            "container); baseline JPEG, PNG, PPM and BMP decode "
+            "natively, or construct with fake=True for the "
+            "deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.col).to_pylist()

@@ -922,14 +922,15 @@ def test_wav_decode_stage_real(ray_session):
 
 
 def test_compressed_codecs_still_raise():
-    # r5: PNG decodes natively now (tests/test_png.py); the honest
-    # raises are the entropy-coded codecs JPEG/WEBP and MP3
+    # r5: PNG and baseline JPEG decode natively now (tests/test_png.py,
+    # tests/test_jpeg.py); the honest raises are WEBP/GIF and MP3, plus
+    # progressive JPEG inside the jpeg module itself
     from tantivy4java_ray.stages.multimodal import (AudioFrameSample,
                                                     ImageDecodeResize)
     with pytest.raises(NotImplementedError):
-        ImageDecodeResize()._decode_real(b"\xff\xd8\xff\xe0....JFIF")
-    with pytest.raises(NotImplementedError):
         ImageDecodeResize()._decode_real(b"RIFF....WEBP")
+    with pytest.raises(NotImplementedError):
+        ImageDecodeResize()._decode_real(b"GIF89a....")
     with pytest.raises(NotImplementedError):
         AudioFrameSample()._decode_real(b"ID3....")
 
