@@ -5,11 +5,13 @@ bit-serial data dependence cannot vectorize), but everything after the
 symbols — dequantize, dezigzag, IDCT, upsample, color convert — is one
 vectorized numpy pass over ALL blocks at once.
 
-Supported: 8-bit baseline + extended-sequential (SOF0/SOF1), 1- or
-3-component, chroma sampling 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 (any
+Supported: 8-bit baseline + extended-sequential (SOF0/SOF1) AND
+progressive (SOF2: spectral selection, successive approximation —
+DC/AC first + refinement scans, EOB runs, per-scan Huffman tables),
+1- or 3-component, chroma sampling 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 (any
 h,v in {1,2}), restart intervals, 0xFF00 byte stuffing, 16-bit DQT
-entries. Progressive (SOF2), arithmetic coding and 12-bit precision
-raise ``NotImplementedError``.
+entries. Arithmetic coding, hierarchical/lossless frames and 12-bit
+precision raise ``NotImplementedError``.
 
 Public spec facts only (ITU-T T.81 / JFIF): marker layout, canonical
 Huffman code construction, EXTEND sign rule, zigzag order, BT.601
@@ -89,14 +91,12 @@ class _BitReader:
                 nxt = d[p + 1] if p + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos = p + 2          # stuffed literal 0xFF
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart/EOI marker: don't consume; pad
+                else:
+                    # any real marker (RSTn consumed by restart(), or
+                    # the next SOS/DHT/EOI) ends this scan's data: pad
                     self.acc = (self.acc << 8) | 0xFF
                     self.nbits += 8
                     continue
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} in scan")
             else:
                 self.pos = p + 1
             self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFF
@@ -139,14 +139,32 @@ class _BitReader:
         raise ValueError("expected restart marker")
 
 
+def _skip_entropy(b: bytes, pos: int) -> int:
+    """-> position of the first real marker (not stuffing/RSTn) after
+    entropy-coded data starting at ``pos``."""
+    n = len(b)
+    while pos < n:
+        if b[pos] == 0xFF and pos + 1 < n:
+            nxt = b[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
 def _parse_segments(b: bytes) -> dict:
+    """Parse every marker segment; collects ALL scans (a progressive
+    file has many, each with its own spectral band + approximation and
+    a snapshot of the Huffman tables in force at that point)."""
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
-    scan = None
+    scans: list[dict] = []
     dri = 0
     pos = 2
     while pos + 4 <= len(b):
@@ -172,7 +190,7 @@ def _parse_segments(b: bytes) -> dict:
                         np.int32)
                     i += 64
                 qt[tid] = q                   # zigzag order
-        elif m in (0xC0, 0xC1):              # SOF0 / SOF1
+        elif m in (0xC0, 0xC1, 0xC2):        # SOF0 / SOF1 / SOF2
             if seg[0] != 8:
                 raise NotImplementedError(
                     f"JPEG sample precision {seg[0]} (only 8-bit)")
@@ -185,9 +203,8 @@ def _parse_segments(b: bytes) -> dict:
                     seg[8 + 3 * c]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": m == 0xC2}
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF):
             raise NotImplementedError(
@@ -210,43 +227,28 @@ def _parse_segments(b: bytes) -> dict:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 smap.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
-            scan = {"map": smap, "data_pos": pos}
-            break                            # entropy data follows
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            scans.append({"map": smap, "Ss": ss, "Se": se,
+                          "Ah": a >> 4, "Al": a & 0x0F,
+                          "dc": dict(huff_dc), "ac": dict(huff_ac),
+                          "dri": dri, "data_pos": pos})
+            pos = _skip_entropy(b, pos)      # jump over entropy data
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    return {"qt": qt, "dc": huff_dc, "ac": huff_ac, "frame": frame,
-            "scan": scan, "dri": dri, "data": b}
+    return {"qt": qt, "frame": frame, "scans": scans, "data": b}
 
 
-def decode_jpeg_coeffs(payload: bytes):
-    """Entropy-decode to QUANTIZED coefficient blocks (lossless layer).
-
-    -> (frame, [comp_blocks]) where comp_blocks[i] is an
-    (rows, cols, 64) int32 array in zigzag order covering that
-    component's padded MCU grid. Exactly testable: an encoder's written
-    coefficients must round-trip bit-for-bit."""
-    s = _parse_segments(payload)
-    frame, dri = s["frame"], s["dri"]
-    comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    for c in comps:
-        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
-            raise NotImplementedError(
-                f"JPEG sampling {c['h']}x{c['v']} (h,v must be 1 or 2)")
-    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
-    by_cs = {m["cs"]: m for m in s["scan"]["map"]}
-    blocks = []
-    for c in comps:
+def _baseline_scan(s: dict, scan: dict, comps, blocks, mcux: int,
+                   mcuy: int) -> None:
+    by_cs = {m["cs"]: m for m in scan["map"]}
+    dc_t, ac_t = {}, {}
+    for ci, c in enumerate(comps):
         m = by_cs[c["id"]]
-        c["dc_t"] = s["dc"][m["td"]]
-        c["ac_t"] = s["ac"][m["ta"]]
-        c["rows"] = mcuy * c["v"]
-        c["cols"] = mcux * c["h"]
-        blocks.append(np.zeros((c["rows"], c["cols"], 64), np.int32))
-    r = _BitReader(s["data"], s["scan"]["data_pos"])
+        dc_t[ci] = scan["dc"][m["td"]]
+        ac_t[ci] = scan["ac"][m["ta"]]
+    dri = scan["dri"]
+    r = _BitReader(s["data"], scan["data_pos"])
     pred = [0] * len(comps)
     mcu_i = 0
     for my in range(mcuy):
@@ -259,13 +261,12 @@ def decode_jpeg_coeffs(payload: bytes):
                     for hh in range(c["h"]):
                         blk = blocks[ci][my * c["v"] + v,
                                          mx * c["h"] + hh]
-                        t = r.huff(c["dc_t"])
-                        diff = _extend(r.bits(t), t)
-                        pred[ci] += diff
+                        t = r.huff(dc_t[ci])
+                        pred[ci] += _extend(r.bits(t), t)
                         blk[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = r.huff(c["ac_t"])
+                            rs = r.huff(ac_t[ci])
                             rr, size = rs >> 4, rs & 0x0F
                             if size == 0:
                                 if rr == 15:     # ZRL: 16 zeros
@@ -278,6 +279,184 @@ def decode_jpeg_coeffs(payload: bytes):
                             blk[k] = _extend(r.bits(size), size)
                             k += 1
             mcu_i += 1
+
+
+def _prog_dc_scan(s: dict, scan: dict, comps, blocks, members,
+                  mcux: int, mcuy: int) -> None:
+    """Progressive DC scan (Ss=Se=0): first pass (Ah=0) Huffman-decodes
+    point-transformed DC diffs; refinement (Ah>0) appends ONE magnitude
+    bit per block (two's-complement OR — correct for signed values)."""
+    r = _BitReader(s["data"], scan["data_pos"])
+    Ah, Al, dri = scan["Ah"], scan["Al"], scan["dri"]
+    first = Ah == 0
+    dc_t = {ci: scan["dc"].get(m["td"]) for ci, _, m in members}
+    pred = {ci: 0 for ci, _, _ in members}
+    mcu_i = 0
+    if len(members) > 1:      # interleaved over the MCU grid
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+        for my, mx in units:
+            if dri and mcu_i and mcu_i % dri == 0:
+                r.restart()
+                pred = {ci: 0 for ci, _, _ in members}
+            for ci, c, _m in members:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        blk = blocks[ci][my * c["v"] + v,
+                                         mx * c["h"] + hh]
+                        if first:
+                            t = r.huff(dc_t[ci])
+                            pred[ci] += _extend(r.bits(t), t)
+                            blk[0] = pred[ci] << Al
+                        else:
+                            blk[0] |= r.bits(1) << Al
+            mcu_i += 1
+    else:                     # single component: raster over ni grid
+        ci, c, _m = members[0]
+        for by in range(c["ni_rows"]):
+            for bx in range(c["ni_cols"]):
+                if dri and mcu_i and mcu_i % dri == 0:
+                    r.restart()
+                    pred[ci] = 0
+                blk = blocks[ci][by, bx]
+                if first:
+                    t = r.huff(dc_t[ci])
+                    pred[ci] += _extend(r.bits(t), t)
+                    blk[0] = pred[ci] << Al
+                else:
+                    blk[0] |= r.bits(1) << Al
+                mcu_i += 1
+
+
+def _prog_ac_scan(s: dict, scan: dict, comps, blocks, members) -> None:
+    """Progressive AC scan (single component, raster over its
+    non-interleaved block grid). First pass (Ah=0) uses EOBn run
+    symbols; refinement (Ah>0) is the T.81 G.1.2.3 correction-bit
+    walk (libjpeg's decode_mcu_AC_refine structure)."""
+    if len(members) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, c, m = members[0]
+    ac_t = scan["ac"][m["ta"]]
+    Ss, Se, Ah, Al = scan["Ss"], scan["Se"], scan["Ah"], scan["Al"]
+    dri = scan["dri"]
+    r = _BitReader(s["data"], scan["data_pos"])
+    eobrun = 0
+    p1, m1 = 1 << Al, -1 << Al
+    n_blk = 0
+    for by in range(c["ni_rows"]):
+        for bx in range(c["ni_cols"]):
+            if dri and n_blk and n_blk % dri == 0:
+                r.restart()
+                eobrun = 0
+            n_blk += 1
+            blk = blocks[ci][by, bx]
+            if Ah == 0:                       # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    sym = r.huff(ac_t)
+                    rr, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if rr == 15:          # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << rr) - 1 + (r.bits(rr) if rr
+                                                  else 0)
+                        break
+                    k += rr
+                    if k > Se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _extend(r.bits(size), size) << Al
+                    k += 1
+                continue
+            # refinement pass
+
+            def correct_tail(k: int) -> None:
+                while k <= Se:
+                    if blk[k]:
+                        if r.bits(1) and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    k += 1
+
+            if eobrun:                        # block fully inside a run
+                correct_tail(Ss)
+                eobrun -= 1
+                continue
+            k = Ss
+            ate_eob = False
+            while k <= Se:
+                sym = r.huff(ac_t)
+                rr, size = sym >> 4, sym & 0x0F
+                val = 0
+                if size == 0:
+                    if rr < 15:               # EOBn: run INCLUDES this
+                        eobrun = (1 << rr) + (r.bits(rr) if rr else 0)
+                        ate_eob = True
+                        break
+                    # rr == 15: ZRL — skip 16 zero-HISTORY coeffs
+                else:
+                    if size != 1:
+                        raise ValueError("refinement size must be 1")
+                    val = p1 if r.bits(1) else m1
+                while k <= Se:                # advance, correcting
+                    if blk[k]:
+                        if r.bits(1) and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= Se:
+                    blk[k] = val
+                k += 1
+            if ate_eob:                       # current block's tail bits
+                correct_tail(k)
+                eobrun -= 1                   # consume this block
+
+
+def decode_jpeg_coeffs(payload: bytes):
+    """Entropy-decode to QUANTIZED coefficient blocks (lossless layer).
+
+    -> (frame, [comp_blocks], segments) where comp_blocks[i] is an
+    (rows, cols, 64) int32 array in zigzag order covering that
+    component's padded MCU grid. Exactly testable: an encoder's written
+    coefficients must round-trip bit-for-bit — baseline AND progressive
+    (every scan applied in file order)."""
+    s = _parse_segments(payload)
+    frame = s["frame"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise NotImplementedError(
+                f"JPEG sampling {c['h']}x{c['v']} (h,v must be 1 or 2)")
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    blocks = []
+    for c in comps:
+        c["rows"] = mcuy * c["v"]
+        c["cols"] = mcux * c["h"]
+        # non-interleaved grid (T.81 A.2.2): ceil of the SCALED dims —
+        # smaller than the MCU grid when sampling factors differ
+        c["ni_cols"] = (-(-frame["w"] * c["h"] // hmax) + 7) // 8
+        c["ni_rows"] = (-(-frame["h"] * c["v"] // vmax) + 7) // 8
+        blocks.append(np.zeros((c["rows"], c["cols"], 64), np.int32))
+    if not frame["progressive"]:
+        _baseline_scan(s, s["scans"][0], comps, blocks, mcux, mcuy)
+        return frame, blocks, s
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    for scan in s["scans"]:
+        members = [(by_id[m["cs"]][0], by_id[m["cs"]][1], m)
+                   for m in scan["map"]]
+        if scan["Ss"] == 0:
+            if scan["Se"] != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            _prog_dc_scan(s, scan, comps, blocks, members, mcux, mcuy)
+        else:
+            _prog_ac_scan(s, scan, comps, blocks, members)
     return frame, blocks, s
 
 

@@ -267,11 +267,15 @@ def test_rejections():
     payload, _, _ = encode_jpeg(img)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00" + payload)
-    # progressive: flip SOF0 marker to SOF2
     idx = payload.index(b"\xFF\xC0")
-    prog = payload[:idx] + b"\xFF\xC2" + payload[idx + 2:]
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+    # lossless (SOF3) raises; a baseline full-band scan relabelled
+    # progressive is MALFORMED (progressive DC scans must have Se=0)
+    lossless = payload[:idx] + b"\xFF\xC3" + payload[idx + 2:]
+    with pytest.raises(NotImplementedError, match="frame type"):
+        decode_jpeg(lossless)
+    fake_prog = payload[:idx] + b"\xFF\xC2" + payload[idx + 2:]
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(fake_prog)
     # 12-bit precision
     deep = bytearray(payload)
     deep[idx + 4] = 12
@@ -297,3 +301,320 @@ def test_image_stage_decodes_jpeg_end_to_end(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out.shape[0] == 4
     assert (out["height"] == 16).all()
+
+
+# --- progressive (SOF2) reference encoder ---------------------------------
+
+# EOBn symbols (r<<4, r=1..14) join the uniform 8-bit AC table
+_AC_SYMS_P = _AC_SYMS + [r << 4 for r in range(1, 15)]
+_AC_COUNTS_P = [0] * 16
+_AC_COUNTS_P[7] = len(_AC_SYMS_P)
+_AC_CODE_P = {s: i for i, s in enumerate(_AC_SYMS_P)}
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter + EOB-run state: ``eobrun`` pending all-zero(-tail)
+    blocks, ``br`` their buffered refinement correction bits."""
+
+    def __init__(self):
+        super().__init__()
+        self.eobrun = 0
+        self.br: list[int] = []
+
+    def flush_eob(self):
+        if self.eobrun:
+            j = self.eobrun
+            r = j.bit_length() - 1
+            self.put(_AC_CODE_P[r << 4], 8)
+            if r:
+                self.put(j - (1 << r), r)
+            self.eobrun = 0
+        for b in self.br:
+            self.put(b, 1)
+        self.br = []
+
+
+def _enc_ac_first_block(w: _ProgWriter, vals: list[int]) -> None:
+    if not any(vals):
+        w.eobrun += 1
+        return
+    w.flush_eob()
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    r = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            w.put(_AC_CODE_P[0xF0], 8)
+            r -= 16
+        w.put(_AC_CODE_P[(r << 4) | _size(v)], 8)
+        _emit_coeff_bits(w, v, _size(v))
+        r = 0
+    if last_nz < len(vals) - 1:
+        w.eobrun = 1
+
+
+def _enc_ac_refine_block(w: _ProgWriter, band: list[int],
+                         al: int) -> None:
+    """T.81 G.1.2.3 refinement encoder, libjpeg's structure: ZRLs are
+    emitted as the zero-HISTORY run passes 16 while still before the
+    last newly-nonzero position (so they interleave correctly with
+    nonzero-history positions whose correction bits buffer until the
+    NEXT emitted symbol); everything after the last newly-nonzero
+    folds into the EOB run."""
+    t = [abs(v) >> al for v in band]
+    new = [i for i, x in enumerate(t) if x == 1]
+    if not new:
+        w.br += [x & 1 for x in t if x > 1]
+        w.eobrun += 1
+        return
+    eob = new[-1]
+    r = 0
+    pend: list[int] = []
+    for i, x in enumerate(t):
+        if x == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            w.flush_eob()              # pending run from prior blocks
+            w.put(_AC_CODE_P[0xF0], 8)
+            r -= 16
+            for b in pend:
+                w.put(b, 1)
+            pend = []
+        if x > 1:                      # already-nonzero: correction bit
+            pend.append(x & 1)
+            continue
+        w.flush_eob()
+        w.put(_AC_CODE_P[(r << 4) | 1], 8)
+        w.put(1 if band[i] > 0 else 0, 1)
+        for b in pend:
+            w.put(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:                  # tail folds into an EOB run
+        w.eobrun = 1
+        w.br = pend
+
+
+def encode_jpeg_progressive(img: np.ndarray, *,
+                            subsample: tuple[int, int] = (1, 1),
+                            restart: int = 0,
+                            bands=((1, 5), (6, 63))):
+    """Progressive (SOF2) reference stream: DC first (Al=1, interleaved)
+    -> DC refine -> per-component AC first per band (Al=1) -> per-
+    component AC refine per band (Al=0). Returns the same
+    (payload, blocks, hvs) contract as ``encode_jpeg``."""
+    base, blocks, hvs = encode_jpeg(img, subsample=subsample)
+    gray = img.ndim == 2
+    ncomp = 1 if gray else 3
+    qts = [0] if gray else [0, 1, 1]
+    h, w = img.shape[:2]
+    hmax = max(hv[0] for hv in hvs)
+    vmax = max(hv[1] for hv in hvs)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    ni = []
+    for sh, sv in hvs:
+        ni.append(((-(-h * sv // vmax) + 7) // 8,
+                   (-(-w * sh // hmax) + 7) // 8))
+
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in _QLUM))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(int(v) for v in _QCHR))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for i, (sh, sv) in enumerate(hvs):
+        sof += bytes([i + 1, (sh << 4) | sv, qts[i]])
+    out += _seg(0xC2, sof)
+    for cls, tid, counts, syms in (
+            (0, 0, _DC_COUNTS, _DC_SYMS),
+            (1, 0, _AC_COUNTS_P, _AC_SYMS_P)):
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(counts)
+                    + bytes(syms))
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+
+    def sos(members, ss, se, ah, al):
+        p = bytes([len(members)])
+        for cid in members:
+            p += bytes([cid, 0x00])
+        return _seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    def emit_scan(writer_fill, members, ss, se, ah, al):
+        nonlocal out
+        out += sos(members, ss, se, ah, al)
+        w_ = _ProgWriter()
+        writer_fill(w_)
+        w_.flush_eob()
+        w_.align()
+        out += bytes(w_.out)
+
+    def dc_unit_groups():
+        """Restart units for DC scans: MCUs (interleaved) or single
+        blocks (one-component), each as a list of (ci, block)."""
+        if ncomp > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    yield [(ci, blocks[ci][my * sv + v, mx * sh + hh])
+                           for ci, (sh, sv) in enumerate(hvs)
+                           for v in range(sv) for hh in range(sh)]
+        else:
+            for by in range(ni[0][0]):
+                for bx in range(ni[0][1]):
+                    yield [(0, blocks[0][by, bx])]
+
+    def _rst(w_, u):
+        w_.align()
+        w_.out += bytes([0xFF, 0xD0 + ((u // restart - 1) % 8)])
+
+    def dc_first(w_):
+        pred = [0] * ncomp
+        u = 0
+        for grp in dc_unit_groups():
+            if restart and u and u % restart == 0:
+                _rst(w_, u)
+                pred = [0] * ncomp
+            for ci, blk in grp:
+                v = int(blk[0]) >> 1      # point transform Al=1
+                d = v - pred[ci]
+                pred[ci] = v
+                t = _size(d)
+                w_.put(_DC_CODE[t], 8)
+                _emit_coeff_bits(w_, d, t)
+            u += 1
+
+    def dc_refine(w_):
+        u = 0
+        for grp in dc_unit_groups():
+            if restart and u and u % restart == 0:
+                _rst(w_, u)
+            for _ci, blk in grp:
+                w_.put(int(blk[0]) & 1, 1)
+            u += 1
+
+    emit_scan(dc_first, list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    emit_scan(dc_refine, list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    for ci in range(ncomp):
+        rows, cols = ni[ci]
+        for ss, se in bands:
+            def ac1(w_, ci=ci, ss=ss, se=se, rows=rows, cols=cols):
+                nb = 0
+                for by in range(rows):
+                    for bx in range(cols):
+                        if restart and nb and nb % restart == 0:
+                            w_.flush_eob()
+                            w_.align()
+                            w_.out += bytes(
+                                [0xFF, 0xD0 + ((nb // restart - 1) % 8)])
+                        blk = blocks[ci][by, bx]
+                        vals = [(1 if int(v) > 0 else -1)
+                                * (abs(int(v)) >> 1)
+                                for v in blk[ss:se + 1]]
+                        _enc_ac_first_block(w_, vals)
+                        nb += 1
+            emit_scan(ac1, [ci + 1], ss, se, 0, 1)
+    for ci in range(ncomp):
+        rows, cols = ni[ci]
+        for ss, se in bands:
+            def ac2(w_, ci=ci, ss=ss, se=se, rows=rows, cols=cols):
+                nb = 0
+                for by in range(rows):
+                    for bx in range(cols):
+                        if restart and nb and nb % restart == 0:
+                            w_.flush_eob()
+                            w_.align()
+                            w_.out += bytes(
+                                [0xFF, 0xD0 + ((nb // restart - 1) % 8)])
+                        blk = blocks[ci][by, bx]
+                        _enc_ac_refine_block(
+                            w_, [int(v) for v in blk[ss:se + 1]], 0)
+                        nb += 1
+            emit_scan(ac2, [ci + 1], ss, se, 1, 0)
+    out += b"\xFF\xD9"
+    return bytes(out), blocks, hvs
+
+
+@pytest.mark.parametrize("shape,sub", [
+    ((16, 16), (1, 1)), ((13, 21), (1, 1)), ((32, 24), (2, 2)),
+    ((17, 19), (2, 2)), ((24, 16), (2, 1)),
+])
+def test_progressive_coefficients_roundtrip_exact(shape, sub):
+    rng = np.random.default_rng(shape[0] * 3 + sub[0])
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    payload, want, hvs = encode_jpeg_progressive(img, subsample=sub)
+    frame, got, _ = decode_jpeg_coeffs(payload)
+    assert frame["progressive"]
+    for ci in range(3):
+        # progressive scans cover the NON-INTERLEAVED grid; compare
+        # there (the MCU-padding blocks outside it stay zero)
+        nr = frame["comps"][ci]["ni_rows"]
+        nc = frame["comps"][ci]["ni_cols"]
+        np.testing.assert_array_equal(got[ci][:nr, :nc],
+                                      want[ci][:nr, :nc]), ci
+
+
+def test_progressive_full_decode_matches_baseline():
+    yy, xx = np.mgrid[0:48, 0:40]
+    img = np.stack([(90 + yy) % 256, (70 + xx) % 256,
+                    (yy + xx) % 256], axis=2).astype(np.uint8)
+    pb, _, _ = encode_jpeg(img)
+    pp, _, _ = encode_jpeg_progressive(img)
+    a = decode_jpeg(pb)
+    b = decode_jpeg(pp)
+    # same quantized coefficients on the shared non-interleaved grid ->
+    # 4:4:4 grids coincide -> identical pixels
+    np.testing.assert_array_equal(a, b)
+
+
+def test_progressive_single_band_and_gray():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    payload, want, _ = encode_jpeg_progressive(img, bands=((1, 63),))
+    _, got, _ = decode_jpeg_coeffs(payload)
+    for ci in range(3):
+        np.testing.assert_array_equal(got[ci], want[ci])
+    g = rng.integers(0, 256, (24, 8), dtype=np.uint8)
+    payload, want, _ = encode_jpeg_progressive(g)
+    _, got, _ = decode_jpeg_coeffs(payload)
+    np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_progressive_restart_markers():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    payload, want, _ = encode_jpeg_progressive(img, restart=3)
+    _, got, _ = decode_jpeg_coeffs(payload)
+    for ci in range(3):
+        np.testing.assert_array_equal(got[ci], want[ci])
+
+
+def test_progressive_randomized_fuzz():
+    """Randomized encode->decode exact-coefficient sweep across sizes,
+    subsampling, band splits and restart intervals (the refinement
+    encoder/decoder pair has data-dependent paths — ZRL interleaving
+    with correction bits, EOB-run folding — that fixed seeds miss;
+    trial 103 of this fuzz found the r5 ZRL-ordering bug)."""
+    rng = np.random.default_rng(42)
+    for trial in range(25):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        sub = (int(rng.integers(1, 3)), int(rng.integers(1, 3)))
+        rst = int(rng.choice([0, 0, 1, 2, 5]))
+        bands = (((1, 63),) if rng.random() < 0.5
+                 else ((1, int(rng.integers(2, 20))),
+                       (int(rng.integers(2, 20)) + 1, 63)))
+        bands = (bands if len(bands) == 1
+                 else ((1, bands[0][1]), (bands[0][1] + 1, 63)))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload, want, _ = encode_jpeg_progressive(
+            img, subsample=sub, restart=rst, bands=bands)
+        frame, got, _ = decode_jpeg_coeffs(payload)
+        for ci in range(3):
+            nr = frame["comps"][ci]["ni_rows"]
+            nc = frame["comps"][ci]["ni_cols"]
+            np.testing.assert_array_equal(
+                got[ci][:nr, :nc], want[ci][:nr, :nc],
+                err_msg=f"trial {trial} comp {ci} "
+                        f"({h}x{w} sub={sub} rst={rst} bands={bands})")
