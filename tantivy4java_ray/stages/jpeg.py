@@ -1,6 +1,6 @@
-"""Baseline JPEG (JFIF, SOF0/SOF1 sequential Huffman) decoder — pure
-stdlib + numpy, no codec library. Closes the "real crawls are JPEG"
-gap honestly: the entropy layer is a Python-loop Huffman decode (JPEG's
+"""JPEG (JFIF) decoder — baseline AND progressive — pure stdlib +
+numpy, no codec library. Closes the "real crawls are JPEG" gap
+honestly: the entropy layer is a Python-loop Huffman decode (JPEG's
 bit-serial data dependence cannot vectorize), but everything after the
 symbols — dequantize, dezigzag, IDCT, upsample, color convert — is one
 vectorized numpy pass over ALL blocks at once.

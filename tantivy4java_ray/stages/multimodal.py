@@ -3,14 +3,16 @@ with typed metadata.
 
 Decode support in this environment (no PIL/opencv/ffmpeg):
 
-- images: REAL decoders for baseline JPEG (``stages/jpeg.py``:
-  Huffman entropy decode + vectorized IDCT/upsample/color, SOF0/SOF1,
-  4:2:0/4:2:2/4:4:4, restart intervals; progressive raises), PNG
-  (stdlib ``zlib`` inflate + numpy Sub/Up/Average/Paeth unfiltering;
-  8-bit gray/RGB/palette/RGBA, plain or Adam7-interlaced), and the
-  uncompressed containers PPM (P6) and BMP (24/32-bit), all with
-  nearest-neighbor resize; WEBP/GIF raise ``NotImplementedError``
-  unless ``fake=True`` substitutes the deterministic stand-in.
+- images: REAL decoders for JPEG — baseline AND progressive
+  (``stages/jpeg.py``: Huffman entropy decode + vectorized
+  IDCT/upsample/color, SOF0/SOF1/SOF2, 4:2:0/4:2:2/4:4:4, restart
+  intervals), PNG (stdlib ``zlib`` inflate + numpy
+  Sub/Up/Average/Paeth unfiltering; 8-bit gray/RGB/palette/RGBA,
+  plain or Adam7-interlaced), GIF87a/89a (LZW, interlace, local
+  palettes; first frame), and the uncompressed containers PPM (P6)
+  and BMP (24/32-bit), all with nearest-neighbor resize; WEBP/AVIF
+  raise ``NotImplementedError`` unless ``fake=True`` substitutes the
+  deterministic stand-in.
 - audio: REAL WAV/PCM decode via the stdlib ``wave`` module (8/16/32
   bit) -> per-frame RMS energies; other containers raise unless
   ``fake=True``.
@@ -214,6 +216,142 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.repeat(px[:, :, :1], 3, axis=2)
 
 
+def _lzw_decode(data: bytes, min_code_size: int,
+                expected: int) -> bytearray:
+    """GIF-variant LZW -> index stream (stops at ``expected`` pixels).
+    Codes grow 3..12 bits; CLEAR resets the table; per-code Python loop
+    (LZW's chained dictionary is inherently serial) over a numpy-free
+    hot path kept tight with bytes concatenation."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return out
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a -> (H, W, 3) uint8 RGB of the FIRST frame (animated
+    GIFs: later frames ignored — the frame-sampling stage semantics).
+    Pure stdlib+numpy: header/descriptor parse, LZW decode, optional
+    interlace deshuffle, palette gather. Frames smaller than the screen
+    composite onto the background color."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        return _decode_gif_inner(payload)
+    except IndexError:
+        raise ValueError("truncated GIF") from None
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    bg = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:                         # trailer
+            break
+        if b == 0x21:                         # extension: skip subblocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+        left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+        top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+        w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:                     # local color table
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, np.uint8, 3 * n,
+                                pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(b"".join(chunks), mcs, w * h), np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        idx = idx[:w * h].reshape(h, w)
+        if iflags & 0x40:                     # interlaced: deshuffle
+            de = np.empty_like(idx)
+            rows = np.concatenate([np.arange(0, h, 8),
+                                   np.arange(4, h, 8),
+                                   np.arange(2, h, 4),
+                                   np.arange(1, h, 2)])
+            de[rows] = idx
+            idx = de
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        frame = pal[idx]
+        if (w, h) == (sw, sh) and (left, top) == (0, 0):
+            return frame
+        full = np.empty((sh, sw, 3), np.uint8)
+        full[:] = (pal[bg] if gct is not None and bg < len(gct)
+                   else 0)
+        full[top:top + h, left:left + w] = frame
+        return full
+    raise ValueError("GIF contains no image data")
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24/32-bit BMP -> (H, W, 3) uint8."""
     if not payload.startswith(b"BM"):
@@ -373,11 +511,13 @@ class ImageDecodeResize:
         if payload.startswith(b"\xff\xd8"):
             from tantivy4java_ray.stages.jpeg import decode_jpeg
             return _resize_nearest(decode_jpeg(payload), self.h, self.w)
+        if payload.startswith(b"GIF8"):
+            return _resize_nearest(decode_gif(payload), self.h, self.w)
         raise NotImplementedError(
-            "WEBP/GIF/AVIF decode requires PIL/opencv (not in this "
-            "container); baseline JPEG, PNG, PPM and BMP decode "
-            "natively, or construct with fake=True for the "
-            "deterministic stand-in")
+            "WEBP/AVIF decode requires PIL/opencv (not in this "
+            "container); JPEG (baseline+progressive), PNG, GIF, PPM "
+            "and BMP decode natively, or construct with fake=True for "
+            "the deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.col).to_pylist()

@@ -1,0 +1,214 @@
+"""GIF decoder golden tests: a reference LZW encoder (which mirrors the
+DECODER's code-width schedule by simulating its table growth —
+the classic GIF off-by-one trap) writes real GIF87a/89a streams; decode
+must return exact palette-mapped pixels. GIF is lossless, so every test
+is exact."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tantivy4java_ray.stages.multimodal import (ImageDecodeResize,
+                                                decode_gif)
+
+
+class _LSBWriter:
+    """GIF packs LZW codes least-significant-bit first."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.n
+        self.n += width
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def lzw_encode(indices: bytes, mcs: int) -> bytes:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    w = _LSBWriter()
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    dec_len = end + 1         # decoder table length, simulated exactly
+    first_after_reset = True
+
+    def emit(code: int):
+        nonlocal width, dec_len, first_after_reset
+        w.put(code, width)
+        # decoder appends one entry per code EXCEPT the first after a
+        # clear, then widens when its table reaches 2^width
+        if code == clear:
+            dec_len = end + 1
+            width = mcs + 1
+            first_after_reset = True
+            return
+        if first_after_reset:
+            first_after_reset = False
+        elif dec_len < 4096:
+            dec_len += 1
+        if dec_len >= (1 << width) and width < 12:
+            width += 1
+
+    emit(clear)
+    cur = b""
+    for ch in indices:
+        nxt = cur + bytes([ch])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:                 # table full: clear and restart
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+        cur = bytes([ch])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    return w.flush()
+
+
+def _subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray, *,
+               interlace: bool = False, local_palette: bool = False,
+               extra_frame: bool = False, version: bytes = b"GIF89a",
+               left: int = 0, top: int = 0,
+               screen: tuple[int, int] | None = None) -> bytes:
+    """(H, W) palette indices + (N, 3) palette -> GIF bytes."""
+    h, w = idx.shape
+    sw, sh = screen or (w + left, h + top)
+    n = len(palette)
+    bits = max((n - 1).bit_length(), 1)
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[:n] = palette
+    out = bytearray(version)
+    gflags = (0x80 | (bits - 1)) if not local_palette else 0x00
+    out += int(sw).to_bytes(2, "little") + int(sh).to_bytes(2, "little")
+    out += bytes([gflags, 0, 0])
+    if not local_palette:
+        out += pal.tobytes()
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"   # GCE (ignored)
+    rows = idx
+    if interlace:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        rows = idx[order]
+    iflags = (0x40 if interlace else 0) | \
+        ((0x80 | (bits - 1)) if local_palette else 0)
+    mcs = max(bits, 2)
+    out += b"\x2c" + int(left).to_bytes(2, "little") \
+        + int(top).to_bytes(2, "little") \
+        + int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little") \
+        + bytes([iflags])
+    if local_palette:
+        out += pal.tobytes()
+    out += bytes([mcs]) + _subblocks(
+        lzw_encode(rows.astype(np.uint8).tobytes(), mcs))
+    if extra_frame:   # animated: a second frame the decoder must ignore
+        out += b"\x2c" + b"\x00\x00\x00\x00" \
+            + int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little") \
+            + bytes([0x00]) + bytes([mcs]) + _subblocks(
+                lzw_encode(bytes(h * w), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("shape,ncolor", [
+    ((8, 8), 4), ((13, 21), 16), ((40, 33), 256), ((1, 1), 2),
+    ((64, 64), 256),
+])
+def test_roundtrip(shape, ncolor):
+    rng = np.random.default_rng(shape[0] * 7 + ncolor)
+    pal = rng.integers(0, 256, (ncolor, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolor, shape, dtype=np.uint8)
+    got = decode_gif(encode_gif(idx, pal))
+    np.testing.assert_array_equal(got, pal[idx])
+
+
+def test_repetitive_data_exercises_table_growth():
+    # long repeats drive LZW entries (and code-width bumps) hard
+    pal = np.asarray([[0, 0, 0], [255, 255, 255], [9, 9, 9], [1, 2, 3]],
+                     np.uint8)
+    idx = np.tile(np.asarray([[0, 0, 1, 1, 2, 2, 3, 3]], np.uint8),
+                  (100, 50))[:100, :210]
+    got = decode_gif(encode_gif(idx, pal))
+    np.testing.assert_array_equal(got, pal[idx])
+
+
+def test_table_full_clear_restart():
+    # enough distinct patterns to hit code 4096 and force a mid-stream
+    # CLEAR from the encoder; decoder must resync
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (120, 120), dtype=np.uint8)
+    got = decode_gif(encode_gif(idx, pal))
+    np.testing.assert_array_equal(got, pal[idx])
+
+
+def test_interlace_and_local_palette_and_87a():
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (23, 11), dtype=np.uint8)
+    for kw in (dict(interlace=True), dict(local_palette=True),
+               dict(version=b"GIF87a"), dict(extra_frame=True)):
+        got = decode_gif(encode_gif(idx, pal, **kw))
+        np.testing.assert_array_equal(got, pal[idx], err_msg=str(kw))
+
+
+def test_frame_smaller_than_screen_composites_on_bg():
+    pal = np.asarray([[10, 20, 30], [200, 100, 0]], np.uint8)
+    idx = np.ones((2, 3), np.uint8)
+    got = decode_gif(encode_gif(idx, pal, left=2, top=1, screen=(8, 6)))
+    assert got.shape == (6, 8, 3)
+    np.testing.assert_array_equal(got[1:3, 2:5], pal[idx])
+    np.testing.assert_array_equal(got[0, 0], pal[0])   # bg color 0
+
+
+def test_rejections():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG....")
+    pal = np.asarray([[1, 2, 3]], np.uint8)
+    good = encode_gif(np.zeros((2, 2), np.uint8), pal)
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])   # truncated
+
+
+def test_image_stage_decodes_gif_end_to_end(ray_session):
+    import ray.data
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+    imgs = [rng.integers(0, 32, (20, 14), dtype=np.uint8)
+            for _ in range(4)]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "image": [encode_gif(i, pal) for i in imgs]})
+    out = (ray.data.from_arrow(pa.Table.from_pandas(df))
+           .map_batches(ImageDecodeResize,
+                        fn_constructor_kwargs=dict(size=(10, 10)),
+                        batch_size=2, concurrency=1,
+                        batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.shape[0] == 4 and (out["height"] == 10).all()

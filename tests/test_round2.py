@@ -930,8 +930,6 @@ def test_compressed_codecs_still_raise():
     with pytest.raises(NotImplementedError):
         ImageDecodeResize()._decode_real(b"RIFF....WEBP")
     with pytest.raises(NotImplementedError):
-        ImageDecodeResize()._decode_real(b"GIF89a....")
-    with pytest.raises(NotImplementedError):
         AudioFrameSample()._decode_real(b"ID3....")
 
 
