@@ -1141,6 +1141,21 @@ def semantic_dedup(ds, emb_col: str, id_col: str, *,
 # paragraph-level exact dedup (CCNet / RefinedWeb-style keep-first)
 # ---------------------------------------------------------------------------
 
+def _segment_indices(parents: np.ndarray) -> np.ndarray:
+    """Per-doc segment index for a flattened split: parents is the
+    (sorted, contiguous-runs) list_parent_indices array; -> the position
+    of each segment within its own document."""
+    if not len(parents):
+        return np.empty(0, np.int64)
+    change = np.empty(len(parents), bool)
+    change[0] = True
+    np.not_equal(parents[1:], parents[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    runs = np.diff(np.append(starts, len(parents)))
+    return (np.arange(len(parents), dtype=np.int64)
+            - np.repeat(starts, runs))
+
+
 def _paragraph_keys(t: pa.Table, col: str, id_col: str,
                     sep: str) -> pa.Table:
     """Explode NONEMPTY paragraphs -> ``(id, __pidx, __h, __h2)``.
@@ -1157,16 +1172,7 @@ def _paragraph_keys(t: pa.Table, col: str, id_col: str,
     flat = pc.list_flatten(lists)          # null docs contribute nothing
     parents = np.asarray(pc.list_parent_indices(lists)
                          .to_numpy(zero_copy_only=False), np.int64)
-    if len(parents):
-        change = np.empty(len(parents), bool)
-        change[0] = True
-        np.not_equal(parents[1:], parents[:-1], out=change[1:])
-        starts = np.flatnonzero(change)
-        runs = np.diff(np.append(starts, len(parents)))
-        pidx = (np.arange(len(parents), dtype=np.int64)
-                - np.repeat(starts, runs))
-    else:
-        pidx = np.empty(0, np.int64)
+    pidx = _segment_indices(parents)
     keep = np.asarray(pc.binary_length(flat)
                       .to_numpy(zero_copy_only=False), np.int64) > 0
     paras = flat.filter(pa.array(keep))
@@ -1198,17 +1204,7 @@ def _drop_paragraphs(texts: pa.Array, ids: np.ndarray, mids: np.ndarray,
     parents = np.asarray(pc.list_parent_indices(lists)
                          .to_numpy(zero_copy_only=False), np.int64)
     n = len(texts)
-    # segment index within its doc (same derivation as _paragraph_keys)
-    if len(parents):
-        change = np.empty(len(parents), bool)
-        change[0] = True
-        np.not_equal(parents[1:], parents[:-1], out=change[1:])
-        starts = np.flatnonzero(change)
-        runs = np.diff(np.append(starts, len(parents)))
-        pidx = (np.arange(len(parents), dtype=np.int64)
-                - np.repeat(starts, runs))
-    else:
-        pidx = np.empty(0, np.int64)
+    pidx = _segment_indices(parents)   # same derivation as the keys
     # markers relevant to this batch, re-keyed by DENSE batch row so the
     # (row, pidx) pair packs into one int64 (ids themselves span int64)
     lo = np.searchsorted(mids, ids, "left")
@@ -1383,7 +1379,7 @@ def paragraph_dedup(ds, col: str, id_col: str, *, sep: str = "\n",
                 # split/drop/join pass over the subset, no Python rows
                 repl = _drop_paragraphs(
                     texts.take(pa.array(hit)),
-                    np.asarray(ids, np.int64)[hit], mids, mpix, sep)
+                    np.asarray(ids)[hit], mids, mpix, sep)
                 texts = pa.compute.replace_with_mask(
                     texts, pa.array(touch), repl)
             return pa.table({id_col: t.column(id_col), col: texts})
@@ -1413,8 +1409,10 @@ def paragraph_dedup(ds, col: str, id_col: str, *, sep: str = "\n",
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         doc_rows = np.flatnonzero(is_doc)
+        # ids stay caller-typed (urls/uuids, not just ints): only
+        # ordering/equality is used, never arithmetic
         ids_all = np.asarray(t.column(id_col).to_numpy(
-            zero_copy_only=False), np.int64)
+            zero_copy_only=False))
         mrows = ~is_doc
         out_txt = _drop_paragraphs(
             texts.take(pa.array(doc_rows)), ids_all[doc_rows],
@@ -1432,7 +1430,7 @@ def paragraph_dedup(ds, col: str, id_col: str, *, sep: str = "\n",
         if t.num_rows == 0:
             return t.append_column("kind", pa.array([], pa.int8()))
         ids = np.asarray(t.column(id_col).to_numpy(
-            zero_copy_only=False), np.int64)
+            zero_copy_only=False))
         boundary = (ids == ids[0]) | (ids == ids[-1])
         interior = np.flatnonzero(~boundary)
         parts = []

@@ -347,8 +347,10 @@ def vocab_counts(ds, col: str = "text", *, analyzer: str = "default",
             # batch vocab is far below 2^31 (a batch can't hold more
             # distinct tokens than characters) — but fail LOUDLY if that
             # ever breaks rather than silently aliasing packed pairs
-            assert not len(codes) or codes.max() < (1 << 31), \
-                "vocab_counts: batch vocabulary exceeds 2^31 codes"
+            # (a real raise, not an assert: workers may run under -O)
+            if len(codes) and codes.max() >= (1 << 31):
+                raise ValueError(
+                    "vocab_counts: batch vocabulary exceeds 2^31 codes")
             packed = (a.astype(np.int64) << np.int64(32)) | b.astype(
                 np.int64)
             u, cnt = np.unique(packed, return_counts=True) if len(packed) \

@@ -241,44 +241,62 @@ def _parse_segments(b: bytes) -> dict:
 
 def _baseline_scan(s: dict, scan: dict, comps, blocks, mcux: int,
                    mcuy: int) -> None:
+    """One sequential (full-band) scan — interleaved over its member
+    components' MCU grid, or, for a single-component scan (T.81 permits
+    non-interleaved sequential coding, one SOS per component), a raster
+    over that component's non-interleaved block grid."""
     by_cs = {m["cs"]: m for m in scan["map"]}
-    dc_t, ac_t = {}, {}
-    for ci, c in enumerate(comps):
-        m = by_cs[c["id"]]
-        dc_t[ci] = scan["dc"][m["td"]]
-        ac_t[ci] = scan["ac"][m["ta"]]
+    members = [(ci, c, by_cs[c["id"]]) for ci, c in enumerate(comps)
+               if c["id"] in by_cs]
+    if len(members) != len(scan["map"]):
+        raise ValueError("JPEG scan references unknown component")
+    dc_t = {ci: scan["dc"][m["td"]] for ci, _c, m in members}
+    ac_t = {ci: scan["ac"][m["ta"]] for ci, _c, m in members}
     dri = scan["dri"]
     r = _BitReader(s["data"], scan["data_pos"])
-    pred = [0] * len(comps)
-    mcu_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_i and mcu_i % dri == 0:
-                r.restart()
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        blk = blocks[ci][my * c["v"] + v,
-                                         mx * c["h"] + hh]
-                        t = r.huff(dc_t[ci])
-                        pred[ci] += _extend(r.bits(t), t)
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = r.huff(ac_t[ci])
-                            rr, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if rr == 15:     # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break            # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[k] = _extend(r.bits(size), size)
-                            k += 1
-            mcu_i += 1
+    pred = {ci: 0 for ci, _c, _m in members}
+
+    def full_block(ci, blk) -> None:
+        t = r.huff(dc_t[ci])
+        pred[ci] += _extend(r.bits(t), t)
+        blk[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = r.huff(ac_t[ci])
+            rr, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if rr == 15:     # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break            # EOB
+            k += rr
+            if k > 63:
+                raise ValueError("AC run past block end")
+            blk[k] = _extend(r.bits(size), size)
+            k += 1
+
+    unit = 0
+    if len(members) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and unit and unit % dri == 0:
+                    r.restart()
+                    pred.update((ci, 0) for ci in pred)
+                for ci, c, _m in members:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            full_block(ci, blocks[ci][my * c["v"] + v,
+                                                      mx * c["h"] + hh])
+                unit += 1
+    else:
+        ci, c, _m = members[0]
+        for by in range(c["ni_rows"]):
+            for bx in range(c["ni_cols"]):
+                if dri and unit and unit % dri == 0:
+                    r.restart()
+                    pred[ci] = 0
+                full_block(ci, blocks[ci][by, bx])
+                unit += 1
 
 
 def _prog_dc_scan(s: dict, scan: dict, comps, blocks, members,
@@ -427,6 +445,10 @@ def decode_jpeg_coeffs(payload: bytes):
     s = _parse_segments(payload)
     frame = s["frame"]
     comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (Adobe CMYK/YCCK) — only "
+            "grayscale and YCbCr decode")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -445,7 +467,8 @@ def decode_jpeg_coeffs(payload: bytes):
         c["ni_rows"] = (-(-frame["h"] * c["v"] // vmax) + 7) // 8
         blocks.append(np.zeros((c["rows"], c["cols"], 64), np.int32))
     if not frame["progressive"]:
-        _baseline_scan(s, s["scans"][0], comps, blocks, mcux, mcuy)
+        for scan in s["scans"]:
+            _baseline_scan(s, scan, comps, blocks, mcux, mcuy)
         return frame, blocks, s
     by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
     for scan in s["scans"]:

@@ -345,7 +345,8 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
         if (w, h) == (sw, sh) and (left, top) == (0, 0):
             return frame
         full = np.empty((sh, sw, 3), np.uint8)
-        full[:] = (pal[bg] if gct is not None and bg < len(gct)
+        # spec: the background index refers to the GLOBAL color table
+        full[:] = (gct[bg] if gct is not None and bg < len(gct)
                    else 0)
         full[top:top + h, left:left + w] = frame
         return full

@@ -212,3 +212,26 @@ def test_image_stage_decodes_gif_end_to_end(ray_session):
                         batch_format="pyarrow")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out.shape[0] == 4 and (out["height"] == 10).all()
+
+
+def test_local_palette_subframe_composites_global_bg():
+    """Background index refers to the GLOBAL palette even when the
+    frame uses a local one (r5 review finding: pal[bg] vs gct[bg])."""
+    gpal = np.asarray([[11, 22, 33], [200, 0, 0]], np.uint8)
+    lpal = np.asarray([[0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.ones((2, 2), np.uint8)
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    out += (6).to_bytes(2, "little") + (5).to_bytes(2, "little")
+    out += bytes([0x80 | 0, 0, 0])            # GCT, bg index 0
+    out += gpal.tobytes()
+    out += b"\x2c" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out += bytes([0x80 | 0])                  # local color table
+    out += lpal.tobytes()
+    out += bytes([2]) + _subblocks(lzw_encode(idx.tobytes(), 2)) + b"\x3b"
+    got = decode_gif(bytes(out))
+    assert got.shape == (5, 6, 3)
+    np.testing.assert_array_equal(got[0, 0], gpal[0])   # global bg
+    np.testing.assert_array_equal(got[1:3, 1:3],
+                                  np.tile(lpal[1], (2, 2, 1)))

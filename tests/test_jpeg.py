@@ -618,3 +618,61 @@ def test_progressive_randomized_fuzz():
                 got[ci][:nr, :nc], want[ci][:nr, :nc],
                 err_msg=f"trial {trial} comp {ci} "
                         f"({h}x{w} sub={sub} rst={rst} bands={bands})")
+
+
+def encode_jpeg_noninterleaved(img: np.ndarray):
+    """Sequential (SOF0) but NON-interleaved: one SOS per component,
+    each a raster over its own block grid (T.81-legal; r5 review
+    finding: this shape crashed)."""
+    base, blocks, hvs = encode_jpeg(img)        # 4:4:4 grids == ni grids
+    h, w = img.shape[:2]
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in _QLUM))
+    out += _seg(0xDB, bytes([0x01]) + bytes(int(v) for v in _QCHR))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for i in range(3):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += _seg(0xC0, sof)
+    for cls, tid, counts, syms in (
+            (0, 0, _DC_COUNTS, _DC_SYMS), (1, 0, _AC_COUNTS, _AC_SYMS)):
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(counts)
+                    + bytes(syms))
+    for ci in range(3):
+        out += _seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        w_ = _BitWriter()
+        pred = 0
+        rows, cols = blocks[ci].shape[:2]
+        for by in range(rows):
+            for bx in range(cols):
+                pred = _encode_block(w_, blocks[ci][by, bx], pred)
+        w_.align()
+        out += bytes(w_.out)
+    out += b"\xFF\xD9"
+    return bytes(out), blocks
+
+
+def test_noninterleaved_baseline_roundtrip():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    payload, want = encode_jpeg_noninterleaved(img)
+    frame, got, _ = decode_jpeg_coeffs(payload)
+    for ci in range(3):
+        np.testing.assert_array_equal(got[ci], want[ci])
+    # pixels identical to the interleaved encode of the same image
+    pb, _, _ = encode_jpeg(img)
+    np.testing.assert_array_equal(decode_jpeg(payload), decode_jpeg(pb))
+
+
+def test_cmyk_component_count_raises():
+    img = np.zeros((8, 8, 3), np.uint8)
+    payload, _, _ = encode_jpeg(img)
+    idx = payload.index(b"\xFF\xC0")
+    # patch SOF: claim 4 components (header only — parse raises first)
+    bad = bytearray(payload)
+    ln = int.from_bytes(bad[idx + 2:idx + 4], "big")
+    sof = bad[idx + 4:idx + 2 + ln]
+    sof = sof[:5] + bytes([4]) + sof[6:] + bytes([4, 0x11, 1])
+    bad[idx + 2:idx + 4] = struct.pack(">H", len(sof) + 2)
+    bad[idx + 4:idx + 2 + ln] = sof
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        decode_jpeg_coeffs(bytes(bad))

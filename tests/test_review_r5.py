@@ -282,3 +282,27 @@ def test_embed_feeds_ivf_index(ray_session, tmp_path):
     top = out[out["rank"] == 0].sort_values("query_id")
     assert top["doc_id"].tolist() == [7, 33]
     assert np.allclose(top["score"].to_numpy(), 1.0, atol=1e-5)
+
+
+def test_paragraph_dedup_string_ids_both_paths(ray_session):
+    """ids are caller-typed (url strings, the crawl shape) — both the
+    broadcast rewrite and the sort-scan rebuild must not coerce to
+    int64 (r5 review finding)."""
+    import ray.data
+    df = pd.DataFrame({
+        "url": [f"https://s/{i}" for i in range(40)],
+        "text": [("dup para\nunique %d" % i) if i % 2 else
+                 ("dup para\nother %d" % i) for i in range(40)],
+    })
+    fast = (paragraph_dedup(ray.data.from_pandas(df).repartition(5),
+                            "text", "url")
+            .to_pandas().sort_values("url").reset_index(drop=True))
+    slow = (paragraph_dedup(ray.data.from_pandas(df).repartition(5),
+                            "text", "url", broadcast_cap=0)
+            .to_pandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
+    # keep-first: only the lexicographically-first url keeps "dup para"
+    keep = fast.set_index("url")["text"]
+    assert keep["https://s/0"].startswith("dup para")
+    n_dup = sum(1 for t in fast["text"] if "dup para" in t)
+    assert n_dup == 1

@@ -922,9 +922,9 @@ def test_wav_decode_stage_real(ray_session):
 
 
 def test_compressed_codecs_still_raise():
-    # r5: PNG and baseline JPEG decode natively now (tests/test_png.py,
-    # tests/test_jpeg.py); the honest raises are WEBP/GIF and MP3, plus
-    # progressive JPEG inside the jpeg module itself
+    # r5: JPEG (baseline+progressive), PNG and GIF decode natively now
+    # (tests/test_jpeg.py, test_png.py, test_gif.py); the honest raises
+    # are WEBP/AVIF and MP3
     from tantivy4java_ray.stages.multimodal import (AudioFrameSample,
                                                     ImageDecodeResize)
     with pytest.raises(NotImplementedError):
