@@ -858,6 +858,34 @@ def q_embed_corpus(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lm_score(sf_dir: str):
+    """Unigram-LM quality scoring (KenLM-style perplexity filter
+    without the LM dependency): corpus token counts via the combiner
+    aggregation, model broadcast once, map-only per-doc mean token
+    log-probability + perplexity under add-1 smoothing."""
+    import ray.data
+    from tantivy4java_ray.functions.textstats import unigram_logprob
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = unigram_logprob(ds, "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_bpe_stats(sf_dir: str):
+    """BPE tokenizer training (distributed word counts -> driver merges
+    over the vocabulary table) + encode pass. Iterative merge learning
+    is not SQL-expressible, so this is a rows-only driver check; the
+    trainer is pinned against a naive full-recount reference in
+    tests/test_bpe.py."""
+    import ray.data
+    from tantivy4java_ray.functions.bpe import bpe_token_counts, train_bpe
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    merges = train_bpe(ds, "text", num_merges=200)
+    out = bpe_token_counts(ds, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup: yesterday's corpus (every doc_id % 3 == 0
     doc) is committed as a 16 B/row fingerprint snapshot; today's shard
@@ -1205,6 +1233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wildcard": q_ft_wildcard,
         "ft_boost": q_ft_boost,
         "ft_const_score": q_ft_const_score,
+        "lm_score": q_lm_score,
+        "bpe_stats": q_bpe_stats,      # rows-only: iterative, no SQL
     }
 
 
@@ -1535,6 +1565,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY cnt DESC, term
             LIMIT 50""",
+        "lm_score": f"""
+            WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok
+                        FROM documents),
+            cnts AS (SELECT tok, count(*)::DOUBLE AS c FROM tk
+                     GROUP BY tok),
+            tot AS (SELECT sum(c) AS T, count(*)::DOUBLE AS V FROM cnts),
+            lp AS (SELECT t.doc_id,
+                          ln(c.c + 1.0) - ln(tot.T + 1.0 * tot.V) AS lp
+                   FROM tk t JOIN cnts c ON t.tok = c.tok
+                   CROSS JOIN tot),
+            agg AS (SELECT doc_id, count(*) AS n_tokens,
+                           avg(lp) AS m
+                    FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   ROUND(coalesce(a.m, 0.0), 6) AS logprob_mean,
+                   ROUND(exp(-coalesce(a.m, 0.0)), 6) AS perplexity
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id""",
         "embed_corpus": r"""
             WITH d AS (SELECT doc_id, coalesce(text, '') AS text
                        FROM documents)

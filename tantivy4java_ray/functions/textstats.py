@@ -394,6 +394,85 @@ def vocab_topk(ds, col: str = "text", *, k: int = 100,
 
 
 # ---------------------------------------------------------------------------
+# unigram language-model scoring (KenLM-style quality signal, no LM dep)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(ds, col: str = "text", id_col: str = "doc_id", *,
+                    smoothing: float = 1.0, analyzer: str = "default",
+                    counts=None):
+    """Score every doc by its mean token log-probability under an
+    add-``smoothing`` corpus unigram model — the classic cheap stand-in
+    for a KenLM perplexity filter (docs far from the corpus distribution
+    score low). -> Dataset of ``(id, n_tokens, logprob_mean,
+    perplexity)``; empty/null docs get ``logprob_mean = 0`` and
+    ``perplexity = 1`` (no evidence either way).
+
+    ``p(tok) = (c_tok + a) / (T + a * V)`` with T total corpus tokens
+    and V the corpus vocabulary size; ``counts`` optionally supplies a
+    DIFFERENT corpus's ``(term, cnt)`` table (held-out scoring) — OOV
+    tokens then get the smoothing floor ``a / (T + a * V)``.
+
+    Scale: pass 1 is ``vocab_counts``' combiner aggregation (shuffle
+    rows ~ vocabulary); the model — one float per vocab entry — is
+    broadcast ONCE via ``ray.put`` and pass 2 is map-only. Per-batch
+    scoring is a dictionary-encode + one searchsorted against the
+    broadcast vocab + a bincount-weighted mean: no per-token Python."""
+    import ray
+
+    if smoothing <= 0:
+        raise ValueError("unigram_logprob: smoothing must be > 0")
+    src = counts if counts is not None else vocab_counts(
+        ds, col, analyzer=analyzer)
+    cdf = src if isinstance(src, pd.DataFrame) else src.to_pandas()
+    terms = cdf["term"].to_numpy(object)
+    cnt = cdf["cnt"].to_numpy(np.float64)
+    order = np.argsort(terms)
+    terms, cnt = terms[order], cnt[order]
+    T = float(cnt.sum())
+    V = float(len(terms))
+    denom = np.log(T + smoothing * max(V, 1.0))
+    logp = np.log(cnt + smoothing) - denom
+    floor = np.log(smoothing) - denom
+    ref = ray.put((terms, logp))
+    an = get_analyzer(analyzer)
+
+    def score(t: pa.Table) -> pa.Table:
+        terms, logp = ray.get(ref)          # zero-copy from plasma
+        c = t.column(col)
+        tok = tokenize_column(c.combine_chunks()
+                              if isinstance(c, pa.ChunkedArray) else c,
+                              an, include_tokens=False)
+        n = t.num_rows
+        n_tok = tok["row_token_counts"].astype(np.float64)
+        sums = np.zeros(n, np.float64)
+        if len(tok["row"]):
+            # model lookup once per DISTINCT batch term, then gather
+            vpos = np.searchsorted(terms, tok["vocab"])
+            ok = vpos < len(terms)
+            hit = np.zeros(len(tok["vocab"]), bool)
+            hit[ok] = terms[vpos[ok]] == tok["vocab"][ok]
+            vlp = np.where(hit, logp[np.minimum(vpos, len(terms) - 1)],
+                           floor)
+            sums = np.bincount(tok["row"], weights=vlp[tok["codes"]],
+                               minlength=n)
+        mean = np.where(n_tok > 0, sums / np.maximum(n_tok, 1.0), 0.0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "logprob_mean": pa.array(_round6_signed(mean)),
+            "perplexity": pa.array(_round6(np.exp(-mean)))})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _round6_signed(x: np.ndarray) -> np.ndarray:
+    """SQL ROUND (half away from zero) for signed values — the log
+    probabilities are negative; `_round6` assumes non-negative."""
+    x = np.asarray(x, np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------------------
 # document chunking (context-window training prep)
 # ---------------------------------------------------------------------------
 
