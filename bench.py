@@ -323,6 +323,33 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
     el, _ = _best(run_aggs)
     out["agg_events_suite"] = round(el, 3)
 
+    # round-5 LLM-pipeline ops over the documents table
+    from tantivy4java_ray.functions.bpe import bpe_token_counts, train_bpe
+    from tantivy4java_ray.functions.textstats import unigram_logprob
+    from tantivy4java_ray.stages.embed import embed_corpus
+
+    def run_embed():
+        embed_corpus(ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            "text", "doc_id", concurrency=min(8, num_cpus)).count()
+    el, _ = _best(run_embed)
+    out["embed_corpus_docs"] = round(el, 3)
+
+    def run_lm():
+        unigram_logprob(ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"])).count()
+    el, _ = _best(run_lm)
+    out["lm_score_docs"] = round(el, 3)
+
+    def run_bpe():
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        bpe_token_counts(ds, train_bpe(ds, "text", num_merges=200),
+                         concurrency=min(8, num_cpus)).count()
+    el, _ = _best(run_bpe)
+    out["bpe_train200_encode_docs"] = round(el, 3)
+
     out["_build_docs_per_sec"] = round(b["docs_per_sec"], 1)
     out["_build_phase_s"] = {k: round(v, 2) for k, v in b["phase_s"].items()}
     # warm-up build rate = an in-suite consistency signal: a timed build

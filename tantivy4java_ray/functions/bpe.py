@@ -164,6 +164,7 @@ def bpe_token_counts(ds, merges, col: str = "text",
     """Corpus pass with a trained merge list -> Dataset of
     ``(id, n_tokens, n_bpe_tokens, compression)``."""
     return ds.map_batches(
-        BpeTokenizer, batch_format="pyarrow", concurrency=concurrency,
+        BpeTokenizer, batch_format="pyarrow",
+        concurrency=(1, concurrency),   # autoscale: never starve the read
         fn_constructor_kwargs=dict(merges=merges, col=col,
                                    id_col=id_col, analyzer=analyzer))

@@ -118,13 +118,16 @@ def embed_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
                  concurrency: int = 4, batch_size: int = 1024):
     """Corpus embedding pass -> Dataset of ``(id_col, embedding)``.
 
-    ``concurrency`` actors each hold one encoder; size
-    ``concurrency x batch_size x dim x 4 B`` to the worker heap (a real
-    GPU encoder additionally wants ``num_gpus=...`` forwarded through
-    ``map_batches`` — same call shape)."""
+    Up to ``concurrency`` actors each hold one encoder; the pool
+    AUTOSCALES from 1 so a pool sized at the cluster's CPU count cannot
+    starve the upstream read of a CPU and wedge the pipeline (the
+    MinHasher lesson, SCALE.md). Size ``concurrency x batch_size x dim
+    x 4 B`` to the worker heap (a real GPU encoder additionally wants
+    ``num_gpus=...`` forwarded through ``map_batches`` — same call
+    shape)."""
     return ds.map_batches(
         EmbedCorpus, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
                                    normalize=normalize,
                                    encoder_factory=encoder_factory))
