@@ -333,14 +333,17 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
             "text", "doc_id", concurrency=min(8, num_cpus)).count()
     el, _ = _best(run_embed)
-    out["embed_corpus_docs"] = round(el, 3)
+    # underscore keys: recorded but EXCLUDED from the headline total so
+    # the suite number stays comparable across rounds (r1-r4 predate
+    # these ops)
+    out["_embed_corpus_docs"] = round(el, 3)
 
     def run_lm():
         unigram_logprob(ray.data.read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text"])).count()
     el, _ = _best(run_lm)
-    out["lm_score_docs"] = round(el, 3)
+    out["_lm_score_docs"] = round(el, 3)
 
     def run_bpe():
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -348,7 +351,7 @@ def suite(sf_dir: str, num_cpus: int) -> dict:
         bpe_token_counts(ds, train_bpe(ds, "text", num_merges=200),
                          concurrency=min(8, num_cpus)).count()
     el, _ = _best(run_bpe)
-    out["bpe_train200_encode_docs"] = round(el, 3)
+    out["_bpe_train200_encode_docs"] = round(el, 3)
 
     out["_build_docs_per_sec"] = round(b["docs_per_sec"], 1)
     out["_build_phase_s"] = {k: round(v, 2) for k, v in b["phase_s"].items()}
