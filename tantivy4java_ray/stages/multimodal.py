@@ -17,8 +17,10 @@ Decode support in this environment (no PIL/opencv/ffmpeg):
   bit) -> per-frame RMS energies; other containers raise unless
   ``fake=True``.
 - video: REAL Y4M (YUV4MPEG2, uncompressed) decode — header parse,
-  YUV420/444 planes, vectorized BT.601 -> RGB — with even frame
-  sampling and resize; compressed codecs raise unless ``fake=True``.
+  YUV420/444 planes, vectorized BT.601 -> RGB — and REAL animated-GIF
+  frame sampling (transparency + disposal compositing), both with even
+  frame sampling and resize; compressed codecs raise unless
+  ``fake=True``.
 
 The Ray-side plumbing — schema, actor-pool signature, batch sizing,
 output layout — is identical for real and fake decode paths.
@@ -282,6 +284,34 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def _decode_gif_inner(payload: bytes) -> np.ndarray:
+    return _gif_frames(payload, max_frames=1)[0]
+
+
+def decode_gif_frames(payload: bytes, n_frames: int,
+                      size: tuple[int, int] | None = None) -> np.ndarray:
+    """Animated GIF -> (n_frames, H, W, 3) uint8 RGB, frames sampled
+    evenly across the animation (Y4M-compatible contract for the video
+    stage). Compositing honors per-frame transparency and disposal
+    methods 0/1 (keep), 2 (restore background) and 3 (restore
+    previous); a short animation repeats its last frame to fill."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        frames = _gif_frames(payload)
+    except IndexError:
+        raise ValueError("truncated GIF") from None
+    sel = np.linspace(0, len(frames) - 1, n_frames).round().astype(int)
+    out = np.stack([frames[i] for i in sel])
+    if size is not None:
+        out = np.stack([_resize_nearest(f, size[0], size[1])
+                        for f in out])
+    return out
+
+
+def _gif_frames(payload: bytes,
+                max_frames: int | None = None) -> list[np.ndarray]:
+    """Sequential frame decode + composite -> list of full-screen
+    (H, W, 3) frames."""
     sw = int.from_bytes(payload[6:8], "little")
     sh = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
@@ -292,12 +322,24 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    # spec: the background index refers to the GLOBAL color table
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, np.uint8))
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[np.ndarray] = []
+    disposal, t_idx = 0, -1
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:                         # trailer
             break
-        if b == 0x21:                         # extension: skip subblocks
+        if b == 0x21:                         # extension
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 4:   # graphic control
+                gce = payload[pos + 1:pos + 1 + payload[pos]]
+                disposal = (gce[0] >> 2) & 0x07
+                t_idx = gce[3] if gce[0] & 0x01 else -1
             while payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
@@ -341,16 +383,25 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
             idx = de
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("GIF palette index out of range")
-        frame = pal[idx]
-        if (w, h) == (sw, sh) and (left, top) == (0, 0):
-            return frame
-        full = np.empty((sh, sw, 3), np.uint8)
-        # spec: the background index refers to the GLOBAL color table
-        full[:] = (gct[bg] if gct is not None and bg < len(gct)
-                   else 0)
-        full[top:top + h, left:left + w] = frame
-        return full
-    raise ValueError("GIF contains no image data")
+        prev = canvas.copy()                  # for disposal 3
+        region = canvas[top:top + h, left:left + w]
+        rgb = pal[idx]
+        if t_idx >= 0:                        # transparent pixels keep
+            opaque = idx != t_idx             # the canvas underneath
+            region[opaque] = rgb[opaque]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:                     # restore background
+            canvas[top:top + h, left:left + w] = bg_rgb
+        elif disposal == 3:                   # restore previous
+            canvas = prev
+        disposal, t_idx = 0, -1               # GCE applies to ONE image
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -601,10 +652,13 @@ class VideoFrameSample:
         if payload.startswith(b"YUV4MPEG2"):
             return decode_y4m_frames(payload, self.n_frames,
                                      (self.h, self.w))
+        if payload.startswith(b"GIF8"):      # the web's animation format
+            return decode_gif_frames(payload, self.n_frames,
+                                     (self.h, self.w))
         raise NotImplementedError(
             "compressed video codecs (H.264/VP9/AV1) require ffmpeg (not "
-            "in this container); Y4M decodes natively, or construct with "
-            "fake=True for the deterministic stand-in")
+            "in this container); Y4M and animated GIF decode natively, "
+            "or construct with fake=True for the deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.col).to_pylist()

@@ -235,3 +235,111 @@ def test_local_palette_subframe_composites_global_bg():
     np.testing.assert_array_equal(got[0, 0], gpal[0])   # global bg
     np.testing.assert_array_equal(got[1:3, 1:3],
                                   np.tile(lpal[1], (2, 2, 1)))
+
+
+def encode_gif_anim(frames, palette, *, t_idx=None, disposal=0,
+                    sub=None) -> bytes:
+    """Multi-frame GIF: full-screen frames (or ``sub`` rects), one GCE
+    per frame carrying transparency index + disposal method."""
+    h, w = frames[0].shape
+    n = len(palette)
+    bits = max((n - 1).bit_length(), 1)
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[:n] = palette
+    mcs = max(bits, 2)
+    out = bytearray(b"GIF89a")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0]) + pal.tobytes()
+    for fi, fr in enumerate(frames):
+        gflags = (disposal << 2) | (1 if t_idx is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gflags, 0, 0,
+                      t_idx if t_idx is not None else 0, 0])
+        if sub and fi > 0:
+            (left, top, fw, fh) = sub
+            body = fr[top:top + fh, left:left + fw]
+        else:
+            left = top = 0
+            fh, fw = fr.shape
+            body = fr
+        out += b"\x2c" + int(left).to_bytes(2, "little") \
+            + int(top).to_bytes(2, "little") \
+            + int(fw).to_bytes(2, "little") + int(fh).to_bytes(2, "little") \
+            + bytes([0x00]) + bytes([mcs]) \
+            + _subblocks(lzw_encode(body.astype(np.uint8).tobytes(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_animated_frame_sampling_and_transparency():
+    from tantivy4java_ray.stages.multimodal import decode_gif_frames
+    pal = np.asarray([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                     np.uint8)
+    # 4 full-screen frames painted solid 0,1,2,3
+    frames = [np.full((6, 6), c, np.uint8) for c in range(4)]
+    payload = encode_gif_anim(frames, pal)
+    got = decode_gif_frames(payload, 4)
+    for c in range(4):
+        np.testing.assert_array_equal(got[c], np.tile(pal[c], (6, 6, 1)))
+    # sample 2 of 4: first and last
+    got2 = decode_gif_frames(payload, 2)
+    np.testing.assert_array_equal(got2[0], got[0])
+    np.testing.assert_array_equal(got2[1], got[3])
+    # transparency: index 0 transparent -> frame 2's 0-pixels show
+    # frame 1's color underneath
+    f1 = np.full((4, 4), 1, np.uint8)
+    f2 = np.full((4, 4), 0, np.uint8)
+    f2[0, 0] = 2
+    payload = encode_gif_anim([f1, f2], pal, t_idx=0)
+    got = decode_gif_frames(payload, 2)
+    np.testing.assert_array_equal(got[1][0, 0], pal[2])
+    np.testing.assert_array_equal(got[1][1, 1], pal[1])   # underneath
+
+
+def test_animated_disposal_background_and_previous():
+    # the reference encoder attaches the SAME disposal GCE to every
+    # frame (incl. the first), so expectations follow that uniform
+    # semantics — which still pins both disposal paths
+    from tantivy4java_ray.stages.multimodal import decode_gif_frames
+    pal = np.asarray([[9, 9, 9], [255, 0, 0], [0, 255, 0]], np.uint8)
+    base = np.full((5, 5), 1, np.uint8)
+    patch = np.full((5, 5), 2, np.uint8)
+    # disposal 2: every frame's rect restores to bg (pal[0]) after it
+    # shows; frames 2 and 3 are 2x2 sub-rects at (1,1)
+    payload = encode_gif_anim([base, patch, base], pal, disposal=2,
+                              sub=(1, 1, 2, 2))
+    got = decode_gif_frames(payload, 3)
+    np.testing.assert_array_equal(got[0], np.tile(pal[1], (5, 5, 1)))
+    np.testing.assert_array_equal(got[1][1, 1], pal[2])   # patch visible
+    np.testing.assert_array_equal(got[1][0, 0], pal[0])   # f1 restored
+    np.testing.assert_array_equal(got[2][1, 1], pal[1])   # rect redrawn
+    np.testing.assert_array_equal(got[2][4, 4], pal[0])   # still bg
+    # disposal 3: restore PREVIOUS canvas after each frame — frame 1's
+    # full-screen red is rolled back before frame 2, so frames 2 and 3
+    # composite their 2x2 rect onto the pristine bg canvas
+    payload = encode_gif_anim([base, patch, patch], pal, disposal=3,
+                              sub=(0, 0, 2, 2))
+    got = decode_gif_frames(payload, 3)
+    np.testing.assert_array_equal(got[0], np.tile(pal[1], (5, 5, 1)))
+    np.testing.assert_array_equal(got[2][0, 0], pal[2])
+    np.testing.assert_array_equal(got[2][4, 4], pal[0])
+
+
+def test_video_stage_decodes_gif_end_to_end(ray_session):
+    import ray.data
+    from tantivy4java_ray.stages.multimodal import VideoFrameSample
+    pal = np.asarray([[0, 0, 0], [255, 255, 255]], np.uint8)
+    frames = [np.full((10, 8), i % 2, np.uint8) for i in range(6)]
+    payload = encode_gif_anim(frames, pal)
+    df = pd.DataFrame({"doc_id": np.asarray([0], np.int64),
+                       "video": [payload]})
+    out = (ray.data.from_arrow(pa.Table.from_pandas(df))
+           .map_batches(VideoFrameSample,
+                        fn_constructor_kwargs=dict(n_frames=3,
+                                                   size=(4, 4)),
+                        batch_size=1, concurrency=1,
+                        batch_format="pyarrow")
+           .to_pandas())
+    assert out.shape[0] == 1
+    fr = np.asarray(out["frames"].iloc[0] if "frames" in out.columns
+                    else out.iloc[0, 1])
+    assert fr.size == 3 * 4 * 4 * 3
