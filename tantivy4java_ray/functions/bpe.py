@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from tantivy4java_ray.analyzer import get_analyzer, tokenize_column
-from tantivy4java_ray.functions.textstats import vocab_counts
+from tantivy4java_ray.functions.textstats import _round6, vocab_counts
 
 END = "</w>"
 
@@ -135,10 +135,8 @@ class BpeTokenizer:
         return n
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        c = t.column(self.col)
-        tok = tokenize_column(c.combine_chunks()
-                              if isinstance(c, pa.ChunkedArray) else c,
-                              self.an, include_tokens=False)
+        tok = tokenize_column(t.column(self.col), self.an,
+                              include_tokens=False)
         n = t.num_rows
         n_tok = tok["row_token_counts"].astype(np.int64)
         bpe = np.zeros(n, np.int64)
@@ -155,7 +153,7 @@ class BpeTokenizer:
             self.id_col: t.column(self.id_col),
             "n_tokens": pa.array(n_tok),
             "n_bpe_tokens": pa.array(bpe),
-            "compression": pa.array(np.round(comp, 6))})
+            "compression": pa.array(_round6(comp))})
 
 
 def bpe_token_counts(ds, merges, col: str = "text",

@@ -438,21 +438,23 @@ def unigram_logprob(ds, col: str = "text", id_col: str = "doc_id", *,
 
     def score(t: pa.Table) -> pa.Table:
         terms, logp = ray.get(ref)          # zero-copy from plasma
-        c = t.column(col)
-        tok = tokenize_column(c.combine_chunks()
-                              if isinstance(c, pa.ChunkedArray) else c,
-                              an, include_tokens=False)
+        tok = tokenize_column(t.column(col), an,
+                              include_tokens=False)
         n = t.num_rows
         n_tok = tok["row_token_counts"].astype(np.float64)
         sums = np.zeros(n, np.float64)
         if len(tok["row"]):
-            # model lookup once per DISTINCT batch term, then gather
-            vpos = np.searchsorted(terms, tok["vocab"])
-            ok = vpos < len(terms)
-            hit = np.zeros(len(tok["vocab"]), bool)
-            hit[ok] = terms[vpos[ok]] == tok["vocab"][ok]
-            vlp = np.where(hit, logp[np.minimum(vpos, len(terms) - 1)],
-                           floor)
+            if len(terms):
+                # model lookup once per DISTINCT batch term, then gather
+                vpos = np.searchsorted(terms, tok["vocab"])
+                ok = vpos < len(terms)
+                hit = np.zeros(len(tok["vocab"]), bool)
+                hit[ok] = terms[vpos[ok]] == tok["vocab"][ok]
+                vlp = np.where(hit,
+                               logp[np.minimum(vpos, len(terms) - 1)],
+                               floor)
+            else:   # empty held-out model: every token gets the floor
+                vlp = np.full(len(tok["vocab"]), floor)
             sums = np.bincount(tok["row"], weights=vlp[tok["codes"]],
                                minlength=n)
         mean = np.where(n_tok > 0, sums / np.maximum(n_tok, 1.0), 0.0)

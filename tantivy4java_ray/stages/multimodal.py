@@ -284,7 +284,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def _decode_gif_inner(payload: bytes) -> np.ndarray:
-    return _gif_frames(payload, max_frames=1)[0]
+    return _gif_frames(payload, keep={0}, max_frames=1)[0]
 
 
 def decode_gif_frames(payload: bytes, n_frames: int,
@@ -297,21 +297,64 @@ def decode_gif_frames(payload: bytes, n_frames: int,
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     try:
-        frames = _gif_frames(payload)
+        total = _gif_frame_count(payload)
+        # identical sampling + tail-fill contract as decode_y4m_frames;
+        # every frame must still be DECODED (compositing is sequential)
+        # but only the sampled ones are COPIED and retained - a long
+        # animation costs one canvas, not frames x H x W x 3
+        take = np.linspace(0, total - 1, min(n_frames, total),
+                           dtype=np.int64)
+        frames = _gif_frames(payload, keep={int(i) for i in take})
     except IndexError:
         raise ValueError("truncated GIF") from None
-    sel = np.linspace(0, len(frames) - 1, n_frames).round().astype(int)
-    out = np.stack([frames[i] for i in sel])
+    out = np.stack([frames[int(i)] for i in take])
+    if len(take) < n_frames:   # short animation: repeat the last frame
+        out = np.concatenate(
+            [out, np.repeat(out[-1:], n_frames - len(take), axis=0)])
     if size is not None:
         out = np.stack([_resize_nearest(f, size[0], size[1])
                         for f in out])
     return out
 
 
-def _gif_frames(payload: bytes,
-                max_frames: int | None = None) -> list[np.ndarray]:
-    """Sequential frame decode + composite -> list of full-screen
-    (H, W, 3) frames."""
+def _gif_frame_count(payload: bytes) -> int:
+    """Count image descriptors with a cheap block walk (no LZW)."""
+    pos = 13
+    if payload[10] & 0x80:
+        pos += 3 * (2 << (payload[10] & 0x07))
+    count = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        pos += 1                              # LZW min code size
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+        count += 1
+    if count == 0:
+        raise ValueError("GIF contains no image data")
+    return count
+
+
+def _gif_frames(payload: bytes, keep: set | None = None,
+                max_frames: int | None = None) -> dict[int, np.ndarray]:
+    """Sequential frame decode + composite -> {frame_index: full-screen
+    (H, W, 3) frame} for the retained indices (``keep=None`` keeps
+    all). Every frame is decoded (compositing is sequential) but only
+    retained ones are copied."""
     sw = int.from_bytes(payload[6:8], "little")
     sh = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
@@ -327,7 +370,8 @@ def _gif_frames(payload: bytes,
               else np.zeros(3, np.uint8))
     canvas = np.empty((sh, sw, 3), np.uint8)
     canvas[:] = bg_rgb
-    frames: list[np.ndarray] = []
+    frames: dict[int, np.ndarray] = {}
+    n_seen = 0
     disposal, t_idx = 0, -1
     while pos < len(payload):
         b = payload[pos]
@@ -381,18 +425,25 @@ def _gif_frames(payload: bytes,
                                    np.arange(1, h, 2)])
             de[rows] = idx
             idx = de
-        if int(idx.max(initial=0)) >= len(pal):
-            raise ValueError("GIF palette index out of range")
-        prev = canvas.copy()                  # for disposal 3
+        oob = idx >= len(pal)
+        prev = (canvas.copy() if disposal == 3 else None)
         region = canvas[top:top + h, left:left + w]
-        rgb = pal[idx]
-        if t_idx >= 0:                        # transparent pixels keep
-            opaque = idx != t_idx             # the canvas underneath
-            region[opaque] = rgb[opaque]
+        if t_idx >= 0:
+            # the transparent index is never looked up in the palette,
+            # so it may legally exceed the table (r5 review finding)
+            if (oob & (idx != t_idx)).any():
+                raise ValueError("GIF palette index out of range")
+            rgb = pal[np.minimum(idx, len(pal) - 1)]
+            opaque = idx != t_idx             # transparent pixels keep
+            region[opaque] = rgb[opaque]      # the canvas underneath
         else:
-            region[:] = rgb
-        frames.append(canvas.copy())
-        if max_frames is not None and len(frames) >= max_frames:
+            if oob.any():
+                raise ValueError("GIF palette index out of range")
+            region[:] = pal[idx]
+        if keep is None or n_seen in keep:
+            frames[n_seen] = canvas.copy()
+        n_seen += 1
+        if max_frames is not None and n_seen >= max_frames:
             return frames
         if disposal == 2:                     # restore background
             canvas[top:top + h, left:left + w] = bg_rgb

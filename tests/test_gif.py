@@ -343,3 +343,30 @@ def test_video_stage_decodes_gif_end_to_end(ray_session):
     fr = np.asarray(out["frames"].iloc[0] if "frames" in out.columns
                     else out.iloc[0, 1])
     assert fr.size == 3 * 4 * 4 * 3
+
+
+def test_short_animation_fills_with_last_frame():
+    """Y4M-identical fill contract: a 2-frame GIF sampled at n=5 yields
+    [f0, f1, f1, f1, f1] — real frames first, last repeated (r5 review
+    finding: linspace-rounding spread duplicates through the sequence)."""
+    from tantivy4java_ray.stages.multimodal import decode_gif_frames
+    pal = np.asarray([[1, 1, 1], [200, 200, 200]], np.uint8)
+    frames = [np.full((3, 3), 0, np.uint8), np.full((3, 3), 1, np.uint8)]
+    got = decode_gif_frames(encode_gif_anim(frames, pal), 5)
+    np.testing.assert_array_equal(got[0], np.tile(pal[0], (3, 3, 1)))
+    for i in range(1, 5):
+        np.testing.assert_array_equal(got[i], np.tile(pal[1], (3, 3, 1)))
+
+
+def test_transparent_index_beyond_palette():
+    """The transparent index may exceed the color table (it is never
+    looked up); such frames must decode, not raise."""
+    from tantivy4java_ray.stages.multimodal import decode_gif_frames
+    pal = np.asarray([[10, 0, 0], [0, 10, 0]], np.uint8)
+    f1 = np.zeros((2, 2), np.uint8)
+    f2 = np.full((2, 2), 3, np.uint8)       # 3 == transparent, > len(pal)
+    f2[0, 0] = 1
+    payload = encode_gif_anim([f1, f2], pal, t_idx=3)
+    got = decode_gif_frames(payload, 2)
+    np.testing.assert_array_equal(got[1][0, 0], pal[1])
+    np.testing.assert_array_equal(got[1][1, 1], pal[0])   # shows through
