@@ -441,7 +441,18 @@ def decode_jpeg_coeffs(payload: bytes):
     (rows, cols, 64) int32 array in zigzag order covering that
     component's padded MCU grid. Exactly testable: an encoder's written
     coefficients must round-trip bit-for-bit — baseline AND progressive
-    (every scan applied in file order)."""
+    (every scan applied in file order). Truncated/corrupt streams fail
+    CLOSED with ValueError (crawl payloads are routinely damaged)."""
+    try:
+        return _decode_jpeg_coeffs(payload)
+    except IndexError:
+        raise ValueError("corrupt JPEG stream") from None
+    except KeyError as e:            # scan references an absent table
+        raise ValueError(f"corrupt JPEG stream (missing table {e})"
+                         ) from None
+
+
+def _decode_jpeg_coeffs(payload: bytes):
     s = _parse_segments(payload)
     frame = s["frame"]
     comps = frame["comps"]

@@ -182,7 +182,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"invalid PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:          # truncated/corrupt IDAT
+        raise ValueError(f"corrupt PNG stream: {e}") from None
     if not interlace:
         px = _unfilter_image(np.frombuffer(raw, np.uint8), w, h, nch)
     else:   # Adam7: 7 independently-filtered sub-images, scattered
