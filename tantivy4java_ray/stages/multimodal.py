@@ -9,10 +9,12 @@ Decode support in this environment (no PIL/opencv/ffmpeg):
   intervals), PNG (stdlib ``zlib`` inflate + numpy
   Sub/Up/Average/Paeth unfiltering; 8-bit gray/RGB/palette/RGBA,
   plain or Adam7-interlaced), GIF87a/89a (LZW, interlace, local
-  palettes; first frame), and the uncompressed containers PPM (P6)
-  and BMP (24/32-bit), all with nearest-neighbor resize; WEBP/AVIF
-  raise ``NotImplementedError`` unless ``fake=True`` substitutes the
-  deterministic stand-in.
+  palettes; first frame), lossless WebP (``stages/vp8l.py``: simple +
+  normal prefix codes, LZ77, color cache, meta groups, all four
+  transforms incl. pixel bundling), and the uncompressed containers
+  PPM (P6) and BMP (24/32-bit), all with nearest-neighbor resize;
+  lossy WebP (VP8) and AVIF raise ``NotImplementedError`` unless
+  ``fake=True`` substitutes the deterministic stand-in.
 - audio: REAL WAV/PCM decode via the stdlib ``wave`` module (8/16/32
   bit) -> per-frame RMS energies; other containers raise unless
   ``fake=True``.
@@ -619,11 +621,14 @@ class ImageDecodeResize:
             return _resize_nearest(decode_jpeg(payload), self.h, self.w)
         if payload.startswith(b"GIF8"):
             return _resize_nearest(decode_gif(payload), self.h, self.w)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from tantivy4java_ray.stages.vp8l import decode_webp
+            return _resize_nearest(decode_webp(payload), self.h, self.w)
         raise NotImplementedError(
-            "WEBP/AVIF decode requires PIL/opencv (not in this "
-            "container); JPEG (baseline+progressive), PNG, GIF, PPM "
-            "and BMP decode natively, or construct with fake=True for "
-            "the deterministic stand-in")
+            "lossy-WebP(VP8)/AVIF decode requires PIL/opencv (not in "
+            "this container); JPEG (baseline+progressive), PNG, GIF, "
+            "lossless WebP (VP8L), PPM and BMP decode natively, or "
+            "construct with fake=True for the deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.col).to_pylist()

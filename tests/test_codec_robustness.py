@@ -16,6 +16,7 @@ from tantivy4java_ray.stages.jpeg import decode_jpeg
 from tantivy4java_ray.stages.multimodal import (decode_bmp, decode_gif,
                                                 decode_gif_frames,
                                                 decode_png, decode_ppm)
+from tantivy4java_ray.stages.vp8l import decode_webp
 
 OK_ERRORS = (ValueError, NotImplementedError)
 
@@ -28,6 +29,7 @@ def _make_valid():
     from test_gif import encode_gif, encode_gif_anim
     from test_jpeg import encode_jpeg, encode_jpeg_progressive
     from test_png import encode_png
+    from test_vp8l import encode_vp8l
 
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
@@ -56,6 +58,7 @@ def _make_valid():
             [idx, (idx + 1) % 8], pal),
         "ppm": ppm,
         "bmp": bmp,
+        "webp": encode_vp8l(img, subtract_green=True, cache_bits=4),
     }
 
 
@@ -63,7 +66,7 @@ DECODERS = {
     "jpeg": decode_jpeg, "jpeg_prog": decode_jpeg,
     "png": decode_png, "gif": decode_gif,
     "gif_anim": lambda p: decode_gif_frames(p, 3),
-    "ppm": decode_ppm, "bmp": decode_bmp,
+    "ppm": decode_ppm, "bmp": decode_bmp, "webp": decode_webp,
 }
 
 

@@ -927,8 +927,10 @@ def test_compressed_codecs_still_raise():
     # are WEBP/AVIF and MP3
     from tantivy4java_ray.stages.multimodal import (AudioFrameSample,
                                                     ImageDecodeResize)
+    lossy = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+             + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
     with pytest.raises(NotImplementedError):
-        ImageDecodeResize()._decode_real(b"RIFF....WEBP")
+        ImageDecodeResize()._decode_real(lossy)
     with pytest.raises(NotImplementedError):
         AudioFrameSample()._decode_real(b"ID3....")
 
