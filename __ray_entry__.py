@@ -871,6 +871,34 @@ def q_lm_score(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_redact_pii(sf_dir: str):
+    """Dolma/C4-style PII scrub. The synthetic documents carry no PII,
+    so BOTH sides plant an identical deterministic contact line per doc
+    before redacting — the oracle then checks real replacements (typed
+    mask tokens + per-kind counts), not a no-op."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from tantivy4java_ray.functions.textstats import redact_pii
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.string())
+        suffix = pc.binary_join_element_wise(
+            pa.array([" contact user"] * t.num_rows), ids,
+            pa.array(["@example.com or +1 555-239-"] * t.num_rows),
+            ids, pa.array([" from 10.0.0.7 now"] * t.num_rows), "")
+        text = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""), suffix, "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    out = redact_pii(ds.map_batches(plant, batch_format="pyarrow"),
+                     "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bpe_stats(sf_dir: str):
     """BPE tokenizer training (distributed word counts -> driver merges
     over the vocabulary table) + encode pass. Iterative merge learning
@@ -1234,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_boost": q_ft_boost,
         "ft_const_score": q_ft_const_score,
         "lm_score": q_lm_score,
+        "redact_pii": q_redact_pii,
         "bpe_stats": q_bpe_stats,      # rows-only: iterative, no SQL
     }
 
@@ -1565,6 +1594,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY cnt DESC, term
             LIMIT 50""",
+        "redact_pii": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact user' || doc_id ||
+                     '@example.com or +1 555-239-' || doc_id ||
+                     ' from 10.0.0.7 now' AS text
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                                    '<EMAIL>', 'g') AS text
+              FROM planted
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(text,
+                         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+                     regexp_replace(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                    '<IP>', 'g') AS text
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(text, '\+?\d{1,3}[ .\-]?\(?\d{2,4}\)?[ .\-]?\d{3,4}[ .\-]?\d{3,4}\b',
+                                  '<PHONE>', 'g') AS text,
+                   n_email, n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\+?\d{1,3}[ .\-]?\(?\d{2,4}\)?[ .\-]?\d{3,4}[ .\-]?\d{3,4}\b')) AS n_phone
+            FROM s2 ORDER BY doc_id""",
         "lm_score": f"""
             WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok
                         FROM documents),

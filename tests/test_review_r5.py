@@ -306,3 +306,31 @@ def test_paragraph_dedup_string_ids_both_paths(ray_session):
     assert keep["https://s/0"].startswith("dup para")
     n_dup = sum(1 for t in fast["text"] if "dup para" in t)
     assert n_dup == 1
+
+
+def test_redact_pii_hand_cases(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.textstats import redact_pii
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": pd.array([
+            "mail me at jo.doe+x@sub.example.org today",
+            "server 192.168.001.1 and phone +44 20 7946 0958",
+            None,
+            "no pii here",
+        ], dtype="string"),
+    })
+    out = (redact_pii(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "text"] == "mail me at <EMAIL> today"
+    assert out.loc[0, "n_email"] == 1
+    assert "<IP>" in out.loc[1, "text"]
+    assert "<PHONE>" in out.loc[1, "text"]
+    assert out.loc[1, "n_ipv4"] == 1 and out.loc[1, "n_phone"] == 1
+    assert out.loc[2, "text"] == ""            # null -> ''
+    assert out.loc[3, "text"] == "no pii here"
+    # kinds subset: only emails masked
+    out2 = (redact_pii(ray.data.from_pandas(df), kinds=("email",))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert "192.168.001.1" in out2.loc[1, "text"]
+    assert "n_ipv4" not in out2.columns
