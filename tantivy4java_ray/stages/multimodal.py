@@ -16,7 +16,9 @@ Decode support in this environment (no PIL/opencv/ffmpeg):
   lossy WebP (VP8) and AVIF raise ``NotImplementedError`` unless
   ``fake=True`` substitutes the deterministic stand-in.
 - audio: REAL WAV/PCM decode via the stdlib ``wave`` module (8/16/32
-  bit) -> per-frame RMS energies; other containers raise unless
+  bit) AND native FLAC (``stages/flac.py``: Rice residuals,
+  fixed/LPC prediction, stereo decorrelation — the speech-corpus
+  format) -> per-frame RMS energies; MP3/OGG raise unless
   ``fake=True``.
 - video: REAL Y4M (YUV4MPEG2, uncompressed) decode — header parse,
   YUV420/444 planes, vectorized BT.601 -> RGB — and REAL animated-GIF
@@ -491,6 +493,19 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rgb[::-1] if flip else rgb
 
 
+def _frame_rms(samples: np.ndarray, n_frames: int) -> np.ndarray:
+    """Samples in [-1, 1] -> n_frames per-frame RMS (float32)."""
+    if not len(samples):
+        return np.zeros(n_frames, np.float32)
+    # trim so frames divide evenly, then vectorized per-frame RMS
+    per = max(len(samples) // n_frames, 1)
+    trimmed = samples[:per * n_frames]
+    if len(trimmed) < per * n_frames:
+        trimmed = np.pad(trimmed, (0, per * n_frames - len(trimmed)))
+    return np.sqrt((trimmed.reshape(n_frames, per) ** 2)
+                   .mean(axis=1)).astype(np.float32)
+
+
 def decode_wav_energies(payload: bytes, n_frames: int) -> np.ndarray:
     """WAV/PCM -> n_frames per-frame RMS energies in [0, 1] (float32)."""
     import wave
@@ -506,15 +521,14 @@ def decode_wav_energies(payload: bytes, n_frames: int) -> np.ndarray:
         samples = np.frombuffer(raw, np.int32).astype(np.float64) / 2 ** 31
     else:
         raise ValueError(f"unsupported WAV sample width {width}")
-    if not len(samples):
-        return np.zeros(n_frames, np.float32)
-    # trim so frames divide evenly, then vectorized per-frame RMS
-    per = max(len(samples) // n_frames, 1)
-    trimmed = samples[:per * n_frames]
-    if len(trimmed) < per * n_frames:
-        trimmed = np.pad(trimmed, (0, per * n_frames - len(trimmed)))
-    return np.sqrt((trimmed.reshape(n_frames, per) ** 2)
-                   .mean(axis=1)).astype(np.float32)
+    return _frame_rms(samples, n_frames)
+
+
+def decode_flac_energies(payload: bytes, n_frames: int) -> np.ndarray:
+    """FLAC -> n_frames per-frame RMS energies (speech-corpus path)."""
+    from tantivy4java_ray.stages.flac import decode_flac
+    samples, _rate = decode_flac(payload)
+    return _frame_rms(samples, n_frames)
 
 
 def decode_y4m_frames(payload: bytes, n_frames: int,
@@ -664,9 +678,11 @@ class AudioFrameSample:
                 f"before the decode stage or use fake=True")
         if payload.startswith(b"RIFF"):
             return decode_wav_energies(payload, self.n_frames)
+        if payload.startswith(b"fLaC"):
+            return decode_flac_energies(payload, self.n_frames)
         raise NotImplementedError(
-            "compressed audio (MP3/FLAC/OGG) requires soundfile/ffmpeg "
-            "(not in this container); WAV/PCM decodes natively, or "
+            "MP3/OGG audio requires soundfile/ffmpeg (not in this "
+            "container); WAV/PCM and FLAC decode natively, or "
             "construct with fake=True for the deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:

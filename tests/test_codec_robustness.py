@@ -17,6 +17,7 @@ from tantivy4java_ray.stages.multimodal import (decode_bmp, decode_gif,
                                                 decode_gif_frames,
                                                 decode_png, decode_ppm)
 from tantivy4java_ray.stages.vp8l import decode_webp
+from tantivy4java_ray.stages.flac import decode_flac
 
 OK_ERRORS = (ValueError, NotImplementedError)
 
@@ -30,6 +31,7 @@ def _make_valid():
     from test_jpeg import encode_jpeg, encode_jpeg_progressive
     from test_png import encode_png
     from test_vp8l import encode_vp8l
+    from test_flac import encode_flac
 
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
@@ -59,6 +61,9 @@ def _make_valid():
         "ppm": ppm,
         "bmp": bmp,
         "webp": encode_vp8l(img, subtract_green=True, cache_bits=4),
+        "flac": encode_flac(
+            [(900 * np.sin(np.arange(256) / 9)).astype(np.int64)],
+            blocksize=64),
     }
 
 
@@ -67,6 +72,7 @@ DECODERS = {
     "png": decode_png, "gif": decode_gif,
     "gif_anim": lambda p: decode_gif_frames(p, 3),
     "ppm": decode_ppm, "bmp": decode_bmp, "webp": decode_webp,
+    "flac": decode_flac,
 }
 
 
@@ -78,7 +84,10 @@ def valid_payloads():
 def test_valid_baselines_decode(valid_payloads):
     for name, payload in valid_payloads.items():
         out = DECODERS[name](payload)
-        assert out.dtype == np.uint8, name
+        if name == "flac":
+            assert out[0].dtype == np.float64
+        else:
+            assert out.dtype == np.uint8, name
 
 
 @pytest.mark.parametrize("codec", sorted(DECODERS))
