@@ -13,9 +13,10 @@ Frame CRCs are not verified (corrupt payloads still fail closed via
 structural checks).
 
 Decoding is sample-serial where the format is (Rice quotients are
-unary), but residual integration and channel decorrelation run
-vectorized per frame (np.cumsum for fixed orders / lfilter-style loop
-for LPC only over the frame, not the stream).
+unary); FIXED-order residual integration and channel decorrelation run
+vectorized per frame (k repeated np.cumsum seeded from the warmup
+difference triangle); the LPC recurrence is a genuine IIR and loops
+over the frame only.
 """
 
 from __future__ import annotations
@@ -106,10 +107,11 @@ def _residuals(br: _MSBBits, blocksize: int, pred_order: int
     escape = (1 << pbits) - 1
     porder = br.read(4)
     nparts = 1 << porder
-    if blocksize % nparts or blocksize // nparts <= pred_order and \
-            nparts > 1:
-        if blocksize % nparts:
-            raise ValueError("FLAC partition size does not divide")
+    if blocksize % nparts:
+        raise ValueError("FLAC partition count does not divide blocksize")
+    if nparts > 1 and blocksize // nparts <= pred_order:
+        # RFC 9639: blocksize >> porder must exceed the predictor order
+        raise ValueError("FLAC partition size <= predictor order")
     out = np.empty(blocksize - pred_order, np.int64)
     pos = 0
     for p in range(nparts):
@@ -150,12 +152,20 @@ def _subframe(br: _MSBBits, blocksize: int, bps: int) -> np.ndarray:
         res = _residuals(br, blocksize, order)
         out = np.empty(blocksize, np.int64)
         out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, blocksize):
-            acc = res[i - order]
-            for j, c in enumerate(coefs):
-                acc += c * out[i - 1 - j]
-            out[i] = acc
+        # a FIXED predictor of order k makes the residual the k-th
+        # DIFFERENCE of the signal, so integration is k repeated
+        # cumsums seeded from the warmup's difference triangle —
+        # fully vectorized (the LPC path below is a genuine IIR and
+        # stays a loop)
+        tri = np.asarray(warm, np.int64)
+        heads = []
+        for _j in range(order):
+            heads.append(int(tri[-1]))       # D^j y at index order-1
+            tri = np.diff(tri)
+        seq = res
+        for j in range(order - 1, -1, -1):
+            seq = heads[j] + np.cumsum(seq)
+        out[order:] = seq
     elif ftype >= 32:                         # LPC
         order = ftype - 31
         warm = [br.read_signed(eff) for _ in range(order)]

@@ -221,12 +221,11 @@ def _decode_image(br: _Bits, w: int, h: int,
             red = g[1].read(br)
             blue = g[2].read(br)
             alpha = g[3].read(br)
-            px = np.uint32((alpha << 24) | (red << 16) | (green << 8)
-                           | blue)
+            px = (alpha << 24) | (red << 16) | (green << 8) | blue
             out[pos] = px
             if cache is not None:
-                cache[(np.uint32(0x1E35A7BD) * px)
-                      >> np.uint32(32 - cache_bits)] = px
+                cache[((0x1E35A7BD * int(px)) & 0xFFFFFFFF)
+                      >> (32 - cache_bits)] = px
             pos += 1
         elif sym < 280:                      # LZ77 backref
             length = _lendist_value(sym - 256, br)
@@ -244,8 +243,8 @@ def _decode_image(br: _Bits, w: int, h: int,
                 px = out[pos - dist]
                 out[pos] = px
                 if cache is not None:
-                    cache[(np.uint32(0x1E35A7BD) * px)
-                          >> np.uint32(32 - cache_bits)] = px
+                    cache[((0x1E35A7BD * int(px)) & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = px
                 pos += 1
         else:                                # color-cache hit
             if cache is None:
@@ -327,9 +326,14 @@ def _delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 #: decode bound: a corrupt header can claim 16384x16384 while
 #: zero-bit single-symbol codes make every pixel FREE, turning a
-#: 30-byte payload into a quarter-billion-iteration loop — a decoder
-#: DoS. 2^24 pixels (16 MPx) covers any sane crawl image.
-MAX_PIXELS = 1 << 24
+#: 30-byte payload into a quarter-billion-iteration Python loop — a
+#: decoder DoS with ~10^6x CPU amplification. 2^22 pixels (4 MPx,
+#: ~2048x2048) covers crawl images; raise max_pixels for known-good
+#: larger files.
+MAX_PIXELS = 1 << 22
+#: real VP8L rarely compresses past ~200:1; zero-bit-code attack
+#: streams are millions:1. Pixels-per-payload-byte sanity bound.
+MAX_PIXELS_PER_BYTE = 1024
 
 
 def decode_vp8l(payload: bytes,
@@ -344,6 +348,10 @@ def decode_vp8l(payload: bytes,
         raise ValueError(
             f"VP8L dimensions {w}x{h} exceed the {max_pixels}-pixel "
             f"decode bound (corrupt header or pass a larger max_pixels)")
+    if w * h > MAX_PIXELS_PER_BYTE * len(payload):
+        raise ValueError(
+            f"VP8L claims {w}x{h} pixels from {len(payload)} bytes — "
+            f"implausible compression ratio (zero-bit-code DoS header)")
     br.read(1)                               # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
