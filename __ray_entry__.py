@@ -899,6 +899,31 @@ def q_redact_pii(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_normalize_text(sf_dir: str):
+    """Curation text normalization. Both sides plant an identical messy
+    suffix — a DECOMPOSED accent (e + U+0301), tab/space runs, blank-run
+    newlines — so NFC composition and whitespace collapse are actually
+    exercised (the synthetic corpus is clean ASCII)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from tantivy4java_ray.functions.textstats import normalize_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    suffix = " \t cafe\u0301   menu\n\n\n\n ok \t"
+
+    def plant(t: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""),
+            pa.array([suffix] * t.num_rows), "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    out = normalize_text(
+        ds.map_batches(plant, batch_format="pyarrow")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bpe_stats(sf_dir: str):
     """BPE tokenizer training (distributed word counts -> driver merges
     over the vocabulary table) + encode pass. Iterative merge learning
@@ -1263,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_const_score": q_ft_const_score,
         "lm_score": q_lm_score,
         "redact_pii": q_redact_pii,
+        "normalize_text": q_normalize_text,
         "bpe_stats": q_bpe_stats,      # rows-only: iterative, no SQL
     }
 
@@ -1594,6 +1620,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY cnt DESC, term
             LIMIT 50""",
+        "normalize_text": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' ' || chr(9) || ' cafe' ||
+                     chr(769) || '   menu' || repeat(chr(10), 4) ||
+                     ' ok ' || chr(9) AS text
+              FROM documents
+            ), n AS (
+              SELECT doc_id, nfc_normalize(text) AS text FROM planted
+            ), w AS (
+              SELECT doc_id,
+                     regexp_replace(text, '[ ' || chr(9) || ']+', ' ',
+                                    'g') AS text
+              FROM n
+            ), nl AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' ?' || chr(10) || ' ?',
+                                    chr(10), 'g') AS text
+              FROM w
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(text, chr(10) || '{3,}',
+                                       chr(10) || chr(10), 'g'),
+                        ' ' || chr(9) || chr(10) || chr(13)) AS text
+            FROM nl ORDER BY doc_id""",
         "redact_pii": r"""
             WITH planted AS (
               SELECT doc_id,

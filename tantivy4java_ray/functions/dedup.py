@@ -1535,3 +1535,49 @@ def decontaminate(ds, col: str, id_col: str, benchmark_texts,
         return t.filter(pa.array(~_isin_sorted(ids, dl)))
 
     return ds.map_batches(filt, batch_format="pyarrow"), flagged
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster assembly (shared by every pair-producing dedup op)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: pd.DataFrame, a_col: str = "a",
+                       b_col: str = "b") -> pd.DataFrame:
+    """Connected components over a candidate-pair table -> one row per
+    MEMBER doc: ``(id, cluster_id)`` with ``cluster_id`` = the smallest
+    id in the component (the keep-first representative). Consumes the
+    output of ``minhash_lsh_pairs`` / ``ngram_jaccard_pairs`` /
+    ``simhash_pairs`` / ``embedding_neardup_pairs``.
+
+    Driver-side union-find with path halving: the pair table is
+    proportional to DUPLICATES, not the corpus (the same contract under
+    which those ops already return pandas), so components assemble
+    where the pairs already live. Singletons never appear."""
+    if not len(pairs):
+        return pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([],
+                                                     dtype=np.int64)})
+    a = pairs[a_col].to_numpy()
+    b = pairs[b_col].to_numpy()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:      # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by VALUE: smaller id becomes the root, so the
+            # representative is deterministic (min of the component)
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    members = sorted(set(a.tolist()) | set(b.tolist()))
+    return pd.DataFrame({
+        "id": members,
+        "cluster_id": [find(m) for m in members]})

@@ -601,3 +601,51 @@ def redact_pii(ds, col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(
         lambda t: redact_pii_batch(t, col, id_col, kinds),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text normalization (curation pre-step)
+# ---------------------------------------------------------------------------
+
+def normalize_text_batch(t: pa.Table, col: str = "text",
+                         id_col: str = "doc_id", *,
+                         form: str = "NFC") -> pa.Table:
+    """Curation-standard text normalization: Unicode ``form`` (NFC by
+    default), control characters stripped (except \\n and \\t),
+    horizontal whitespace runs collapsed to one space, blank-run
+    newlines collapsed, and edges trimmed. Vectorized: one
+    ``utf8_normalize`` + three RE2 passes per batch; null -> ``''``."""
+    import unicodedata
+    text = t.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    # Unicode normalization: ASCII rows are fixed points under every
+    # form, so only non-ASCII rows pay the per-row unicodedata cost
+    # (this Arrow build's utf8_normalize does not COMPOSE — verified:
+    # NFC of 'e'+U+0301 stays decomposed — so it cannot be used)
+    non_ascii = pc.match_substring_regex(text, r"[^\x00-\x7F]")
+    hit = np.flatnonzero(np.asarray(
+        non_ascii.to_numpy(zero_copy_only=False), bool))
+    if len(hit):
+        fixed = pa.array(
+            [unicodedata.normalize(form, v)
+             for v in text.take(pa.array(hit)).to_pylist()],
+            text.type)
+        text = pc.replace_with_mask(text, non_ascii, fixed)
+    # strip C0/C1 controls except \n and \t
+    text = pc.replace_substring_regex(
+        text, r"[\x00-\x08\x0B-\x1F\x7F]", "")
+    text = pc.replace_substring_regex(text, r"[ \t]+", " ")
+    text = pc.replace_substring_regex(text, r" ?\n ?", "\n")
+    text = pc.replace_substring_regex(text, r"\n{3,}", "\n\n")
+    text = pc.utf8_trim_whitespace(text)
+    return pa.table({id_col: t.column(id_col), col: text})
+
+
+def normalize_text(ds, col: str = "text", id_col: str = "doc_id", *,
+                   form: str = "NFC"):
+    """Map-only normalization pass -> Dataset of ``(id, text)``."""
+    return ds.map_batches(
+        lambda t: normalize_text_batch(t, col, id_col, form=form),
+        batch_format="pyarrow")

@@ -334,3 +334,74 @@ def test_redact_pii_hand_cases(ray_session):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert "192.168.001.1" in out2.loc[1, "text"]
     assert "n_ipv4" not in out2.columns
+
+
+def test_duplicate_clusters_matches_bfs_reference():
+    from tantivy4java_ray.functions.dedup import duplicate_clusters
+    rng = np.random.default_rng(31)
+    for trial in range(20):
+        n = int(rng.integers(2, 40))
+        m = int(rng.integers(1, 60))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        pairs = pd.DataFrame({"a": a, "b": b})
+        got = duplicate_clusters(pairs)
+        # BFS reference
+        adj: dict = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        want = {}
+        for start in sorted(adj):
+            if start in want:
+                continue
+            comp, stack = [], [start]
+            seen = {start}
+            while stack:
+                v = stack.pop()
+                comp.append(v)
+                for u in adj[v] - seen:
+                    seen.add(u)
+                    stack.append(u)
+            rep = min(comp)
+            for v in comp:
+                want[v] = rep
+        got_map = dict(zip(got["id"], got["cluster_id"]))
+        assert got_map == want, trial
+
+
+def test_duplicate_clusters_composes_with_minhash(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.dedup import (duplicate_clusters,
+                                                  minhash_lsh_pairs)
+    texts = (["the quick brown fox jumps over the lazy dog " * 3 + s
+              for s in ("", "x", "y")]           # near-dup cluster {0,1,2}
+             + ["completely different text about ray data engines " * 3,
+                "unrelated content with its own words entirely " * 3])
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": texts})
+    pairs = minhash_lsh_pairs(ray.data.from_pandas(df), "text",
+                              "doc_id", threshold=0.7)
+    cl = duplicate_clusters(pairs)
+    assert set(cl.loc[cl["cluster_id"] == 0, "id"]) == {0, 1, 2}
+    assert 3 not in set(cl["id"]) and 4 not in set(cl["id"])
+
+
+def test_normalize_text(ray_session):
+    import ray.data
+    from tantivy4java_ray.functions.textstats import normalize_text
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": pd.array([
+            "  hello \t  world \x00\x07 again ",
+            "a\n\n\n\n\nb",
+            "Café",                        # NFC: combining accent
+            None,
+        ], dtype="string"),
+    })
+    out = (normalize_text(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "text"] == "hello world again"
+    assert out.loc[1, "text"] == "a\n\nb"
+    assert out.loc[2, "text"] == "Café"
+    assert out.loc[3, "text"] == ""
